@@ -1,0 +1,64 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes to completion through the noop sink (full computation,
+no driver-side collect overhead distorting the measurement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from urban_traffic_data_lake_project_spark.queries import REGISTRY  # noqa: E402
+from urban_traffic_data_lake_project_spark.session import get_spark  # noqa: E402
+
+# Headline set: the heavy/representative queries. Grows as operators land.
+BENCH_QUERIES: tuple[str, ...] = (
+    "core_pricing_summary",
+    "core_join_snowflake",
+    "core_left_join_fanout",
+    "core_grand_aggs",
+    "core_topk_groups",
+    "core_set_ops",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM + codegen + file index, not measured
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    names = [n for n in BENCH_QUERIES if n in REGISTRY]
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

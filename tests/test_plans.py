@@ -1,0 +1,57 @@
+"""Physical-plan assertions: the optimizations we rely on at 100 TB must
+actually appear in the plan — pushed filters, pruned schemas, broadcast
+joins, whole-stage codegen, TakeOrderedAndProject for top-k."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from urban_traffic_data_lake_project_spark.queries import REGISTRY
+from urban_traffic_data_lake_project_spark.sources import load_table
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_pushed_to_scan(spark, sf_dir):
+    df = REGISTRY["core_filter_project"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "PushedFilters:" in plan
+    # the returnflag + discount predicates must reach the parquet reader
+    assert "l_returnflag" in plan.split("PushedFilters:")[1].split("]")[0]
+    # only the needed columns are read
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema
+    assert "l_partkey" not in read_schema
+
+
+def test_snowflake_joins_broadcast_dimensions(spark, sf_dir):
+    df = REGISTRY["core_join_snowflake"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    df = REGISTRY["core_topk_abs"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_covers_agg(spark, sf_dir):
+    df = REGISTRY["core_pricing_summary"].fn(spark, sf_dir)
+    df.collect()  # AQE finalizes the plan only on execution
+    plan = plan_of(df)
+    assert "isFinalPlan=true" in plan
+    # whole-stage-codegen spans render as "*(n)" operator prefixes
+    assert "*(1)" in plan and "*(2)" in plan
+    # map-side partial aggregation before the shuffle
+    assert "partial_sum" in plan
+
+
+def test_scan_prunes_columns_for_narrow_agg(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    plan = plan_of(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" not in read_schema and "l_quantity" in read_schema

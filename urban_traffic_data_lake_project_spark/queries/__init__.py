@@ -1,0 +1,25 @@
+"""Named query registry — the driver contract surface.
+
+``REGISTRY`` maps query name -> QuerySpec (Spark fn + DuckDB oracle SQL).
+Submodules group queries by domain; this module just assembles them.
+"""
+
+from __future__ import annotations
+
+from urban_traffic_data_lake_project_spark.queries import analytics, cleaning, core, llm, windows
+from urban_traffic_data_lake_project_spark.queries.base import QuerySpec
+
+
+def _assemble() -> dict[str, QuerySpec]:
+    registry: dict[str, QuerySpec] = {}
+    for m in (core, cleaning, llm, windows, analytics):
+        overlap = registry.keys() & m.REGISTRY.keys()
+        if overlap:
+            raise ValueError(f"duplicate query names: {overlap}")
+        registry.update(m.REGISTRY)
+    return registry
+
+
+REGISTRY: dict[str, QuerySpec] = _assemble()
+
+__all__ = ["REGISTRY", "QuerySpec"]

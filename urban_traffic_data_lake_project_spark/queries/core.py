@@ -1,0 +1,390 @@
+"""Core relational surface: scans, filters, projections, joins, grouped and
+grand aggregates, top-k, mode, set ops, describe, correlation.
+
+Maps the reference's operator inventory (SURVEY.md §2.2-§2.7) onto the
+driver's TPC-H-ish tables:
+
+- J1 left equi-join w/ coarse-key fan-out (reference scripts/merge.py:63-80)
+  -> ``core_left_join_fanout`` (orders x lineitem on day key).
+- Grand aggregates A1-A12 (clean_traffic.py / monte_carlo.py / notebook)
+  -> ``core_grand_aggs``, ``core_describe``, ``core_corr``, ``core_mode``.
+- Top-k T1/T2 (factor_analysis.py:214-216) -> ``core_topk_abs``,
+  ``core_topk_groups``.
+- Set ops (absent in reference, free in Spark; SURVEY §2.6) -> ``core_set_ops``.
+
+Scale notes: every query is expressed declaratively so Catalyst pushes
+filters/projections into the parquet scan; joins on dimension tables
+broadcast (nation/region always; customer under the 64 MB threshold locally,
+sort-merge + AQE on a cluster); grouped aggregates get map-side partial
+aggregation for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from urban_traffic_data_lake_project_spark.queries.base import ROUND_STAT, ROUND_SUM, QuerySpec
+from urban_traffic_data_lake_project_spark.sources import load_table
+
+
+# ---------------------------------------------------------------------------
+# core_pricing_summary — TPC-H Q1-shaped grouped aggregate (A1/A2/A6 grouped)
+# ---------------------------------------------------------------------------
+def _pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), ROUND_SUM).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), ROUND_SUM).alias("sum_base_price"),
+            F.round(F.sum(net), ROUND_SUM).alias("sum_disc_price"),
+            F.round(F.sum(net * (1 + F.col("l_tax"))), ROUND_SUM).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), ROUND_STAT).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), ROUND_STAT).alias("avg_price"),
+            F.round(F.avg("l_discount"), ROUND_STAT).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_PRICING_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), {ROUND_SUM})                                          AS sum_qty,
+       round(sum(l_extendedprice), {ROUND_SUM})                                     AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), {ROUND_SUM})                  AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), {ROUND_SUM})    AS sum_charge,
+       round(avg(l_quantity), {ROUND_STAT})                                         AS avg_qty,
+       round(avg(l_extendedprice), {ROUND_STAT})                                    AS avg_price,
+       round(avg(l_discount), {ROUND_STAT})                                         AS avg_disc,
+       count(*)                                                                     AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# core_join_snowflake — multi-way join through the dimension chain
+# ---------------------------------------------------------------------------
+def _join_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    # nation/region are tiny at any scale -> explicit broadcast; customer
+    # and orders shuffle on their keys (AQE converts to broadcast when a
+    # filtered side turns out small at runtime).
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), ROUND_SUM).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+_SNOWFLAKE_SQL = f"""
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), {ROUND_SUM}) AS revenue,
+       count(DISTINCT o_orderkey)                                  AS n_orders
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# core_left_join_fanout — the reference's J1: left equi-join on a coarse
+# (day-granularity) key, many-to-many fan-out (scripts/merge.py:63-80), then
+# aggregated so the check output stays bounded while the join itself runs
+# at full fan-out.
+# ---------------------------------------------------------------------------
+def _left_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").withColumn("o_day", F.to_date("o_orderdate"))
+    li = load_table(spark, sf_dir, "lineitem").withColumn("l_day", F.to_date("l_shipdate"))
+    joined = orders.join(li, orders.o_day == li.l_day, "left")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("l_quantity").alias("n_matched"),
+        F.round(F.avg("o_totalprice"), ROUND_STAT).alias("avg_left_price"),
+        F.round(F.avg("l_quantity"), ROUND_STAT).alias("avg_right_qty"),
+    )
+
+
+_FANOUT_SQL = f"""
+SELECT o_orderpriority,
+       count(*)                                    AS n_rows,
+       count(l_quantity)                           AS n_matched,
+       round(avg(o_totalprice), {ROUND_STAT})      AS avg_left_price,
+       round(avg(l_quantity), {ROUND_STAT})        AS avg_right_qty
+FROM (SELECT o_orderpriority, o_totalprice, CAST(o_orderdate AS DATE) AS o_day FROM orders) o
+LEFT JOIN (SELECT l_quantity, CAST(l_shipdate AS DATE) AS l_day FROM lineitem) l
+  ON o.o_day = l.l_day
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# core_grand_aggs — whole-table aggregate bundle (reference A1-A12:
+# mean/std/median/percentile/mode-adjacent/count/null-fraction/
+# prop-above-threshold/distinct/min/max in one pass)
+# ---------------------------------------------------------------------------
+def _grand_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg("l_quantity"), ROUND_STAT).alias("avg_qty"),
+        F.round(F.stddev_samp("l_quantity"), ROUND_STAT).alias("std_qty"),
+        F.round(F.stddev_pop("l_quantity"), ROUND_STAT).alias("stdpop_qty"),
+        F.round(F.median("l_quantity"), ROUND_STAT).alias("med_qty"),
+        F.round(F.percentile("l_extendedprice", 0.25), ROUND_STAT).alias("q25_price"),
+        F.round(F.percentile("l_extendedprice", 0.75), ROUND_STAT).alias("q75_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.round(F.avg((F.col("l_quantity") > 25).cast("double")), ROUND_STAT).alias("frac_qty_above_25"),
+        F.round(F.avg(F.col("l_discount").isNull().cast("double")), ROUND_STAT).alias("null_frac_discount"),
+    )
+
+
+_GRAND_AGGS_SQL = f"""
+SELECT count(*)                                                     AS n_rows,
+       round(avg(l_quantity), {ROUND_STAT})                         AS avg_qty,
+       round(stddev_samp(l_quantity), {ROUND_STAT})                 AS std_qty,
+       round(stddev_pop(l_quantity), {ROUND_STAT})                  AS stdpop_qty,
+       round(median(l_quantity), {ROUND_STAT})                      AS med_qty,
+       round(quantile_cont(l_extendedprice, 0.25), {ROUND_STAT})    AS q25_price,
+       round(quantile_cont(l_extendedprice, 0.75), {ROUND_STAT})    AS q75_price,
+       min(l_quantity)                                              AS min_qty,
+       max(l_quantity)                                              AS max_qty,
+       count(DISTINCT l_partkey)                                    AS n_parts,
+       round(avg(CASE WHEN l_quantity > 25 THEN 1.0 ELSE 0.0 END), {ROUND_STAT}) AS frac_qty_above_25,
+       round(avg(CASE WHEN l_discount IS NULL THEN 1.0 ELSE 0.0 END), {ROUND_STAT}) AS null_frac_discount
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# core_topk_abs — T1: top-k by absolute value with deterministic tiebreak
+# (factor_analysis.py:214-216 nlargest on |loading|). Plans as
+# TakeOrderedAndProject: per-partition heap, no global sort.
+# ---------------------------------------------------------------------------
+def _topk_abs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dev = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 30000.0
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(dev, ROUND_SUM).alias("net_price_dev"),
+        )
+        .orderBy(F.abs(F.col("net_price_dev")).desc(), "l_orderkey", "l_linenumber")
+        .limit(10)
+    )
+
+
+_TOPK_ABS_SQL = f"""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount) - 30000.0, {ROUND_SUM}) AS net_price_dev
+FROM lineitem
+ORDER BY abs(round(l_extendedprice * (1 - l_discount) - 30000.0, {ROUND_SUM})) DESC,
+         l_orderkey, l_linenumber
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# core_topk_groups — top-5 parts by revenue (agg then TakeOrdered)
+# ---------------------------------------------------------------------------
+def _topk_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), ROUND_SUM).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_partkey")
+        .limit(5)
+    )
+
+
+_TOPK_GROUPS_SQL = f"""
+SELECT l_partkey,
+       round(sum(l_extendedprice * (1 - l_discount)), {ROUND_SUM}) AS revenue
+FROM lineitem
+GROUP BY l_partkey
+ORDER BY revenue DESC, l_partkey
+LIMIT 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# core_mode — A5 with a deterministic tiebreak (max count, then min value);
+# the reference's df[col].mode() (clean_traffic.py:93) is the same modulo
+# pandas returning all ties.
+# ---------------------------------------------------------------------------
+def _mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("mode_value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "mode_value")
+        .limit(1)
+    )
+
+
+_MODE_SQL = """
+SELECT l_returnflag AS mode_value, count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY n DESC, mode_value
+LIMIT 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# core_filter_project — predicate + projection; both must reach the parquet
+# scan (PushedFilters / ReadSchema — asserted in tests/test_plans.py).
+# ---------------------------------------------------------------------------
+def _filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("l_discount") > 0.05)
+        & (F.col("l_returnflag") == "R")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), ROUND_SUM).alias("net_price"),
+    )
+
+
+_FILTER_PROJECT_SQL = f"""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount), {ROUND_SUM}) AS net_price
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+  AND l_discount > 0.05 AND l_returnflag = 'R'
+"""
+
+
+# ---------------------------------------------------------------------------
+# core_corr — A11 Pearson correlation (notebook cell 13 corr heatmap)
+# ---------------------------------------------------------------------------
+def _corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), ROUND_STAT).alias("corr_qty_price"),
+        F.round(F.corr("l_quantity", "l_discount"), ROUND_STAT).alias("corr_qty_disc"),
+        F.round(F.corr("l_extendedprice", "l_discount"), ROUND_STAT).alias("corr_price_disc"),
+    )
+
+
+_CORR_SQL = f"""
+SELECT round(corr(l_quantity, l_extendedprice), {ROUND_STAT}) AS corr_qty_price,
+       round(corr(l_quantity, l_discount), {ROUND_STAT})      AS corr_qty_disc,
+       round(corr(l_extendedprice, l_discount), {ROUND_STAT}) AS corr_price_disc
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# core_describe — A10 df.describe() in long form, computed via a single
+# unpivot + grouped aggregate pass (scales: one shuffle on 3 keys).
+# ---------------------------------------------------------------------------
+_DESCRIBE_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def _describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    stacked = li.select(
+        F.expr(
+            "stack({n}, {args}) AS (column_name, value)".format(
+                n=len(_DESCRIBE_COLS),
+                args=", ".join(f"'{c}', {c}" for c in _DESCRIBE_COLS),
+            )
+        )
+    )
+    return stacked.groupBy("column_name").agg(
+        F.count("value").alias("n"),
+        F.round(F.avg("value"), ROUND_STAT).alias("mean"),
+        F.round(F.stddev_samp("value"), ROUND_STAT).alias("std"),
+        F.round(F.min("value"), ROUND_STAT).alias("min_value"),
+        F.round(F.percentile("value", 0.25), ROUND_STAT).alias("q25"),
+        F.round(F.percentile("value", 0.5), ROUND_STAT).alias("q50"),
+        F.round(F.percentile("value", 0.75), ROUND_STAT).alias("q75"),
+        F.round(F.max("value"), ROUND_STAT).alias("max_value"),
+    )
+
+
+_DESCRIBE_SQL = f"""
+WITH stacked AS (
+  SELECT 'l_quantity' AS column_name, l_quantity AS value FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+)
+SELECT column_name,
+       count(value)                                     AS n,
+       round(avg(value), {ROUND_STAT})                  AS mean,
+       round(stddev_samp(value), {ROUND_STAT})          AS std,
+       round(min(value), {ROUND_STAT})                  AS min_value,
+       round(quantile_cont(value, 0.25), {ROUND_STAT})  AS q25,
+       round(quantile_cont(value, 0.5), {ROUND_STAT})   AS q50,
+       round(quantile_cont(value, 0.75), {ROUND_STAT})  AS q75,
+       round(max(value), {ROUND_STAT})                  AS max_value
+FROM stacked
+GROUP BY column_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# core_set_ops — union / intersect / except (SURVEY §2.6: absent in the
+# reference, exposed as net-new Spark surface)
+# ---------------------------------------------------------------------------
+def _set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    heavy = li.filter(F.col("l_quantity") > 45).select("l_partkey")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    union = heavy.union(returned).distinct().select(F.lit("union").alias("set_op"), "l_partkey")
+    inter = heavy.intersect(returned).select(F.lit("intersect").alias("set_op"), "l_partkey")
+    # subtract == SQL EXCEPT (set semantics); exceptAll would keep keys
+    # whose left multiplicity merely exceeds the right one.
+    diff = heavy.subtract(returned).select(F.lit("except").alias("set_op"), "l_partkey")
+    return union.union(inter).union(diff)
+
+
+_SET_OPS_SQL = """
+WITH heavy AS (SELECT l_partkey FROM lineitem WHERE l_quantity > 45),
+     ret   AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+SELECT 'union' AS set_op, l_partkey FROM (SELECT l_partkey FROM heavy UNION SELECT l_partkey FROM ret)
+UNION ALL
+SELECT 'intersect', l_partkey FROM (SELECT l_partkey FROM heavy INTERSECT SELECT l_partkey FROM ret)
+UNION ALL
+SELECT 'except', l_partkey FROM (SELECT l_partkey FROM heavy EXCEPT SELECT l_partkey FROM ret)
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "core_pricing_summary": QuerySpec(_pricing_summary, _PRICING_SQL, "TPC-H Q1-shaped grouped aggregate", ("agg", "scan")),
+    "core_join_snowflake": QuerySpec(_join_snowflake, _SNOWFLAKE_SQL, "5-way join via broadcast dims", ("join",)),
+    "core_left_join_fanout": QuerySpec(_left_join_fanout, _FANOUT_SQL, "J1 coarse-key left join fan-out", ("join",)),
+    "core_grand_aggs": QuerySpec(_grand_aggs, _GRAND_AGGS_SQL, "A1-A12 grand aggregate bundle", ("agg",)),
+    "core_topk_abs": QuerySpec(_topk_abs, _TOPK_ABS_SQL, "T1 top-k by |value|", ("sort",)),
+    "core_topk_groups": QuerySpec(_topk_groups, _TOPK_GROUPS_SQL, "top-5 groups by aggregate", ("sort", "agg")),
+    "core_mode": QuerySpec(_mode, _MODE_SQL, "A5 deterministic mode", ("agg",)),
+    "core_filter_project": QuerySpec(_filter_project, _FILTER_PROJECT_SQL, "pushdown filter + projection", ("scan",)),
+    "core_corr": QuerySpec(_corr, _CORR_SQL, "A11 Pearson correlations", ("agg",)),
+    "core_describe": QuerySpec(_describe, _DESCRIBE_SQL, "A10 describe() long-form", ("agg",)),
+    "core_set_ops": QuerySpec(_set_ops, _SET_OPS_SQL, "union/intersect/except", ("set",)),
+}

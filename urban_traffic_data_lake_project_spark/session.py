@@ -1,0 +1,63 @@
+"""SparkSession factory.
+
+Local runs use ``local[$SPARK_GRAFT_CPUS]`` (default all cores); the same
+config block is what we would ship to a 1000-executor cluster: AQE on
+(runtime re-planning, skew-join splitting, partition coalescing), explicit
+shuffle partitioning, Arrow for the few pandas-UDF operators, UTC session
+time zone so timestamp semantics match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS: dict[str, str] = {
+    # Catalyst / AQE: let the optimizer re-plan at runtime. At 100 TB the
+    # static plan is always wrong somewhere — AQE coalesces post-shuffle
+    # partitions, converts sort-merge to broadcast when a side turns out
+    # small, and splits skewed partitions.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Broadcast anything under 64 MB — dimension tables (region, nation,
+    # supplier, scenario specs, fitted-stats rows) never shuffle.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Arrow transfer for pandas UDFs (factor scoring, multimodal decode).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic timestamp semantics, matching the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # ~128 MB input splits: good parquet scan granularity at any scale.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Don't let tiny files explode the task count on small SFs.
+    "spark.sql.files.openCostInBytes": str(4 * 1024 * 1024),
+    "spark.sql.shuffle.partitions": "32",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "urban-traffic-data-lake-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the configured SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]``; on a real cluster
+    the caller passes ``yarn``/``k8s://...`` and the same tuning applies.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
