@@ -1,0 +1,58 @@
+"""Window / as-of / merge queries: oracle parity + as-of semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from urban_traffic_data_lake_project_spark.operators import merge as M
+from urban_traffic_data_lake_project_spark.queries import windows as qw
+
+
+@pytest.mark.parametrize("name", sorted(qw.REGISTRY))
+def test_windows_query_matches_oracle(oracle, name):
+    oracle(name)
+
+
+def _ts(minute):
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_asof_join_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, "u1", _ts(10)), (2, "u1", _ts(30)), (3, "u2", _ts(5))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts(8), 100.0), ("u1", _ts(30), 200.0), ("u1", _ts(31), 300.0)],
+        "user_id string, ts timestamp, value double",
+    )
+    out = M.asof_join(left, right, by=["user_id"], left_on="ts", right_on="ts",
+                      right_cols=["ts", "value"])
+    rows = {r["event_id"]: (r["ts_asof"], r["value_asof"]) for r in out.collect()}
+    assert rows[1] == (_ts(8), 100.0)       # most recent <= 00:10
+    assert rows[2] == (_ts(30), 200.0)      # equal timestamps match (non-strict)
+    assert rows[3] == (None, None)          # no right rows for u2
+
+
+def test_asof_join_strict_excludes_equal(spark):
+    left = spark.createDataFrame(
+        [(1, "u1", _ts(30))], "event_id long, user_id string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts(8), 100.0), ("u1", _ts(30), 200.0)],
+        "user_id string, ts timestamp, value double",
+    )
+    out = M.asof_join(left, right, by=["user_id"], left_on="ts", right_on="ts",
+                      right_cols=["value"], strict=True)
+    assert out.collect()[0]["value_asof"] == 100.0
+
+
+def test_suffix_join_renames_collisions(spark):
+    l = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    r = spark.createDataFrame([(1, 20.0)], "k long, v double")
+    out = M.suffix_join(l, r, on=["k"], lsuffix="_l", rsuffix="_r")
+    assert set(out.columns) == {"k", "v_l", "v_r"}
+    row = out.collect()[0]
+    assert (row["v_l"], row["v_r"]) == (10.0, 20.0)

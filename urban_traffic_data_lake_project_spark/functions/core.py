@@ -75,8 +75,11 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     words = F.split(normalize_text(c), " ")
-    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
-    idx = F.sequence(F.lit(0), k - F.lit(1))
+    k = F.size(words) - F.lit(n - 1)
+    # guard: sequence(0, k-1) with k <= 0 would produce a DESCENDING range
+    idx = F.when(k > 0, F.sequence(F.lit(0), k - F.lit(1))).otherwise(
+        F.array().cast("array<int>")
+    )
     shingle = F.transform(
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]),

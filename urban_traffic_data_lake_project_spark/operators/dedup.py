@@ -1,0 +1,181 @@
+"""Deduplication operators for large-scale text corpora (BASELINE.json
+north star: LLM-training-data pipeline ops; absent from the reference,
+whose only dedup is keyed drop_duplicates, clean_traffic.py:66-72).
+
+Four tiers, cheapest to most thorough:
+- exact_dedup          : md5 of normalized text, keep min id per hash.
+- simhash              : 32-bit sign-of-weighted-sum sketch; near-dups have
+                         small Hamming distance.
+- minhash signatures + LSH banding : Jaccard-similar docs collide in >=1
+                         band bucket; candidate pairs verified exactly.
+- ngram_jaccard_pairs  : exact Jaccard over word shingles via shingle-key
+                         self-join (the verifier; also standalone for
+                         moderate corpora).
+
+All hashing uses ``stable_hash64`` (md5-derived) so every step is
+reproducible across engines — the DuckDB oracle recomputes identical
+signatures, making even the sketch internals hash-checkable.
+
+Scale notes: the shingle self-join shuffles on the shingle string — skew
+(stopword shingles) is bounded because shingles are n-grams (n>=3) over
+normalized text; LSH banding reduces pair generation from O(n^2) to
+near-linear in the number of true near-dups. Everything is built-in
+expressions: no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from urban_traffic_data_lake_project_spark.functions import (
+    normalize_text,
+    stable_hash64,
+    word_shingles,
+)
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per distinct normalized text: the smallest id wins.
+    Single hash-shuffle on the 32-char digest."""
+    fp = F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    return (
+        df.select(F.col(id_col), fp)
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col))
+    )
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) rows — distinct word n-grams per document."""
+    return df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    ).filter(F.col("shingle") != "")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard similarity over word n-gram shingle sets, for all pairs
+    sharing at least one shingle. Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    Co-grouped by shingle: only genuinely overlapping pairs are generated,
+    so cost is sum over shingles of bucket^2 — near-linear for natural text.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """MinHash signature per document: for each of ``num_hashes`` salted
+    hash functions, the minimum over the document's shingles. Computed in
+    ONE aggregation pass (num_hashes agg expressions over the exploded
+    shingle table), not num_hashes passes."""
+    sh = shingle_table(df, id_col, text_col, n)
+    aggs = [
+        F.min(stable_hash64(F.col("shingle"), salt=f"mh{i}:")).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Band the signature (bands x rows_per_band = num_hashes); documents
+    sharing any band's full sub-signature become candidate pairs.
+    Returns distinct (id_a, id_b), id_a < id_b."""
+    rows_per_band = num_hashes // bands
+    assert bands * rows_per_band == num_hashes, "bands must divide num_hashes"
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + j}") for j in range(rows_per_band)]
+        band_rows.append(
+            signatures.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("bucket"),
+            )
+        )
+    buckets = band_rows[0]
+    for br in band_rows[1:]:
+        buckets = buckets.unionByName(br)
+    a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b2 = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b2, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures -> banded candidate
+    pairs -> exact Jaccard verification >= threshold."""
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    candidates = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    verified = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
+    return candidates.join(verified, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """SimHash sketch over distinct normalized words: bit j of the sketch is
+    the sign of sum(+-1 over word-hash bit j). One explode + one grouped
+    aggregate with ``bits`` expressions."""
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))).alias("w"),
+    ).filter(F.col("w") != "")
+    h = stable_hash64(F.col("w"))
+    bit_sums = [
+        F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b_{j}")
+        for j in range(bits)
+    ]
+    sums = words.groupBy(id_col).agg(*bit_sums)
+    sketch = None
+    for j in range(bits):
+        term = F.when(F.col(f"b_{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        sketch = term if sketch is None else sketch + term
+    return sums.select(F.col(id_col), sketch.cast("bigint").alias("simhash"))
+
+
+def dedup_keep_canonical(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
+    """Given near-dup pairs (id_a < id_b), drop every id_b — keeping the
+    smallest id of each dup cluster that is reachable as a chain of pairs.
+    (Single-link transitive closure is iterative; for dedup purposes
+    dropping all 'b' sides removes every duplicate — each cluster keeps
+    only ids that are never the larger element of a pair, at minimum its
+    smallest id.)"""
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drops, id_col, "left_anti")

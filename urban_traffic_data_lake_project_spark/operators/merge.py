@@ -1,0 +1,112 @@
+"""Join operators: the reference's suffixed merge (J1/R10/R11/R14,
+scripts/merge.py:49-98) plus the idiomatic as-of join upgrade (SURVEY.md §2.3).
+
+Scale design:
+- ``suffix_join`` is a plain equi-join — Catalyst picks broadcast vs
+  sort-merge; the suffix logic is pure column renaming (pandas
+  ``suffixes=('_traffic','_weather')`` has no Spark equivalent, so we
+  rename colliding non-key columns before joining).
+- ``asof_join`` deliberately avoids the naive range join (which explodes to
+  a near-cross-product per key). It uses the union-and-window formulation:
+  tag both streams, union, sort within key, and carry the most recent right
+  row forward with ``last(ignorenulls)``. Cost = one shuffle + sort per
+  side on the key — identical to a sort-merge join, regardless of time
+  density. This is the standard scalable as-of strategy (same shape as
+  Flink temporal joins / kdb aj).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def suffix_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    how: str = "left",
+    lsuffix: str = "_left",
+    rsuffix: str = "_right",
+) -> DataFrame:
+    """Equi-join with pandas-style suffixing of colliding non-key columns
+    (reference merge.py:71-77 suffixes=('_traffic','_weather'))."""
+    collisions = (set(left.columns) & set(right.columns)) - set(on)
+    for c in collisions:
+        left = left.withColumnRenamed(c, c + lsuffix)
+        right = right.withColumnRenamed(c, c + rsuffix)
+    return left.join(right, on=list(on), how=how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    left_on: str,
+    right_on: str,
+    right_cols: Sequence[str],
+    suffix: str = "_asof",
+    strict: bool = False,
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the most recent right
+    row with ``right[right_on] <= left[left_on]`` within the same ``by`` key
+    (``<`` when ``strict``). Right payload columns come back as
+    ``{col}{suffix}``; unmatched left rows get NULLs.
+
+    Union-and-window formulation — scales linearly, no range explosion.
+    """
+    lcols = left.columns
+    payload = F.struct(*[F.col(c) for c in right_cols])
+    r = right.select(
+        *[F.col(c) for c in by],
+        F.col(right_on).alias("__t"),
+        F.lit(0).alias("__side"),
+        payload.alias("__payload"),
+        *[F.lit(None).alias(f"__l_{c}") for c in lcols],
+    )
+    l = left.select(
+        *[F.col(c) for c in by],
+        F.col(left_on).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        *[F.col(c).alias(f"__l_{c}") for c in lcols],
+    )
+    # At equal timestamps the right row sorts first (side 0) so it is
+    # visible to the left row — unless strict, where left sorts first.
+    order = [F.col("__t").asc(), F.col("__side").asc() if not strict else F.col("__side").desc()]
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1 if strict else 0)
+    )
+    matched = (
+        l.unionByName(r)
+        .withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    out_cols = [F.col(f"__l_{c}").alias(c) for c in lcols]
+    out_cols += [F.col(f"__match.{c}").alias(f"{c}{suffix}") for c in right_cols]
+    return matched.select(*out_cols)
+
+
+def day_key_merge(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    extra_keys: Sequence[str] = (),
+    how: str = "left",
+    lsuffix: str = "_left",
+    rsuffix: str = "_right",
+) -> DataFrame:
+    """The reference's merge stage verbatim (merge.py:63-80): derive a
+    day-granularity key from each side's timestamp (R10), left-join on
+    (extra_keys..., day) with suffixing (J1/R14), drop the key (R11).
+    Day-level keys fan out many-to-many by design."""
+    lk, rk = "__day", "__day"
+    left = left.withColumn(lk, F.to_date(F.col(left_ts)))
+    right = right.withColumn(rk, F.to_date(F.col(right_ts)))
+    joined = suffix_join(left, right, on=[*extra_keys, "__day"], how=how, lsuffix=lsuffix, rsuffix=rsuffix)
+    return joined.drop("__day")

@@ -1,0 +1,133 @@
+"""Text-analysis operators over document tables (BASELINE.json north star:
+language ID, quality scoring, token counting, fingerprinting).
+
+All pure Catalyst expressions (regexp/length/split arithmetic) — the hot
+path stays inside whole-stage codegen; no Python UDFs. Each operator is a
+Column factory so callers compose them into a single projection pass over
+the corpus (one scan computes every signal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from urban_traffic_data_lake_project_spark.functions import normalize_text, stable_hash64
+
+# Tiny per-language stopword marker sets for the n-gram/stopword-hit
+# language heuristic. Deliberately small and high-precision: the point is
+# the *operator shape* (argmax over per-language evidence scores computed
+# in one pass), not lexicon quality.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "with"),
+    "es": ("el", "la", "de", "que", "los", "las", "una", "por"),
+    "fr": ("le", "la", "les", "des", "est", "une", "dans", "pour"),
+    "de": ("der", "die", "das", "und", "ist", "mit", "ein", "nicht"),
+    "zh": (),  # handled by CJK codepoint detection below
+}
+
+
+def token_count_whitespace(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    t = F.trim(text)
+    return F.when(t == "", 0).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def token_count_bpe_ish(text: Column) -> Column:
+    """BPE-ish proxy token count: word pieces + standalone non-space
+    punctuation (the classic ``\\w+|[^\\w\\s]`` tokenizer)."""
+    return F.regexp_count(text, F.lit(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"))
+
+
+def stopword_hits(text: Column, words: tuple[str, ...]) -> Column:
+    """Number of word-boundary hits of any marker word."""
+    if not words:
+        return F.lit(0)
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(text), F.lit(pattern))
+
+
+def cjk_char_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(r"[一-鿿]"))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language evidence scores, all computed in one projection."""
+    scores = {
+        lang: stopword_hits(text, words)
+        for lang, words in LANG_MARKERS.items()
+        if words
+    }
+    scores["zh"] = cjk_char_count(text)
+    return scores
+
+
+def lang_id(text: Column, default: str = "und") -> Column:
+    """Predicted language = argmax evidence score (ties -> lexicographically
+    first language, deterministic); 'und' when no evidence at all."""
+    scores = lang_scores(text)
+    best = None
+    for lang in sorted(scores):
+        pair = F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
+        best = pair if best is None else F.when(pair["score"] > best["score"], pair).otherwise(best)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit(default))
+
+
+def quality_signals(text: Column) -> dict[str, Column]:
+    """The classic cheap quality signals, one projection pass:
+    - n_chars, n_tokens
+    - mean token length
+    - alpha ratio (letters / non-space chars)
+    - punct ratio
+    - stopword ratio (any-language markers / tokens)
+    """
+    n_chars = F.length(text)
+    n_tokens = token_count_whitespace(text)
+    nonspace = F.length(F.regexp_replace(text, r"\s", ""))
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    punct = F.regexp_count(text, F.lit(r"[.,;:!?'\"()\[\]{}-]"))
+    all_markers = tuple(w for ws in LANG_MARKERS.values() for w in ws)
+    stop_hits = stopword_hits(text, all_markers)
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": F.when(n_tokens > 0, nonspace.cast("double") / n_tokens).otherwise(F.lit(0.0)),
+        "alpha_ratio": F.when(nonspace > 0, alpha.cast("double") / nonspace).otherwise(F.lit(0.0)),
+        "punct_ratio": F.when(nonspace > 0, punct.cast("double") / nonspace).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(n_tokens > 0, stop_hits.cast("double") / n_tokens).otherwise(F.lit(0.0)),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score: weighted blend of bounded signals.
+    Deterministic, monotone in each signal — a filterable ranking, not a
+    trained model."""
+    s = quality_signals(text)
+    len_score = F.least(s["n_tokens"].cast("double") / 50.0, F.lit(1.0))
+    return (
+        0.4 * len_score
+        + 0.3 * s["alpha_ratio"]
+        + 0.2 * F.least(s["stopword_ratio"] * 5.0, F.lit(1.0))
+        + 0.1 * (1.0 - F.least(s["punct_ratio"] * 5.0, F.lit(1.0)))
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic 64-bit content fingerprint of the normalized text
+    (md5-derived; identical expression exists in ANSI SQL for the oracle)."""
+    return stable_hash64(normalize_text(text))
+
+
+def document_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Everything above in ONE projection over the corpus: id, predicted
+    language, quality signals + composite score, token counts, fingerprint."""
+    t = F.col(text_col)
+    sig = quality_signals(t)
+    return df.select(
+        F.col(id_col),
+        lang_id(t).alias("pred_lang"),
+        *[c.alias(name) for name, c in sig.items()],
+        F.round(quality_score(t), 6).alias("quality"),
+        token_count_bpe_ish(t).alias("n_tokens_bpe"),
+        fingerprint(t).alias("fingerprint"),
+    )

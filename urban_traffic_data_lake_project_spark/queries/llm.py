@@ -1,5 +1,355 @@
-"""Placeholder — populated in this round."""
+"""LLM-training-data pipeline queries (BASELINE.json north star): exact and
+near deduplication, similarity search, and text analysis over the
+``documents`` / ``embeddings`` tables.
 
-from urban_traffic_data_lake_project_spark.queries.base import QuerySpec
+Every sketch (MinHash, SimHash, fingerprint) is built on the md5-derived
+``stable_hash64``, which has a bit-identical ANSI-SQL formulation — so even
+the sketch internals are oracle-checked, not just row counts.
+"""
 
-REGISTRY: dict[str, QuerySpec] = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from urban_traffic_data_lake_project_spark.operators import dedup as D
+from urban_traffic_data_lake_project_spark.operators import similarity as S
+from urban_traffic_data_lake_project_spark.operators import text as T
+from urban_traffic_data_lake_project_spark.queries.base import ROUND_STAT, QuerySpec
+from urban_traffic_data_lake_project_spark.sources import load_table
+
+# ---- shared SQL fragments -------------------------------------------------
+
+# normalize_text (functions/core.py) in DuckDB
+_NORM = "trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
+
+# stable_hash64(salt || s): first 15 hex digits of md5 as a BIGINT
+def _sql_hash64(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::UBIGINT)::BIGINT"
+
+
+# distinct word-3-gram shingles of a pre-split word list column `w`
+_SHINGLES_3 = (
+    "list_distinct(list_transform(range(1, greatest(len({w}) - 1, 1)), "
+    "i -> {w}[i] || ' ' || {w}[i+1] || ' ' || {w}[i+2]))"
+)
+
+_MINHASH_K = 16
+_MINHASH_BANDS = 4
+_JACCARD_THRESHOLD = 0.5
+
+# shingle table CTE shared by the jaccard / minhash oracles
+_SHINGLE_CTE = f"""
+norm AS (SELECT doc_id, {_NORM.format(c='text')} AS nt FROM documents),
+words AS (SELECT doc_id, string_split(nt, ' ') AS w FROM norm),
+shingles AS (
+  SELECT doc_id, unnest({_SHINGLES_3.format(w='w')}) AS shingle FROM words),
+sh AS (SELECT doc_id, shingle FROM shingles WHERE shingle <> '')
+"""
+
+_JACCARD_PAIRS_SQL_BODY = f"""
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+jac AS (
+  SELECT id_a, id_b,
+         n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b)
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact — hash-groupBy exact dedup
+# ---------------------------------------------------------------------------
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, "doc_id", "text")
+
+
+_DEDUP_EXACT_SQL = f"""
+SELECT md5({_NORM.format(c='text')}) AS content_hash, min(doc_id) AS doc_id
+FROM documents
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_ngram_jaccard — exact Jaccard over 3-gram shingles (shingle join)
+# ---------------------------------------------------------------------------
+def _dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=_JACCARD_THRESHOLD)
+    return pairs.select("id_a", "id_b", F.round("jaccard", ROUND_STAT).alias("jaccard"))
+
+
+_DEDUP_JACCARD_SQL = f"""
+WITH {_SHINGLE_CTE}, {_JACCARD_PAIRS_SQL_BODY}
+SELECT id_a, id_b, round(jaccard, {ROUND_STAT}) AS jaccard
+FROM jac WHERE jaccard >= {_JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_lsh — MinHash signatures -> LSH bands -> verified pairs
+# ---------------------------------------------------------------------------
+def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=_MINHASH_K,
+        bands=_MINHASH_BANDS, threshold=_JACCARD_THRESHOLD,
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", ROUND_STAT).alias("jaccard"))
+
+
+# (built programmatically to keep the 16 hash expressions readable)
+_MH_AGGS = ",\n       ".join(
+    "min({h}) AS mh_{i}".format(h=_sql_hash64(f"'mh{i}:' || shingle"), i=i)
+    for i in range(_MINHASH_K)
+)
+_ROWS_PER_BAND = _MINHASH_K // _MINHASH_BANDS
+_BAND_SELECTS = "\nUNION ALL\n".join(
+    "SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sigs".format(
+        b=b,
+        concat=" || ',' || ".join(
+            f"CAST(mh_{b * _ROWS_PER_BAND + j} AS VARCHAR)" for j in range(_ROWS_PER_BAND)
+        ),
+    )
+    for b in range(_MINHASH_BANDS)
+)
+
+_DEDUP_MINHASH_SQL = f"""
+WITH {_SHINGLE_CTE},
+sigs AS (
+  SELECT doc_id,
+       {_MH_AGGS}
+  FROM sh GROUP BY doc_id),
+buckets AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+{_JACCARD_PAIRS_SQL_BODY}
+SELECT c.id_a, c.id_b, round(j.jaccard, {ROUND_STAT}) AS jaccard
+FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+WHERE j.jaccard >= {_JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_simhash — 32-bit SimHash sketch per document
+# ---------------------------------------------------------------------------
+_SIMHASH_BITS = 32
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs, "doc_id", "text", bits=_SIMHASH_BITS)
+
+
+_SIMHASH_BIT_SUMS = ",\n       ".join(
+    f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b_{j}"
+    for j in range(_SIMHASH_BITS)
+)
+_SIMHASH_RECOMBINE = " + ".join(
+    f"(CASE WHEN b_{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(_SIMHASH_BITS)
+)
+
+_DEDUP_SIMHASH_SQL = f"""
+WITH norm AS (SELECT doc_id, {_NORM.format(c='text')} AS nt FROM documents),
+words AS (
+  SELECT doc_id, unnest(list_distinct(string_split(nt, ' '))) AS w FROM norm),
+hashes AS (
+  SELECT doc_id, {_sql_hash64('w')} AS h FROM words WHERE w <> ''),
+sums AS (
+  SELECT doc_id,
+       {_SIMHASH_BIT_SUMS}
+  FROM hashes GROUP BY doc_id)
+SELECT doc_id, CAST({_SIMHASH_RECOMBINE} AS BIGINT) AS simhash FROM sums
+"""
+
+
+# ---------------------------------------------------------------------------
+# sim_cosine_topk — exact brute-force cosine top-k (queries: vec_id < 10)
+# ---------------------------------------------------------------------------
+def _cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = S.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", ROUND_STAT).alias("cosine_sim"), "rank"
+    )
+
+
+_COSINE_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i]))
+           / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+              * sqrt(list_sum(list_transform(cv, x -> x * x)))) AS sim
+  FROM q, c WHERE neighbor_id <> query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, round(sim, {ROUND_STAT}) AS cosine_sim, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# sim_cosine_topk_ivf — IVF-bucketed approximate variant (scale path):
+# deterministic centroids = 16 smallest-id vectors, nprobe=4
+# ---------------------------------------------------------------------------
+def _cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = S.cosine_topk_ivf(emb, queries, "vec_id", "embedding", k=5, n_centroids=16, nprobe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", ROUND_STAT).alias("cosine_sim"), "rank"
+    )
+
+
+_COSINE_IVF_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ctv
+  FROM embeddings ORDER BY vec_id LIMIT 16),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+assign AS (
+  SELECT neighbor_id, cv, centroid_id FROM (
+    SELECT neighbor_id, cv, centroid_id,
+           row_number() OVER (
+             PARTITION BY neighbor_id
+             ORDER BY list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i] * ctv[i]))
+                      / (sqrt(list_sum(list_transform(cv, x -> x * x)))
+                         * sqrt(list_sum(list_transform(ctv, x -> x * x)))) DESC,
+                      centroid_id) AS rn
+    FROM c, cents)
+  WHERE rn = 1),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT query_id, qv, centroid_id,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * ctv[i]))
+                      / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                         * sqrt(list_sum(list_transform(ctv, x -> x * x)))) DESC,
+                      centroid_id) AS rn
+    FROM q, cents)
+  WHERE rn <= 4),
+scored AS (
+  SELECT p.query_id, a.neighbor_id,
+         list_sum(list_transform(range(1, len(p.qv) + 1), i -> p.qv[i] * a.cv[i]))
+           / (sqrt(list_sum(list_transform(p.qv, x -> x * x)))
+              * sqrt(list_sum(list_transform(a.cv, x -> x * x)))) AS sim
+  FROM assign a JOIN probes p ON a.centroid_id = p.centroid_id
+  WHERE a.neighbor_id <> p.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, round(sim, {ROUND_STAT}) AS cosine_sim, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_profile — language ID + quality signals + token counts + fingerprint,
+# one projection pass over the corpus
+# ---------------------------------------------------------------------------
+def _text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    prof = T.document_profile(docs, "doc_id", "text")
+    return prof.select(
+        "doc_id",
+        "pred_lang",
+        "n_chars",
+        "n_tokens",
+        F.round("mean_token_len", ROUND_STAT).alias("mean_token_len"),
+        F.round("alpha_ratio", ROUND_STAT).alias("alpha_ratio"),
+        F.round("punct_ratio", ROUND_STAT).alias("punct_ratio"),
+        F.round("stopword_ratio", ROUND_STAT).alias("stopword_ratio"),
+        "quality",
+        "n_tokens_bpe",
+        "fingerprint",
+    )
+
+
+def _marker_pattern(langs: tuple[str, ...]) -> str:
+    words = [w for lang in langs for w in T.LANG_MARKERS[lang]]
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+_ALL_MARKERS = _marker_pattern(("en", "es", "fr", "de"))
+_SCORE_EXPRS = {
+    lang: f"len(regexp_extract_all(lower(text), '{_marker_pattern((lang,))}'))"
+    for lang in ("de", "en", "es", "fr")
+}
+_SCORE_EXPRS["zh"] = "len(regexp_extract_all(text, '[一-鿿]'))"
+
+_LANG_CASE = (
+    "CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN s_{l} = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN '{l}'"
+        for l in ("de", "en", "es", "fr", "zh")
+    )
+    + " END"
+)
+
+_TEXT_PROFILE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         {_SCORE_EXPRS['de']} AS s_de,
+         {_SCORE_EXPRS['en']} AS s_en,
+         {_SCORE_EXPRS['es']} AS s_es,
+         {_SCORE_EXPRS['fr']} AS s_fr,
+         {_SCORE_EXPRS['zh']} AS s_zh,
+         length(text) AS n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{{}}-]')) AS punct,
+         len(regexp_extract_all(lower(text), '{_ALL_MARKERS}')) AS stop_hits,
+         len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_tokens_bpe
+  FROM documents),
+sig AS (
+  SELECT doc_id, {_LANG_CASE} AS pred_lang, n_chars, n_tokens,
+         CASE WHEN n_tokens > 0 THEN nonspace::DOUBLE / n_tokens ELSE 0.0 END AS mean_token_len,
+         CASE WHEN nonspace > 0 THEN alpha::DOUBLE / nonspace ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN nonspace > 0 THEN punct::DOUBLE / nonspace ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_tokens > 0 THEN stop_hits::DOUBLE / n_tokens ELSE 0.0 END AS stopword_ratio,
+         n_tokens_bpe,
+         {_sql_hash64(_NORM.format(c='text'))} AS fingerprint
+  FROM base)
+SELECT doc_id, pred_lang, n_chars, n_tokens,
+       round(mean_token_len, {ROUND_STAT}) AS mean_token_len,
+       round(alpha_ratio, {ROUND_STAT}) AS alpha_ratio,
+       round(punct_ratio, {ROUND_STAT}) AS punct_ratio,
+       round(stopword_ratio, {ROUND_STAT}) AS stopword_ratio,
+       round(0.4 * least(n_tokens::DOUBLE / 50.0, 1.0)
+             + 0.3 * alpha_ratio
+             + 0.2 * least(stopword_ratio * 5.0, 1.0)
+             + 0.1 * (1.0 - least(punct_ratio * 5.0, 1.0)), {ROUND_STAT}) AS quality,
+       n_tokens_bpe, fingerprint
+FROM sig
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "dedup_exact": QuerySpec(_dedup_exact, _DEDUP_EXACT_SQL, "exact dedup via content hash", ("dedup",)),
+    "dedup_ngram_jaccard": QuerySpec(_dedup_jaccard, _DEDUP_JACCARD_SQL, "exact n-gram Jaccard pairs", ("dedup",)),
+    "dedup_minhash_lsh": QuerySpec(_dedup_minhash, _DEDUP_MINHASH_SQL, "MinHash-LSH verified near-dup pairs", ("dedup",)),
+    "dedup_simhash": QuerySpec(_dedup_simhash, _DEDUP_SIMHASH_SQL, "32-bit SimHash sketch", ("dedup",)),
+    "sim_cosine_topk": QuerySpec(_cosine_topk, _COSINE_TOPK_SQL, "brute-force cosine top-k", ("similarity",)),
+    "sim_cosine_topk_ivf": QuerySpec(_cosine_topk_ivf, _COSINE_IVF_SQL, "IVF-bucketed cosine top-k", ("similarity",)),
+    "text_profile": QuerySpec(_text_profile, _TEXT_PROFILE_SQL, "lang-ID + quality + tokens + fingerprint", ("text",)),
+}

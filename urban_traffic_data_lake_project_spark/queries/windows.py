@@ -1,5 +1,261 @@
-"""Placeholder — populated in this round."""
+"""Window functions, event-time windows, sessionization, as-of join, JSON
+scalar functions, and the reference's merge stage — over ``events`` /
+``orders`` / ``lineitem``.
 
-from urban_traffic_data_lake_project_spark.queries.base import QuerySpec
+Window-function support is net-new surface (SURVEY.md §2.10: absent in the
+reference); the merge queries map the reference's merge stage (J1/R10/R11/
+R14, scripts/merge.py:49-98). Event-time windows double as batch-equivalence
+oracles for the Structured Streaming module (streaming/windows.py runs the
+same logical plans with readStream + AvailableNow).
+"""
 
-REGISTRY: dict[str, QuerySpec] = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from urban_traffic_data_lake_project_spark.operators import merge as M
+from urban_traffic_data_lake_project_spark.queries.base import ROUND_STAT, ROUND_SUM, QuerySpec
+from urban_traffic_data_lake_project_spark.sources import load_table
+
+
+# ---------------------------------------------------------------------------
+# win_rank_lag — ranking + lag + running sum per customer order history
+# ---------------------------------------------------------------------------
+def _win_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.round(F.lag("o_totalprice", 1).over(w), ROUND_SUM).alias("prev_price"),
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+            ROUND_SUM,
+        ).alias("running_total"),
+        F.round(
+            F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), ROUND_STAT
+        ).alias("moving_avg_3"),
+    )
+
+
+_WIN_RANK_LAG_SQL = f"""
+SELECT o_custkey, o_orderkey,
+       row_number() OVER w AS order_seq,
+       round(lag(o_totalprice, 1) OVER w, {ROUND_SUM}) AS prev_price,
+       round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), {ROUND_SUM}) AS running_total,
+       round(avg(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), {ROUND_STAT}) AS moving_avg_3
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# win_tumbling_events — event-time tumbling window aggregate (batch form of
+# the streaming tumbling-window query; F.window works in batch)
+# ---------------------------------------------------------------------------
+def _win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), ROUND_SUM).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_WIN_TUMBLING_SQL = f"""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       round(sum(value), {ROUND_SUM}) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# win_sliding_events — 1h windows sliding every 30min (each event lands in 2)
+# ---------------------------------------------------------------------------
+def _win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+# each event belongs to the two 1h/30m windows covering it
+_WIN_SLIDING_SQL = """
+WITH slots AS (
+  SELECT ts, unnest([
+    CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800) AS TIMESTAMP),
+    CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP)
+  ]) AS window_start
+  FROM events)
+SELECT window_start, count(*) AS n_events
+FROM slots
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# win_session_events — session windows (10-min gap) per user.
+# Spark: native session_window; oracle: lag/cumsum session reconstruction.
+# ---------------------------------------------------------------------------
+def _win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+_WIN_SESSION_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events),
+marked AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 10 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM ordered),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# merge_asof_join — backward as-of join: each 'click' event gets the most
+# recent 'view' timestamp of the same user (union-and-window formulation)
+# ---------------------------------------------------------------------------
+def _asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts")
+    out = M.asof_join(
+        clicks, views, by=["user_id"], left_on="ts", right_on="ts", right_cols=["ts"]
+    )
+    return out.select("event_id", "user_id", "ts", F.col("ts_asof").alias("last_view_ts"))
+
+
+_ASOF_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+views AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+SELECT c.event_id, c.user_id, c.ts,
+       (SELECT max(v.ts) FROM views v
+        WHERE v.user_id = c.user_id AND v.ts <= c.ts) AS last_view_ts
+FROM clicks c
+"""
+
+
+# ---------------------------------------------------------------------------
+# merge_suffix_day_join — the reference merge stage shape (J1/R10/R11/R14):
+# two event streams joined on (user, day) with pandas-style suffixes on
+# colliding columns, aggregated to keep the check output bounded
+# ---------------------------------------------------------------------------
+def _suffix_day_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    joined = M.day_key_merge(
+        clicks, purchases, left_ts="ts", right_ts="ts",
+        extra_keys=["user_id"], how="left", lsuffix="_click", rsuffix="_purchase",
+    )
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value_purchase").alias("n_matched"),
+        F.round(F.avg("value_click"), ROUND_STAT).alias("avg_click_value"),
+        F.round(F.avg("value_purchase"), ROUND_STAT).alias("avg_purchase_value"),
+    )
+
+
+_SUFFIX_DAY_SQL = f"""
+WITH clicks AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value FROM events WHERE event_type = 'click'),
+purchases AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value FROM events WHERE event_type = 'purchase')
+SELECT c.user_id,
+       count(*) AS n_rows,
+       count(p.value) AS n_matched,
+       round(avg(c.value), {ROUND_STAT}) AS avg_click_value,
+       round(avg(p.value), {ROUND_STAT}) AS avg_purchase_value
+FROM clicks c LEFT JOIN purchases p ON c.user_id = p.user_id AND c.day = p.day
+GROUP BY c.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# json_extract_events — JSON scalar functions on events.props
+# ---------------------------------------------------------------------------
+def _json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+        F.from_json("props", "k INT").getField("k").alias("k_parsed"),
+    ).withColumn("k_bucket", F.col("k_value") % 10)
+
+
+_JSON_SQL = """
+SELECT event_id,
+       CAST(props->>'$.k' AS INT) AS k_value,
+       CAST(props->>'$.k' AS INT) AS k_parsed,
+       CAST(props->>'$.k' AS INT) % 10 AS k_bucket
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# win_grouping_sets — rollup aggregate (free Catalyst surface, SURVEY §2.4)
+# ---------------------------------------------------------------------------
+def _rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), ROUND_SUM).alias("sum_qty"),
+        )
+    )
+
+
+_ROLLUP_SQL = f"""
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), {ROUND_SUM}) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "win_rank_lag": QuerySpec(_win_rank_lag, _WIN_RANK_LAG_SQL, "row_number/lag/running agg windows", ("window",)),
+    "win_tumbling_events": QuerySpec(_win_tumbling, _WIN_TUMBLING_SQL, "event-time tumbling window", ("window", "streaming-equiv")),
+    "win_sliding_events": QuerySpec(_win_sliding, _WIN_SLIDING_SQL, "sliding window (1h / 30m)", ("window", "streaming-equiv")),
+    "win_session_events": QuerySpec(_win_session, _WIN_SESSION_SQL, "session windows, 10-min gap", ("window", "streaming-equiv")),
+    "merge_asof_join": QuerySpec(_asof, _ASOF_SQL, "backward as-of join (union+window)", ("join",)),
+    "merge_suffix_day_join": QuerySpec(_suffix_day_join, _SUFFIX_DAY_SQL, "reference merge: day key + suffixes", ("join",)),
+    "json_extract_events": QuerySpec(_json_extract, _JSON_SQL, "JSON scalar extraction", ("scalar",)),
+    "win_rollup": QuerySpec(_rollup, _ROLLUP_SQL, "ROLLUP grouping sets", ("agg",)),
+}

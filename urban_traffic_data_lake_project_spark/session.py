@@ -28,6 +28,9 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Deterministic timestamp semantics, matching the DuckDB oracle.
     "spark.sql.session.timeZone": "UTC",
+    # Parquet TIMESTAMP(NANOS) (events.ts) is otherwise PARQUET_TYPE_ILLEGAL;
+    # read as long and convert to micros in sources.load_table.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # ~128 MB input splits: good parquet scan granularity at any scale.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     # Don't let tiny files explode the task count on small SFs.
