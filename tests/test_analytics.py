@@ -1,0 +1,137 @@
+"""Gold analytics: distributional contracts for stochastic operators
+(SURVEY.md §5.2) + oracle parity for the deterministic core."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from urban_traffic_data_lake_project_spark.operators import bootstrap as B
+from urban_traffic_data_lake_project_spark.operators import factor_analysis as FA
+from urban_traffic_data_lake_project_spark.operators import monte_carlo as MC
+from urban_traffic_data_lake_project_spark.sources import load_table
+
+
+def test_mc_expectations_match_oracle(oracle):
+    oracle("mc_scenario_expectations")
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").cache()
+    yield df
+    df.unpersist()  # don't leak the cache into other modules' plan tests
+
+
+@pytest.fixture(scope="module")
+def scenarios(spark, lineitem):
+    return {
+        r["scenario"]: r
+        for r in MC.simulate_scenarios(spark, lineitem, "l_extendedprice", 10_000, seed=42).collect()
+    }
+
+
+def test_mc_scenario_means_within_3_sigma(spark, lineitem, scenarios):
+    mu, p75 = MC.base_stats(lineitem, "l_extendedprice")
+    n = 10_000
+    se = mu * MC.VOLATILITY / math.sqrt(n)
+    for s in MC.DEFAULT_SCENARIOS:
+        got = scenarios[s.name]["mean_traffic"]
+        expected = mu * s.effective_mult
+        assert abs(got - expected) < 4 * se, (s.name, got, expected)
+        # std close to the configured volatility
+        assert abs(scenarios[s.name]["traffic_std"] - mu * MC.VOLATILITY) / (mu * MC.VOLATILITY) < 0.05
+
+
+def test_mc_congestion_monotone_across_scenarios(scenarios):
+    # sunny > rainy > foggy > snowy (matches the committed reference run,
+    # data/gold/monte_carlo_scenarios.parquet)
+    probs = [scenarios[s]["congestion_prob_high"] for s in ("sunny", "rainy", "foggy", "snowy")]
+    assert probs == sorted(probs, reverse=True)
+    assert all(0.0 <= p <= 100.0 for p in probs)
+
+
+def test_mc_accident_risk_tracks_factor(scenarios):
+    for s in MC.DEFAULT_SCENARIOS:
+        expected = MC.BASE_ACCIDENT_RATE * s.accident_factor * 100
+        got = scenarios[s.name]["accident_risk_high"]
+        # Bernoulli(p), n=10k -> se = sqrt(p(1-p)/n)*100
+        p = expected / 100
+        se = math.sqrt(p * (1 - p) / 10_000) * 100
+        assert abs(got - expected) < 4 * se, (s.name, got, expected)
+
+
+def test_bootstrap_ci_contains_true_mean_with_sane_width(spark, lineitem):
+    out = {r["column_name"]: r for r in B.bootstrap_ci(
+        lineitem, cols=["l_quantity", "l_extendedprice"], n_replicates=500, seed=7
+    ).collect()}
+    stats = lineitem.agg(
+        F.avg("l_quantity").alias("mq"), F.stddev_samp("l_quantity").alias("sq"),
+        F.avg("l_extendedprice").alias("mp"), F.stddev_samp("l_extendedprice").alias("sp"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    for col, m, s in (("l_quantity", stats["mq"], stats["sq"]),
+                      ("l_extendedprice", stats["mp"], stats["sp"])):
+        r = out[col]
+        assert r["ci_lower_95"] <= m <= r["ci_upper_95"], (col, r)
+        # CI width ~ 2*1.96*std/sqrt(n); allow generous slack
+        expected_width = 2 * 1.96 * s / math.sqrt(stats["n"])
+        width = r["ci_upper_95"] - r["ci_lower_95"]
+        assert 0.5 * expected_width < width < 2.0 * expected_width, (col, width, expected_width)
+        # std_estimate ~ std/sqrt(n)
+        assert abs(r["std_estimate"] - s / math.sqrt(stats["n"])) / (s / math.sqrt(stats["n"])) < 0.3
+
+
+def test_bootstrap_replicate_means_distribution(spark):
+    df = spark.range(2000).select((F.col("id") % 100).cast("double").alias("x"))
+    means = B.poisson_bootstrap_means(df, ["x"], n_replicates=400, seed=3).collect()
+    vals = np.array([r["replicate_mean"] for r in means])
+    assert len(vals) == 400
+    true_mean = 49.5
+    se = np.std(np.arange(100)) / math.sqrt(2000) if False else None
+    assert abs(vals.mean() - true_mean) < 0.2
+    assert 0.3 < vals.std() < 1.5
+
+
+def test_fa_em_recovers_low_rank_structure():
+    rng = np.random.default_rng(0)
+    n, p, k = 5000, 6, 2
+    W_true = rng.standard_normal((p, k))
+    Z = rng.standard_normal((n, k))
+    X = Z @ W_true.T + 0.1 * rng.standard_normal((n, p))
+    mu, W, psi = FA.fit_factor_analysis_em(X, n_factors=k, seed=1)
+    # model covariance should approximate the sample covariance
+    C_model = W @ W.T + np.diag(psi)
+    C_sample = np.cov(X.T)
+    rel = np.linalg.norm(C_model - C_sample) / np.linalg.norm(C_sample)
+    assert rel < 0.05, rel
+    # noise estimate should be small (true noise var = 0.01)
+    assert psi.mean() < 0.1
+
+
+def test_fa_distributed_scoring_matches_driver(spark):
+    rng = np.random.default_rng(5)
+    X = rng.standard_normal((500, 4)) * [1, 2, 3, 4] + [10, 0, -5, 2]
+    import pandas as pd
+
+    pdf = pd.DataFrame(X, columns=["a", "b", "c", "d"])
+    df = spark.createDataFrame(pdf)
+    model = FA.fit_on_sample(df, cols=["a", "b", "c", "d"], n_factors=2)
+    scored = FA.attach_factor_scores(df, model).toPandas()
+    # driver-side reference scoring
+    expected = (pdf[list(model.columns)].to_numpy() - model.mean) @ model.projection()
+    got = scored[["Factor_1_score", "Factor_2_score"]].to_numpy()
+    # row order from toPandas may differ from pdf order -> compare sorted
+    assert np.allclose(np.sort(got, axis=0), np.sort(expected, axis=0), atol=1e-8)
+
+
+def test_fa_loadings_shape_and_rounding(spark, lineitem):
+    model = FA.fit_on_sample(lineitem, cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+    ldf = FA.loadings_table(spark, model)
+    assert model.n_factors == 3  # min(5, 4-1)
+    rows = ldf.collect()
+    assert len(rows) == 4
+    assert set(ldf.columns) == {"variable", "Factor_1_loading", "Factor_2_loading", "Factor_3_loading"}

@@ -27,6 +27,7 @@ def dirty(spark, sf_dir):
         .otherwise(F.col("o_totalprice"))
         .alias("measure"),
     ).cache()
+    # (a derived frame, not a raw table scan — no plan-test interference)
 
 
 def test_mode_fill_leaves_no_nulls(dirty):

@@ -1,0 +1,101 @@
+"""Structured Streaming: batch equivalence (AvailableNow), watermark
+late-data semantics, stateful dedup."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from urban_traffic_data_lake_project_spark.queries import windows as qw
+from urban_traffic_data_lake_project_spark.streaming import windows as sw
+
+
+def _normalize(df):
+    pdf = df.toPandas()
+    return pdf.sort_values(list(sorted(pdf.columns))).reset_index(drop=True)[sorted(pdf.columns)]
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    stream = sw.read_events_stream(spark, sf_dir)
+    got = sw.run_available_now(sw.tumbling_counts(stream), spark)
+    expected = qw.REGISTRY["win_tumbling_events"].fn(spark, sf_dir)
+    g, e = _normalize(got), _normalize(expected)
+    assert g.equals(e), f"streaming vs batch mismatch:\n{g.compare(e) if g.shape == e.shape else (g.shape, e.shape)}"
+
+
+def test_streaming_session_equals_batch(spark, sf_dir):
+    stream = sw.read_events_stream(spark, sf_dir)
+    got = sw.run_available_now(sw.session_counts(stream), spark)
+    expected = qw.REGISTRY["win_session_events"].fn(spark, sf_dir)
+    assert _normalize(got).equals(_normalize(expected))
+
+
+@pytest.fixture()
+def three_batch_dir(spark):
+    """Three micro-batch files. Watermark semantics (Spark guarantee): a
+    window is evicted+emitted once a batch runs with watermark past its
+    end; late data arriving AFTER eviction is dropped. Timeline:
+    - f1 (batch 0): events at 12:00 and 15:00 -> watermark after: 14:00
+    - f2 (batch 1): event at 15:01; runs with wm=14:00 -> evicts+emits
+      the [12:00,13:00) window with n=1
+    - f3 (batch 2): LATE event at 12:05 -> window already evicted -> drop
+    """
+    import time
+
+    d = tempfile.mkdtemp(prefix="stream_late_")
+    base = dt.datetime(2024, 1, 1, 12, 0)
+    schema = "event_id long, ts timestamp, user_id string, value double"
+    files = [
+        [(1, base, "u1", 1.0), (2, base + dt.timedelta(hours=3), "u1", 1.0)],
+        [(3, base + dt.timedelta(hours=3, minutes=1), "u1", 1.0)],
+        [(4, base + dt.timedelta(minutes=5), "u1", 1.0)],
+    ]
+    for i, rows in enumerate(files):
+        mode = "overwrite" if i == 0 else "append"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(mode).parquet(f"{d}/f1")
+        time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+    yield f"{d}/f1"
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_watermark_drops_late_events_after_eviction(spark, three_batch_dir):
+    schema = spark.read.parquet(three_batch_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(three_batch_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    name = "late_data_sink"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = [(r["ws"], r["n"]) for r in spark.table(name).collect() if r["ws"].hour == 12]
+    # exactly one finalized emission for the 12:00 window, without the
+    # post-eviction late event
+    assert rows == [(dt.datetime(2024, 1, 1, 12, 0), 1)], f"got {rows}"
+
+
+def test_streaming_dedup_removes_duplicates(spark):
+    import tempfile as tf
+
+    d = tf.mkdtemp(prefix="stream_dedup_")
+    base = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [(1, base, "u1", 1.0), (1, base, "u1", 1.0), (2, base, "u2", 2.0)]
+    schema = "event_id long, ts timestamp, user_id string, value double"
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(f"{d}/f")
+    stream = spark.readStream.schema(schema).parquet(f"{d}/f")
+    out = sw.run_available_now(sw.streaming_dedup(stream, ["event_id"]), spark)
+    assert out.count() == 2
+    shutil.rmtree(d, ignore_errors=True)

@@ -134,7 +134,11 @@ def iqr_clip(df: DataFrame, cols: Sequence[str], factor: float = 1.5) -> DataFra
     bounds = compute_iqr_bounds(df, cols, factor)
 
     def clip(c: str, lo: float, hi: float) -> Column:
-        return F.least(F.greatest(F.col(c), F.lit(lo)), F.lit(hi))
+        # NOT least(greatest(...)): Spark's least/greatest SKIP nulls, which
+        # would turn NULL into the clip bound. The when-chain preserves NULL
+        # (pandas clip semantics; NULLs are median-filled afterwards).
+        col = F.col(c)
+        return F.when(col < lo, F.lit(lo)).when(col > hi, F.lit(hi)).otherwise(col)
 
     return df.withColumns({c: clip(c, lo, hi) for c, (lo, hi) in bounds.items()})
 

@@ -1,0 +1,158 @@
+"""Factor analysis (reference M1, scripts/factor_analysis.py:135-247).
+
+Reference semantics: sklearn ``FactorAnalysis(n_components=min(5, p-1),
+random_state=42)`` fit on the median-imputed, variance-filtered numeric
+matrix; outputs per-row ``Factor_i_score`` and per-variable loadings
+rounded to 4dp.
+
+This environment has no sklearn, and no Spark-ML FA exists — so the model
+is fit with the classic EM algorithm for maximum-likelihood factor
+analysis (Ghahramani & Hinton 1996; Bishop PRML §12.2.4) in numpy on a
+driver-collected sample, then **scored distributedly**: the posterior-mean
+projection ``E[z|x] = (I + W'Ψ⁻¹W)⁻¹ W'Ψ⁻¹ (x-μ)`` is a p x k matrix
+multiply applied per row inside one Arrow-batched ``mapInPandas`` pass.
+
+Scale: fitting sees at most ``fit_sample_rows`` rows (loadings are p x k —
+tiny); scoring is embarrassingly parallel and touches each row once. This
+also solves the reference's positional-concat problem (R16,
+factor_analysis.py:219-224): scores are born *inside* the row, never
+joined back by position.
+
+Loadings are rotation/sign-ambiguous across implementations — tests check
+reconstruction quality and shapes, not raw values (SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from urban_traffic_data_lake_project_spark.operators.cleaning import (
+    compute_medians,
+    variance_filter,
+)
+
+
+@dataclass(frozen=True)
+class FAModel:
+    columns: tuple[str, ...]
+    mean: np.ndarray     # (p,)
+    loadings: np.ndarray # W, (p, k)
+    psi: np.ndarray      # diagonal noise, (p,)
+
+    @property
+    def n_factors(self) -> int:
+        return self.loadings.shape[1]
+
+    def projection(self) -> np.ndarray:
+        """(p, k) matrix M with scores = (X - mean) @ M  (posterior mean)."""
+        W, psi = self.loadings, self.psi
+        wp = W / psi[:, None]                       # Ψ⁻¹W
+        G = np.linalg.inv(np.eye(self.n_factors) + W.T @ wp)
+        return wp @ G.T
+
+
+def fit_factor_analysis_em(
+    X: np.ndarray,
+    n_factors: int,
+    n_iter: int = 500,
+    tol: float = 1e-9,
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """EM for ML factor analysis. Returns (mean, W, psi)."""
+    n, p = X.shape
+    mu = X.mean(axis=0)
+    Xc = X - mu
+    var = Xc.var(axis=0) + 1e-12
+    rng = np.random.default_rng(seed)
+    W = rng.standard_normal((p, n_factors)) * np.sqrt(var[:, None] / n_factors)
+    psi = var.copy()
+    S = (Xc.T @ Xc) / n
+    prev_ll = -np.inf
+    for _ in range(n_iter):
+        wp = W / psi[:, None]
+        G = np.linalg.inv(np.eye(n_factors) + W.T @ wp)   # posterior cov
+        B = G @ wp.T                                      # k x p: Ez = B (x-mu)
+        SB_T = S @ B.T                                    # p x k
+        Ezz = G * 1.0 + B @ SB_T                          # E[zz'] averaged
+        W = SB_T @ np.linalg.inv(Ezz)
+        psi = np.maximum(np.diag(S) - np.einsum("pk,pk->p", W, SB_T), 1e-8)
+        # log-likelihood for convergence (up to constants)
+        C = W @ W.T + np.diag(psi)
+        sign, logdet = np.linalg.slogdet(C)
+        ll = -0.5 * (logdet + np.trace(np.linalg.solve(C, S)))
+        if abs(ll - prev_ll) < tol:
+            break
+        prev_ll = ll
+    return mu, W, psi
+
+
+def fit_on_sample(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    n_factors: int | None = None,
+    fit_sample_rows: int = 100_000,
+    min_std: float = 0.01,
+    seed: int = 42,
+) -> FAModel:
+    """Reference prep (factor_analysis.py:176-196): numeric projection ->
+    median imputation -> variance filter -> n_factors = min(5, p-1) ->
+    fit. The fit matrix is a bounded driver-side sample; at 100 TB the
+    sample is still ``fit_sample_rows`` rows."""
+    if cols is None:
+        from pyspark.sql.types import NumericType
+
+        cols = [f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)]
+    proj = df.select(*cols).na.fill(compute_medians(df, cols))
+    cols = variance_filter(proj, cols, min_std=min_std)
+    if len(cols) < 2:
+        raise ValueError("need at least 2 usable numeric columns")
+    if n_factors is None:
+        n_factors = min(5, len(cols) - 1)
+    sample = proj.select(*cols).limit(fit_sample_rows).toPandas()
+    X = sample.to_numpy(dtype="float64")
+    mu, W, psi = fit_factor_analysis_em(X, n_factors, seed=seed)
+    return FAModel(tuple(cols), mu, W, psi)
+
+
+def attach_factor_scores(df: DataFrame, model: FAModel, prefix: str = "Factor") -> DataFrame:
+    """Add ``{prefix}_i_score`` columns — one mapInPandas pass, scores
+    computed in-row (no positional join-back)."""
+    cols = list(model.columns)
+    M = model.projection()
+    mu = model.mean
+    score_names = [f"{prefix}_{i + 1}_score" for i in range(model.n_factors)]
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        df.schema.fields + [StructField(s, DoubleType()) for s in score_names]
+    )
+
+    medians = {c: float(m) for c, m in zip(cols, mu)}
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            X = pdf[cols].astype("float64")
+            X = X.fillna(pd.Series(medians))  # defensive: impute like the fit
+            Z = (X.to_numpy() - mu) @ M
+            for i, s in enumerate(score_names):
+                pdf[s] = Z[:, i]
+            yield pdf
+
+    return df.mapInPandas(score, schema=out_schema)
+
+
+def loadings_table(spark, model: FAModel, prefix: str = "Factor") -> DataFrame:
+    """Per-variable loadings, reference shape (factor_analysis.py:204-209):
+    one row per variable, ``{prefix}_i_loading`` columns rounded to 4dp."""
+    rows = []
+    for j, c in enumerate(model.columns):
+        rows.append((c, *[round(float(model.loadings[j, i]), 4) for i in range(model.n_factors)]))
+    schema = "variable string, " + ", ".join(
+        f"{prefix}_{i + 1}_loading double" for i in range(model.n_factors)
+    )
+    return spark.createDataFrame(rows, schema)

@@ -200,8 +200,9 @@ WITH b AS (
          quantile_cont(l_extendedprice, 0.75) AS q3
   FROM lineitem)
 SELECT l_orderkey, l_linenumber,
-       round(least(greatest(l_extendedprice, q1 - 1.5 * (q3 - q1)),
-                   q3 + 1.5 * (q3 - q1)), {ROUND_SUM}) AS price
+       round(CASE WHEN l_extendedprice < q1 - 1.5 * (q3 - q1) THEN q1 - 1.5 * (q3 - q1)
+                  WHEN l_extendedprice > q3 + 1.5 * (q3 - q1) THEN q3 + 1.5 * (q3 - q1)
+                  ELSE l_extendedprice END, {ROUND_SUM}) AS price
 FROM lineitem, b
 """
 
@@ -324,7 +325,9 @@ b AS (
   FROM after_nf),
 clipped AS (
   SELECT k, ts, cat,
-         least(greatest(measure, q1 - 1.5 * (q3 - q1)), q3 + 1.5 * (q3 - q1)) AS measure
+         CASE WHEN measure < q1 - 1.5 * (q3 - q1) THEN q1 - 1.5 * (q3 - q1)
+              WHEN measure > q3 + 1.5 * (q3 - q1) THEN q3 + 1.5 * (q3 - q1)
+              ELSE measure END AS measure
   FROM after_nf, b)
 SELECT k, ts, cat,
        round(coalesce(measure, (SELECT median(measure) FROM clipped)), {ROUND_SUM}) AS measure

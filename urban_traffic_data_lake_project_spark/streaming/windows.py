@@ -1,0 +1,92 @@
+"""Structured Streaming surface (SURVEY.md §2.9 — net-new: the reference is
+batch-only). Event-time windows, watermarks + late-data handling, stateful
+streaming dedup over the ``events`` table.
+
+Batch equivalence is the correctness contract: each streaming query here is
+the ``readStream`` form of a batch query in queries/windows.py, executed
+with ``Trigger.AvailableNow`` into a memory sink and compared against the
+batch result (tests/test_streaming.py). At scale the same plans run against
+Kafka/file streams with real triggers — watermark state bounds memory.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_sink_counter = itertools.count()
+
+
+def events_schema_and_path(spark: SparkSession, sf_dir: str) -> tuple:
+    """File streams need an explicit schema; reuse the batch reader's."""
+    path = os.path.join(sf_dir, "events.parquet")
+    return spark.read.parquet(path).schema, path
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    schema, path = events_schema_and_path(spark, sf_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if os.path.isfile(path):
+        # FileStreamSource requires a directory; turn the literal file path
+        # into a glob over its parent ("x.parquet" -> "x.parque[t]") so the
+        # source treats the parent as base and matches exactly this file.
+        path = path[:-1] + f"[{path[-1]}]"
+    df = reader.parquet(path)
+    # events.ts is parquet TIMESTAMP(NANOS) read as long (see sources.tables)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def tumbling_counts(stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Streaming form of queries/windows.py::win_tumbling_events."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def session_counts(stream: DataFrame, gap: str = "10 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Streaming session windows (stateful merge of gap-close events)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+def streaming_dedup(stream: DataFrame, keys: list[str], watermark: str = "1 hour") -> DataFrame:
+    """Stateful exactly-once dedup within the watermark horizon."""
+    return stream.withWatermark("ts", watermark).dropDuplicates([*keys, "ts"])
+
+
+def run_available_now(result: DataFrame, spark: SparkSession, timeout_sec: int = 120) -> DataFrame:
+    """Execute a streaming DataFrame to completion over all available input
+    (Trigger.AvailableNow) into a memory sink; return the materialized
+    result as a batch DataFrame."""
+    name = f"stream_sink_{next(_sink_counter)}"
+    mode = "complete" if result.isStreaming and _has_aggregation(result) else "append"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return spark.table(name)
+
+
+def _has_aggregation(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().logical().toString()
+    return "Aggregate" in plan
