@@ -67,21 +67,29 @@ def normalize_text(col: Column | str) -> Column:
     return F.trim(c)
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Array of word n-gram shingles (distinct) from a text column.
+def shingles_from_words(words: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a word-array column.
 
-    Split on whitespace, slide a window of ``n`` words, join with single
-    spaces. Built from ``transform`` over an index sequence — no UDF.
+    Built as ``arrays_zip`` of n shifted slices, so the transform lambda
+    touches ONLY its own struct argument. The naive form — a lambda doing
+    ``element_at(words, i+j)`` — re-evaluates the whole ``words``
+    expression per element (Catalyst does no CSE inside higher-order
+    lambdas, and CollapseProject re-inlines upstream projections), which
+    measured 6x slower on a 5k-doc corpus (13s -> 2.3s).
     """
-    c = F.col(col) if isinstance(col, str) else col
-    words = F.split(normalize_text(c), " ")
-    k = F.size(words) - F.lit(n - 1)
-    # guard: sequence(0, k-1) with k <= 0 would produce a DESCENDING range
-    idx = F.when(k > 0, F.sequence(F.lit(0), k - F.lit(1))).otherwise(
-        F.array().cast("array<int>")
-    )
+    cnt = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    shifted = [F.slice(words, k + 1, cnt) for k in range(n)]
+    zipped = F.arrays_zip(*shifted)
     shingle = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]),
+        zipped, lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(n)])
     )
     return F.array_distinct(shingle)
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Array of word n-gram shingles (distinct) from a text column.
+    Prefer the two-step form (materialize the split, then
+    ``shingles_from_words``) in performance-sensitive paths — see note
+    there."""
+    c = F.col(col) if isinstance(col, str) else col
+    return shingles_from_words(F.split(normalize_text(c), " "), n)

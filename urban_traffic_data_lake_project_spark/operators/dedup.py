@@ -46,11 +46,24 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, array<shingle>) — the word array is materialized as a column
+    BEFORE the shingle lambda (no CSE inside higher-order lambdas)."""
+    from urban_traffic_data_lake_project_spark.functions.core import shingles_from_words
+
+    words = df.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("__words")
+    )
+    return words.select(F.col(id_col), shingles_from_words(F.col("__words"), n).alias("shingles"))
+
+
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) rows — distinct word n-grams per document."""
-    return df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
-    ).filter(F.col("shingle") != "")
+    return (
+        shingle_sets(df, id_col, text_col, n)
+        .select(F.col(id_col), F.explode("shingles").alias("shingle"))
+        .filter(F.col("shingle") != "")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -86,17 +99,32 @@ def ngram_jaccard_pairs(
     )
 
 
+# Affine MinHash family over the Mersenne prime 2^31 - 1: one md5-derived
+# base hash per shingle, then mh_i = min((a_i * h + b_i) mod P). a_i < P and
+# h mod P < 2^31 keep every product under 2^62 — no BIGINT overflow, and the
+# identical arithmetic is expressible in ANSI SQL for the oracle.
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    return [
+        (((i + 1) * 2654435761) % MINHASH_P, ((i + 1) * 40503) % MINHASH_P)
+        for i in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 16
 ) -> DataFrame:
-    """MinHash signature per document: for each of ``num_hashes`` salted
-    hash functions, the minimum over the document's shingles. Computed in
-    ONE aggregation pass (num_hashes agg expressions over the exploded
-    shingle table), not num_hashes passes."""
-    sh = shingle_table(df, id_col, text_col, n)
+    """MinHash signature per document: minimum of each affine hash over the
+    document's shingles. ONE md5 per shingle + ``num_hashes`` multiply-mod
+    agg expressions in a single aggregation pass."""
+    sh = shingle_table(df, id_col, text_col, n).withColumn(
+        "__h", stable_hash64(F.col("shingle")) % F.lit(MINHASH_P)
+    )
     aggs = [
-        F.min(stable_hash64(F.col("shingle"), salt=f"mh{i}:")).alias(f"mh_{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
     return sh.groupBy(id_col).agg(*aggs)
 
@@ -142,11 +170,26 @@ def minhash_lsh_dedup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> banded candidate
-    pairs -> exact Jaccard verification >= threshold."""
+    pairs -> exact Jaccard verification >= threshold.
+
+    Verification is restricted to the candidate pairs (each pair joins its
+    two pre-computed shingle SETS and intersects them as arrays) — NOT a
+    global shingle self-join, which is quadratic in bucket sizes and
+    defeats the entire point of LSH on corpora with common shingles."""
+    sets_df = shingle_sets(df, id_col, text_col, n)
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
     candidates = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
-    verified = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
-    return candidates.join(verified, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    a = sets_df.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("__sh_a"))
+    b = sets_df.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("__sh_b"))
+    inter = F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b")))
+    union = F.size(F.col("__sh_a")) + F.size(F.col("__sh_b")) - inter
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:

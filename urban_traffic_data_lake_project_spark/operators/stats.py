@@ -1,0 +1,100 @@
+"""Statistics operators with 100 TB-viable plans.
+
+``exact_percentiles`` — exact interpolated percentiles (quantile_cont
+semantics) WITHOUT buffering the column. Spark's built-in ``percentile``
+holds every distinct value in an in-memory map per aggregation buffer; on a
+high-cardinality double column that is O(n) memory on one reducer — fine at
+60k rows, fatal at 10^12. This implements the classic two-phase refinement:
+
+1. t-digest approximation brackets each target order statistic with
+   guaranteed rank error <= n/accuracy (one pass, bounded memory),
+2. one counting pass + a pushdown-filtered collect of the tiny value band
+   around each bracket resolves the exact order statistics.
+
+Cost: 2 full scans (both codegen'd aggregations) + a band collect of
+~6 n/accuracy rows per percentile. ``accuracy`` trades band size against
+t-digest size logarithmically; at 10^12 rows and accuracy 10^6 the band is
+~6M values — still driver-collectable, or raise accuracy.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_percentiles(
+    df: DataFrame,
+    col: str,
+    ps: Sequence[float],
+    accuracy: int = 10_000,
+    n: int | None = None,
+) -> list[float]:
+    """Exact interpolated percentiles of ``col`` (NULLs excluded), matching
+    SQL ``quantile_cont`` / Spark ``percentile`` semantics."""
+    c = F.col(col)
+    if n is None:
+        n = df.filter(c.isNotNull()).count()
+    if n == 0:
+        return [None for _ in ps]
+
+    eps = 1.0 / accuracy
+    # bracket each percentile with approx quantiles at p +- 2*eps
+    probe_ps: list[float] = []
+    for p in ps:
+        probe_ps += [max(0.0, p - 2 * eps), min(1.0, p + 2 * eps)]
+    brackets = df.agg(
+        F.percentile_approx(col, F.lit(list(probe_ps)), F.lit(accuracy)).alias("b")
+    ).first()["b"]
+
+    los = [brackets[2 * i] for i in range(len(ps))]
+    his = [brackets[2 * i + 1] for i in range(len(ps))]
+
+    # one pass: rank of each band start; one pass: all bands collected
+    counts = df.agg(
+        *[F.count(F.when(c < lo, 1)).alias(f"c{i}") for i, lo in enumerate(los)]
+    ).first()
+    band_pred = None
+    for lo, hi in zip(los, his):
+        p_ = (c >= lo) & (c <= hi)
+        band_pred = p_ if band_pred is None else (band_pred | p_)
+    values = sorted(r[0] for r in df.filter(band_pred).select(col).collect())
+
+    results: list[float] = []
+    for i, p in enumerate(ps):
+        lo, hi = los[i], his[i]
+        h = (n - 1) * p
+        k_lo, k_hi = math.floor(h), math.ceil(h)
+        c_lt = counts[f"c{i}"]
+        band = [v for v in values if lo <= v <= hi]
+        # guaranteed by the approx rank-error bound; guard anyway
+        if not (c_lt <= k_lo and k_hi < c_lt + len(band)):
+            # brackets too tight (pathological distribution) — widen once
+            c_lt = 0
+            band = sorted(r[0] for r in df.filter(c.isNotNull()).select(col).collect())
+        x0 = band[k_lo - c_lt]
+        x1 = band[k_hi - c_lt]
+        frac = h - k_lo
+        results.append(x0 + (x1 - x0) * frac)
+    return results
+
+
+def grand_aggregate_bundle(df: DataFrame, quantity_col: str, price_col: str, flag_col: str) -> dict:
+    """The reference's full-table statistics bundle (A1-A12) computed with
+    scale-safe primitives: one codegen aggregation pass for the streaming
+    stats + refinement for the high-cardinality exact percentiles."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.avg(quantity_col).alias("avg_q"),
+        F.stddev_samp(quantity_col).alias("std_q"),
+        F.stddev_pop(quantity_col).alias("stdpop_q"),
+        F.median(quantity_col).alias("med_q"),  # low-cardinality: cheap exact
+        F.min(quantity_col).alias("min_q"),
+        F.max(quantity_col).alias("max_q"),
+        F.countDistinct(flag_col).alias("n_distinct"),
+    ).first()
+    q25, q75 = exact_percentiles(df, price_col, [0.25, 0.75], n=row["n_rows"])
+    return {**row.asDict(), "q25_price": q25, "q75_price": q75}

@@ -68,7 +68,8 @@ def clean_table(
 ) -> DataFrame:
     """The reference cleaning kernel in reference order."""
     out = C.dedup_by_key(df, keys=[key], tiebreak=[ts_col, *numerics])
-    out = C.parse_timestamps(out, ts_col)
+    # persist: the fitted-statistics passes below each trigger an action
+    out = C.parse_timestamps(out, ts_col).persist()
     out = C.mode_fill(out, categoricals)
     if mixed_type_cols:
         out = C.coerce_numeric(out, list(mixed_type_cols))

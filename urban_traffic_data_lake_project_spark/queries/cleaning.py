@@ -285,7 +285,10 @@ def _full_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = C.dedup_by_key(dirty, keys=["k"], tiebreak=["src_row"])
     out = out.withColumn("ts", F.col("ts_str"))
-    out = C.parse_timestamps(out, "ts")
+    # persist the post-parse frame: the four fitted-statistics passes
+    # (mode, null-fraction, IQR, median) each trigger an action — without
+    # this the dedup window + multi-format parse re-execute five times
+    out = C.parse_timestamps(out, "ts").persist()
     out = C.mode_fill(out, ["cat"])
     out = C.null_fraction_drop(out, ["measure"], threshold=0.5)
     out = C.iqr_clip(out, ["measure"])

@@ -113,14 +113,35 @@ GROUP BY r_name, n_name
 # at full fan-out.
 # ---------------------------------------------------------------------------
 def _left_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Aggregate-pushdown-below-join rewrite (semantically identical to
+    # joining at full fan-out then aggregating, which Catalyst does NOT
+    # derive itself): pre-aggregate the fan-out side per join key, then
+    # broadcast-join the tiny per-day aggregate and recombine with weighted
+    # sums. The day-key fan-out (~36M intermediate rows at sf0.1, ~0.5T at
+    # 100TB) never materializes; the join side scales with key cardinality
+    # (#days), not data volume.
     orders = load_table(spark, sf_dir, "orders").withColumn("o_day", F.to_date("o_orderdate"))
     li = load_table(spark, sf_dir, "lineitem").withColumn("l_day", F.to_date("l_shipdate"))
-    joined = orders.join(li, orders.o_day == li.l_day, "left")
-    return joined.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count("l_quantity").alias("n_matched"),
-        F.round(F.avg("o_totalprice"), ROUND_STAT).alias("avg_left_price"),
-        F.round(F.avg("l_quantity"), ROUND_STAT).alias("avg_right_qty"),
+    day_aggs = li.groupBy("l_day").agg(
+        F.count(F.lit(1)).alias("d_cnt"),
+        F.count("l_quantity").alias("d_cnt_qty"),
+        F.sum("l_quantity").alias("d_sum_qty"),
+    )
+    j = orders.join(F.broadcast(day_aggs), orders.o_day == day_aggs.l_day, "left")
+    # an unmatched order contributes 1 output row (all-NULL right side);
+    # a matched one contributes d_cnt rows
+    w = F.coalesce(F.col("d_cnt"), F.lit(1))
+    return j.groupBy("o_orderpriority").agg(
+        F.sum(w).alias("n_rows"),
+        F.sum(F.coalesce(F.col("d_cnt_qty"), F.lit(0))).alias("n_matched"),
+        F.round(
+            F.sum(F.col("o_totalprice") * w) / F.sum(w), ROUND_STAT
+        ).alias("avg_left_price"),
+        F.round(
+            F.sum(F.coalesce(F.col("d_sum_qty"), F.lit(0.0)))
+            / F.sum(F.coalesce(F.col("d_cnt_qty"), F.lit(0))),
+            ROUND_STAT,
+        ).alias("avg_right_qty"),
     )
 
 
@@ -140,24 +161,43 @@ GROUP BY o_orderpriority
 # ---------------------------------------------------------------------------
 # core_grand_aggs — whole-table aggregate bundle (reference A1-A12:
 # mean/std/median/percentile/mode-adjacent/count/null-fraction/
-# prop-above-threshold/distinct/min/max in one pass)
+# prop-above-threshold/distinct/min/max)
+#
+# Scale note: the exact price percentiles use the two-phase refinement in
+# operators/stats.py rather than Spark's buffering `percentile` — the
+# built-in holds every value of a high-cardinality column in one
+# aggregation buffer (fatal at 10^12 rows, and already the bottleneck at
+# sf0.1). Everything else is one streaming-aggregate pass. The quantity
+# median stays exact-native: ~50 distinct values, O(distinct) memory.
 # ---------------------------------------------------------------------------
 def _grand_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.operators.stats import exact_percentiles
+
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
+    base = li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.avg("l_quantity"), ROUND_STAT).alias("avg_qty"),
         F.round(F.stddev_samp("l_quantity"), ROUND_STAT).alias("std_qty"),
         F.round(F.stddev_pop("l_quantity"), ROUND_STAT).alias("stdpop_qty"),
         F.round(F.median("l_quantity"), ROUND_STAT).alias("med_qty"),
-        F.round(F.percentile("l_extendedprice", 0.25), ROUND_STAT).alias("q25_price"),
-        F.round(F.percentile("l_extendedprice", 0.75), ROUND_STAT).alias("q75_price"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
         F.countDistinct("l_partkey").alias("n_parts"),
         F.round(F.avg((F.col("l_quantity") > 25).cast("double")), ROUND_STAT).alias("frac_qty_above_25"),
         F.round(F.avg(F.col("l_discount").isNull().cast("double")), ROUND_STAT).alias("null_frac_discount"),
     )
+    row = base.first()
+    q25, q75 = exact_percentiles(li, "l_extendedprice", [0.25, 0.75], n=row["n_rows"])
+    out = {**row.asDict(), "q25_price": round(q25, ROUND_STAT), "q75_price": round(q75, ROUND_STAT)}
+    cols = [
+        "n_rows", "avg_qty", "std_qty", "stdpop_qty", "med_qty", "q25_price",
+        "q75_price", "min_qty", "max_qty", "n_parts", "frac_qty_above_25",
+        "null_frac_discount",
+    ]
+    schema = ", ".join(
+        f"{c} long" if c in ("n_rows", "n_parts") else f"{c} double" for c in cols
+    )
+    return spark.createDataFrame([tuple(out[c] for c in cols)], schema)
 
 
 _GRAND_AGGS_SQL = f"""

@@ -106,9 +106,14 @@ def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # (built programmatically to keep the 16 hash expressions readable)
+from urban_traffic_data_lake_project_spark.operators.dedup import (  # noqa: E402
+    MINHASH_P,
+    minhash_coeffs,
+)
+
 _MH_AGGS = ",\n       ".join(
-    "min({h}) AS mh_{i}".format(h=_sql_hash64(f"'mh{i}:' || shingle"), i=i)
-    for i in range(_MINHASH_K)
+    f"min(({a} * h + {b}) % {MINHASH_P}) AS mh_{i}"
+    for i, (a, b) in enumerate(minhash_coeffs(_MINHASH_K))
 )
 _ROWS_PER_BAND = _MINHASH_K // _MINHASH_BANDS
 _BAND_SELECTS = "\nUNION ALL\n".join(
@@ -123,19 +128,31 @@ _BAND_SELECTS = "\nUNION ALL\n".join(
 
 _DEDUP_MINHASH_SQL = f"""
 WITH {_SHINGLE_CTE},
+hashed AS (SELECT doc_id, {_sql_hash64('shingle')} % {MINHASH_P} AS h FROM sh),
 sigs AS (
   SELECT doc_id,
        {_MH_AGGS}
-  FROM sh GROUP BY doc_id),
+  FROM hashed GROUP BY doc_id),
 buckets AS ({_BAND_SELECTS}),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM buckets a JOIN buckets b
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-{_JACCARD_PAIRS_SQL_BODY}
-SELECT c.id_a, c.id_b, round(j.jaccard, {ROUND_STAT}) AS jaccard
-FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
-WHERE j.jaccard >= {_JACCARD_THRESHOLD}
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b),
+jac AS (
+  SELECT i.id_a, i.id_b,
+         i.n_common::DOUBLE / (sa.n_sh + sb.n_sh - i.n_common) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b)
+SELECT id_a, id_b, round(jaccard, {ROUND_STAT}) AS jaccard
+FROM jac WHERE jaccard >= {_JACCARD_THRESHOLD}
 """
 
 
@@ -283,16 +300,17 @@ def _text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _marker_pattern(langs: tuple[str, ...]) -> str:
+def _marker_hits_sql(langs: tuple[str, ...]) -> str:
     words = [w for lang in langs for w in T.LANG_MARKERS[lang]]
-    return r"\b(" + "|".join(words) + r")\b"
+    in_list = ", ".join(f"'{w}'" for w in words)
+    return (
+        "len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+        f"w -> w IN ({in_list})))"
+    )
 
 
-_ALL_MARKERS = _marker_pattern(("en", "es", "fr", "de"))
-_SCORE_EXPRS = {
-    lang: f"len(regexp_extract_all(lower(text), '{_marker_pattern((lang,))}'))"
-    for lang in ("de", "en", "es", "fr")
-}
+_ALL_MARKERS_SQL = _marker_hits_sql(("en", "es", "fr", "de"))
+_SCORE_EXPRS = {lang: _marker_hits_sql((lang,)) for lang in ("de", "en", "es", "fr")}
 _SCORE_EXPRS["zh"] = "len(regexp_extract_all(text, '[一-鿿]'))"
 
 _LANG_CASE = (
@@ -318,7 +336,7 @@ WITH base AS (
          length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
          len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{{}}-]')) AS punct,
-         len(regexp_extract_all(lower(text), '{_ALL_MARKERS}')) AS stop_hits,
+         {_ALL_MARKERS_SQL} AS stop_hits,
          len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_tokens_bpe
   FROM documents),
 sig AS (
