@@ -1,0 +1,42 @@
+"""Layer/catalog utilities: ensure, list, cross-store copy, dual write."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from urban_traffic_data_lake_project_spark.sources import catalog as cat
+from urban_traffic_data_lake_project_spark.sources import load_table
+
+
+@pytest.fixture()
+def tmpbase():
+    d = tempfile.mkdtemp(prefix="layers_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ensure_layers_creates_namespaces(tmpbase):
+    paths = cat.ensure_layers(tmpbase)
+    assert set(paths) == {"bronze", "silver", "gold"}
+    assert all(os.path.isdir(p) for p in paths.values())
+
+
+def test_cross_store_copy_and_listing(spark, sf_dir, tmpbase):
+    paths = cat.ensure_layers(tmpbase)
+    src = f"{sf_dir}/nation.parquet"
+    dst = os.path.join(paths["silver"], "nation")
+    cat.cross_store_copy(spark, src, dst)
+    assert spark.read.parquet(dst).count() == load_table(spark, sf_dir, "nation").count()
+    assert cat.list_layer_tables(spark, paths["silver"]) == ["nation"]
+    assert cat.list_layer_tables(spark, paths["gold"]) == []
+
+
+def test_dual_write(spark, sf_dir, tmpbase):
+    region = load_table(spark, sf_dir, "region")
+    a, b = os.path.join(tmpbase, "a"), os.path.join(tmpbase, "b")
+    cat.dual_write(region, a, b)
+    assert spark.read.parquet(a).count() == spark.read.parquet(b).count() == region.count()

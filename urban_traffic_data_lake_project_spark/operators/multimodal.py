@@ -1,0 +1,155 @@
+"""Multimodal column plumbing (BASELINE.json north star): image/audio/video
+as opaque ``binary`` payloads + typed metadata, processed by Arrow-batched
+``mapInPandas`` stages.
+
+The decode step is STUBBED — image/audio libraries are not in this
+container — but everything Spark-side is real and tested: the schema
+contract, the pandas-UDF signatures and batch shapes, partition balancing
+for skewed payload sizes, and the deterministic fake feature extractor
+(features derived from the payload's md5 bytes) that stands in for a real
+model so downstream similarity/dedup operators can be exercised end to end.
+
+Real decoders plug in by replacing ``_decode_stub`` — the surrounding plan
+(repartition -> mapInPandas -> typed struct/array outputs) is exactly what
+a production pipeline runs; only the per-batch Python body changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("media_type", StringType()),     # image | audio | video
+        StructField("format", StringType()),          # png | wav | mp4 | ...
+        StructField("byte_len", LongType()),
+        StructField("width", IntegerType()),          # images/video
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),    # audio/video
+    ]
+)
+
+
+def ingest_binary(df: DataFrame, id_col: str, payload_col: str, media_type: str, fmt: str) -> DataFrame:
+    """Wrap raw binary payloads in the typed media schema (metadata that
+    needs decoding stays NULL until the decode stage fills it)."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(payload_col).cast("binary").alias("payload"),
+        F.lit(media_type).alias("media_type"),
+        F.lit(fmt).alias("format"),
+        F.length(F.col(payload_col).cast("binary")).cast("long").alias("byte_len"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+
+
+def balance_partitions(df: DataFrame, target_partition_bytes: int = 64 << 20) -> DataFrame:
+    """Payload sizes are skewed (a 4K video next to an icon); rebalance by
+    total bytes so decode batches are even. One count+sum pass then a
+    round-robin repartition — at scale this is what keeps a 1000-executor
+    decode stage from convoying behind one fat partition."""
+    row = df.agg(F.sum("byte_len").alias("total")).first()
+    total = row["total"] or 0
+    n_parts = max(1, int(total / target_partition_bytes))
+    return df.repartition(n_parts)
+
+
+def _decode_stub(payload: bytes, media_type: str) -> dict:
+    """Deterministic fake decode: metadata derived from the payload hash.
+
+    A real implementation would do::
+
+        from PIL import Image          # not available in this container
+        img = Image.open(io.BytesIO(payload))
+        return {"width": img.width, "height": img.height, ...}
+
+    and raise NotImplementedError for unsupported formats.
+    """
+    h = hashlib.md5(payload or b"").digest()
+    return {
+        "width": 16 + h[0] % 64,
+        "height": 16 + h[1] % 64,
+        "duration_ms": int.from_bytes(h[2:4], "big") if media_type != "image" else None,
+    }
+
+
+def decode_metadata(df: DataFrame) -> DataFrame:
+    """Fill width/height/duration via the (stubbed) decoder — one
+    Arrow-batched pass, schema unchanged."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [
+                _decode_stub(p, t)
+                for p, t in zip(pdf["payload"], pdf["media_type"])
+            ]
+            pdf = pdf.copy()
+            pdf["width"] = pd.array([m["width"] for m in metas], dtype="Int32")
+            pdf["height"] = pd.array([m["height"] for m in metas], dtype="Int32")
+            pdf["duration_ms"] = pd.array(
+                [m["duration_ms"] for m in metas], dtype="Int32"
+            )
+            yield pdf
+
+    return df.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+_FEATURE_DIM = 32
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_features(df: DataFrame, dim: int = _FEATURE_DIM) -> DataFrame:
+    """Deterministic fake feature extractor: ``dim`` floats in [-1, 1)
+    expanded from the payload md5 — the stand-in for a real embedding
+    model. Batch shape and output schema match what a GPU-backed
+    extractor would produce, so similarity search composes on top."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                seed = int.from_bytes(hashlib.md5(p or b"").digest()[:8], "big")
+                rng = np.random.default_rng(seed)
+                feats.append(rng.uniform(-1, 1, dim).astype("float32"))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling plumbing: one output row per sampled frame
+    offset (real decoder would attach the frame bytes). Pure Spark-side:
+    explode over the sampled offsets computed from duration_ms."""
+    offsets = F.sequence(
+        F.lit(0), F.greatest(F.coalesce(F.col("duration_ms"), F.lit(0)) - 1, F.lit(0)), F.lit(every_ms)
+    )
+    return (
+        df.filter(F.col("media_type").isin("video", "audio"))
+        .select("media_id", F.explode(offsets).alias("frame_offset_ms"))
+    )

@@ -6,13 +6,20 @@ Submodules group queries by domain; this module just assembles them.
 
 from __future__ import annotations
 
-from urban_traffic_data_lake_project_spark.queries import analytics, cleaning, core, llm, windows
+from urban_traffic_data_lake_project_spark.queries import (
+    analytics,
+    cleaning,
+    core,
+    llm,
+    scalars,
+    windows,
+)
 from urban_traffic_data_lake_project_spark.queries.base import QuerySpec
 
 
 def _assemble() -> dict[str, QuerySpec]:
     registry: dict[str, QuerySpec] = {}
-    for m in (core, cleaning, llm, windows, analytics):
+    for m in (core, cleaning, llm, windows, analytics, scalars):
         overlap = registry.keys() & m.REGISTRY.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
