@@ -213,6 +213,33 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     return sums.select(F.col(id_col), sketch.cast("bigint").alias("simhash"))
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity >= threshold
+    (id_a < id_b). Brute-force self-join here; at corpus scale route
+    through ``similarity.cosine_topk_ivf`` buckets first so only
+    same-bucket pairs are scored."""
+    from urban_traffic_data_lake_project_spark.operators.similarity import (
+        _as_double,
+        _dot,
+        _norm,
+    )
+
+    a = emb.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("__va"))
+    b = emb.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("__vb"))
+    sim = _dot(F.col("__va"), F.col("__vb")) / (_norm(F.col("__va")) * _norm(F.col("__vb")))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", sim)
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
 def dedup_keep_canonical(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
     """Given near-dup pairs (id_a < id_b), drop every id_b — keeping the
     smallest id of each dup cluster that is reachable as a chain of pairs.

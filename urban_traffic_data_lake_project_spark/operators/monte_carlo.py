@@ -66,10 +66,27 @@ def base_stats(df: DataFrame, measure_col: str) -> tuple[float, float]:
     return float(row["mu"]), float(row["p75"])
 
 
+def pick_measure_column(df: DataFrame) -> str:
+    """Reference-compat column pick (M4 quirk, monte_carlo.py:192-195):
+    prefer 'traffic_volume'/'volume', else fall back to the FIRST numeric
+    column — which in the reference is the ID column, so the published
+    numbers simulate over IDs. Kept only behind this explicit helper;
+    callers should name the measure."""
+    from pyspark.sql.types import NumericType
+
+    for cand in ("traffic_volume", "volume"):
+        if cand in df.columns:
+            return cand
+    for f in df.schema.fields:
+        if isinstance(f.dataType, NumericType):
+            return f.name
+    raise ValueError("no numeric column available")
+
+
 def simulate_scenarios(
     spark: SparkSession,
     df: DataFrame,
-    measure_col: str,
+    measure_col: str | None = None,
     n_simulations: int = 10_000,
     seed: int = 42,
     scenarios=DEFAULT_SCENARIOS,
@@ -78,6 +95,8 @@ def simulate_scenarios(
     (monte_carlo.py:221-230): mean_traffic, traffic_std (population, as
     np.std), congestion_prob_high, accident_risk_high, threshold_used,
     n_simulations."""
+    if measure_col is None:
+        measure_col = pick_measure_column(df)
     mu, p75 = base_stats(df, measure_col)
     spec = scenario_spec_df(spark, scenarios)
     draws = (

@@ -132,6 +132,32 @@ def fingerprint(text: Column) -> Column:
     return stable_hash64(normalize_text(text))
 
 
+def tf_idf(df: DataFrame, id_col: str, text_col: str, min_df: int = 1) -> DataFrame:
+    """Classic smooth TF-IDF over whitespace-normalized terms:
+    tf = term count / doc length, idf = ln(N / df). One explode + two
+    grouped aggregations; the per-term document frequency joins back on
+    the term (broadcast when the vocabulary is small)."""
+    terms = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    n_docs = df.count()
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("n"))
+    doc_len = terms.groupBy(id_col).agg(F.count(F.lit(1)).alias("len"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") >= min_df)
+    return (
+        tf.join(doc_len, id_col)
+        .join(F.broadcast(dfreq), "term")
+        .select(
+            F.col(id_col),
+            "term",
+            (
+                (F.col("n") / F.col("len")) * F.log(F.lit(float(n_docs)) / F.col("df"))
+            ).alias("tfidf"),
+        )
+    )
+
+
 def document_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Everything above in ONE projection over the corpus: id, predicted
     language, quality signals + composite score, token counts, fingerprint."""

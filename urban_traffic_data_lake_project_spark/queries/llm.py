@@ -362,8 +362,69 @@ FROM sig
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup_embedding_cosine — near-dup pairs by embedding cosine
+# ---------------------------------------------------------------------------
+_EMB_THRESHOLD = 0.2  # synthetic random embeddings are near-orthogonal;
+                      # a production near-dup threshold would be ~0.95
+
+
+def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=_EMB_THRESHOLD)
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine_sim", ROUND_STAT).alias("cosine_sim")
+    )
+
+
+_DEDUP_EMBEDDING_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
+           / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS sim
+  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(sim, {ROUND_STAT}) AS cosine_sim
+FROM pairs WHERE sim >= {_EMB_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_tfidf — smooth TF-IDF table over the corpus
+# ---------------------------------------------------------------------------
+def _text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = T.tf_idf(docs, "doc_id", "text")
+    return out.select("doc_id", "term", F.round("tfidf", ROUND_STAT).alias("tfidf"))
+
+
+_TFIDF_SQL = f"""
+WITH norm AS (SELECT doc_id, {_NORM.format(c='text')} AS nt FROM documents),
+terms AS (
+  SELECT doc_id, unnest(string_split(nt, ' ')) AS term FROM norm),
+t AS (SELECT doc_id, term FROM terms WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS n FROM t GROUP BY 1, 2),
+doc_len AS (SELECT doc_id, count(*) AS len FROM t GROUP BY 1),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n_docs AS (SELECT count(*) AS n FROM documents)
+SELECT tf.doc_id, tf.term,
+       round((tf.n::DOUBLE / doc_len.len) * ln(n_docs.n::DOUBLE / dfreq.df), {ROUND_STAT}) AS tfidf
+FROM tf
+JOIN doc_len ON doc_len.doc_id = tf.doc_id
+JOIN dfreq ON dfreq.term = tf.term
+CROSS JOIN n_docs
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(_dedup_exact, _DEDUP_EXACT_SQL, "exact dedup via content hash", ("dedup",)),
+    "dedup_embedding_cosine": QuerySpec(_dedup_embedding, _DEDUP_EMBEDDING_SQL, "embedding-cosine near-dup pairs", ("dedup", "similarity")),
+    "text_tfidf": QuerySpec(_text_tfidf, _TFIDF_SQL, "smooth TF-IDF table", ("text",)),
     "dedup_ngram_jaccard": QuerySpec(_dedup_jaccard, _DEDUP_JACCARD_SQL, "exact n-gram Jaccard pairs", ("dedup",)),
     "dedup_minhash_lsh": QuerySpec(_dedup_minhash, _DEDUP_MINHASH_SQL, "MinHash-LSH verified near-dup pairs", ("dedup",)),
     "dedup_simhash": QuerySpec(_dedup_simhash, _DEDUP_SIMHASH_SQL, "32-bit SimHash sketch", ("dedup",)),
