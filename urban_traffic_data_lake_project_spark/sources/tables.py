@@ -36,7 +36,15 @@ _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one table; path layout is ``{sf_dir}/{name}.parquet``."""
+    """Load one table; path layout is ``{sf_dir}/{name}.parquet``.
+
+    Self-sufficient against foreign sessions: the driver harness builds its
+    own SparkSession without this engine's defaults, so the two confs that
+    change RESULTS (nanos handling, timestamp session zone) are pinned here
+    at read time (both runtime-settable)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name in _NANOS_TS_COLS:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _NANOS_TS_COLS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":

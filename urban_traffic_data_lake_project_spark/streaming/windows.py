@@ -22,6 +22,7 @@ _sink_counter = itertools.count()
 
 def events_schema_and_path(spark: SparkSession, sf_dir: str) -> tuple:
     """File streams need an explicit schema; reuse the batch reader's."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
     return spark.read.parquet(path).schema, path
 
