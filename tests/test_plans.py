@@ -49,6 +49,23 @@ def test_whole_stage_codegen_covers_agg(spark, sf_dir):
     assert "partial_sum" in plan
 
 
+def test_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
+    from urban_traffic_data_lake_project_spark.sources.writers import write_partitioned
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    path = str(tmp_path / "li_part")
+    write_partitioned(li, path, ["ship_month"])
+    back = spark.read.parquet(path).filter(F.col("ship_month") == "1996-03")
+    back.collect()
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the month predicate must be a partition filter (pruned at planning),
+    # not a data filter evaluated per row
+    assert "PartitionFilters: [isnotnull(ship_month" in plan
+    assert "1996-03" in plan.split("PartitionFilters:")[1].split("]")[0]
+
+
 def test_scan_prunes_columns_for_narrow_agg(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     df = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))

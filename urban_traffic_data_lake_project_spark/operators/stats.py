@@ -26,29 +26,41 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def bracket_probes(ps: Sequence[float], accuracy: int = 10_000) -> list[float]:
+    """The approx-quantile probe points that bracket each target percentile
+    (p +- 2/accuracy). Exposed so callers can fold the probe aggregation
+    into an existing pass: ``percentile_approx(col, bracket_probes(ps))``."""
+    eps = 1.0 / accuracy
+    out: list[float] = []
+    for p in ps:
+        out += [max(0.0, p - 2 * eps), min(1.0, p + 2 * eps)]
+    return out
+
+
 def exact_percentiles(
     df: DataFrame,
     col: str,
     ps: Sequence[float],
     accuracy: int = 10_000,
     n: int | None = None,
+    brackets: Sequence[float] | None = None,
 ) -> list[float]:
     """Exact interpolated percentiles of ``col`` (NULLs excluded), matching
-    SQL ``quantile_cont`` / Spark ``percentile`` semantics."""
+    SQL ``quantile_cont`` / Spark ``percentile`` semantics.
+
+    ``n`` and ``brackets`` (the ``percentile_approx`` values at
+    ``bracket_probes(ps)``) can be precomputed in a caller's aggregation
+    pass to save jobs."""
     c = F.col(col)
     if n is None:
         n = df.filter(c.isNotNull()).count()
     if n == 0:
         return [None for _ in ps]
 
-    eps = 1.0 / accuracy
-    # bracket each percentile with approx quantiles at p +- 2*eps
-    probe_ps: list[float] = []
-    for p in ps:
-        probe_ps += [max(0.0, p - 2 * eps), min(1.0, p + 2 * eps)]
-    brackets = df.agg(
-        F.percentile_approx(col, F.lit(list(probe_ps)), F.lit(accuracy)).alias("b")
-    ).first()["b"]
+    if brackets is None:
+        brackets = df.agg(
+            F.percentile_approx(col, F.lit(bracket_probes(ps, accuracy)), F.lit(accuracy)).alias("b")
+        ).first()["b"]
 
     los = [brackets[2 * i] for i in range(len(ps))]
     his = [brackets[2 * i + 1] for i in range(len(ps))]

@@ -174,6 +174,9 @@ def _grand_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from urban_traffic_data_lake_project_spark.operators.stats import exact_percentiles
 
     li = load_table(spark, sf_dir, "lineitem")
+    # NOTE: the approx brackets deliberately run as their OWN pass — folding
+    # percentile_approx into this agg regressed 3x: the countDistinct
+    # Expand doubles the rows flowing through the t-digest buffer.
     base = li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.avg("l_quantity"), ROUND_STAT).alias("avg_qty"),
