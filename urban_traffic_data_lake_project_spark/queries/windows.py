@@ -249,7 +249,86 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+# ---------------------------------------------------------------------------
+# win_cube — CUBE grouping sets (all key subsets in one shuffle)
+# ---------------------------------------------------------------------------
+def _cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("l_discount"), ROUND_STAT).alias("avg_disc"),
+    )
+
+
+_CUBE_SQL = f"""
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(avg(l_discount), {ROUND_STAT}) AS avg_disc
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# join_semi_anti — left-semi / left-anti joins (EXISTS / NOT EXISTS)
+# ---------------------------------------------------------------------------
+def _semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100_000)
+    with_big = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        F.lit("has_big_order").alias("bucket"), "c_custkey"
+    )
+    without = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        F.lit("no_big_order").alias("bucket"), "c_custkey"
+    )
+    return with_big.unionByName(without)
+
+
+_SEMI_ANTI_SQL = """
+SELECT 'has_big_order' AS bucket, c_custkey FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+UNION ALL
+SELECT 'no_big_order', c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+"""
+
+
+# ---------------------------------------------------------------------------
+# agg_pivot — pivot (wide conditional aggregation)
+# ---------------------------------------------------------------------------
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+def _pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").withColumn("yr", F.year("o_orderdate"))
+    wide = (
+        o.groupBy("yr")
+        .pivot("o_orderpriority", list(_PRIORITIES))
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    renames = {p: f"p{p[0]}_total" for p in _PRIORITIES}
+    for old, new in renames.items():
+        wide = wide.withColumnRenamed(old, new)
+    return wide.na.fill(0.0, list(renames.values()))
+
+
+_PIVOT_SQL = """
+SELECT year(o_orderdate) AS yr,
+       coalesce(round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2), 0.0) AS p1_total,
+       coalesce(round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 2), 0.0) AS p2_total,
+       coalesce(round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 2), 0.0) AS p3_total,
+       coalesce(round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 2), 0.0) AS p4_total,
+       coalesce(round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2), 0.0) AS p5_total
+FROM orders
+GROUP BY 1
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "win_cube": QuerySpec(_cube, _CUBE_SQL, "CUBE grouping sets", ("agg",)),
+    "join_semi_anti": QuerySpec(_semi_anti, _SEMI_ANTI_SQL, "left-semi/left-anti joins", ("join",)),
+    "agg_pivot": QuerySpec(_pivot, _PIVOT_SQL, "pivot to wide conditional aggregates", ("agg",)),
     "win_rank_lag": QuerySpec(_win_rank_lag, _WIN_RANK_LAG_SQL, "row_number/lag/running agg windows", ("window",)),
     "win_tumbling_events": QuerySpec(_win_tumbling, _WIN_TUMBLING_SQL, "event-time tumbling window", ("window", "streaming-equiv")),
     "win_sliding_events": QuerySpec(_win_sliding, _WIN_SLIDING_SQL, "sliding window (1h / 30m)", ("window", "streaming-equiv")),
