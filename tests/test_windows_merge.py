@@ -49,6 +49,28 @@ def test_asof_join_strict_excludes_equal(spark):
     assert out.collect()[0]["value_asof"] == 100.0
 
 
+def test_salted_join_matches_plain_join(spark):
+    import pyspark.sql.functions as F
+
+    # heavy skew: 90% of left rows share key 0
+    left = spark.range(2000).select(
+        (F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id"))).alias("k"),
+        F.col("id").alias("lval"),
+    )
+    right = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 2).alias("rval"))
+    plain = left.join(right, "k").groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("lval").alias("sl"), F.sum("rval").alias("sr")
+    ).first()
+    salted = M.salted_join(left, right, ["k"]).groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("lval").alias("sl"), F.sum("rval").alias("sr")
+    ).first()
+    assert plain == salted
+
+    plain_left = left.join(right, "k", "left").count()
+    salted_left = M.salted_join(left, right, ["k"], "left").count()
+    assert plain_left == salted_left
+
+
 def test_suffix_join_renames_collisions(spark):
     l = spark.createDataFrame([(1, 10.0)], "k long, v double")
     r = spark.createDataFrame([(1, 20.0)], "k long, v double")

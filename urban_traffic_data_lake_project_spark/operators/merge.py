@@ -91,6 +91,31 @@ def asof_join(
     return matched.select(*out_cols)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    salt_buckets: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Skew-mitigating equi-join: the (large, skewed) left side gets a
+    random salt in [0, salt_buckets); the right side is replicated once
+    per salt value; the join key becomes (keys..., salt). A hot key's rows
+    now spread over ``salt_buckets`` reducers instead of one.
+
+    AQE's skew-join split (enabled in session defaults) handles most skew
+    automatically — use this when a single key exceeds what one task can
+    hold even after AQE splitting, or on engines/paths where AQE cannot
+    apply (e.g. streaming-static joins). Supported: inner/left joins with
+    the skewed side on the left. Results are identical to the unsalted
+    join (verified in tests)."""
+    salts = F.array(*[F.lit(i) for i in range(salt_buckets)])
+    lsalted = left.withColumn("__salt", (F.rand(seed) * salt_buckets).cast("int"))
+    rsalted = right.withColumn("__salt", F.explode(salts))
+    return lsalted.join(rsalted, [*on, "__salt"], how).drop("__salt")
+
+
 def day_key_merge(
     left: DataFrame,
     right: DataFrame,

@@ -155,3 +155,34 @@ def run_pipeline(spark: SparkSession, base_dir: str, n_rows: int = 5000, seed: i
     run_merge(spark, paths)
     run_gold(spark, paths, seed)
     return paths
+
+
+_STAGES = {
+    "bronze": lambda spark, paths, n, seed: run_bronze(spark, paths, n, seed),
+    "silver": lambda spark, paths, n, seed: run_silver(spark, paths),
+    "merge": lambda spark, paths, n, seed: run_merge(spark, paths),
+    "gold": lambda spark, paths, n, seed: run_gold(spark, paths, seed),
+    "all": lambda spark, paths, n, seed: run_pipeline(spark, paths.base, n, seed),
+}
+
+
+def main() -> None:
+    """Per-stage CLI (reference: every script runnable standalone,
+    README.md:297-321): ``python -m ...plans.pipeline --stage silver``."""
+    import argparse
+
+    from urban_traffic_data_lake_project_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description="medallion pipeline stages")
+    ap.add_argument("--base-dir", required=True)
+    ap.add_argument("--stage", choices=sorted(_STAGES), default="all")
+    ap.add_argument("--rows", type=int, default=5000)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+    spark = get_spark(f"pipeline-{args.stage}")
+    _STAGES[args.stage](spark, LayerPaths(args.base_dir), args.rows, args.seed)
+    print(f"stage '{args.stage}' complete under {args.base_dir}")
+
+
+if __name__ == "__main__":
+    main()
