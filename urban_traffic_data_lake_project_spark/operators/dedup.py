@@ -176,8 +176,21 @@ def minhash_lsh_dedup_pairs(
     two pre-computed shingle SETS and intersects them as arrays) — NOT a
     global shingle self-join, which is quadratic in bucket sizes and
     defeats the entire point of LSH on corpora with common shingles."""
-    sets_df = shingle_sets(df, id_col, text_col, n)
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # persist the shingle sets: both the signature aggregation and the
+    # verification join consume them — without this the normalize/split/
+    # shingle expressions execute twice over the corpus
+    sets_df = shingle_sets(df, id_col, text_col, n).persist()
+    sh = (
+        sets_df.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .withColumn("__h", stable_hash64(F.col("shingle")) % F.lit(MINHASH_P))
+    )
+    sigs = sh.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+        ]
+    )
     candidates = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     a = sets_df.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("__sh_a"))
     b = sets_df.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("__sh_b"))

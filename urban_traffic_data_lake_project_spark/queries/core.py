@@ -176,7 +176,9 @@ def _grand_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # NOTE: the approx brackets deliberately run as their OWN pass — folding
     # percentile_approx into this agg regressed 3x: the countDistinct
-    # Expand doubles the rows flowing through the t-digest buffer.
+    # Expand doubles the rows flowing through the t-digest buffer. The
+    # countDistinct itself also runs separately: mixed with plain aggs it
+    # forces an Expand over every column; alone it reads ONE pruned column.
     base = li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.avg("l_quantity"), ROUND_STAT).alias("avg_qty"),
@@ -185,13 +187,13 @@ def _grand_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.median("l_quantity"), ROUND_STAT).alias("med_qty"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
-        F.countDistinct("l_partkey").alias("n_parts"),
         F.round(F.avg((F.col("l_quantity") > 25).cast("double")), ROUND_STAT).alias("frac_qty_above_25"),
         F.round(F.avg(F.col("l_discount").isNull().cast("double")), ROUND_STAT).alias("null_frac_discount"),
     )
-    row = base.first()
+    row = base.first().asDict()
+    row["n_parts"] = li.select("l_partkey").distinct().count()
     q25, q75 = exact_percentiles(li, "l_extendedprice", [0.25, 0.75], n=row["n_rows"])
-    out = {**row.asDict(), "q25_price": round(q25, ROUND_STAT), "q75_price": round(q75, ROUND_STAT)}
+    out = {**row, "q25_price": round(q25, ROUND_STAT), "q75_price": round(q75, ROUND_STAT)}
     cols = [
         "n_rows", "avg_qty", "std_qty", "stdpop_qty", "med_qty", "q25_price",
         "q75_price", "min_qty", "max_qty", "n_parts", "frac_qty_above_25",
