@@ -45,6 +45,12 @@ def poisson_bootstrap_means(
     """Per (column, replicate) weighted means. Downstream consumers compute
     CI stats over the replicate dimension (tiny: n_replicates rows/col)."""
     proj = df.select(*cols)
+    # the weight-drawing pass is CPU-bound numpy (O(rows x replicates)
+    # poisson draws); parquet split count (often just a few row groups)
+    # would convoy it — spread over the full parallelism
+    target = proj.sparkSession.sparkContext.defaultParallelism
+    if proj.rdd.getNumPartitions() < target:
+        proj = proj.repartition(target)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Seed deterministically per task partition.

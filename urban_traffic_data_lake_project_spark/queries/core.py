@@ -134,13 +134,16 @@ def _left_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("o_orderpriority").agg(
         F.sum(w).alias("n_rows"),
         F.sum(F.coalesce(F.col("d_cnt_qty"), F.lit(0))).alias("n_matched"),
+        # 2dp, not ROUND_STAT: these average ~0.5T rows at 100TB scale and
+        # engine-vs-oracle summation order already differs at the 6th
+        # decimal on 36M rows (observed at sf0.1)
         F.round(
-            F.sum(F.col("o_totalprice") * w) / F.sum(w), ROUND_STAT
+            F.sum(F.col("o_totalprice") * w) / F.sum(w), 2
         ).alias("avg_left_price"),
         F.round(
             F.sum(F.coalesce(F.col("d_sum_qty"), F.lit(0.0)))
             / F.sum(F.coalesce(F.col("d_cnt_qty"), F.lit(0))),
-            ROUND_STAT,
+            2,
         ).alias("avg_right_qty"),
     )
 
@@ -149,8 +152,8 @@ _FANOUT_SQL = f"""
 SELECT o_orderpriority,
        count(*)                                    AS n_rows,
        count(l_quantity)                           AS n_matched,
-       round(avg(o_totalprice), {ROUND_STAT})      AS avg_left_price,
-       round(avg(l_quantity), {ROUND_STAT})        AS avg_right_qty
+       round(avg(o_totalprice), 2)                 AS avg_left_price,
+       round(avg(l_quantity), 2)                   AS avg_right_qty
 FROM (SELECT o_orderpriority, o_totalprice, CAST(o_orderdate AS DATE) AS o_day FROM orders) o
 LEFT JOIN (SELECT l_quantity, CAST(l_shipdate AS DATE) AS l_day FROM lineitem) l
   ON o.o_day = l.l_day
