@@ -27,6 +27,13 @@ def test_streaming_tumbling_equals_batch(spark, sf_dir):
     assert g.equals(e), f"streaming vs batch mismatch:\n{g.compare(e) if g.shape == e.shape else (g.shape, e.shape)}"
 
 
+def test_streaming_sliding_equals_batch(spark, sf_dir):
+    stream = sw.read_events_stream(spark, sf_dir)
+    got = sw.run_available_now(sw.sliding_counts(stream), spark)
+    expected = qw.REGISTRY["win_sliding_events"].fn(spark, sf_dir)
+    assert _normalize(got).equals(_normalize(expected))
+
+
 def test_streaming_session_equals_batch(spark, sf_dir):
     stream = sw.read_events_stream(spark, sf_dir)
     got = sw.run_available_now(sw.session_counts(stream), spark)

@@ -137,19 +137,20 @@ def lsh_candidate_pairs(
     Returns distinct (id_a, id_b), id_a < id_b."""
     rows_per_band = num_hashes // bands
     assert bands * rows_per_band == num_hashes, "bands must divide num_hashes"
-    band_rows = []
+    # one explode, NOT a union of per-band selects: each union branch would
+    # embed (and re-execute) the whole signature-aggregation subtree
+    entries = []
     for b in range(bands):
         cols = [F.col(f"mh_{b * rows_per_band + j}") for j in range(rows_per_band)]
-        band_rows.append(
-            signatures.select(
-                F.col(id_col),
+        entries.append(
+            F.struct(
                 F.lit(b).alias("band"),
                 F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("bucket"),
             )
         )
-    buckets = band_rows[0]
-    for br in band_rows[1:]:
-        buckets = buckets.unionByName(br)
+    buckets = signatures.select(
+        F.col(id_col), F.explode(F.array(*entries)).alias("__bb")
+    ).select(F.col(id_col), F.col("__bb.band").alias("band"), F.col("__bb.bucket").alias("bucket"))
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b2 = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (

@@ -56,6 +56,18 @@ def tumbling_counts(stream: DataFrame, window: str = "1 hour", watermark: str = 
     )
 
 
+def sliding_counts(
+    stream: DataFrame, window: str = "1 hour", slide: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming form of queries/windows.py::win_sliding_events."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
 def session_counts(stream: DataFrame, gap: str = "10 minutes", watermark: str = "2 hours") -> DataFrame:
     """Streaming session windows (stateful merge of gap-close events)."""
     return (
