@@ -94,6 +94,41 @@ def exact_percentiles(
     return results
 
 
+def grouped_ols(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    y_col: str,
+    x_cols: Sequence[str],
+) -> DataFrame:
+    """Per-group ordinary least squares via Arrow-batched ``applyInPandas``
+    — the grouped-model pattern (one small numpy fit per group, groups
+    processed in parallel). For the single-feature case the expression
+    aggregates ``regr_slope``/``regr_intercept`` are the cheaper path
+    (used by the ``agg_regression`` query); this generalizes to any
+    feature count."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = ", ".join(
+        [*(f"{c} string" for c in group_cols), "intercept double"]
+        + [f"beta_{c} double" for c in x_cols]
+        + ["n long"]
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = np.column_stack([np.ones(len(pdf))] + [pdf[c].to_numpy("float64") for c in x_cols])
+        y = pdf[y_col].to_numpy("float64")
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        row = {c: [pdf[c].iloc[0]] for c in group_cols}
+        row["intercept"] = [float(beta[0])]
+        for i, c in enumerate(x_cols):
+            row[f"beta_{c}"] = [float(beta[i + 1])]
+        row["n"] = [len(pdf)]
+        return pd.DataFrame(row)
+
+    return df.groupBy(*group_cols).applyInPandas(fit, schema=out_schema)
+
+
 def grand_aggregate_bundle(df: DataFrame, quantity_col: str, price_col: str, flag_col: str) -> dict:
     """The reference's full-table statistics bundle (A1-A12) computed with
     scale-safe primitives: one codegen aggregation pass for the streaming

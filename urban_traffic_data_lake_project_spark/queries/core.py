@@ -423,7 +423,33 @@ SELECT 'except', l_partkey FROM (SELECT l_partkey FROM heavy EXCEPT SELECT l_par
 """
 
 
+# ---------------------------------------------------------------------------
+# agg_regression — regression aggregates per group (expression fast path;
+# operators.stats.grouped_ols is the applyInPandas generalization)
+# ---------------------------------------------------------------------------
+def _regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), ROUND_STAT).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), ROUND_STAT).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), ROUND_STAT).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+    )
+
+
+_REGRESSION_SQL = f"""
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), {ROUND_STAT}) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), {ROUND_STAT}) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), {ROUND_STAT}) AS r2,
+       regr_count(l_extendedprice, l_quantity) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "agg_regression": QuerySpec(_regression, _REGRESSION_SQL, "per-group regression aggregates", ("agg",)),
     "core_pricing_summary": QuerySpec(_pricing_summary, _PRICING_SQL, "TPC-H Q1-shaped grouped aggregate", ("agg", "scan")),
     "core_join_snowflake": QuerySpec(_join_snowflake, _SNOWFLAKE_SQL, "5-way join via broadcast dims", ("join",)),
     "core_left_join_fanout": QuerySpec(_left_join_fanout, _FANOUT_SQL, "J1 coarse-key left join fan-out", ("join",)),
