@@ -1,0 +1,66 @@
+"""Edge-case robustness: empty inputs, all-NULL columns, degenerate
+corpora — operators must degrade, not throw."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from urban_traffic_data_lake_project_spark.operators import cleaning as C
+from urban_traffic_data_lake_project_spark.operators import dedup as D
+from urban_traffic_data_lake_project_spark.operators import text as T
+from urban_traffic_data_lake_project_spark.operators.stats import exact_percentiles
+
+
+@pytest.fixture(scope="module")
+def empty(spark):
+    return spark.createDataFrame([], "k long, ts string, cat string, x double")
+
+
+def test_cleaning_kernel_on_empty_input(empty):
+    out = C.dedup_by_key(empty, ["k"], ["x"])
+    out = C.parse_timestamps(out, "ts")
+    out = C.mode_fill(out, ["cat"])
+    out = C.null_fraction_drop(out, ["x"])
+    out = C.iqr_clip(out, ["x"])
+    out = C.median_fill(out, ["x"])
+    assert out.count() == 0
+
+
+def test_mode_fill_all_null_column_uses_default(spark):
+    df = spark.createDataFrame([(1, None), (2, None)], "k long, cat string")
+    out = C.mode_fill(df, ["cat"])
+    assert {r["cat"] for r in out.collect()} == {"Unknown"}
+
+
+def test_exact_percentiles_empty_and_single(spark):
+    empty = spark.createDataFrame([], "x double")
+    assert exact_percentiles(empty, "x", [0.5]) == [None]
+    one = spark.createDataFrame([(7.5,)], "x double")
+    assert exact_percentiles(one, "x", [0.25, 0.9]) == [7.5, 7.5]
+
+
+def test_shingles_and_sketches_on_degenerate_docs(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "!!! ???"), (4, "one"), (5, "two words only")],
+        "doc_id long, text string",
+    )
+    sh = D.shingle_table(df, "doc_id", "text", 3).collect()
+    # only doc 5 has >= 3 words: exactly one trigram
+    assert [(r["doc_id"], r["shingle"]) for r in sh] == [(5, "two words only")]
+    sketches = D.simhash(df, "doc_id", "text")
+    assert sketches.count() == 2  # only docs with at least one word token
+    pairs = D.ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.1)
+    assert pairs.count() == 0
+    prof = T.document_profile(df, "doc_id", "text").collect()
+    assert len(prof) == 5
+    by_id = {r["doc_id"]: r for r in prof}
+    assert by_id[1]["n_tokens"] == 0 and by_id[1]["pred_lang"] == "und"
+    assert by_id[3]["alpha_ratio"] == 0.0
+
+
+def test_dedup_on_empty_pairs(spark):
+    df = spark.createDataFrame([(1, "some text here")], "doc_id long, text string")
+    pairs = spark.createDataFrame([], "id_a long, id_b long, jaccard double")
+    kept = D.dedup_keep_canonical(df, "doc_id", pairs)
+    assert kept.count() == 1

@@ -94,6 +94,30 @@ def test_watermark_drops_late_events_after_eviction(spark, three_batch_dir):
     assert rows == [(dt.datetime(2024, 1, 1, 12, 0), 1)], f"got {rows}"
 
 
+def test_stream_static_join_enriches_events(spark, sf_dir):
+    """Stream-static join: the streaming side joins a static dimension
+    (per-user profile built from batch) without state explosion."""
+    from urban_traffic_data_lake_project_spark.sources import load_table
+
+    static_users = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.round(F.avg("value"), 4).alias("user_avg_value"))
+    )
+    stream = sw.read_events_stream(spark, sf_dir)
+    enriched = stream.filter(F.col("event_type") == "purchase").join(
+        F.broadcast(static_users), "user_id"
+    )
+    got = sw.run_available_now(
+        enriched.select("event_id", "user_id", "user_avg_value"), spark, mode="append"
+    )
+    batch_n = (
+        load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase").count()
+    )
+    assert got.count() == batch_n
+    assert got.filter(F.col("user_avg_value").isNull()).count() == 0
+
+
 def test_streaming_dedup_removes_duplicates(spark):
     import tempfile as tf
 

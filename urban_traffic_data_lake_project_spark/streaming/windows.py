@@ -83,12 +83,19 @@ def streaming_dedup(stream: DataFrame, keys: list[str], watermark: str = "1 hour
     return stream.withWatermark("ts", watermark).dropDuplicates([*keys, "ts"])
 
 
-def run_available_now(result: DataFrame, spark: SparkSession, timeout_sec: int = 120) -> DataFrame:
+def run_available_now(
+    result: DataFrame, spark: SparkSession, timeout_sec: int = 120, mode: str | None = None
+) -> DataFrame:
     """Execute a streaming DataFrame to completion over all available input
     (Trigger.AvailableNow) into a memory sink; return the materialized
-    result as a batch DataFrame."""
+    result as a batch DataFrame.
+
+    ``mode`` overrides the output-mode heuristic — needed e.g. for
+    stream-static joins, where the static side may contain an Aggregate
+    node but the streaming side has none (append is correct there)."""
     name = f"stream_sink_{next(_sink_counter)}"
-    mode = "complete" if result.isStreaming and _has_aggregation(result) else "append"
+    if mode is None:
+        mode = "complete" if result.isStreaming and _has_aggregation(result) else "append"
     q = (
         result.writeStream.format("memory")
         .queryName(name)
