@@ -139,7 +139,61 @@ def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_features(media)
 
 
+# ---------------------------------------------------------------------------
+# arr_vector_stats — array-column functions (size, min/max, mean, L2 norm)
+# ---------------------------------------------------------------------------
+def _vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mean = F.aggregate(v, F.lit(0.0), lambda a, x: a + x) / F.size(v)
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.array_min(v), ROUND_STAT).alias("min_v"),
+        F.round(F.array_max(v), ROUND_STAT).alias("max_v"),
+        F.round(mean, ROUND_STAT).alias("mean_v"),
+        F.round(norm, ROUND_STAT).alias("l2_norm"),
+    )
+
+
+_VECTOR_STATS_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT vec_id,
+       len(e) AS dim,
+       round(list_min(e), {ROUND_STAT}) AS min_v,
+       round(list_max(e), {ROUND_STAT}) AS max_v,
+       round(list_sum(e) / len(e), {ROUND_STAT}) AS mean_v,
+       round(sqrt(list_sum(list_transform(e, x -> x * x))), {ROUND_STAT}) AS l2_norm
+FROM v
+"""
+
+
+# ---------------------------------------------------------------------------
+# scalar_subquery — correlated scalar subquery: orders above their
+# customer's average order value
+# ---------------------------------------------------------------------------
+def _scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cust_avg = o.groupBy("o_custkey").agg(F.avg("o_totalprice").alias("cust_avg"))
+    return (
+        o.join(cust_avg, "o_custkey")
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+_SCALAR_SUBQUERY_SQL = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders o
+WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
+                      WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "arr_vector_stats": QuerySpec(_vector_stats, _VECTOR_STATS_SQL, "array/vector column functions", ("scalar", "array")),
+    "scalar_subquery": QuerySpec(_scalar_subquery, _SCALAR_SUBQUERY_SQL, "correlated scalar subquery", ("scalar", "join")),
     "scalar_date_functions": QuerySpec(_date_functions, _DATE_SQL, "F1 date extraction/format/season", ("scalar",)),
     "scalar_string_math": QuerySpec(_string_math, _STRING_MATH_SQL, "F2/F4 string + math scalars", ("scalar",)),
     "scalar_random_moments": QuerySpec(_random_moments, None, "F3 random generators (moments)", ("scalar", "stochastic")),
