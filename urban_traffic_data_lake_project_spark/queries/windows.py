@@ -250,6 +250,19 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 
 
 # ---------------------------------------------------------------------------
+# stream_tumbling_available_now — a REAL Structured Streaming job (readStream
+# -> watermark -> tumbling window agg -> AvailableNow -> memory sink),
+# oracle-checked against the same SQL as the batch form. Batch/streaming
+# equivalence is the engine's streaming correctness contract.
+# ---------------------------------------------------------------------------
+def _stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.streaming import windows as sw
+
+    stream = sw.read_events_stream(spark, sf_dir)
+    return sw.run_available_now(sw.tumbling_counts(stream), spark)
+
+
+# ---------------------------------------------------------------------------
 # win_cube — CUBE grouping sets (all key subsets in one shuffle)
 # ---------------------------------------------------------------------------
 def _cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -326,6 +339,10 @@ GROUP BY 1
 
 
 REGISTRY: dict[str, QuerySpec] = {
+    "stream_tumbling_available_now": QuerySpec(
+        _stream_tumbling, _WIN_TUMBLING_SQL,
+        "real streaming job (AvailableNow) vs batch oracle", ("streaming",),
+    ),
     "win_cube": QuerySpec(_cube, _CUBE_SQL, "CUBE grouping sets", ("agg",)),
     "join_semi_anti": QuerySpec(_semi_anti, _SEMI_ANTI_SQL, "left-semi/left-anti joins", ("join",)),
     "agg_pivot": QuerySpec(_pivot, _PIVOT_SQL, "pivot to wide conditional aggregates", ("agg",)),
