@@ -448,8 +448,70 @@ GROUP BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# core_set_ops_bag — UNION ALL / INTERSECT ALL / EXCEPT ALL (multiplicity-
+# preserving set ops; the DISTINCT forms are core_set_ops)
+# ---------------------------------------------------------------------------
+def _set_ops_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    heavy = li.filter(F.col("l_quantity") > 45).select("l_partkey")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    union_all = heavy.unionAll(returned).select(F.lit("union_all").alias("set_op"), "l_partkey")
+    inter_all = heavy.intersectAll(returned).select(F.lit("intersect_all").alias("set_op"), "l_partkey")
+    except_all = heavy.exceptAll(returned).select(F.lit("except_all").alias("set_op"), "l_partkey")
+    return union_all.union(inter_all).union(except_all)
+
+
+_SET_OPS_BAG_SQL = """
+WITH heavy AS (SELECT l_partkey FROM lineitem WHERE l_quantity > 45),
+     ret   AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+SELECT 'union_all' AS set_op, l_partkey FROM (SELECT l_partkey FROM heavy UNION ALL SELECT l_partkey FROM ret)
+UNION ALL
+SELECT 'intersect_all', l_partkey FROM (SELECT l_partkey FROM heavy INTERSECT ALL SELECT l_partkey FROM ret)
+UNION ALL
+SELECT 'except_all', l_partkey FROM (SELECT l_partkey FROM heavy EXCEPT ALL SELECT l_partkey FROM ret)
+"""
+
+
+# ---------------------------------------------------------------------------
+# join_null_safe — null-safe equality (<=> / IS NOT DISTINCT FROM)
+# ---------------------------------------------------------------------------
+def _null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    # synthesize NULL keys deterministically on both sides
+    a = o.select(
+        F.when(F.col("o_orderkey") % 11 == 0, None).otherwise(F.col("o_custkey")).alias("k"),
+        F.col("o_orderkey").alias("a_id"),
+    )
+    b = o.select(
+        F.when(F.col("o_orderkey") % 13 == 0, None).otherwise(F.col("o_custkey")).alias("k"),
+        F.col("o_orderkey").alias("b_id"),
+    ).filter(F.col("b_id") % 3 == 0)
+    joined = a.join(b, a["k"].eqNullSafe(b["k"]))
+    return joined.groupBy(a["k"].alias("k")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("b_id").alias("n_b"),
+    )
+
+
+_NULL_SAFE_SQL = """
+WITH a AS (
+  SELECT CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_custkey END AS k,
+         o_orderkey AS a_id FROM orders),
+b AS (
+  SELECT CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_custkey END AS k,
+         o_orderkey AS b_id FROM orders
+  WHERE o_orderkey % 3 = 0)
+SELECT a.k, count(*) AS n_pairs, count(DISTINCT b.b_id) AS n_b
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+GROUP BY a.k
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "agg_regression": QuerySpec(_regression, _REGRESSION_SQL, "per-group regression aggregates", ("agg",)),
+    "core_set_ops_bag": QuerySpec(_set_ops_bag, _SET_OPS_BAG_SQL, "UNION/INTERSECT/EXCEPT ALL (bag)", ("set",)),
+    "join_null_safe": QuerySpec(_null_safe_join, _NULL_SAFE_SQL, "null-safe equality join", ("join",)),
     "core_pricing_summary": QuerySpec(_pricing_summary, _PRICING_SQL, "TPC-H Q1-shaped grouped aggregate", ("agg", "scan")),
     "core_join_snowflake": QuerySpec(_join_snowflake, _SNOWFLAKE_SQL, "5-way join via broadcast dims", ("join",)),
     "core_left_join_fanout": QuerySpec(_left_join_fanout, _FANOUT_SQL, "J1 coarse-key left join fan-out", ("join",)),

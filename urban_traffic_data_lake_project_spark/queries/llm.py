@@ -363,6 +363,52 @@ FROM sig
 
 
 # ---------------------------------------------------------------------------
+# dedup_apply_near — the end-to-end dedup application: the surviving corpus
+# after dropping the larger id of every verified near-dup pair
+# ---------------------------------------------------------------------------
+def _dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=_MINHASH_K,
+        bands=_MINHASH_BANDS, threshold=_JACCARD_THRESHOLD,
+    )
+    return D.dedup_keep_canonical(docs, "doc_id", pairs).select("doc_id", "lang", "n_chars")
+
+
+_DEDUP_APPLY_SQL = f"""
+WITH {_SHINGLE_CTE},
+hashed AS (SELECT doc_id, {_sql_hash64('shingle')} % {MINHASH_P} AS h FROM sh),
+sigs AS (
+  SELECT doc_id,
+       {{mh_aggs}}
+  FROM hashed GROUP BY doc_id),
+buckets AS ({{band_selects}}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b),
+dropped AS (
+  SELECT DISTINCT i.id_b AS doc_id
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE i.n_common::DOUBLE / (sa.n_sh + sb.n_sh - i.n_common) >= {_JACCARD_THRESHOLD})
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+_DEDUP_APPLY_SQL = _DEDUP_APPLY_SQL.format(mh_aggs=_MH_AGGS, band_selects=_BAND_SELECTS)
+
+
+# ---------------------------------------------------------------------------
 # dedup_embedding_cosine — near-dup pairs by embedding cosine
 # ---------------------------------------------------------------------------
 _EMB_THRESHOLD = 0.2  # synthetic random embeddings are near-orthogonal;
@@ -423,6 +469,7 @@ CROSS JOIN n_docs
 
 REGISTRY: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(_dedup_exact, _DEDUP_EXACT_SQL, "exact dedup via content hash", ("dedup",)),
+    "dedup_apply_near": QuerySpec(_dedup_apply, _DEDUP_APPLY_SQL, "corpus after near-dup removal", ("dedup",)),
     "dedup_embedding_cosine": QuerySpec(_dedup_embedding, _DEDUP_EMBEDDING_SQL, "embedding-cosine near-dup pairs", ("dedup", "similarity")),
     "text_tfidf": QuerySpec(_text_tfidf, _TFIDF_SQL, "smooth TF-IDF table", ("text",)),
     "dedup_ngram_jaccard": QuerySpec(_dedup_jaccard, _DEDUP_JACCARD_SQL, "exact n-gram Jaccard pairs", ("dedup",)),
