@@ -62,6 +62,24 @@ def test_features_compose_with_similarity_search(spark, media):
     assert out.count() == 9
 
 
+def test_resize_scales_metadata_preserving_aspect(spark, media):
+    decoded = MM.decode_metadata(media)
+    resized = MM.resize(decoded, max_side=20)
+    rows = resized.join(
+        decoded.select(
+            F.col("media_id"), F.col("width").alias("w0"), F.col("height").alias("h0")
+        ),
+        "media_id",
+    ).collect()
+    for r in rows:
+        assert max(r["width"], r["height"]) <= 20
+        if max(r["w0"], r["h0"]) > 20:  # scaled down, aspect preserved +-rounding
+            a0 = r["w0"] / r["h0"]
+            assert abs(r["width"] / r["height"] - a0) / a0 < 0.15
+        else:  # small media untouched
+            assert (r["width"], r["height"]) == (r["w0"], r["h0"])
+
+
 def test_frame_sampling(spark, media):
     decoded = MM.decode_metadata(media)
     frames = MM.frame_sample(decoded, every_ms=1000)

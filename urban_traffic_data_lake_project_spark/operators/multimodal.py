@@ -142,6 +142,28 @@ def extract_features(df: DataFrame, dim: int = _FEATURE_DIM) -> DataFrame:
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize(df: DataFrame, max_side: int = 32) -> DataFrame:
+    """Resize stage plumbing: scale width/height so the longer side equals
+    ``max_side`` (aspect preserved, already-smaller media untouched).
+
+    The pixel transform is stubbed (a real implementation re-encodes the
+    payload via PIL/ffmpeg inside this same batch loop); the metadata
+    arithmetic, batch shape, and schema contract are real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            w = pdf["width"].astype("float64")
+            h = pdf["height"].astype("float64")
+            scale = (max_side / np.maximum(w, h)).clip(upper=1.0)
+            pdf["width"] = pd.array(np.round(w * scale), dtype="Int32")
+            pdf["height"] = pd.array(np.round(h * scale), dtype="Int32")
+            # real impl: pdf["payload"] = [reencode(p, s) for p, s in ...]
+            yield pdf
+
+    return df.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling plumbing: one output row per sampled frame
     offset (real decoder would attach the frame bytes). Pure Spark-side:
