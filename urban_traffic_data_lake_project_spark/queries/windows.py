@@ -338,7 +338,58 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# agg_group_percentiles — per-group exact percentiles (low-cardinality
+# values -> native grouped percentile is the right plan here; the
+# refinement operator covers the high-cardinality grand case)
+# ---------------------------------------------------------------------------
+def _group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", 0.5), ROUND_STAT).alias("p50_qty"),
+        F.round(F.percentile("l_quantity", 0.9), ROUND_STAT).alias("p90_qty"),
+        F.round(F.percentile("l_discount", 0.95), ROUND_STAT).alias("p95_disc"),
+    )
+
+
+_GROUP_PERCENTILES_SQL = f"""
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), {ROUND_STAT}) AS p50_qty,
+       round(quantile_cont(l_quantity, 0.9), {ROUND_STAT}) AS p90_qty,
+       round(quantile_cont(l_discount, 0.95), {ROUND_STAT}) AS p95_disc
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# win_distribution — ntile / percent_rank / cume_dist ranking windows
+# ---------------------------------------------------------------------------
+def _win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), ROUND_STAT).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), ROUND_STAT).alias("cume"),
+    )
+
+
+_WIN_DISTRIBUTION_SQL = f"""
+SELECT c_custkey, c_mktsegment,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, {ROUND_STAT}) AS pct_rank,
+       round(cume_dist() OVER w, {ROUND_STAT}) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "agg_group_percentiles": QuerySpec(_group_percentiles, _GROUP_PERCENTILES_SQL, "per-group exact percentiles", ("agg",)),
+    "win_distribution": QuerySpec(_win_distribution, _WIN_DISTRIBUTION_SQL, "ntile/percent_rank/cume_dist", ("window",)),
     "stream_tumbling_available_now": QuerySpec(
         _stream_tumbling, _WIN_TUMBLING_SQL,
         "real streaming job (AvailableNow) vs batch oracle", ("streaming",),
