@@ -35,6 +35,23 @@ def test_cross_store_copy_and_listing(spark, sf_dir, tmpbase):
     assert cat.list_layer_tables(spark, paths["gold"]) == []
 
 
+def test_json_and_orc_round_trip(spark, sf_dir, tmpbase):
+    """Source-format breadth: JSON-lines and ORC round-trip with schema
+    preserved (CSV is exercised by the bronze layer, parquet everywhere)."""
+    events = load_table(spark, sf_dir, "events").limit(200)
+    jp, op = os.path.join(tmpbase, "events_json"), os.path.join(tmpbase, "events_orc")
+    events.write.mode("overwrite").json(jp)
+    events.write.mode("overwrite").orc(op)
+    back_j = spark.read.schema(events.schema).json(jp)
+    back_o = spark.read.orc(op)
+    assert back_j.count() == back_o.count() == 200
+    assert back_o.schema == events.schema
+    # values survive the round trip
+    a = sorted(r["event_id"] for r in events.collect())
+    assert sorted(r["event_id"] for r in back_j.collect()) == a
+    assert sorted(r["event_id"] for r in back_o.collect()) == a
+
+
 def test_dual_write(spark, sf_dir, tmpbase):
     region = load_table(spark, sf_dir, "region")
     a, b = os.path.join(tmpbase, "a"), os.path.join(tmpbase, "b")
