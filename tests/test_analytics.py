@@ -128,6 +128,41 @@ def test_fa_distributed_scoring_matches_driver(spark):
     assert np.allclose(np.sort(got, axis=0), np.sort(expected, axis=0), atol=1e-8)
 
 
+def test_fa_fit_unbiased_on_adversarially_sorted_data(spark):
+    # Two regimes, data SORTED by the regime column so the first partitions
+    # contain only regime A. A limit()-based fit would see one regime; the
+    # seeded random sample must see both, so the fit mean lands between the
+    # regime means, not inside regime A.
+    rng = np.random.default_rng(11)
+    import pandas as pd
+
+    a = rng.standard_normal((4000, 3)) + [0.0, 0.0, 0.0]
+    b = rng.standard_normal((4000, 3)) + [50.0, 50.0, 50.0]
+    pdf = pd.DataFrame(np.vstack([a, b]), columns=["x", "y", "z"]).sort_values("x")
+    df = spark.createDataFrame(pdf).coalesce(8)
+    model = FA.fit_on_sample(df, cols=["x", "y", "z"], n_factors=1, fit_sample_rows=1000)
+    # overall mean ~25 per column; a first-partitions fit would see ~0
+    assert all(10.0 < m < 40.0 for m in model.mean), model.mean
+    # fit medians are threaded into the model for scoring-time imputation
+    assert model.medians is not None and len(model.medians) == 3
+
+
+def test_fa_scoring_imputes_with_fit_medians(spark):
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((400, 3)) * [1, 2, 3] + [5, -2, 0]
+    pdf = pd.DataFrame(X, columns=["a", "b", "c"])
+    df = spark.createDataFrame(pdf)
+    model = FA.fit_on_sample(df, cols=["a", "b", "c"], n_factors=1)
+    # score a row with a NULL: it must be imputed with the FIT MEDIAN
+    null_row = spark.createDataFrame([(None, 1.0, 2.0)], "a double, b double, c double")
+    got = FA.attach_factor_scores(null_row, model).collect()[0]["Factor_1_score"]
+    x = np.array([model.medians[0], 1.0, 2.0])
+    want = float((x - model.mean) @ model.projection())
+    assert got == pytest.approx(want, abs=1e-10)
+
+
 def test_fa_loadings_shape_and_rounding(spark, lineitem):
     model = FA.fit_on_sample(lineitem, cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
     ldf = FA.loadings_table(spark, model)

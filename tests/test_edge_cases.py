@@ -40,6 +40,44 @@ def test_exact_percentiles_empty_and_single(spark):
     assert exact_percentiles(one, "x", [0.25, 0.9]) == [7.5, 7.5]
 
 
+def test_exact_percentiles_point_mass(spark):
+    # adversarial distribution: one giant point mass. The band collect is
+    # distinct (value, count) pairs, so this must resolve without pulling
+    # 10k rows to the driver or tripping the widen-retry into an error.
+    rows = [(42.0,)] * 10_000 + [(0.0,), (100.0,)]
+    df = spark.createDataFrame(rows, "x double").repartition(8)
+    assert exact_percentiles(df, "x", [0.25, 0.5, 0.75], accuracy=100) == [42.0, 42.0, 42.0]
+
+
+def test_exact_percentiles_nonnull_rank_base(spark):
+    # NULLs are excluded from the rank base: n must be the non-null count.
+    import numpy as np
+
+    vals = [float(v) for v in range(1, 21)]
+    rows = [(v,) for v in vals] + [(None,)] * 15
+    df = spark.createDataFrame(rows, "x double")
+    got = exact_percentiles(df, "x", [0.25, 0.75])
+    want = [float(np.quantile(np.array(vals), p, method="linear")) for p in (0.25, 0.75)]
+    assert got == pytest.approx(want)
+
+
+def test_grand_aggregate_bundle_with_null_prices(spark):
+    # regression: the bundle must feed the NON-NULL price count into the
+    # percentile refinement, not the table row count.
+    import numpy as np
+
+    from urban_traffic_data_lake_project_spark.operators.stats import grand_aggregate_bundle
+
+    vals = [float(v) * 3.5 for v in range(1, 41)]
+    rows = [(1.0, v, "A") for v in vals] + [(2.0, None, "B")] * 25
+    df = spark.createDataFrame(rows, "q double, price double, flag string")
+    out = grand_aggregate_bundle(df, "q", "price", "flag")
+    want25 = float(np.quantile(np.array(vals), 0.25, method="linear"))
+    want75 = float(np.quantile(np.array(vals), 0.75, method="linear"))
+    assert out["q25_price"] == pytest.approx(want25)
+    assert out["q75_price"] == pytest.approx(want75)
+
+
 def test_shingles_and_sketches_on_degenerate_docs(spark):
     df = spark.createDataFrame(
         [(1, ""), (2, "   "), (3, "!!! ???"), (4, "one"), (5, "two words only")],

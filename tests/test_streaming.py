@@ -22,7 +22,7 @@ def _normalize(df):
 def test_streaming_tumbling_equals_batch(spark, sf_dir):
     stream = sw.read_events_stream(spark, sf_dir)
     got = sw.run_available_now(sw.tumbling_counts(stream), spark)
-    expected = qw.REGISTRY["win_tumbling_events"].fn(spark, sf_dir)
+    expected = qw.batch_tumbling(spark, sf_dir)
     g, e = _normalize(got), _normalize(expected)
     assert g.equals(e), f"streaming vs batch mismatch:\n{g.compare(e) if g.shape == e.shape else (g.shape, e.shape)}"
 

@@ -43,6 +43,9 @@ class FAModel:
     mean: np.ndarray     # (p,)
     loadings: np.ndarray # W, (p, k)
     psi: np.ndarray      # diagonal noise, (p,)
+    # fit-time imputation values (column medians): scoring imputes with
+    # THESE, so a row with NULLs is treated identically at fit and score time
+    medians: tuple[float, ...] | None = None
 
     @property
     def n_factors(self) -> int:
@@ -101,22 +104,32 @@ def fit_on_sample(
 ) -> FAModel:
     """Reference prep (factor_analysis.py:176-196): numeric projection ->
     median imputation -> variance filter -> n_factors = min(5, p-1) ->
-    fit. The fit matrix is a bounded driver-side sample; at 100 TB the
-    sample is still ``fit_sample_rows`` rows."""
+    fit. The fit matrix is a bounded, SEEDED RANDOM sample (``df.sample``):
+    a ``limit`` would take the first rows of the first partitions — biased
+    whenever the data is ordered (by date, by source) and partition-order
+    dependent across cluster runs. At 100 TB the sample is still at most
+    ``fit_sample_rows`` rows."""
     if cols is None:
         from pyspark.sql.types import NumericType
 
         cols = [f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)]
-    proj = df.select(*cols).na.fill(compute_medians(df, cols))
+    med = compute_medians(df, cols)
+    proj = df.select(*cols).na.fill(med)
     cols = variance_filter(proj, cols, min_std=min_std)
     if len(cols) < 2:
         raise ValueError("need at least 2 usable numeric columns")
     if n_factors is None:
         n_factors = min(5, len(cols) - 1)
-    sample = proj.select(*cols).limit(fit_sample_rows).toPandas()
+    proj = proj.select(*cols)
+    total = proj.count()
+    if total > fit_sample_rows:
+        # 10% oversample so the Bernoulli draw rarely undershoots, then trim
+        frac = min(1.0, 1.1 * fit_sample_rows / total)
+        proj = proj.sample(fraction=frac, seed=seed).limit(fit_sample_rows)
+    sample = proj.toPandas()
     X = sample.to_numpy(dtype="float64")
     mu, W, psi = fit_factor_analysis_em(X, n_factors, seed=seed)
-    return FAModel(tuple(cols), mu, W, psi)
+    return FAModel(tuple(cols), mu, W, psi, tuple(float(med[c]) for c in cols))
 
 
 def attach_factor_scores(df: DataFrame, model: FAModel, prefix: str = "Factor") -> DataFrame:
@@ -132,12 +145,16 @@ def attach_factor_scores(df: DataFrame, model: FAModel, prefix: str = "Factor") 
         df.schema.fields + [StructField(s, DoubleType()) for s in score_names]
     )
 
-    medians = {c: float(m) for c, m in zip(cols, mu)}
+    # impute EXACTLY like the fit: column medians when the model carries
+    # them (fit_on_sample always does); fall back to the fit means only for
+    # hand-built models
+    fill_vals = model.medians if model.medians is not None else tuple(float(m) for m in mu)
+    fills = {c: v for c, v in zip(cols, fill_vals)}
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             X = pdf[cols].astype("float64")
-            X = X.fillna(pd.Series(medians))  # defensive: impute like the fit
+            X = X.fillna(pd.Series(fills))
             Z = (X.to_numpy() - mu) @ M
             for i, s in enumerate(score_names):
                 pdf[s] = Z[:, i]

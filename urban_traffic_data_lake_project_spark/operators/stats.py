@@ -26,14 +26,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def bracket_probes(ps: Sequence[float], accuracy: int = 10_000) -> list[float]:
+def bracket_probes(
+    ps: Sequence[float], accuracy: int = 10_000, eps_mult: int = 2
+) -> list[float]:
     """The approx-quantile probe points that bracket each target percentile
-    (p +- 2/accuracy). Exposed so callers can fold the probe aggregation
-    into an existing pass: ``percentile_approx(col, bracket_probes(ps))``."""
+    (p +- eps_mult/accuracy). Exposed so callers can fold the probe
+    aggregation into an existing pass:
+    ``percentile_approx(col, bracket_probes(ps))``."""
     eps = 1.0 / accuracy
     out: list[float] = []
     for p in ps:
-        out += [max(0.0, p - 2 * eps), min(1.0, p + 2 * eps)]
+        out += [max(0.0, p - eps_mult * eps), min(1.0, p + eps_mult * eps)]
     return out
 
 
@@ -44,13 +47,23 @@ def exact_percentiles(
     accuracy: int = 10_000,
     n: int | None = None,
     brackets: Sequence[float] | None = None,
+    _retries: int = 1,
+    _eps_mult: int = 2,
 ) -> list[float]:
     """Exact interpolated percentiles of ``col`` (NULLs excluded), matching
     SQL ``quantile_cont`` / Spark ``percentile`` semantics.
 
-    ``n`` and ``brackets`` (the ``percentile_approx`` values at
-    ``bracket_probes(ps)``) can be precomputed in a caller's aggregation
-    pass to save jobs."""
+    ``n`` is the NON-NULL count of ``col`` (NOT the table row count — with
+    NULLs present the interpolation ranks differ). ``n`` and ``brackets``
+    (the ``percentile_approx`` values at ``bracket_probes(ps)``) can be
+    precomputed in a caller's aggregation pass to save jobs.
+
+    The band around each bracketed order statistic is collected as DISTINCT
+    (value, count) pairs, so a point mass at the quantile costs one driver
+    row, not n. If a band misses its rank (pathological distribution vs an
+    over-tight sketch), the miss is retried once with a 20x coarser sketch
+    (wider band, same rank guarantee), then raises naming the knob — never
+    a full-column collect."""
     c = F.col(col)
     if n is None:
         n = df.filter(c.isNotNull()).count()
@@ -59,13 +72,15 @@ def exact_percentiles(
 
     if brackets is None:
         brackets = df.agg(
-            F.percentile_approx(col, F.lit(bracket_probes(ps, accuracy)), F.lit(accuracy)).alias("b")
+            F.percentile_approx(
+                col, F.lit(bracket_probes(ps, accuracy, _eps_mult)), F.lit(accuracy)
+            ).alias("b")
         ).first()["b"]
 
     los = [brackets[2 * i] for i in range(len(ps))]
     his = [brackets[2 * i + 1] for i in range(len(ps))]
 
-    # one pass: rank of each band start; one pass: all bands collected
+    # one pass: rank of each band start; one pass: distinct band values
     counts = df.agg(
         *[F.count(F.when(c < lo, 1)).alias(f"c{i}") for i, lo in enumerate(los)]
     ).first()
@@ -73,7 +88,18 @@ def exact_percentiles(
     for lo, hi in zip(los, his):
         p_ = (c >= lo) & (c <= hi)
         band_pred = p_ if band_pred is None else (band_pred | p_)
-    values = sorted(r[0] for r in df.filter(band_pred).select(col).collect())
+    value_counts = sorted(
+        (r[0], r[1])
+        for r in df.filter(band_pred).groupBy(col).agg(F.count(F.lit(1))).collect()
+    )
+
+    def order_stat(band: list[tuple], idx: int):
+        cum = 0
+        for v, cnt in band:
+            cum += cnt
+            if idx < cum:
+                return v
+        raise IndexError(idx)
 
     results: list[float] = []
     for i, p in enumerate(ps):
@@ -81,17 +107,56 @@ def exact_percentiles(
         h = (n - 1) * p
         k_lo, k_hi = math.floor(h), math.ceil(h)
         c_lt = counts[f"c{i}"]
-        band = [v for v in values if lo <= v <= hi]
+        band = [(v, cnt) for v, cnt in value_counts if lo <= v <= hi]
+        band_n = sum(cnt for _, cnt in band)
         # guaranteed by the approx rank-error bound; guard anyway
-        if not (c_lt <= k_lo and k_hi < c_lt + len(band)):
-            # brackets too tight (pathological distribution) — widen once
-            c_lt = 0
-            band = sorted(r[0] for r in df.filter(c.isNotNull()).select(col).collect())
-        x0 = band[k_lo - c_lt]
-        x1 = band[k_hi - c_lt]
+        if not (c_lt <= k_lo and k_hi < c_lt + band_n):
+            if _retries <= 0:
+                raise ValueError(
+                    f"exact_percentiles: band [{lo}, {hi}] misses rank {k_lo}..{k_hi} "
+                    f"for p={p} even after widening; raise `accuracy` (got {accuracy})"
+                )
+            # a true widen keeps the sketch accuracy (its rank error stays
+            # n/accuracy) but pushes the probe offsets out far enough that
+            # the bound covers the interpolation ranks even when n is small
+            # relative to accuracy: (m-1)*n*eps >= 1 requires
+            # m >= 1 + accuracy/n. Probes clamp to [0, 1], so at worst the
+            # band is the full value range — collected as distinct
+            # (value, count) pairs, i.e. O(cardinality), not O(n).
+            wide_mult = _eps_mult * 2 + math.ceil(accuracy / n) + 1
+            results.append(
+                exact_percentiles(
+                    df, col, [p], accuracy=accuracy, n=n,
+                    _retries=_retries - 1, _eps_mult=wide_mult,
+                )[0]
+            )
+            continue
+        x0 = order_stat(band, k_lo - c_lt)
+        x1 = order_stat(band, k_hi - c_lt)
         frac = h - k_lo
         results.append(x0 + (x1 - x0) * frac)
     return results
+
+
+def corr_matrix(df: DataFrame, cols: Sequence[str], round_to: int | None = None) -> DataFrame:
+    """Full pairwise Pearson correlation matrix (reference notebook cell 13's
+    ``numeric.corr()`` heatmap input) in ONE aggregation pass: all
+    n*(n-1)/2 ``F.corr`` aggregates run in a single streaming-aggregate job
+    (one scan, map-side partials), then the 1-row result is unpivoted to
+    long form ``(col_a, col_b, r)``. Scale: O(n_cols^2) aggregation buffers,
+    O(1) rows shuffled — never a per-pair scan."""
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    aggs = []
+    for i, (a, b) in enumerate(pairs):
+        r = F.corr(a, b)
+        if round_to is not None:
+            r = F.round(r, round_to)
+        aggs.append(r.alias(f"__c{i}"))
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(f"'{a}', '{b}', __c{i}" for i, (a, b) in enumerate(pairs))
+    return wide.select(
+        F.expr(f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, r)")
+    )
 
 
 def grouped_ols(
@@ -141,7 +206,8 @@ def grand_aggregate_bundle(df: DataFrame, quantity_col: str, price_col: str, fla
         F.median(quantity_col).alias("med_q"),  # low-cardinality: cheap exact
         F.min(quantity_col).alias("min_q"),
         F.max(quantity_col).alias("max_q"),
+        F.count(price_col).alias("n_price"),  # NON-NULL count: the rank base for percentiles
         F.countDistinct(flag_col).alias("n_distinct"),
     ).first()
-    q25, q75 = exact_percentiles(df, price_col, [0.25, 0.75], n=row["n_rows"])
+    q25, q75 = exact_percentiles(df, price_col, [0.25, 0.75], n=row["n_price"])
     return {**row.asDict(), "q25_price": q25, "q75_price": q75}

@@ -24,7 +24,11 @@ def _assemble() -> dict[str, QuerySpec]:
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         registry.update(m.REGISTRY)
-    return registry
+    # Oracle-backed queries FIRST (stable within each group): the driver's
+    # correctness gate records a bounded number of entries in registration
+    # order, so every hash-checkable query must land inside that window;
+    # rows-only (stochastic/ML) specs go last.
+    return dict(sorted(registry.items(), key=lambda kv: kv[1].oracle is None))
 
 
 REGISTRY: dict[str, QuerySpec] = _assemble()

@@ -7,7 +7,8 @@ driver's TPC-H-ish tables:
 - J1 left equi-join w/ coarse-key fan-out (reference scripts/merge.py:63-80)
   -> ``core_left_join_fanout`` (orders x lineitem on day key).
 - Grand aggregates A1-A12 (clean_traffic.py / monte_carlo.py / notebook)
-  -> ``core_grand_aggs``, ``core_describe``, ``core_corr``, ``core_mode``.
+  -> ``core_grand_aggs`` (incl. A5 mode), ``core_describe``,
+  ``core_corr_matrix``.
 - Top-k T1/T2 (factor_analysis.py:214-216) -> ``core_topk_abs``,
   ``core_topk_groups``.
 - Set ops (absent in reference, free in Spark; SURVEY §2.6) -> ``core_set_ops``.
@@ -192,19 +193,38 @@ def _grand_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_quantity").alias("max_qty"),
         F.round(F.avg((F.col("l_quantity") > 25).cast("double")), ROUND_STAT).alias("frac_qty_above_25"),
         F.round(F.avg(F.col("l_discount").isNull().cast("double")), ROUND_STAT).alias("null_frac_discount"),
+        # NON-NULL price count: exact_percentiles ranks over non-null values,
+        # so passing n_rows would shift the interpolation if prices had NULLs
+        F.count("l_extendedprice").alias("n_price"),
     )
     row = base.first().asDict()
     row["n_parts"] = li.select("l_partkey").distinct().count()
-    q25, q75 = exact_percentiles(li, "l_extendedprice", [0.25, 0.75], n=row["n_rows"])
-    out = {**row, "q25_price": round(q25, ROUND_STAT), "q75_price": round(q75, ROUND_STAT)}
+    q25, q75 = exact_percentiles(li, "l_extendedprice", [0.25, 0.75], n=row.pop("n_price"))
+    # A5 mode (deterministic tiebreak: max count, then min value) — its own
+    # tiny grouped pass; folding it into `base` would force an Expand.
+    mode_row = (
+        li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "l_returnflag")
+        .first()
+    )
+    out = {
+        **row,
+        "q25_price": round(q25, ROUND_STAT),
+        "q75_price": round(q75, ROUND_STAT),
+        "mode_flag": mode_row["l_returnflag"],
+        "mode_n": mode_row["n"],
+    }
     cols = [
         "n_rows", "avg_qty", "std_qty", "stdpop_qty", "med_qty", "q25_price",
         "q75_price", "min_qty", "max_qty", "n_parts", "frac_qty_above_25",
-        "null_frac_discount",
+        "null_frac_discount", "mode_flag", "mode_n",
     ]
-    schema = ", ".join(
-        f"{c} long" if c in ("n_rows", "n_parts") else f"{c} double" for c in cols
-    )
+    def _typ(c: str) -> str:
+        if c in ("n_rows", "n_parts", "mode_n"):
+            return "long"
+        return "string" if c == "mode_flag" else "double"
+    schema = ", ".join(f"{c} {_typ(c)}" for c in cols)
     return spark.createDataFrame([tuple(out[c] for c in cols)], schema)
 
 
@@ -220,7 +240,11 @@ SELECT count(*)                                                     AS n_rows,
        max(l_quantity)                                              AS max_qty,
        count(DISTINCT l_partkey)                                    AS n_parts,
        round(avg(CASE WHEN l_quantity > 25 THEN 1.0 ELSE 0.0 END), {ROUND_STAT}) AS frac_qty_above_25,
-       round(avg(CASE WHEN l_discount IS NULL THEN 1.0 ELSE 0.0 END), {ROUND_STAT}) AS null_frac_discount
+       round(avg(CASE WHEN l_discount IS NULL THEN 1.0 ELSE 0.0 END), {ROUND_STAT}) AS null_frac_discount,
+       (SELECT l_returnflag FROM lineitem GROUP BY l_returnflag
+        ORDER BY count(*) DESC, l_returnflag LIMIT 1)                AS mode_flag,
+       (SELECT count(*) FROM lineitem GROUP BY l_returnflag
+        ORDER BY count(*) DESC, l_returnflag LIMIT 1)                AS mode_n
 FROM lineitem
 """
 
@@ -278,30 +302,6 @@ LIMIT 5
 
 
 # ---------------------------------------------------------------------------
-# core_mode — A5 with a deterministic tiebreak (max count, then min value);
-# the reference's df[col].mode() (clean_traffic.py:93) is the same modulo
-# pandas returning all ties.
-# ---------------------------------------------------------------------------
-def _mode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy(F.col("l_returnflag").alias("mode_value"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), "mode_value")
-        .limit(1)
-    )
-
-
-_MODE_SQL = """
-SELECT l_returnflag AS mode_value, count(*) AS n
-FROM lineitem
-GROUP BY l_returnflag
-ORDER BY n DESC, mode_value
-LIMIT 1
-"""
-
-
-# ---------------------------------------------------------------------------
 # core_filter_project — predicate + projection; both must reach the parquet
 # scan (PushedFilters / ReadSchema — asserted in tests/test_plans.py).
 # ---------------------------------------------------------------------------
@@ -328,23 +328,26 @@ WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
 
 
 # ---------------------------------------------------------------------------
-# core_corr — A11 Pearson correlation (notebook cell 13 corr heatmap)
+# core_corr_matrix — A11 full pairwise Pearson correlation matrix (notebook
+# cell 13's numeric.corr() heatmap), long form, one aggregation pass via
+# operators.stats.corr_matrix.
 # ---------------------------------------------------------------------------
-def _corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.operators.stats import corr_matrix
+
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), ROUND_STAT).alias("corr_qty_price"),
-        F.round(F.corr("l_quantity", "l_discount"), ROUND_STAT).alias("corr_qty_disc"),
-        F.round(F.corr("l_extendedprice", "l_discount"), ROUND_STAT).alias("corr_price_disc"),
-    )
+    return corr_matrix(li, _CORR_COLS, round_to=ROUND_STAT)
 
 
-_CORR_SQL = f"""
-SELECT round(corr(l_quantity, l_extendedprice), {ROUND_STAT}) AS corr_qty_price,
-       round(corr(l_quantity, l_discount), {ROUND_STAT})      AS corr_qty_disc,
-       round(corr(l_extendedprice, l_discount), {ROUND_STAT}) AS corr_price_disc
-FROM lineitem
-"""
+_CORR_MATRIX_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+    f"round(corr({a}, {b}), {ROUND_STAT}) AS r FROM lineitem"
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1 :]
+)
 
 
 # ---------------------------------------------------------------------------
@@ -397,19 +400,29 @@ GROUP BY column_name
 
 
 # ---------------------------------------------------------------------------
-# core_set_ops — union / intersect / except (SURVEY §2.6: absent in the
-# reference, exposed as net-new Spark surface)
+# core_set_ops — union / intersect / except in BOTH set (DISTINCT) and bag
+# (ALL, multiplicity-preserving) forms, one query (SURVEY §2.6: absent in
+# the reference, exposed as net-new Spark surface)
 # ---------------------------------------------------------------------------
 def _set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     heavy = li.filter(F.col("l_quantity") > 45).select("l_partkey")
     returned = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
-    union = heavy.union(returned).distinct().select(F.lit("union").alias("set_op"), "l_partkey")
-    inter = heavy.intersect(returned).select(F.lit("intersect").alias("set_op"), "l_partkey")
-    # subtract == SQL EXCEPT (set semantics); exceptAll would keep keys
-    # whose left multiplicity merely exceeds the right one.
-    diff = heavy.subtract(returned).select(F.lit("except").alias("set_op"), "l_partkey")
-    return union.union(inter).union(diff)
+    branches = [
+        ("union", heavy.union(returned).distinct()),
+        ("intersect", heavy.intersect(returned)),
+        # subtract == SQL EXCEPT (set semantics); exceptAll keeps keys
+        # whose left multiplicity merely exceeds the right one.
+        ("except", heavy.subtract(returned)),
+        ("union_all", heavy.unionAll(returned)),
+        ("intersect_all", heavy.intersectAll(returned)),
+        ("except_all", heavy.exceptAll(returned)),
+    ]
+    out = None
+    for name, df in branches:
+        b = df.select(F.lit(name).alias("set_op"), "l_partkey")
+        out = b if out is None else out.union(b)
+    return out
 
 
 _SET_OPS_SQL = """
@@ -420,6 +433,12 @@ UNION ALL
 SELECT 'intersect', l_partkey FROM (SELECT l_partkey FROM heavy INTERSECT SELECT l_partkey FROM ret)
 UNION ALL
 SELECT 'except', l_partkey FROM (SELECT l_partkey FROM heavy EXCEPT SELECT l_partkey FROM ret)
+UNION ALL
+SELECT 'union_all', l_partkey FROM (SELECT l_partkey FROM heavy UNION ALL SELECT l_partkey FROM ret)
+UNION ALL
+SELECT 'intersect_all', l_partkey FROM (SELECT l_partkey FROM heavy INTERSECT ALL SELECT l_partkey FROM ret)
+UNION ALL
+SELECT 'except_all', l_partkey FROM (SELECT l_partkey FROM heavy EXCEPT ALL SELECT l_partkey FROM ret)
 """
 
 
@@ -445,31 +464,6 @@ SELECT l_returnflag,
        regr_count(l_extendedprice, l_quantity) AS n
 FROM lineitem
 GROUP BY l_returnflag
-"""
-
-
-# ---------------------------------------------------------------------------
-# core_set_ops_bag — UNION ALL / INTERSECT ALL / EXCEPT ALL (multiplicity-
-# preserving set ops; the DISTINCT forms are core_set_ops)
-# ---------------------------------------------------------------------------
-def _set_ops_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    heavy = li.filter(F.col("l_quantity") > 45).select("l_partkey")
-    returned = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
-    union_all = heavy.unionAll(returned).select(F.lit("union_all").alias("set_op"), "l_partkey")
-    inter_all = heavy.intersectAll(returned).select(F.lit("intersect_all").alias("set_op"), "l_partkey")
-    except_all = heavy.exceptAll(returned).select(F.lit("except_all").alias("set_op"), "l_partkey")
-    return union_all.union(inter_all).union(except_all)
-
-
-_SET_OPS_BAG_SQL = """
-WITH heavy AS (SELECT l_partkey FROM lineitem WHERE l_quantity > 45),
-     ret   AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
-SELECT 'union_all' AS set_op, l_partkey FROM (SELECT l_partkey FROM heavy UNION ALL SELECT l_partkey FROM ret)
-UNION ALL
-SELECT 'intersect_all', l_partkey FROM (SELECT l_partkey FROM heavy INTERSECT ALL SELECT l_partkey FROM ret)
-UNION ALL
-SELECT 'except_all', l_partkey FROM (SELECT l_partkey FROM heavy EXCEPT ALL SELECT l_partkey FROM ret)
 """
 
 
@@ -510,17 +504,15 @@ GROUP BY a.k
 
 REGISTRY: dict[str, QuerySpec] = {
     "agg_regression": QuerySpec(_regression, _REGRESSION_SQL, "per-group regression aggregates", ("agg",)),
-    "core_set_ops_bag": QuerySpec(_set_ops_bag, _SET_OPS_BAG_SQL, "UNION/INTERSECT/EXCEPT ALL (bag)", ("set",)),
     "join_null_safe": QuerySpec(_null_safe_join, _NULL_SAFE_SQL, "null-safe equality join", ("join",)),
     "core_pricing_summary": QuerySpec(_pricing_summary, _PRICING_SQL, "TPC-H Q1-shaped grouped aggregate", ("agg", "scan")),
     "core_join_snowflake": QuerySpec(_join_snowflake, _SNOWFLAKE_SQL, "5-way join via broadcast dims", ("join",)),
     "core_left_join_fanout": QuerySpec(_left_join_fanout, _FANOUT_SQL, "J1 coarse-key left join fan-out", ("join",)),
-    "core_grand_aggs": QuerySpec(_grand_aggs, _GRAND_AGGS_SQL, "A1-A12 grand aggregate bundle", ("agg",)),
+    "core_grand_aggs": QuerySpec(_grand_aggs, _GRAND_AGGS_SQL, "A1-A12 grand aggregate bundle incl. A5 mode", ("agg",)),
     "core_topk_abs": QuerySpec(_topk_abs, _TOPK_ABS_SQL, "T1 top-k by |value|", ("sort",)),
     "core_topk_groups": QuerySpec(_topk_groups, _TOPK_GROUPS_SQL, "top-5 groups by aggregate", ("sort", "agg")),
-    "core_mode": QuerySpec(_mode, _MODE_SQL, "A5 deterministic mode", ("agg",)),
     "core_filter_project": QuerySpec(_filter_project, _FILTER_PROJECT_SQL, "pushdown filter + projection", ("scan",)),
-    "core_corr": QuerySpec(_corr, _CORR_SQL, "A11 Pearson correlations", ("agg",)),
+    "core_corr_matrix": QuerySpec(_corr_matrix, _CORR_MATRIX_SQL, "A11 full pairwise correlation matrix", ("agg",)),
     "core_describe": QuerySpec(_describe, _DESCRIBE_SQL, "A10 describe() long-form", ("agg",)),
-    "core_set_ops": QuerySpec(_set_ops, _SET_OPS_SQL, "union/intersect/except", ("set",)),
+    "core_set_ops": QuerySpec(_set_ops, _SET_OPS_SQL, "union/intersect/except, DISTINCT + ALL", ("set",)),
 }

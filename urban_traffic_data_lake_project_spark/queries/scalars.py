@@ -17,22 +17,35 @@ from urban_traffic_data_lake_project_spark.sources import load_table
 
 
 # ---------------------------------------------------------------------------
-# scalar_date_functions — F1: extraction, formatting, season bucketing
+# scalar_functions — the full scalar surface in one projection pass over
+# ``orders``: F1 date extraction/formatting/season bucketing + F2 string
+# predicates/transforms + F4 arithmetic. One query (was two) so the whole
+# oracle-backed registry fits the driver gate's recording window.
 # ---------------------------------------------------------------------------
-def _date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
+        # F1: dates
         F.year("o_orderdate").alias("order_year"),
         F.month("o_orderdate").alias("order_month"),
         F.dayofmonth("o_orderdate").alias("order_day"),
         F.date_format("o_orderdate", "yyyy-MM").alias("order_ym"),
         season_from_month(F.month("o_orderdate")).alias("season"),
         F.datediff(F.lit("2002-01-01").cast("date"), F.to_date("o_orderdate")).alias("days_to_2002"),
+        # F2: strings
+        F.lower("o_orderpriority").alias("prio_lower"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.col("o_orderpriority").contains("URGENT").cast("int").alias("is_urgent"),
+        F.col("o_orderpriority").endswith("LOW").cast("int").alias("is_low"),
+        F.split("o_orderpriority", "-").getItem(1).alias("prio_word"),
+        # F4: arithmetic
+        F.round(F.abs(F.col("o_totalprice") - 100000.0), 2).alias("abs_dev_100k"),
+        F.round((F.col("o_totalprice") * 1.1 + F.col("o_custkey")) / 2.0, ROUND_STAT).alias("blended"),
     )
 
 
-_DATE_SQL = """
+_SCALAR_FUNCTIONS_SQL = f"""
 SELECT o_orderkey,
        year(o_orderdate)  AS order_year,
        month(o_orderdate) AS order_month,
@@ -42,38 +55,15 @@ SELECT o_orderkey,
             WHEN month(o_orderdate) IN (3, 4, 5)  THEN 'Spring'
             WHEN month(o_orderdate) IN (6, 7, 8)  THEN 'Summer'
             ELSE 'Autumn' END AS season,
-       date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+       lower(o_orderpriority) AS prio_lower,
+       length(o_orderpriority) AS prio_len,
+       CASE WHEN o_orderpriority LIKE '%URGENT%' THEN 1 ELSE 0 END AS is_urgent,
+       CASE WHEN o_orderpriority LIKE '%LOW' THEN 1 ELSE 0 END AS is_low,
+       string_split(o_orderpriority, '-')[2] AS prio_word,
+       round(abs(o_totalprice - 100000.0), 2) AS abs_dev_100k,
+       round((o_totalprice * 1.1 + o_custkey) / 2.0, {ROUND_STAT}) AS blended
 FROM orders
-"""
-
-
-# ---------------------------------------------------------------------------
-# scalar_string_math — F2/F4: string predicates + arithmetic
-# ---------------------------------------------------------------------------
-def _string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = load_table(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        F.upper("p_name").alias("name_upper"),
-        F.length("p_name").alias("name_len"),
-        F.col("p_name").contains("green").cast("int").alias("has_green"),
-        F.col("p_type").endswith("BRASS").cast("int").alias("is_brass"),
-        F.split("p_name", " ").getItem(0).alias("first_word"),
-        F.round(F.abs(F.col("p_retailprice") - 1000.0), 2).alias("abs_dev_1000"),
-        F.round((F.col("p_retailprice") * 1.1 + F.col("p_size")) / 2.0, ROUND_STAT).alias("blended"),
-    )
-
-
-_STRING_MATH_SQL = f"""
-SELECT p_partkey,
-       upper(p_name) AS name_upper,
-       length(p_name) AS name_len,
-       CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END AS has_green,
-       CASE WHEN p_type LIKE '%BRASS' THEN 1 ELSE 0 END AS is_brass,
-       string_split(p_name, ' ')[1] AS first_word,
-       round(abs(p_retailprice - 1000.0), 2) AS abs_dev_1000,
-       round((p_retailprice * 1.1 + p_size) / 2.0, {ROUND_STAT}) AS blended
-FROM part
 """
 
 
@@ -194,8 +184,7 @@ WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
 REGISTRY: dict[str, QuerySpec] = {
     "arr_vector_stats": QuerySpec(_vector_stats, _VECTOR_STATS_SQL, "array/vector column functions", ("scalar", "array")),
     "scalar_subquery": QuerySpec(_scalar_subquery, _SCALAR_SUBQUERY_SQL, "correlated scalar subquery", ("scalar", "join")),
-    "scalar_date_functions": QuerySpec(_date_functions, _DATE_SQL, "F1 date extraction/format/season", ("scalar",)),
-    "scalar_string_math": QuerySpec(_string_math, _STRING_MATH_SQL, "F2/F4 string + math scalars", ("scalar",)),
+    "scalar_functions": QuerySpec(_scalar_functions, _SCALAR_FUNCTIONS_SQL, "F1/F2/F4 date+string+math scalars", ("scalar",)),
     "scalar_random_moments": QuerySpec(_random_moments, None, "F3 random generators (moments)", ("scalar", "stochastic")),
     "multimodal_ingest": QuerySpec(_mm_ingest, _MM_INGEST_SQL, "binary payload + typed metadata", ("multimodal",)),
     "multimodal_features": QuerySpec(_mm_features, None, "stub decode + fake features via mapInPandas", ("multimodal",)),

@@ -52,10 +52,12 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 
 
 # ---------------------------------------------------------------------------
-# win_tumbling_events — event-time tumbling window aggregate (batch form of
-# the streaming tumbling-window query; F.window works in batch)
+# batch tumbling-window aggregate — the batch form of the streaming tumbling
+# query (F.window works in batch). Not separately registered: the gate runs
+# the REAL streaming job (stream_tumbling_available_now) against the same
+# oracle SQL; this builder backs the batch/streaming equivalence test.
 # ---------------------------------------------------------------------------
-def _win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+def batch_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -228,24 +230,41 @@ FROM events
 
 
 # ---------------------------------------------------------------------------
-# win_grouping_sets — rollup aggregate (free Catalyst surface, SURVEY §2.4)
+# win_rollup_cube — ROLLUP and CUBE grouping sets in one query (free
+# Catalyst surface, SURVEY §2.4); each runs as a single Expand + shuffle.
 # ---------------------------------------------------------------------------
-def _rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), ROUND_SUM).alias("sum_qty"),
+        F.round(F.avg("l_discount"), ROUND_STAT).alias("avg_disc"),
+    ]
+    r = (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_quantity"), ROUND_SUM).alias("sum_qty"),
-        )
+        .agg(*aggs)
+        .select(F.lit("rollup").alias("grouping_mode"), "*")
     )
+    c = (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(*aggs)
+        .select(F.lit("cube").alias("grouping_mode"), "*")
+    )
+    return r.unionByName(c)
 
 
-_ROLLUP_SQL = f"""
-SELECT l_returnflag, l_linestatus, count(*) AS n,
-       round(sum(l_quantity), {ROUND_SUM}) AS sum_qty
+_ROLLUP_CUBE_SQL = f"""
+SELECT 'rollup' AS grouping_mode, l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), {ROUND_SUM}) AS sum_qty,
+       round(avg(l_discount), {ROUND_STAT}) AS avg_disc
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'cube', l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), {ROUND_SUM}) AS sum_qty,
+       round(avg(l_discount), {ROUND_STAT}) AS avg_disc
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
@@ -260,25 +279,6 @@ def _stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = sw.read_events_stream(spark, sf_dir)
     return sw.run_available_now(sw.tumbling_counts(stream), spark)
-
-
-# ---------------------------------------------------------------------------
-# win_cube — CUBE grouping sets (all key subsets in one shuffle)
-# ---------------------------------------------------------------------------
-def _cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("l_discount"), ROUND_STAT).alias("avg_disc"),
-    )
-
-
-_CUBE_SQL = f"""
-SELECT l_returnflag, l_linestatus, count(*) AS n,
-       round(avg(l_discount), {ROUND_STAT}) AS avg_disc
-FROM lineitem
-GROUP BY CUBE (l_returnflag, l_linestatus)
-"""
 
 
 # ---------------------------------------------------------------------------
@@ -394,15 +394,13 @@ REGISTRY: dict[str, QuerySpec] = {
         _stream_tumbling, _WIN_TUMBLING_SQL,
         "real streaming job (AvailableNow) vs batch oracle", ("streaming",),
     ),
-    "win_cube": QuerySpec(_cube, _CUBE_SQL, "CUBE grouping sets", ("agg",)),
+    "win_rollup_cube": QuerySpec(_rollup_cube, _ROLLUP_CUBE_SQL, "ROLLUP + CUBE grouping sets", ("agg",)),
     "join_semi_anti": QuerySpec(_semi_anti, _SEMI_ANTI_SQL, "left-semi/left-anti joins", ("join",)),
     "agg_pivot": QuerySpec(_pivot, _PIVOT_SQL, "pivot to wide conditional aggregates", ("agg",)),
     "win_rank_lag": QuerySpec(_win_rank_lag, _WIN_RANK_LAG_SQL, "row_number/lag/running agg windows", ("window",)),
-    "win_tumbling_events": QuerySpec(_win_tumbling, _WIN_TUMBLING_SQL, "event-time tumbling window", ("window", "streaming-equiv")),
     "win_sliding_events": QuerySpec(_win_sliding, _WIN_SLIDING_SQL, "sliding window (1h / 30m)", ("window", "streaming-equiv")),
     "win_session_events": QuerySpec(_win_session, _WIN_SESSION_SQL, "session windows, 10-min gap", ("window", "streaming-equiv")),
     "merge_asof_join": QuerySpec(_asof, _ASOF_SQL, "backward as-of join (union+window)", ("join",)),
     "merge_suffix_day_join": QuerySpec(_suffix_day_join, _SUFFIX_DAY_SQL, "reference merge: day key + suffixes", ("join",)),
     "json_extract_events": QuerySpec(_json_extract, _JSON_SQL, "JSON scalar extraction", ("scalar",)),
-    "win_rollup": QuerySpec(_rollup, _ROLLUP_SQL, "ROLLUP grouping sets", ("agg",)),
 }
