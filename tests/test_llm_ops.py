@@ -92,6 +92,38 @@ def test_ivf_recall_against_brute_force(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall too low: {recall}"
 
 
+def test_bucketed_near_dup_subset_of_brute_force_and_finds_true_dups(spark, sf_dir):
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_near_dup_pairs(emb, threshold=0.2).collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_near_dup_pairs(emb, threshold=0.2, brute_force=True).collect()
+    }
+    assert bucketed <= brute  # bucketing only prunes, never invents pairs
+    assert bucketed  # and it finds a non-trivial share on random vectors
+
+    # true near-duplicates (tiny perturbations of the same vector) MUST
+    # land in a shared bucket and be found at a production-style threshold
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((20, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in v + 0.001 * rng.standard_normal(16)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_near_dup_pairs(df, threshold=0.95, n_centroids=8).collect()
+    }
+    expected = {(2 * i, 2 * i + 1) for i in range(20)}
+    assert expected <= found, expected - found
+
+
 def test_lang_id_on_obvious_texts(spark):
     df = spark.createDataFrame(
         [
@@ -129,3 +161,39 @@ def test_token_counts(spark):
     # hello , world ! it ' s fine .  -> 9 BPE-ish pieces
     assert by_id[1][1] == 9
     assert by_id[2] == (0, 0) and by_id[3] == (0, 0)
+
+
+def test_hi_recall_banding_superset_on_borderline_pairs(spark):
+    # 40 doc pairs engineered to Jaccard ~0.5 (12 shared + 6 own shingles
+    # each side against 12+6: J = 12/24). 16x4 banding's S-curve midpoint is
+    # ~0.71 -> expected recall ~23%; 16x8 (2 rows/band) midpoint ~0.35 ->
+    # ~90%. The hi-recall config must find a SUPERSET, and strictly more.
+    import random
+
+    rng = random.Random(99)
+    rows = []
+    for i in range(40):
+        shared = [f"w{i}_{j}" for j in range(14)]
+        own_a = [f"a{i}_{j}" for j in range(6)]
+        own_b = [f"b{i}_{j}" for j in range(6)]
+        rows.append((2 * i, " ".join(shared + own_a)))
+        rows.append((2 * i + 1, " ".join(shared + own_b)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lo = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_dedup_pairs(
+            df, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.4
+        ).collect()
+    }
+    hi = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_dedup_pairs(
+            df, "doc_id", "text", n=3, num_hashes=16, bands=8, threshold=0.4
+        ).collect()
+    }
+    assert lo <= hi
+    assert len(hi) > len(lo), (len(lo), len(hi))
+    # the verify step keeps precision at 1.0 in both configs: every found
+    # pair is a true engineered pair
+    true_pairs = {(2 * i, 2 * i + 1) for i in range(40)}
+    assert hi <= true_pairs

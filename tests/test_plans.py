@@ -72,3 +72,19 @@ def test_scan_prunes_columns_for_narrow_agg(spark, sf_dir):
     plan = plan_of(df)
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "l_extendedprice" not in read_schema and "l_quantity" in read_schema
+
+
+def test_ivf_assignment_has_no_corpus_shuffle(spark, sf_dir):
+    # IVF centroid assignment must be a per-row expression: the ONLY window
+    # (and its hash-partition exchange) allowed in the plan is the final
+    # per-QUERY top-k rank; nothing may partition by neighbor_id (that was
+    # the round-1 shape: a row_number window shuffling the centroid-expanded
+    # corpus just to pick an argmax).
+    df = REGISTRY["sim_cosine_topk_ivf"].fn(spark, sf_dir)
+    df.collect()  # AQE-final plan
+    plan = plan_of(df)
+    # no exchange or window may partition by neighbor_id — every window
+    # spec in the plan is the final top-k rank over query_id
+    assert "hashpartitioning(neighbor_id" not in plan
+    assert "windowspecdefinition(neighbor_id" not in plan
+    assert "windowspecdefinition(query_id" in plan

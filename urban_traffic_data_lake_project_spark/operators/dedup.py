@@ -232,25 +232,67 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    n_centroids: int = 16,
+    n_assign: int = 2,
+    brute_force: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine similarity >= threshold
-    (id_a < id_b). Brute-force self-join here; at corpus scale route
-    through ``similarity.cosine_topk_ivf`` buckets first so only
-    same-bucket pairs are scored."""
+    (id_a < id_b).
+
+    DEFAULT path is IVF-bucketed (the 100 TB shape): every vector is
+    assigned to its ``n_assign`` nearest of ``n_centroids`` deterministic
+    centroids via a per-row expression (no shuffle — see
+    ``similarity.nearest_centroid_ids``), then only pairs sharing a bucket
+    are scored: one equi-join on centroid_id instead of an O(n²)
+    cross-join. Multi-assignment (n_assign > 1) recovers near-dups that
+    straddle a bucket boundary; a pair sharing two buckets is scored twice
+    and deduplicated (identical sim both times). Approximate by design —
+    cross-bucket pairs are missed — which is the standard ANN-dedup trade;
+    ``brute_force=True`` keeps the exact O(n²) variant for small corpora."""
     from urban_traffic_data_lake_project_spark.operators.similarity import (
         _as_double,
         _dot,
         _norm,
+        centroid_entries,
+        _centroid_literal,
+        nearest_centroid_ids,
     )
 
-    a = emb.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("__va"))
-    b = emb.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("__vb"))
     sim = _dot(F.col("__va"), F.col("__vb")) / (_norm(F.col("__va")) * _norm(F.col("__vb")))
+    if brute_force:
+        a = emb.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("__va"))
+        b = emb.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("__vb"))
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine_sim", sim)
+            .filter(F.col("cosine_sim") >= threshold)
+            .select("id_a", "id_b", "cosine_sim")
+        )
+
+    cents = _centroid_literal(centroid_entries(emb, id_col, vec_col, n_centroids))
+    v = emb.select(
+        F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__n", _norm(F.col("__v")))
+    buckets = v.select(
+        "__id",
+        "__v",
+        F.explode(
+            nearest_centroid_ids(F.col("__v"), F.col("__n"), cents, n_assign)
+        ).alias("__cid"),
+    )
+    a = buckets.select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("__va"), "__cid"
+    )
+    b = buckets.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), "__cid"
+    )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(b, ["__cid"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine_sim", sim)
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
+        .distinct()
     )
 
 

@@ -76,6 +76,58 @@ def cosine_topk(
     )
 
 
+def centroid_entries(
+    corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int
+) -> list:
+    """Deterministic IVF centroids — the ``n_centroids`` smallest-id corpus
+    vectors — collected to the driver WITH their norms (norms computed by
+    the same Spark expression used row-side, so literal-vs-column float
+    behavior is identical)."""
+    return (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("cid"),
+            _as_double(F.col(vec_col)).alias("vec"),
+            _norm(_as_double(F.col(vec_col))).alias("cnorm"),
+        )
+        .collect()
+    )
+
+
+def _centroid_literal(entries: list) -> Column:
+    """The centroid table as ONE literal array<struct> column, broadcast
+    implicitly inside the plan (n_centroids * dim doubles — tiny)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cid"])).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r["vec"]]).alias("vec"),
+                F.lit(float(r["cnorm"])).alias("cnorm"),
+            )
+            for r in entries
+        ]
+    )
+
+
+def nearest_centroid_ids(v: Column, v_norm: Column, cents: Column, top: int) -> Column:
+    """Array of the ``top`` nearest centroid ids for one row's vector — a
+    pure per-row expression: cosine against the literal centroid array,
+    ``array_sort`` over (neg_sim, cid) structs (ties -> smaller cid),
+    slice, project ids. NO join, NO window, NO shuffle — the round-1
+    formulation (row_number over a per-vector window after a centroid
+    cross-join) shuffled the n_centroids-times-expanded corpus just to
+    pick an argmax."""
+    scored = F.transform(
+        cents,
+        lambda ct: F.struct(
+            (-(_dot(v, ct["vec"]) / (v_norm * ct["cnorm"]))).alias("neg_sim"),
+            ct["cid"].alias("cid"),
+        ),
+    )
+    return F.slice(F.array_sort(scored), 1, top).getField("cid")
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -86,37 +138,34 @@ def cosine_topk_ivf(
     nprobe: int = 4,
 ) -> DataFrame:
     """Approximate top-k: IVF with deterministic centroids (the
-    ``n_centroids`` smallest-id corpus vectors). Each corpus vector is
-    assigned to its nearest centroid (one broadcast join); each query
-    scans only its ``nprobe`` nearest centroid buckets."""
-    centroids = (
-        corpus.orderBy(F.col(id_col).asc())
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("centroid_id"), _as_double(F.col(vec_col)).alias("__ctv"))
+    ``n_centroids`` smallest-id corpus vectors). Centroid assignment is a
+    per-row expression against the literal centroid array (zero shuffle of
+    the corpus); each query probes only its ``nprobe`` nearest centroid
+    buckets via a broadcast join. At 100 TB the corpus is scanned once and
+    never re-partitioned for assignment."""
+    entries = centroid_entries(corpus, id_col, vec_col, n_centroids)
+    cents = _centroid_literal(entries)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
+    ).withColumn("__cn", _norm(F.col("__cv")))
+    assigned = c.select(
+        "neighbor_id",
+        "__cv",
+        F.element_at(
+            nearest_centroid_ids(F.col("__cv"), F.col("__cn"), cents, 1), 1
+        ).alias("centroid_id"),
     )
 
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv"))
-    assign_w = Window.partitionBy("neighbor_id").orderBy(
-        F.col("__sim").desc(), F.col("centroid_id").asc()
-    )
-    assigned = (
-        c.join(F.broadcast(centroids), how="cross")
-        .withColumn("__sim", _dot(F.col("__cv"), F.col("__ctv")) / (_norm(F.col("__cv")) * _norm(F.col("__ctv"))))
-        .withColumn("__rn", F.row_number().over(assign_w))
-        .filter(F.col("__rn") == 1)
-        .select("neighbor_id", "__cv", "centroid_id")
-    )
-
-    q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv"))
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.col("__sim").desc(), F.col("centroid_id").asc()
-    )
-    probes = (
-        q.join(F.broadcast(centroids), how="cross")
-        .withColumn("__sim", _dot(F.col("__qv"), F.col("__ctv")) / (_norm(F.col("__qv")) * _norm(F.col("__ctv"))))
-        .withColumn("__rn", F.row_number().over(probe_w))
-        .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "__qv", "centroid_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+    ).withColumn("__qn", _norm(F.col("__qv")))
+    probes = q.select(
+        "query_id",
+        "__qv",
+        F.explode(
+            nearest_centroid_ids(F.col("__qv"), F.col("__qn"), cents, nprobe)
+        ).alias("centroid_id"),
     )
 
     scored = (

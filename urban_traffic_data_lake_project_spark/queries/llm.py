@@ -94,15 +94,30 @@ FROM jac WHERE jaccard >= {_JACCARD_THRESHOLD}
 
 
 # ---------------------------------------------------------------------------
-# dedup_minhash_lsh — MinHash signatures -> LSH bands -> verified pairs
+# dedup_minhash_lsh — MinHash signatures -> LSH bands -> verified pairs.
+#
+# Two gate configs over the same operator (banding is the recall knob; the
+# S-curve midpoint sits at ~(1/bands)^(rows/band)):
+# - default 16 hashes x 4 bands (4 rows/band): midpoint ~0.71 — precise,
+#   low candidate volume, but recall@J=0.5 is only ~23%.
+# - hi-recall 16 hashes x 8 bands (2 rows/band): midpoint ~0.35,
+#   recall@J=0.5 ~90% — the operating point matched to the 0.5 threshold.
+# Both verify candidates exactly, so precision is 1.0 either way; the
+# hi-recall pair set is a superset (asserted in tests).
 # ---------------------------------------------------------------------------
-def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_dedup_pairs(
-        docs, "doc_id", "text", n=3, num_hashes=_MINHASH_K,
-        bands=_MINHASH_BANDS, threshold=_JACCARD_THRESHOLD,
-    )
-    return pairs.select("id_a", "id_b", F.round("jaccard", ROUND_STAT).alias("jaccard"))
+_HI_RECALL_BANDS = 8
+
+
+def _dedup_minhash_cfg(bands: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = D.minhash_lsh_dedup_pairs(
+            docs, "doc_id", "text", n=3, num_hashes=_MINHASH_K,
+            bands=bands, threshold=_JACCARD_THRESHOLD,
+        )
+        return pairs.select("id_a", "id_b", F.round("jaccard", ROUND_STAT).alias("jaccard"))
+
+    return run
 
 
 # (built programmatically to keep the 16 hash expressions readable)
@@ -115,25 +130,33 @@ _MH_AGGS = ",\n       ".join(
     f"min(({a} * h + {b}) % {MINHASH_P}) AS mh_{i}"
     for i, (a, b) in enumerate(minhash_coeffs(_MINHASH_K))
 )
-_ROWS_PER_BAND = _MINHASH_K // _MINHASH_BANDS
-_BAND_SELECTS = "\nUNION ALL\n".join(
-    "SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sigs".format(
-        b=b,
-        concat=" || ',' || ".join(
-            f"CAST(mh_{b * _ROWS_PER_BAND + j} AS VARCHAR)" for j in range(_ROWS_PER_BAND)
-        ),
-    )
-    for b in range(_MINHASH_BANDS)
-)
 
-_DEDUP_MINHASH_SQL = f"""
+
+def _band_selects(bands: int) -> str:
+    rows_per_band = _MINHASH_K // bands
+    return "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sigs".format(
+            b=b,
+            concat=" || ',' || ".join(
+                f"CAST(mh_{b * rows_per_band + j} AS VARCHAR)" for j in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+
+
+_BAND_SELECTS = _band_selects(_MINHASH_BANDS)
+
+
+def _minhash_sql(bands: int) -> str:
+    return f"""
 WITH {_SHINGLE_CTE},
 hashed AS (SELECT doc_id, {_sql_hash64('shingle')} % {MINHASH_P} AS h FROM sh),
 sigs AS (
   SELECT doc_id,
        {_MH_AGGS}
   FROM hashed GROUP BY doc_id),
-buckets AS ({_BAND_SELECTS}),
+buckets AS ({_band_selects(bands)}),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM buckets a JOIN buckets b
@@ -154,6 +177,10 @@ jac AS (
 SELECT id_a, id_b, round(jaccard, {ROUND_STAT}) AS jaccard
 FROM jac WHERE jaccard >= {_JACCARD_THRESHOLD}
 """
+
+
+_DEDUP_MINHASH_SQL = _minhash_sql(_MINHASH_BANDS)
+_DEDUP_MINHASH_HI_SQL = _minhash_sql(_HI_RECALL_BANDS)
 
 
 # ---------------------------------------------------------------------------
@@ -409,10 +436,15 @@ _DEDUP_APPLY_SQL = _DEDUP_APPLY_SQL.format(mh_aggs=_MH_AGGS, band_selects=_BAND_
 
 
 # ---------------------------------------------------------------------------
-# dedup_embedding_cosine — near-dup pairs by embedding cosine
+# dedup_embedding_cosine — near-dup pairs by embedding cosine, IVF-BUCKETED
+# (the default scale path: only pairs sharing one of their 2 nearest of 16
+# centroid buckets are scored — the oracle replicates the bucketing, so the
+# approximate algorithm itself is hash-checked, like sim_cosine_topk_ivf)
 # ---------------------------------------------------------------------------
 _EMB_THRESHOLD = 0.2  # synthetic random embeddings are near-orthogonal;
                       # a production near-dup threshold would be ~0.95
+_EMB_CENTROIDS = 16
+_EMB_ASSIGN = 2
 
 
 def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -421,7 +453,10 @@ def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dup_pairs(emb, threshold=_EMB_THRESHOLD)
+    pairs = embedding_near_dup_pairs(
+        emb, threshold=_EMB_THRESHOLD,
+        n_centroids=_EMB_CENTROIDS, n_assign=_EMB_ASSIGN,
+    )
     return pairs.select(
         "id_a", "id_b", F.round("cosine_sim", ROUND_STAT).alias("cosine_sim")
     )
@@ -429,14 +464,31 @@ def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DEDUP_EMBEDDING_SQL = f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cents AS (SELECT vec_id AS cid, e AS ctv FROM v ORDER BY vec_id LIMIT {_EMB_CENTROIDS}),
+buckets AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT v.vec_id, v.e, cents.cid,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(range(1, len(v.e) + 1), i -> v.e[i] * ctv[i]))
+                      / (sqrt(list_sum(list_transform(v.e, x -> x * x)))
+                         * sqrt(list_sum(list_transform(ctv, x -> x * x)))) DESC,
+                      cid) AS rn
+    FROM v, cents)
+  WHERE rn <= {_EMB_ASSIGN}),
 pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
-           / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
-              * sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS sim
-  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+scored AS (
+  SELECT id_a, id_b,
+         list_sum(list_transform(range(1, len(va.e) + 1), i -> va.e[i] * vb.e[i]))
+           / (sqrt(list_sum(list_transform(va.e, x -> x * x)))
+              * sqrt(list_sum(list_transform(vb.e, x -> x * x)))) AS sim
+  FROM pairs
+  JOIN v va ON va.vec_id = id_a
+  JOIN v vb ON vb.vec_id = id_b)
 SELECT id_a, id_b, round(sim, {ROUND_STAT}) AS cosine_sim
-FROM pairs WHERE sim >= {_EMB_THRESHOLD}
+FROM scored WHERE sim >= {_EMB_THRESHOLD}
 """
 
 
@@ -473,7 +525,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_embedding_cosine": QuerySpec(_dedup_embedding, _DEDUP_EMBEDDING_SQL, "embedding-cosine near-dup pairs", ("dedup", "similarity")),
     "text_tfidf": QuerySpec(_text_tfidf, _TFIDF_SQL, "smooth TF-IDF table", ("text",)),
     "dedup_ngram_jaccard": QuerySpec(_dedup_jaccard, _DEDUP_JACCARD_SQL, "exact n-gram Jaccard pairs", ("dedup",)),
-    "dedup_minhash_lsh": QuerySpec(_dedup_minhash, _DEDUP_MINHASH_SQL, "MinHash-LSH verified near-dup pairs", ("dedup",)),
+    "dedup_minhash_lsh": QuerySpec(_dedup_minhash_cfg(_MINHASH_BANDS), _DEDUP_MINHASH_SQL, "MinHash-LSH verified near-dup pairs", ("dedup",)),
+    "dedup_minhash_lsh_hi_recall": QuerySpec(
+        _dedup_minhash_cfg(_HI_RECALL_BANDS), _DEDUP_MINHASH_HI_SQL,
+        "MinHash-LSH, 2-row bands: recall@0.5 ~90%", ("dedup",),
+    ),
     "dedup_simhash": QuerySpec(_dedup_simhash, _DEDUP_SIMHASH_SQL, "32-bit SimHash sketch", ("dedup",)),
     "sim_cosine_topk": QuerySpec(_cosine_topk, _COSINE_TOPK_SQL, "brute-force cosine top-k", ("similarity",)),
     "sim_cosine_topk_ivf": QuerySpec(_cosine_topk_ivf, _COSINE_IVF_SQL, "IVF-bucketed cosine top-k", ("similarity",)),
