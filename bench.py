@@ -33,6 +33,11 @@ BENCH_QUERIES: tuple[str, ...] = (
     "text_profile",
     "win_session_events",
     "merge_asof_join",
+    # Python-boundary analytics (Arrow batch operators): regressions in
+    # the mapInPandas/applyInPandas path must be visible round-over-round
+    "bootstrap_ci",
+    "fa_scores_summary",
+    "mc_scenarios",
 )
 
 

@@ -22,6 +22,7 @@ bootstrap" literature), and tests assert distributional agreement.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator, Sequence
 
 import numpy as np
@@ -34,6 +35,26 @@ from urban_traffic_data_lake_project_spark.operators.cleaning import compute_med
 
 def _partial_schema() -> str:
     return "column_name string, replicate int, wx double, w double"
+
+
+# Poisson(1) CDF truncated at 8 (P[X > 8] ~ 1.1e-6 — immaterial for CI
+# estimation). The weight pipeline is float32 end-to-end: with 32 workers
+# the pass is memory-bandwidth-bound, so halving the matrix bytes beats
+# faster single-thread kernels; Generator.poisson (int64) additionally
+# loses BLAS for the partial-sum matmul. float32 sgemm partials perturb a
+# replicate mean by ~1e-7 relative — orders below the Monte Carlo noise
+# (std/sqrt(n_replicates)) the estimator itself carries.
+_POISSON1_CDF = np.cumsum([math.exp(-1.0) / math.factorial(k) for k in range(8)]).astype(
+    np.float32
+)
+
+
+def _poisson1_weights(rng: np.random.Generator, shape: tuple[int, int]) -> np.ndarray:
+    u = rng.random(shape, dtype=np.float32)
+    w = np.zeros(shape, dtype=np.float32)
+    for c in _POISSON1_CDF:
+        w += u > c
+    return w
 
 
 def poisson_bootstrap_means(
@@ -61,20 +82,30 @@ def poisson_bootstrap_means(
         acc_wx = {c: np.zeros(n_replicates) for c in cols}
         acc_w = {c: np.zeros(n_replicates) for c in cols}
         for pdf in batches:
-            for c in cols:
-                x = pdf[c].to_numpy(dtype="float64")
-                mask = ~np.isnan(x)
-                x = x[mask]
-                if x.size == 0:
-                    continue
-                # Poisson(1) weights, (rows x replicates) in chunks to
-                # bound memory at ~32 MB per chunk.
-                chunk = max(1, int(4_000_000 / max(n_replicates, 1)))
-                for lo in range(0, x.size, chunk):
-                    xs = x[lo : lo + chunk]
-                    w = rng.poisson(1.0, size=(xs.size, n_replicates))
-                    acc_wx[c] += w.T @ xs
-                    acc_w[c] += w.sum(axis=0)
+            X = pdf[list(cols)].to_numpy(dtype="float32")
+            # ONE weight matrix per chunk, SHARED by all columns (a joint
+            # bootstrap: the same row resample evaluated on every column).
+            # Per-column CIs are marginally identical to independent
+            # resampling, and the draw count — the dominant cost — drops by
+            # a factor of len(cols). Chunked to bound memory at ~16 MB.
+            chunk = max(1, int(4_000_000 / max(n_replicates, 1)))
+            for lo in range(0, X.shape[0], chunk):
+                Xs = X[lo : lo + chunk]
+                w = _poisson1_weights(rng, (Xs.shape[0], n_replicates))
+                nan_mask = np.isnan(Xs)
+                if nan_mask.any():
+                    Xz = np.where(nan_mask, np.float32(0.0), Xs)
+                    wx = w.T @ Xz                       # (reps, cols) sgemm
+                    wn = w.T @ (~nan_mask).astype("float32")
+                    for j, c in enumerate(cols):
+                        acc_wx[c] += wx[:, j]
+                        acc_w[c] += wn[:, j]
+                else:
+                    wx = w.T @ Xs
+                    ws = w.sum(axis=0, dtype="float64")
+                    for j, c in enumerate(cols):
+                        acc_wx[c] += wx[:, j]
+                        acc_w[c] += ws
         out = []
         for c in cols:
             out.append(
@@ -113,9 +144,17 @@ def bootstrap_ci(
 
         cols = [f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)]
     cols = list(cols)[:max_columns]
+    # one cheap codegen pass for counts + null counts; exact medians (a
+    # buffering aggregate on high-cardinality doubles) are computed ONLY
+    # for columns that actually contain NULLs — usually none
+    counts = df.agg(
+        *[F.count(c).alias(c) for c in cols],
+        *[F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nulls_{i}") for i, c in enumerate(cols)],
+    ).first()
     if median_impute:
-        df = df.na.fill(compute_medians(df, cols))
-    counts = df.agg(*[F.count(c).alias(c) for c in cols]).first()
+        with_nulls = [c for i, c in enumerate(cols) if counts[f"__nulls_{i}"] > 0]
+        if with_nulls:
+            df = df.na.fill(compute_medians(df, with_nulls))
     cols = [c for c in cols if (counts[c] or 0) > min_values]
     if not cols:
         raise ValueError("no eligible columns for bootstrap")

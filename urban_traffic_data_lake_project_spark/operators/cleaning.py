@@ -97,11 +97,13 @@ def mode_fill(df: DataFrame, cols: Sequence[str], default: str = "Unknown") -> D
 
 
 def compute_medians(df: DataFrame, cols: Sequence[str]) -> dict[str, float]:
-    """Exact interpolated median per numeric column, one aggregate pass."""
-    if not cols:
-        return {}
-    row = df.agg(*[F.median(c).alias(c) for c in cols]).first()
-    return {c: row[c] for c in cols if row[c] is not None}
+    """Exact interpolated median per numeric column via the shared-pass
+    percentile refinement (``stats.exact_medians``) — Spark's native
+    ``median`` buffers every value of every column in one aggregation
+    buffer, which is O(n) reducer memory on high-cardinality doubles."""
+    from urban_traffic_data_lake_project_spark.operators.stats import exact_medians
+
+    return exact_medians(df, cols)
 
 
 def median_fill(df: DataFrame, cols: Sequence[str]) -> DataFrame:

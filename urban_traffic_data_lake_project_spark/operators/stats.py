@@ -138,6 +138,75 @@ def exact_percentiles(
     return results
 
 
+def exact_medians(df: DataFrame, cols: Sequence[str], accuracy: int = 10_000) -> dict:
+    """Exact interpolated median (quantile_cont 0.5 semantics) for MANY
+    columns with bounded memory, sharing passes:
+
+    1. ONE aggregation: non-null count + t-digest brackets for every column
+       (vs Spark's ``median``, which buffers every value of every column in
+       one aggregation buffer — O(n) reducer memory, the scale-killer this
+       replaces),
+    2. ONE aggregation: rank of each column's band start,
+    3. one tiny pushdown-filtered distinct-value collect per column.
+
+    Returns {col: median} (columns with no values omitted, matching
+    ``F.median`` semantics of NULL)."""
+    cols = list(cols)
+    if not cols:
+        return {}
+    probes = bracket_probes([0.5], accuracy)
+    head = df.agg(
+        *[F.count(c).alias(f"n_{i}") for i, c in enumerate(cols)],
+        *[
+            F.percentile_approx(c, F.lit(probes), F.lit(accuracy)).alias(f"b_{i}")
+            for i, c in enumerate(cols)
+        ],
+    ).first()
+    out: dict[str, float] = {}
+    live = [
+        (i, c) for i, c in enumerate(cols) if head[f"n_{i}"] > 0 and head[f"b_{i}"] is not None
+    ]
+    if not live:
+        return out
+    ranks = df.agg(
+        *[
+            F.count(F.when(F.col(c) < head[f"b_{i}"][0], 1)).alias(f"r_{i}")
+            for i, c in live
+        ]
+    ).first()
+    for i, c in live:
+        n = head[f"n_{i}"]
+        lo, hi = head[f"b_{i}"][0], head[f"b_{i}"][1]
+        h = (n - 1) * 0.5
+        k_lo, k_hi = math.floor(h), math.ceil(h)
+        c_lt = ranks[f"r_{i}"]
+        vc = sorted(
+            (r[0], r[1])
+            for r in df.filter((F.col(c) >= lo) & (F.col(c) <= hi))
+            .groupBy(c)
+            .agg(F.count(F.lit(1)))
+            .collect()
+        )
+        band_n = sum(cnt for _, cnt in vc)
+        if not (c_lt <= k_lo and k_hi < c_lt + band_n):
+            # pathological miss — fall back to the single-column refinement
+            # (widen-retry + hard error live there)
+            out[c] = exact_percentiles(df, c, [0.5], accuracy=accuracy, n=n)[0]
+            continue
+
+        def order_stat(idx: int):
+            cum = 0
+            for v, cnt in vc:
+                cum += cnt
+                if idx < cum:
+                    return v
+            raise IndexError(idx)
+
+        x0, x1 = order_stat(k_lo - c_lt), order_stat(k_hi - c_lt)
+        out[c] = x0 + (x1 - x0) * (h - k_lo)
+    return out
+
+
 def corr_matrix(df: DataFrame, cols: Sequence[str], round_to: int | None = None) -> DataFrame:
     """Full pairwise Pearson correlation matrix (reference notebook cell 13's
     ``numeric.corr()`` heatmap input) in ONE aggregation pass: all
