@@ -103,3 +103,70 @@ def test_random_moments_distribution(spark, sf_dir):
 def test_balance_partitions(media):
     balanced = MM.balance_partitions(media, target_partition_bytes=64 * 1024)
     assert balanced.rdd.getNumPartitions() >= 2
+
+
+def _real_png(w: int, h: int) -> bytes:
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk))
+    )
+
+
+def _real_wav(byte_rate: int, data_size: int) -> bytes:
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, byte_rate, byte_rate, 1, 8)
+    data = b"\x00" * data_size
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", data_size) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_parse_media_header_real_formats():
+    import struct
+
+    assert MM.parse_media_header(_real_png(640, 480)) == {
+        "width": 640, "height": 480, "duration_ms": None,
+    }
+    # GIF: little-endian screen size
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert MM.parse_media_header(gif) == {"width": 320, "height": 200, "duration_ms": None}
+    # BMP: negative height means top-down — reported as positive
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 1024, -768) + b"\x00" * 10
+    assert MM.parse_media_header(bmp) == {"width": 1024, "height": 768, "duration_ms": None}
+    # WAV: 2 seconds at 8000 B/s
+    assert MM.parse_media_header(_real_wav(8000, 16000)) == {
+        "width": None, "height": None, "duration_ms": 2000,
+    }
+    # unknown magic -> None (decode falls back to the documented stub)
+    assert MM.parse_media_header(b"plain text bytes") is None
+    assert MM.parse_media_header(b"") is None
+
+
+def test_decode_metadata_parses_real_payloads(spark):
+    rows = [
+        (1, _real_png(12, 34), "image", "png"),
+        (2, _real_wav(1000, 1500), "audio", "wav"),
+        (3, b"not a known format", "image", "jpeg"),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary, media_type string, format string"
+    )
+    media = df.select(
+        "media_id", "payload", "media_type", "format",
+        F.length("payload").cast("long").alias("byte_len"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    out = {r["media_id"]: r for r in MM.decode_metadata(media).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["duration_ms"]) == (12, 34, None)
+    assert (out[2]["width"], out[2]["height"], out[2]["duration_ms"]) == (None, None, 1500)
+    # unknown format falls back to the deterministic stub (16..79 range)
+    assert 16 <= out[3]["width"] < 80 and 16 <= out[3]["height"] < 80

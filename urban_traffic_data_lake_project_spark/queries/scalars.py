@@ -117,6 +117,43 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# multimodal_decode — REAL byte-level decode, oracle-checked end to end:
+# Spark expressions construct a genuine PNG (signature + IHDR with
+# big-endian dimensions derived from the row) around each document's
+# bytes; the Arrow decode stage (operators.multimodal.parse_media_header)
+# parses the dimensions back OUT of the payload bytes; the oracle computes
+# the same dimensions arithmetically. A wrong parser (offset, endianness,
+# chunk walk) hash-mismatches immediately.
+# ---------------------------------------------------------------------------
+_PNG_PREFIX_HEX = "89504E470D0A1A0A" + "0000000D" + "49484452"   # sig + len(13) + 'IHDR'
+_PNG_SUFFIX_HEX = "0802000000" + "DEADBEEF"  # bitdepth/colortype/... + CRC (unchecked)
+
+
+def _mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = (F.lit(1) + F.col("n_chars") % 512).cast("int")
+    h = (F.lit(1) + F.col("doc_id") % 512).cast("int")
+    be4 = lambda c: F.unhex(F.lpad(F.hex(c), 8, "0"))  # noqa: E731 — 4-byte big-endian
+    payload = F.concat(
+        F.unhex(F.lit(_PNG_PREFIX_HEX)), be4(w), be4(h),
+        F.unhex(F.lit(_PNG_SUFFIX_HEX)), F.encode("text", "UTF-8"),
+    )
+    media = MM.ingest_binary(
+        docs.select("doc_id", payload.alias("png")), "doc_id", "png", "image", "png"
+    )
+    return MM.decode_metadata(media).select("media_id", "byte_len", "width", "height")
+
+
+_MM_DECODE_SQL = """
+SELECT doc_id AS media_id,
+       33 + octet_length(encode(text)) AS byte_len,
+       1 + (n_chars % 512) AS width,
+       1 + (doc_id % 512) AS height
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # multimodal_features — stubbed decode + deterministic fake features
 # (rows-only: the feature bytes come from a Python-side RNG)
 # ---------------------------------------------------------------------------
@@ -187,5 +224,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "scalar_functions": QuerySpec(_scalar_functions, _SCALAR_FUNCTIONS_SQL, "F1/F2/F4 date+string+math scalars", ("scalar",)),
     "scalar_random_moments": QuerySpec(_random_moments, None, "F3 random generators (moments)", ("scalar", "stochastic")),
     "multimodal_ingest": QuerySpec(_mm_ingest, _MM_INGEST_SQL, "binary payload + typed metadata", ("multimodal",)),
+    "multimodal_decode": QuerySpec(_mm_decode, _MM_DECODE_SQL, "real PNG header decode roundtrip", ("multimodal",)),
     "multimodal_features": QuerySpec(_mm_features, None, "stub decode + fake features via mapInPandas", ("multimodal",)),
 }

@@ -10,6 +10,10 @@
 
 Bucketed writes go through ``saveAsTable`` (bucket metadata lives in the
 catalog); plain ``.parquet(path)`` cannot record bucketing.
+
+``fmt`` parameterizes the on-disk format: "parquet" here; "delta" on a
+cluster whose classpath carries the Delta jars (not in this container —
+see SCALING.md §Storage layout for the documented exclusion).
 """
 
 from __future__ import annotations
@@ -20,9 +24,13 @@ from pyspark.sql import DataFrame
 
 
 def write_partitioned(
-    df: DataFrame, path: str, partition_cols: Sequence[str], mode: str = "overwrite"
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    mode: str = "overwrite",
+    fmt: str = "parquet",
 ) -> None:
-    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    df.write.mode(mode).partitionBy(*partition_cols).format(fmt).save(path)
 
 
 def write_bucketed(
@@ -32,7 +40,8 @@ def write_bucketed(
     n_buckets: int = 32,
     sort_cols: Sequence[str] | None = None,
     mode: str = "overwrite",
+    fmt: str = "parquet",
 ) -> None:
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     writer = writer.sortBy(*(sort_cols or bucket_cols))
-    writer.format("parquet").saveAsTable(table)
+    writer.format(fmt).saveAsTable(table)
