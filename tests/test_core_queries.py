@@ -53,3 +53,32 @@ def test_registry_contract():
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert all(callable(f) for f in qs.values())
+
+
+def test_describe_table_matches_pandas_describe(spark):
+    import numpy as np
+    import pandas as pd
+
+    from urban_traffic_data_lake_project_spark.operators.stats import describe_table
+
+    rng = np.random.default_rng(8)
+    pdf = pd.DataFrame(
+        {
+            "a": rng.standard_normal(500),
+            "b": rng.integers(0, 100, 500).astype("float64"),
+            "label": ["x"] * 500,  # non-numeric: auto-detection must skip it
+        }
+    )
+    pdf.loc[::17, "a"] = None
+    df = spark.createDataFrame(pdf)
+    out = {r["column_name"]: r for r in describe_table(df).collect()}
+    assert set(out) == {"a", "b"}
+    ref = pdf.describe()  # count/mean/std/min/25%/50%/75%/max
+    for c in ("a", "b"):
+        got = out[c]
+        assert got["n"] == int(ref[c]["count"])
+        for spark_k, pd_k in [
+            ("mean", "mean"), ("std", "std"), ("min_value", "min"),
+            ("q25", "25%"), ("q50", "50%"), ("q75", "75%"), ("max_value", "max"),
+        ]:
+            assert got[spark_k] == pytest.approx(ref[c][pd_k], rel=1e-9), (c, spark_k)

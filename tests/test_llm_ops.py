@@ -197,3 +197,49 @@ def test_hi_recall_banding_superset_on_borderline_pairs(spark):
     # pair is a true engineered pair
     true_pairs = {(2 * i, 2 * i + 1) for i in range(40)}
     assert hi <= true_pairs
+
+
+def test_dup_clusters_exact_connected_components(spark):
+    docs = spark.createDataFrame([(i, f"doc {i}") for i in range(8)], "doc_id long, text string")
+    # components: {1,2,3} via hub 3, {5,6,7} as a chain, {0}, {4} singletons
+    pairs = spark.createDataFrame(
+        [(1, 3, 0.9), (2, 3, 0.9), (5, 6, 0.9), (6, 7, 0.9)],
+        "id_a long, id_b long, jaccard double",
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in D.dup_clusters(docs, "doc_id", pairs).collect()}
+    assert out == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 5}
+
+
+def test_sampling_operators_semantics(spark, sf_dir):
+    from urban_traffic_data_lake_project_spark.operators import sampling as SP
+
+    docs = load_table(spark, sf_dir, "documents")
+    # stratified: exact quota per stratum (or full stratum if smaller)
+    sizes = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    out = SP.stratified_sample(docs, ["lang"], "doc_id", 30)
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got == {k: min(30, v) for k, v in sizes.items()}
+    # determinism: same seed -> identical ids; different seed -> different draw
+    ids1 = {r["doc_id"] for r in SP.stratified_sample(docs, ["lang"], "doc_id", 30).collect()}
+    ids2 = {r["doc_id"] for r in SP.stratified_sample(docs, ["lang"], "doc_id", 30, seed=7).collect()}
+    assert ids1 == {r["doc_id"] for r in out.collect()}
+    assert ids1 != ids2
+
+    # split: stable membership — an id's split never changes when the
+    # corpus shrinks (no eval contamination across dataset versions)
+    full = {r["doc_id"]: r["split"] for r in SP.train_eval_split(docs, "doc_id", 100).collect()}
+    half = {
+        r["doc_id"]: r["split"]
+        for r in SP.train_eval_split(docs.filter(F.col("doc_id") % 2 == 0), "doc_id", 100).collect()
+    }
+    assert all(full[k] == v for k, v in half.items())
+    n_eval = sum(1 for v in full.values() if v == "eval")
+    assert 0.04 < n_eval / len(full) < 0.2  # ~10% with hash noise
+
+    # shards: every shard id in range, token totals balanced-ish
+    sharded = SP.pack_shards(docs, "doc_id", "n_chars", 20_000)
+    tot = docs.agg(F.sum("n_chars")).first()[0]
+    n_shards = -(-tot // 20_000)
+    per = {r["shard_id"]: r["t"] for r in sharded.groupBy("shard_id").agg(F.sum("n_chars").alias("t")).collect()}
+    assert set(per) <= set(range(n_shards))
+    assert max(per.values()) < 3 * 20_000  # no pathological shard

@@ -296,6 +296,54 @@ def embedding_near_dup_pairs(
     )
 
 
+def dup_clusters(
+    df: DataFrame, id_col: str, pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components over the near-dup pair graph: every document
+    gets ``cluster_id`` = the smallest id reachable through any chain of
+    pairs (singletons map to themselves). This is the exact cluster
+    semantics that ``dedup_keep_canonical``'s drop-all-b approximates —
+    e.g. pairs (1,3),(2,3) put 1 and 2 in ONE cluster via 3.
+
+    Iterative min-label propagation: labels ride along edges, each round
+    every vertex takes the min of its own and its neighbors' labels;
+    converges in O(graph diameter) rounds. Near-dup graphs are unions of
+    small dense cliques, so the diameter is tiny (2-4) at any corpus size;
+    each round is one shuffle join + one grouped min — no driver-side
+    graph. ``persist``/``unpersist`` bound the lineage so round k does not
+    recompute rounds 0..k-1."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("label")).persist()
+    labels.count()
+    for _ in range(max_iter):
+        msgs = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(msgs, "id", "left")
+            .select("id", F.least("label", F.coalesce("nbr_label", "label")).alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "id")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 def dedup_keep_canonical(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
     """Given near-dup pairs (id_a < id_b), drop every id_b — keeping the
     smallest id of each dup cluster that is reachable as a chain of pairs.

@@ -1,0 +1,87 @@
+"""Training-data curation operators: sampling, splitting, sharding.
+
+Absent from the reference (whose pipeline is single-node pandas); these are
+the corpus-preparation steps a 100 TB training-data pipeline runs after
+dedup/quality filtering. Everything is DETERMINISTIC through the md5-derived
+``stable_hash64`` — a seeded draw any engine reproduces bit-identically, so
+each operator is oracle-checkable and re-runs produce identical corpora
+(the property that actually matters for dataset reproducibility).
+
+Scale notes:
+- ``stratified_sample`` shuffles once on the strata key; the per-stratum
+  ``row_number`` is bounded by stratum size (use it for per-class quotas,
+  not for "sample 1% of everything" — that is ``df.sample``).
+- ``train_eval_split`` is a pure projection (no shuffle, no RNG state):
+  membership is a hash-range test, so the split is stable under re-runs,
+  insertions, and repartitioning.
+- ``pack_shards`` deliberately does NOT do a greedy global cumulative sum
+  (a single-reducer global-order window): shard id is hash mod n_shards
+  with n_shards sized from one total-tokens aggregate. Per-shard token
+  totals concentrate tightly around budget by the law of large numbers at
+  corpus scale — the standard trade for a shuffle-free, deterministic
+  sharding.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from urban_traffic_data_lake_project_spark.functions import stable_hash64
+
+
+def _seeded_hash(id_col: str, seed: int):
+    return stable_hash64(
+        F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    id_col: str,
+    n_per_stratum: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (fewer if the stratum is
+    smaller): the rows with the smallest seeded hash — a uniform draw
+    without replacement, deterministic across engines and runs."""
+    h = _seeded_hash(id_col, seed)
+    w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
+
+
+def train_eval_split(
+    df: DataFrame, id_col: str, eval_per_mille: int = 10, seed: int = 42
+) -> DataFrame:
+    """Adds ``split`` ('train' | 'eval'): eval_per_mille/1000 of rows land
+    in eval by hash range. A pure projection — membership of a given id
+    never changes as the corpus grows, which is what keeps eval sets
+    uncontaminated across dataset versions."""
+    bucket = F.pmod(_seeded_hash(id_col, seed), F.lit(1000))
+    return df.withColumn(
+        "split", F.when(bucket < eval_per_mille, "eval").otherwise("train")
+    )
+
+
+def pack_shards(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    shard_token_budget: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Adds ``shard_id`` in [0, n_shards): n_shards = ceil(total_tokens /
+    budget) from ONE aggregate, assignment = hash mod n_shards. See module
+    docstring for why this beats a greedy cumulative-sum packing at scale."""
+    total = df.agg(F.sum(token_col).alias("t")).first()["t"] or 0
+    n_shards = max(1, -(-int(total) // int(shard_token_budget)))
+    return df.withColumn(
+        "shard_id", F.pmod(_seeded_hash(id_col, seed), F.lit(n_shards))
+    )

@@ -207,6 +207,52 @@ def exact_medians(df: DataFrame, cols: Sequence[str], accuracy: int = 10_000) ->
     return out
 
 
+def describe_table(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    exact_quartiles: bool = True,
+    round_to: int | None = None,
+) -> DataFrame:
+    """``df.describe()`` / notebook ``summary()`` parity over arbitrary
+    columns (default: every numeric column), long form — one row per column
+    with n / mean / std / min / q25 / q50 / q75 / max.
+
+    ONE unpivot (``stack``) + ONE grouped aggregation pass: a single scan
+    regardless of column count (pandas-style describe would be a pass per
+    statistic). ``exact_quartiles=False`` swaps the buffering exact
+    ``percentile`` for ``percentile_approx`` — the right call at 10^12
+    rows on high-cardinality columns (t-digest, bounded memory)."""
+    if cols is None:
+        from pyspark.sql.types import NumericType
+
+        cols = [f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)]
+    cols = list(cols)
+    stacked = df.select(
+        F.expr(
+            "stack({n}, {args}) AS (column_name, value)".format(
+                n=len(cols),
+                args=", ".join(f"'{c}', cast({c} as double)" for c in cols),
+            )
+        )
+    )
+    if exact_quartiles:
+        q25, q50, q75 = (F.percentile("value", p) for p in (0.25, 0.5, 0.75))
+    else:
+        qs = F.percentile_approx("value", F.lit([0.25, 0.5, 0.75]), F.lit(10_000))
+        q25, q50, q75 = (F.element_at(qs, i) for i in (1, 2, 3))
+    rnd = (lambda c: F.round(c, round_to)) if round_to is not None else (lambda c: c)
+    return stacked.groupBy("column_name").agg(
+        F.count("value").alias("n"),
+        rnd(F.avg("value")).alias("mean"),
+        rnd(F.stddev_samp("value")).alias("std"),
+        rnd(F.min("value")).alias("min_value"),
+        rnd(q25).alias("q25"),
+        rnd(q50).alias("q50"),
+        rnd(q75).alias("q75"),
+        rnd(F.max("value")).alias("max_value"),
+    )
+
+
 def corr_matrix(df: DataFrame, cols: Sequence[str], round_to: int | None = None) -> DataFrame:
     """Full pairwise Pearson correlation matrix (reference notebook cell 13's
     ``numeric.corr()`` heatmap input) in ONE aggregation pass: all

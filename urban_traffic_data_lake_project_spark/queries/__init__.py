@@ -26,9 +26,16 @@ def _assemble() -> dict[str, QuerySpec]:
         registry.update(m.REGISTRY)
     # Oracle-backed queries FIRST (stable within each group): the driver's
     # correctness gate records a bounded number of entries in registration
-    # order, so every hash-checkable query must land inside that window;
+    # order, so every hash-checkable query must land inside that window.
+    # "defer"-tagged oracle queries sort after the core oracle set (they
+    # overflow the window but stay verifiable by the local oracle replica);
     # rows-only (stochastic/ML) specs go last.
-    return dict(sorted(registry.items(), key=lambda kv: kv[1].oracle is None))
+    def _key(kv: tuple[str, QuerySpec]) -> int:
+        if kv[1].oracle is None:
+            return 2
+        return 1 if "defer" in kv[1].tags else 0
+
+    return dict(sorted(registry.items(), key=_key))
 
 
 REGISTRY: dict[str, QuerySpec] = _assemble()

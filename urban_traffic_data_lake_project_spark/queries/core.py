@@ -351,39 +351,25 @@ _CORR_MATRIX_SQL = "\nUNION ALL\n".join(
 
 
 # ---------------------------------------------------------------------------
-# core_describe — A10 df.describe() in long form, computed via a single
-# unpivot + grouped aggregate pass (scales: one shuffle on 3 keys).
+# core_describe — A10 df.describe()/summary() parity in long form over the
+# measure columns, via operators.stats.describe_table (ONE unpivot + ONE
+# grouped aggregation pass regardless of column count).
 # ---------------------------------------------------------------------------
-_DESCRIBE_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+_DESCRIBE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 
 def _describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.operators.stats import describe_table
+
     li = load_table(spark, sf_dir, "lineitem")
-    stacked = li.select(
-        F.expr(
-            "stack({n}, {args}) AS (column_name, value)".format(
-                n=len(_DESCRIBE_COLS),
-                args=", ".join(f"'{c}', {c}" for c in _DESCRIBE_COLS),
-            )
-        )
-    )
-    return stacked.groupBy("column_name").agg(
-        F.count("value").alias("n"),
-        F.round(F.avg("value"), ROUND_STAT).alias("mean"),
-        F.round(F.stddev_samp("value"), ROUND_STAT).alias("std"),
-        F.round(F.min("value"), ROUND_STAT).alias("min_value"),
-        F.round(F.percentile("value", 0.25), ROUND_STAT).alias("q25"),
-        F.round(F.percentile("value", 0.5), ROUND_STAT).alias("q50"),
-        F.round(F.percentile("value", 0.75), ROUND_STAT).alias("q75"),
-        F.round(F.max("value"), ROUND_STAT).alias("max_value"),
-    )
+    return describe_table(li, _DESCRIBE_COLS, round_to=ROUND_STAT)
 
 
 _DESCRIBE_SQL = f"""
 WITH stacked AS (
-  SELECT 'l_quantity' AS column_name, l_quantity AS value FROM lineitem
-  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
-  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+{chr(10).join(f"  SELECT '{c}' AS column_name, {c} AS value FROM lineitem"
+              + (" UNION ALL" if i < len(_DESCRIBE_COLS) - 1 else "")
+              for i, c in enumerate(_DESCRIBE_COLS))}
 )
 SELECT column_name,
        count(value)                                     AS n,
