@@ -78,3 +78,33 @@ def test_suffix_join_renames_collisions(spark):
     assert set(out.columns) == {"k", "v_l", "v_r"}
     row = out.collect()[0]
     assert (row["v_l"], row["v_r"]) == (10.0, 20.0)
+
+
+def test_range_join_binned_equals_naive_theta_join(spark):
+    import datetime as dt
+
+    from urban_traffic_data_lake_project_spark.operators.merge import range_join_binned
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(u, base + dt.timedelta(seconds=s), i)
+         for i, (u, s) in enumerate([(1, 0), (1, 599), (1, 600), (1, 1800), (2, 30), (3, 5)])],
+        "user_id long, ts timestamp, l_id long",
+    )
+    right = spark.createDataFrame(
+        [(u, base + dt.timedelta(seconds=s), i)
+         for i, (u, s) in enumerate([(1, 300), (1, 1200), (1, 2399), (2, 631), (4, 0)])],
+        "user_id long, view_ts timestamp, r_id long",
+    )
+    got = {
+        (r["l_id"], r["r_id"])
+        for r in range_join_binned(left, right, ["user_id"], "ts", "view_ts", 600).collect()
+    }
+    naive = {
+        (l["l_id"], r["r_id"])
+        for l in left.collect()
+        for r in right.collect()
+        if l["user_id"] == r["user_id"]
+        and abs((l["ts"] - r["view_ts"]).total_seconds()) <= 600
+    }
+    assert got == naive and naive  # exact agreement incl. boundary (=600s)

@@ -209,6 +209,37 @@ GROUP BY c.user_id
 
 
 # ---------------------------------------------------------------------------
+# merge_range_join — interval join (each click paired with same-user views
+# within ±10 min) via the binned equi-join pattern (operators.merge.
+# range_join_binned) — never a per-key cartesian. Aggregated per user to
+# keep the check output bounded; the join itself runs at full pair fan-out.
+# ---------------------------------------------------------------------------
+def _range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"), "value"
+    )
+    j = M.range_join_binned(clicks, views, ["user_id"], "ts", "view_ts", 600)
+    return j.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("value"), ROUND_STAT).alias("avg_view_value"),
+    )
+
+
+_RANGE_JOIN_SQL = f"""
+WITH clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+views AS (SELECT user_id, ts AS view_ts, value FROM events WHERE event_type = 'view')
+SELECT c.user_id, count(*) AS n_pairs,
+       round(avg(v.value), {ROUND_STAT}) AS avg_view_value
+FROM clicks c JOIN views v
+  ON c.user_id = v.user_id
+ AND abs(epoch(c.ts)::BIGINT - epoch(v.view_ts)::BIGINT) <= 600
+GROUP BY c.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # json_extract_events — JSON scalar functions on events.props
 # ---------------------------------------------------------------------------
 def _json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -401,6 +432,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "win_sliding_events": QuerySpec(_win_sliding, _WIN_SLIDING_SQL, "sliding window (1h / 30m)", ("window", "streaming-equiv")),
     "win_session_events": QuerySpec(_win_session, _WIN_SESSION_SQL, "session windows, 10-min gap", ("window", "streaming-equiv")),
     "merge_asof_join": QuerySpec(_asof, _ASOF_SQL, "backward as-of join (union+window)", ("join",)),
+    "merge_range_join": QuerySpec(_range_join, _RANGE_JOIN_SQL, "interval join via binned equi-join", ("join", "defer")),
     "merge_suffix_day_join": QuerySpec(_suffix_day_join, _SUFFIX_DAY_SQL, "reference merge: day key + suffixes", ("join",)),
     "json_extract_events": QuerySpec(_json_extract, _JSON_SQL, "JSON scalar extraction", ("scalar",)),
 }
