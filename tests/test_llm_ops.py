@@ -243,3 +243,36 @@ def test_sampling_operators_semantics(spark, sf_dir):
     per = {r["shard_id"]: r["t"] for r in sharded.groupBy("shard_id").agg(F.sum("n_chars").alias("t")).collect()}
     assert set(per) <= set(range(n_shards))
     assert max(per.values()) < 3 * 20_000  # no pathological shard
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    words = [f"w{i}" for i in range(250)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "only three words"), (3, "   "), (4, "")],
+        "doc_id long, text string",
+    )
+    out = T.chunk_documents(df, "doc_id", "text", chunk_tokens=100, overlap=20)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk_text"]) for r in out.collect())
+    )
+    # doc 1: 250 words -> starts 0/80/160 (ceil((250-20)/80) = 3 chunks)
+    d1 = [r for r in rows if r[0] == 1]
+    assert [(r[1], r[2]) for r in d1] == [(0, 100), (1, 100), (2, 90)]
+    assert d1[0][3].split(" ") == words[0:100]
+    assert d1[1][3].split(" ") == words[80:180]   # 20-token overlap
+    assert d1[2][3].split(" ") == words[160:250]
+    # doc 2: single short chunk; docs 3/4 (no tokens) yield nothing
+    assert [r[1:3] for r in rows if r[0] == 2] == [(0, 3)]
+    assert not [r for r in rows if r[0] in (3, 4)]
+
+
+def test_grouped_vector_mean_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(2)
+    rows = [(("a" if i % 2 else "b"), [float(x) for x in rng.standard_normal(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, v array<double>")
+    out = {r["g"]: np.array(r["centroid"]) for r in S.grouped_vector_mean(df, ["g"], "v").collect()}
+    for g in ("a", "b"):
+        want = np.mean([v for gg, v in rows if gg == g], axis=0)
+        assert np.allclose(out[g], want, atol=1e-12)

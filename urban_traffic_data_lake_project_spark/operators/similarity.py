@@ -43,6 +43,24 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return _dot(da, db) / (_norm(da) * _norm(db))
 
 
+def grouped_vector_mean(
+    df: DataFrame, group_cols: list, vec_col: str, out_col: str = "centroid"
+) -> DataFrame:
+    """Element-wise mean of an array column per group (per-class embedding
+    centroids — the building block for class-balanced similarity stats and
+    IVF training). posexplode -> grouped avg on (group, pos) -> reassemble
+    ordered by position. One shuffle on (group, pos) WITH map-side partial
+    aggregation — never a collect_list of whole vectors (which would move
+    every vector to one reducer per group)."""
+    ex = df.select(*group_cols, F.posexplode(_as_double(F.col(vec_col))).alias("__pos", "__v"))
+    per = ex.groupBy(*group_cols, "__pos").agg(F.avg("__v").alias("__m"))
+    return per.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_list(F.struct("__pos", "__m")))
+        .getField("__m")
+        .alias(out_col)
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -158,6 +158,45 @@ def tf_idf(df: DataFrame, id_col: str, text_col: str, min_df: int = 1) -> DataFr
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 100,
+    overlap: int = 20,
+) -> DataFrame:
+    """Overlapping fixed-token-window chunking — the standard training-
+    corpus preparation step: whitespace tokens, windows of ``chunk_tokens``
+    advancing by ``chunk_tokens - overlap``; the final window may be
+    shorter; token-less docs yield no chunks.
+
+    Pure Catalyst (split -> sequence of window starts -> transform(slice)
+    -> posexplode): embarrassingly parallel, no shuffle, no Python. The
+    word array materializes as a column BEFORE the lambda (no CSE inside
+    higher-order-function lambdas).
+
+    Returns (id, chunk_id, n_tokens, chunk_text)."""
+    step = chunk_tokens - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    words = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__w")
+    ).filter(F.trim(F.col(text_col)) != "")
+    n = F.size("__w")
+    n_chunks = F.floor((F.greatest(n - overlap, F.lit(1)) + (step - 1)) / step).cast("int")
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * step, F.lit(step))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.size(F.slice("__w", s + 1, chunk_tokens)).alias("n_tokens"),
+            F.array_join(F.slice("__w", s + 1, chunk_tokens), " ").alias("chunk_text"),
+        ),
+    )
+    return words.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "__c")
+    ).select(id_col, "chunk_id", F.col("__c.n_tokens"), F.col("__c.chunk_text"))
+
+
 def document_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Everything above in ONE projection over the corpus: id, predicted
     language, quality signals + composite score, token counts, fingerprint."""

@@ -597,6 +597,66 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# text_chunks — overlapping token-window chunking (operators.text.
+# chunk_documents): 100-token windows, 20-token overlap. Oracle replicates
+# the window arithmetic with list_slice, so chunk boundaries, counts, and
+# the reassembled chunk text all hash-match.
+# ---------------------------------------------------------------------------
+_CHUNK_TOKENS, _CHUNK_OVERLAP = 100, 20
+_CHUNK_STEP = _CHUNK_TOKENS - _CHUNK_OVERLAP
+
+
+def _text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.chunk_documents(docs, "doc_id", "text", _CHUNK_TOKENS, _CHUNK_OVERLAP)
+
+
+_TEXT_CHUNKS_SQL = f"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents WHERE trim(text) <> ''),
+sized AS (
+  SELECT doc_id, w,
+         ((greatest(len(w) - {_CHUNK_OVERLAP}, 1) + {_CHUNK_STEP - 1}) // {_CHUNK_STEP}) AS nc,
+         len(w) AS n
+  FROM words)
+SELECT doc_id, i AS chunk_id,
+       least({_CHUNK_TOKENS}, n - i * {_CHUNK_STEP}) AS n_tokens,
+       array_to_string(list_slice(w, i * {_CHUNK_STEP} + 1, i * {_CHUNK_STEP} + {_CHUNK_TOKENS}), ' ') AS chunk_text
+FROM sized, LATERAL unnest(range(0, nc)) AS t(i)
+"""
+
+
+# ---------------------------------------------------------------------------
+# sim_lang_centroids — per-language embedding centroid (grouped element-wise
+# vector mean, operators.similarity.grouped_vector_mean), compared in long
+# form (lang, dim_pos, value) so the hash check covers every element.
+# ---------------------------------------------------------------------------
+def _lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    joined = emb.join(docs, "vec_id")
+    cents = S.grouped_vector_mean(joined, ["lang"], "embedding")
+    return cents.select(
+        "lang", F.posexplode("centroid").alias("dim_pos", "v")
+    ).select("lang", "dim_pos", F.round("v", ROUND_STAT).alias("v"))
+
+
+_LANG_CENTROIDS_SQL = f"""
+WITH j AS (
+  SELECT d.lang, e.embedding::DOUBLE[] AS emb
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+ex AS (
+  SELECT lang, i - 1 AS dim_pos, emb[i] AS val
+  FROM j, LATERAL unnest(range(1, len(emb) + 1)) AS t(i))
+SELECT lang, dim_pos, round(avg(val), {ROUND_STAT}) AS v
+FROM ex GROUP BY lang, dim_pos
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(_dedup_exact, _DEDUP_EXACT_SQL, "exact dedup via content hash", ("dedup",)),
     "dedup_apply_near": QuerySpec(_dedup_apply, _DEDUP_APPLY_SQL, "corpus after near-dup removal", ("dedup",)),
@@ -624,5 +684,14 @@ REGISTRY: dict[str, QuerySpec] = {
     "sample_split_shards": QuerySpec(
         _sample_split_shards, _SAMPLE_SPLIT_SHARDS_SQL,
         "hash train/eval split + token-budget sharding", ("curation", "defer"),
+    ),
+    "text_chunks": QuerySpec(
+        _text_chunks, _TEXT_CHUNKS_SQL,
+        "overlapping token-window chunking", ("text", "curation", "defer"),
+    ),
+    "sim_lang_centroids": QuerySpec(
+        _lang_centroids, _LANG_CENTROIDS_SQL,
+        "per-language embedding centroids (grouped vector mean)",
+        ("similarity", "defer"),
     ),
 }
