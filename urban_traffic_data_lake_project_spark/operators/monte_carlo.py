@@ -58,12 +58,18 @@ def scenario_spec_df(spark: SparkSession, scenarios=DEFAULT_SCENARIOS) -> DataFr
 
 
 def base_stats(df: DataFrame, measure_col: str) -> tuple[float, float]:
-    """(mean, p75 threshold) of the measure column — one aggregate pass."""
+    """(mean, p75 threshold) of the measure column. The p75 goes through
+    the bounded-memory two-phase refinement (operators.stats) — Spark's
+    native ``percentile`` buffers every value of a high-cardinality double
+    in one aggregation buffer."""
+    from urban_traffic_data_lake_project_spark.operators.stats import exact_percentiles
+
     row = df.agg(
         F.avg(measure_col).alias("mu"),
-        F.percentile(measure_col, 0.75).alias("p75"),
+        F.count(measure_col).alias("n"),
     ).first()
-    return float(row["mu"]), float(row["p75"])
+    (p75,) = exact_percentiles(df, measure_col, [0.75], n=row["n"])
+    return float(row["mu"]), float(p75)
 
 
 def pick_measure_column(df: DataFrame) -> str:
