@@ -130,3 +130,30 @@ def test_streaming_dedup_removes_duplicates(spark):
     out = sw.run_available_now(sw.streaming_dedup(stream, ["event_id"]), spark)
     assert out.count() == 2
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_stream_interval_join_equals_batch_range_join(spark, sf_dir):
+    from urban_traffic_data_lake_project_spark.operators.merge import range_join_binned
+
+    stream = sw.read_events_stream(spark, sf_dir)
+    clicks_s = stream.filter(F.col("event_type") == "click")
+    views_s = stream.filter(F.col("event_type") == "view")
+    got = sw.run_available_now(
+        sw.stream_stream_interval_join(clicks_s, views_s, "user_id", 600), spark
+    )
+
+    from urban_traffic_data_lake_project_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("l_id")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("r_ts"), F.col("event_id").alias("r_id"),
+        F.col("value").alias("r_value"),
+    )
+    expected = range_join_binned(clicks, views, ["user_id"], "l_ts", "r_ts", 600).select(
+        "user_id", "l_id", "r_id", "l_ts", "r_ts", "r_value"
+    )
+    g, x = _normalize(got), _normalize(expected)
+    assert g.equals(x), (g.shape, x.shape)

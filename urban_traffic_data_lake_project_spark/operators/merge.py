@@ -113,6 +113,9 @@ def range_join_binned(
     3x the left side instead of |key group|^2 pairs; every candidate pair
     is within one bin of matching, so the post-filter discards at most
     2/3 of the joined rows."""
+    # bins on truncated seconds; the exact predicate below is full
+    # microsecond precision — |l - r| <= W still implies the truncated
+    # bins differ by at most 1, so ±1-bin candidates remain complete
     lbin = (F.unix_timestamp(F.col(left_ts)) / window_seconds).cast("long")
     rbin = (F.unix_timestamp(F.col(right_ts)) / window_seconds).cast("long")
     l = left.withColumn(
@@ -121,8 +124,8 @@ def range_join_binned(
     r = right.withColumn("__bin", rbin)
     joined = l.join(r, [*by, "__bin"], how)
     in_range = (
-        F.abs(F.unix_timestamp(F.col(left_ts)) - F.unix_timestamp(F.col(right_ts)))
-        <= window_seconds
+        F.abs(F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col(right_ts)))
+        <= window_seconds * 1_000_000
     )
     return joined.filter(in_range).drop("__bin")
 

@@ -234,8 +234,39 @@ SELECT c.user_id, count(*) AS n_pairs,
        round(avg(v.value), {ROUND_STAT}) AS avg_view_value
 FROM clicks c JOIN views v
   ON c.user_id = v.user_id
- AND abs(epoch(c.ts)::BIGINT - epoch(v.view_ts)::BIGINT) <= 600
+ AND abs(date_diff('microsecond', v.view_ts, c.ts)) <= 600000000
 GROUP BY c.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# stream_interval_join — a REAL stream-stream join job (both sides
+# readStream with watermarks, event-time interval condition, AvailableNow)
+# hash-checked against the batch theta-join oracle. Together with
+# stream_tumbling_available_now this puts both stateful streaming shapes —
+# windowed aggregation AND dual-stream join state — under the gate.
+# ---------------------------------------------------------------------------
+def _stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.streaming import windows as sw
+
+    stream = sw.read_events_stream(spark, sf_dir)
+    clicks = stream.filter(F.col("event_type") == "click")
+    views = stream.filter(F.col("event_type") == "view")
+    return sw.run_available_now(
+        sw.stream_stream_interval_join(clicks, views, "user_id", 600), spark
+    )
+
+
+_STREAM_INTERVAL_JOIN_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts AS l_ts, event_id AS l_id FROM events WHERE event_type = 'click'),
+views AS (
+  SELECT user_id, ts AS r_ts, event_id AS r_id, value AS r_value
+  FROM events WHERE event_type = 'view')
+SELECT c.user_id, c.l_id, v.r_id, c.l_ts, v.r_ts, v.r_value
+FROM clicks c JOIN views v
+  ON c.user_id = v.user_id
+ AND abs(date_diff('microsecond', v.r_ts, c.l_ts)) <= 600000000
 """
 
 
@@ -433,6 +464,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "win_session_events": QuerySpec(_win_session, _WIN_SESSION_SQL, "session windows, 10-min gap", ("window", "streaming-equiv")),
     "merge_asof_join": QuerySpec(_asof, _ASOF_SQL, "backward as-of join (union+window)", ("join",)),
     "merge_range_join": QuerySpec(_range_join, _RANGE_JOIN_SQL, "interval join via binned equi-join", ("join", "defer")),
+    "stream_interval_join": QuerySpec(
+        _stream_interval_join, _STREAM_INTERVAL_JOIN_SQL,
+        "real stream-stream interval join vs batch oracle", ("streaming", "join", "defer"),
+    ),
     "merge_suffix_day_join": QuerySpec(_suffix_day_join, _SUFFIX_DAY_SQL, "reference merge: day key + suffixes", ("join",)),
     "json_extract_events": QuerySpec(_json_extract, _JSON_SQL, "JSON scalar extraction", ("scalar",)),
 }

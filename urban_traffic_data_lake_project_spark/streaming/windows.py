@@ -78,6 +78,37 @@ def session_counts(stream: DataFrame, gap: str = "10 minutes", watermark: str = 
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    window_seconds: int = 600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    pair left rows with right rows of the same ``by`` key whose timestamp
+    lies within ±``window_seconds``. BOTH sides carry watermarks and the
+    join condition bounds the time skew, so Spark can evict buffered state
+    once the watermark passes — the state-bounding contract stream-stream
+    joins require (an unbounded-condition join would buffer both streams
+    forever). Batch oracle: operators.merge.range_join_binned."""
+    l = left.select(
+        F.col(by).alias("__k"), F.col("ts").alias("l_ts"), F.col("event_id").alias("l_id")
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col(by).alias("__rk"), F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_id"), F.col("value").alias("r_value"),
+    ).withWatermark("r_ts", watermark)
+    cond = (
+        (F.col("__k") == F.col("__rk"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {window_seconds} SECONDS"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {window_seconds} SECONDS"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("__k").alias("user_id"), "l_id", "r_id", "l_ts", "r_ts", "r_value"
+    )
+
+
 def streaming_dedup(stream: DataFrame, keys: list[str], watermark: str = "1 hour") -> DataFrame:
     """Stateful exactly-once dedup within the watermark horizon."""
     return stream.withWatermark("ts", watermark).dropDuplicates([*keys, "ts"])
