@@ -30,11 +30,9 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
-from urban_traffic_data_lake_project_spark.operators.cleaning import (
-    compute_medians,
-    variance_filter,
-)
+from urban_traffic_data_lake_project_spark.operators.cleaning import compute_medians
 
 
 @dataclass(frozen=True)
@@ -115,13 +113,18 @@ def fit_on_sample(
         cols = [f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)]
     med = compute_medians(df, cols)
     proj = df.select(*cols).na.fill(med)
-    cols = variance_filter(proj, cols, min_std=min_std)
+    # stddevs (for the variance filter) and the row count in ONE pass
+    row = proj.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.stddev_samp(c).alias(c) for c in cols],
+    ).first()
+    total = row["__n"]
+    cols = [c for c in cols if row[c] is not None and row[c] > min_std]
     if len(cols) < 2:
         raise ValueError("need at least 2 usable numeric columns")
     if n_factors is None:
         n_factors = min(5, len(cols) - 1)
     proj = proj.select(*cols)
-    total = proj.count()
     if total > fit_sample_rows:
         # 10% oversample so the Bernoulli draw rarely undershoots, then trim
         frac = min(1.0, 1.1 * fit_sample_rows / total)
