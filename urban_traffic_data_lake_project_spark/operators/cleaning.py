@@ -114,16 +114,21 @@ def median_fill(df: DataFrame, cols: Sequence[str]) -> DataFrame:
 def compute_iqr_bounds(
     df: DataFrame, cols: Sequence[str], factor: float = 1.5
 ) -> dict[str, tuple[float, float]]:
-    """(lo, hi) clip bounds per column from exact Q1/Q3, one aggregate pass."""
+    """(lo, hi) clip bounds per column from exact Q1/Q3 via the shared-pass
+    refinement (``stats.exact_column_quantiles``) — Spark's native
+    ``percentile`` would buffer every value of every column in one
+    aggregation buffer."""
     if not cols:
         return {}
-    row = df.agg(
-        *[F.percentile(c, F.lit([0.25, 0.75])).alias(c) for c in cols]
-    ).first()
+    from urban_traffic_data_lake_project_spark.operators.stats import (
+        exact_column_quantiles,
+    )
+
+    quartiles = exact_column_quantiles(df, cols, [0.25, 0.75])
     bounds: dict[str, tuple[float, float]] = {}
     for c in cols:
-        q = row[c]
-        if q is None or q[0] is None:
+        q = quartiles.get(c)
+        if not q or q[0] is None:
             continue
         q1, q3 = q
         iqr = q3 - q1

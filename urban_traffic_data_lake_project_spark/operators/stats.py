@@ -138,23 +138,25 @@ def exact_percentiles(
     return results
 
 
-def exact_medians(df: DataFrame, cols: Sequence[str], accuracy: int = 10_000) -> dict:
-    """Exact interpolated median (quantile_cont 0.5 semantics) for MANY
-    columns with bounded memory, sharing passes:
+def exact_column_quantiles(
+    df: DataFrame, cols: Sequence[str], ps: Sequence[float], accuracy: int = 10_000
+) -> dict:
+    """Exact interpolated quantiles (quantile_cont semantics) for MANY
+    columns x MANY probabilities with bounded memory, sharing passes:
 
     1. ONE aggregation: non-null count + t-digest brackets for every column
-       (vs Spark's ``median``, which buffers every value of every column in
-       one aggregation buffer — O(n) reducer memory, the scale-killer this
-       replaces),
-    2. ONE aggregation: rank of each column's band start,
-    3. one tiny pushdown-filtered distinct-value collect per column.
+       (vs Spark's ``median``/``percentile``, which buffer every value of
+       every column in one aggregation buffer — O(n) reducer memory, the
+       scale-killer this replaces),
+    2. ONE aggregation: rank of every (column, p) band start,
+    3. one tiny pushdown-filtered distinct-value collect per column
+       covering all its bands.
 
-    Returns {col: median} (columns with no values omitted, matching
-    ``F.median`` semantics of NULL)."""
-    cols = list(cols)
-    if not cols:
-        return {}
-    probes = bracket_probes([0.5], accuracy)
+    Returns {col: [q for p in ps]}; all-NULL columns map to ``[None, ...]``."""
+    cols, ps = list(cols), list(ps)
+    if not cols or not ps:
+        return {c: [None for _ in ps] for c in cols}
+    probes = bracket_probes(ps, accuracy)
     head = df.agg(
         *[F.count(c).alias(f"n_{i}") for i, c in enumerate(cols)],
         *[
@@ -162,49 +164,68 @@ def exact_medians(df: DataFrame, cols: Sequence[str], accuracy: int = 10_000) ->
             for i, c in enumerate(cols)
         ],
     ).first()
-    out: dict[str, float] = {}
+    out: dict[str, list] = {}
     live = [
         (i, c) for i, c in enumerate(cols) if head[f"n_{i}"] > 0 and head[f"b_{i}"] is not None
     ]
+    for i, c in enumerate(cols):
+        if (i, c) not in live:
+            out[c] = [None for _ in ps]
     if not live:
         return out
-    ranks = df.agg(
-        *[
-            F.count(F.when(F.col(c) < head[f"b_{i}"][0], 1)).alias(f"r_{i}")
-            for i, c in live
-        ]
-    ).first()
+    rank_aggs = []
+    for i, c in live:
+        for j in range(len(ps)):
+            lo = head[f"b_{i}"][2 * j]
+            rank_aggs.append(F.count(F.when(F.col(c) < lo, 1)).alias(f"r_{i}_{j}"))
+    ranks = df.agg(*rank_aggs).first()
     for i, c in live:
         n = head[f"n_{i}"]
-        lo, hi = head[f"b_{i}"][0], head[f"b_{i}"][1]
-        h = (n - 1) * 0.5
-        k_lo, k_hi = math.floor(h), math.ceil(h)
-        c_lt = ranks[f"r_{i}"]
+        b = head[f"b_{i}"]
+        los = [b[2 * j] for j in range(len(ps))]
+        his = [b[2 * j + 1] for j in range(len(ps))]
+        band_pred = None
+        for lo, hi in zip(los, his):
+            p_ = (F.col(c) >= lo) & (F.col(c) <= hi)
+            band_pred = p_ if band_pred is None else (band_pred | p_)
         vc = sorted(
             (r[0], r[1])
-            for r in df.filter((F.col(c) >= lo) & (F.col(c) <= hi))
-            .groupBy(c)
-            .agg(F.count(F.lit(1)))
-            .collect()
+            for r in df.filter(band_pred).groupBy(c).agg(F.count(F.lit(1))).collect()
         )
-        band_n = sum(cnt for _, cnt in vc)
-        if not (c_lt <= k_lo and k_hi < c_lt + band_n):
-            # pathological miss — fall back to the single-column refinement
-            # (widen-retry + hard error live there)
-            out[c] = exact_percentiles(df, c, [0.5], accuracy=accuracy, n=n)[0]
-            continue
 
-        def order_stat(idx: int):
+        def order_stat(band: list, idx: int):
             cum = 0
-            for v, cnt in vc:
+            for v, cnt in band:
                 cum += cnt
                 if idx < cum:
                     return v
             raise IndexError(idx)
 
-        x0, x1 = order_stat(k_lo - c_lt), order_stat(k_hi - c_lt)
-        out[c] = x0 + (x1 - x0) * (h - k_lo)
+        vals = []
+        for j, p in enumerate(ps):
+            lo, hi = los[j], his[j]
+            h = (n - 1) * p
+            k_lo, k_hi = math.floor(h), math.ceil(h)
+            c_lt = ranks[f"r_{i}_{j}"]
+            band = [(v, cnt) for v, cnt in vc if lo <= v <= hi]
+            band_n = sum(cnt for _, cnt in band)
+            if not (c_lt <= k_lo and k_hi < c_lt + band_n):
+                # pathological miss — fall back to the single-column
+                # refinement (widen-retry + hard error live there)
+                vals.append(exact_percentiles(df, c, [p], accuracy=accuracy, n=n)[0])
+                continue
+            x0 = order_stat(band, k_lo - c_lt)
+            x1 = order_stat(band, k_hi - c_lt)
+            vals.append(x0 + (x1 - x0) * (h - k_lo))
+        out[c] = vals
     return out
+
+
+def exact_medians(df: DataFrame, cols: Sequence[str], accuracy: int = 10_000) -> dict:
+    """Exact interpolated median per column (shared-pass refinement);
+    columns with no values omitted, matching ``F.median`` NULL semantics."""
+    q = exact_column_quantiles(df, cols, [0.5], accuracy)
+    return {c: v[0] for c, v in q.items() if v and v[0] is not None}
 
 
 def describe_table(
