@@ -657,6 +657,98 @@ FROM ex GROUP BY lang, dim_pos
 """
 
 
+# ---------------------------------------------------------------------------
+# curation_pipeline — the END-TO-END corpus curation flagship, one composed
+# lazy plan: exact dedup -> MinHash-LSH near-dedup (pairs on survivors;
+# signatures are per-doc, so survivor pairs == full-corpus pairs restricted
+# to survivors — the identity the oracle uses) -> quality filter ->
+# doc-level train/eval split + token-budget sharding (chunks of one doc
+# stay in one shard) -> overlapping token-window chunking.
+# Output: (doc_id, chunk_id, n_tokens, split, shard_id), fully
+# deterministic, hash-checked end to end.
+# ---------------------------------------------------------------------------
+_QUALITY_THRESHOLD = 0.5
+_CURATION_BUDGET = 20_000
+
+
+def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.operators.sampling import (
+        pack_shards,
+        train_eval_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact_ids = D.exact_dedup(docs, "doc_id", "text").select("doc_id")
+    d1 = docs.join(exact_ids, "doc_id", "left_semi")
+    pairs = D.minhash_lsh_dedup_pairs(
+        d1, "doc_id", "text", n=3, num_hashes=_MINHASH_K,
+        bands=_MINHASH_BANDS, threshold=_JACCARD_THRESHOLD,
+    )
+    d2 = D.dedup_keep_canonical(d1, "doc_id", pairs)
+    d3 = d2.filter(T.quality_score(F.col("text")) >= _QUALITY_THRESHOLD)
+    labeled = pack_shards(
+        train_eval_split(d3, "doc_id", eval_per_mille=100),
+        "doc_id", "n_chars", _CURATION_BUDGET,
+    )
+    chunks = T.chunk_documents(labeled, "doc_id", "text", _CHUNK_TOKENS, _CHUNK_OVERLAP)
+    return chunks.join(
+        labeled.select("doc_id", "split", "shard_id"), "doc_id"
+    ).select("doc_id", "chunk_id", "n_tokens", "split", "shard_id")
+
+
+_CURATION_SQL = f"""
+WITH exact_keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents
+  GROUP BY md5({_NORM.format(c='text')})),
+jac_pairs AS (SELECT id_a, id_b FROM ({_minhash_sql(_MINHASH_BANDS)})),
+dropped AS (
+  SELECT DISTINCT p.id_b AS doc_id FROM jac_pairs p
+  JOIN exact_keep a ON a.doc_id = p.id_a
+  JOIN exact_keep b ON b.doc_id = p.id_b),
+quality_base AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{{}}-]')) AS punct,
+         {_ALL_MARKERS_SQL} AS stop_hits
+  FROM documents),
+quality AS (
+  SELECT doc_id,
+         0.4 * least(n_tokens::DOUBLE / 50.0, 1.0)
+       + 0.3 * (CASE WHEN nonspace > 0 THEN alpha::DOUBLE / nonspace ELSE 0.0 END)
+       + 0.2 * least((CASE WHEN n_tokens > 0 THEN stop_hits::DOUBLE / n_tokens ELSE 0.0 END) * 5.0, 1.0)
+       + 0.1 * (1.0 - least((CASE WHEN nonspace > 0 THEN punct::DOUBLE / nonspace ELSE 0.0 END) * 5.0, 1.0))
+         AS quality
+  FROM quality_base),
+d3 AS (
+  SELECT d.doc_id, d.text, d.n_chars FROM documents d
+  JOIN exact_keep k ON k.doc_id = d.doc_id
+  JOIN quality q ON q.doc_id = d.doc_id
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+    AND q.quality >= {_QUALITY_THRESHOLD}),
+tot AS (SELECT ceil(sum(n_chars) / {float(_CURATION_BUDGET)})::BIGINT AS n_shards FROM d3),
+labeled AS (
+  SELECT doc_id, text,
+         CASE WHEN {_SEEDED_HASH_SQL} % 1000 < 100 THEN 'eval' ELSE 'train' END AS split,
+         {_SEEDED_HASH_SQL} % (SELECT n_shards FROM tot) AS shard_id
+  FROM d3),
+words AS (
+  SELECT doc_id, split, shard_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM labeled WHERE trim(text) <> ''),
+sized AS (
+  SELECT doc_id, split, shard_id, w,
+         ((greatest(len(w) - {_CHUNK_OVERLAP}, 1) + {_CHUNK_STEP - 1}) // {_CHUNK_STEP}) AS nc,
+         len(w) AS n
+  FROM words)
+SELECT doc_id, i AS chunk_id,
+       least({_CHUNK_TOKENS}, n - i * {_CHUNK_STEP}) AS n_tokens,
+       split, shard_id
+FROM sized, LATERAL unnest(range(0, nc)) AS t(i)
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(_dedup_exact, _DEDUP_EXACT_SQL, "exact dedup via content hash", ("dedup",)),
     "dedup_apply_near": QuerySpec(_dedup_apply, _DEDUP_APPLY_SQL, "corpus after near-dup removal", ("dedup",)),
@@ -693,5 +785,10 @@ REGISTRY: dict[str, QuerySpec] = {
         _lang_centroids, _LANG_CENTROIDS_SQL,
         "per-language embedding centroids (grouped vector mean)",
         ("similarity", "defer"),
+    ),
+    "curation_pipeline": QuerySpec(
+        _curation_pipeline, _CURATION_SQL,
+        "end-to-end curation: dedup -> quality -> split/shard -> chunk",
+        ("curation", "dedup", "text", "defer"),
     ),
 }

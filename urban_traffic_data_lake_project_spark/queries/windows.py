@@ -271,6 +271,43 @@ FROM clicks c JOIN views v
 
 
 # ---------------------------------------------------------------------------
+# join_salted_skew — the salted join under the gate on an engineered hot
+# key (~30% of lineitem collapses onto one key): salting must produce
+# IDENTICAL results to the plain join (the oracle IS the plain join), while
+# spreading the hot key over salt_buckets reducers.
+# ---------------------------------------------------------------------------
+def _salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "skew_key",
+        F.when(F.col("l_orderkey") % 10 < 3, F.lit(0)).otherwise(F.col("l_suppkey")),
+    )
+    dim = (
+        li.groupBy("skew_key")
+        .agg(F.count(F.lit(1)).alias("key_rows"))
+    )
+    joined = M.salted_join(li.select("skew_key", "l_quantity"), dim, ["skew_key"])
+    return joined.groupBy("skew_key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), ROUND_SUM).alias("sum_qty"),
+        F.min("key_rows").alias("key_rows"),
+    )
+
+
+_SALTED_SKEW_SQL = f"""
+WITH keyed AS (
+  SELECT CASE WHEN l_orderkey % 10 < 3 THEN 0 ELSE l_suppkey END AS skew_key,
+         l_quantity
+  FROM lineitem),
+dim AS (SELECT skew_key, count(*) AS key_rows FROM keyed GROUP BY skew_key)
+SELECT k.skew_key, count(*) AS n,
+       round(sum(k.l_quantity), {ROUND_SUM}) AS sum_qty,
+       min(d.key_rows) AS key_rows
+FROM keyed k JOIN dim d ON k.skew_key = d.skew_key
+GROUP BY k.skew_key
+"""
+
+
+# ---------------------------------------------------------------------------
 # json_extract_events — JSON scalar functions on events.props
 # ---------------------------------------------------------------------------
 def _json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,6 +504,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "stream_interval_join": QuerySpec(
         _stream_interval_join, _STREAM_INTERVAL_JOIN_SQL,
         "real stream-stream interval join vs batch oracle", ("streaming", "join", "defer"),
+    ),
+    "join_salted_skew": QuerySpec(
+        _salted_skew_join, _SALTED_SKEW_SQL,
+        "salted join on an engineered hot key == plain join", ("join", "defer"),
     ),
     "merge_suffix_day_join": QuerySpec(_suffix_day_join, _SUFFIX_DAY_SQL, "reference merge: day key + suffixes", ("join",)),
     "json_extract_events": QuerySpec(_json_extract, _JSON_SQL, "JSON scalar extraction", ("scalar",)),
