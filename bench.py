@@ -38,6 +38,9 @@ BENCH_QUERIES: tuple[str, ...] = (
     "bootstrap_ci",
     "fa_scores_summary",
     "mc_scenarios",
+    # the end-to-end corpus curation flagship (dedup -> quality ->
+    # split/shard -> chunk as one lazy plan)
+    "curation_pipeline",
 )
 
 

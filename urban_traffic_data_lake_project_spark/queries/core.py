@@ -488,6 +488,51 @@ GROUP BY a.k
 """
 
 
+# ---------------------------------------------------------------------------
+# agg_grouped_ols — the Arrow applyInPandas grouped-model path under the
+# HASH gate (not rows-only): per-group 2-feature OLS via numpy lstsq,
+# oracle-solved with Cramer's rule on the normal equations (covariance
+# aggregates). 4dp rounding absorbs lstsq-vs-normal-equation float drift.
+# ---------------------------------------------------------------------------
+def _grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.operators.stats import grouped_ols
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = grouped_ols(li, ["l_returnflag"], "l_extendedprice", ["l_quantity", "l_discount"])
+    return out.select(
+        "l_returnflag",
+        F.round("intercept", 4).alias("intercept"),
+        F.round("beta_l_quantity", 4).alias("beta_qty"),
+        F.round("beta_l_discount", 4).alias("beta_disc"),
+        "n",
+    )
+
+
+_GROUPED_OLS_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         avg(l_quantity) AS mx, avg(l_discount) AS mz, avg(l_extendedprice) AS my,
+         covar_pop(l_quantity, l_quantity) AS sxx,
+         covar_pop(l_quantity, l_discount) AS sxz,
+         covar_pop(l_discount, l_discount) AS szz,
+         covar_pop(l_quantity, l_extendedprice) AS sxy,
+         covar_pop(l_discount, l_extendedprice) AS szy
+  FROM lineitem GROUP BY l_returnflag),
+solved AS (
+  SELECT l_returnflag, n, mx, mz, my,
+         (sxy * szz - szy * sxz) / (sxx * szz - sxz * sxz) AS b1,
+         (szy * sxx - sxy * sxz) / (sxx * szz - sxz * sxz) AS b2
+  FROM m)
+SELECT l_returnflag,
+       round(my - b1 * mx - b2 * mz, 4) AS intercept,
+       round(b1, 4) AS beta_qty,
+       round(b2, 4) AS beta_disc,
+       n
+FROM solved
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "agg_regression": QuerySpec(_regression, _REGRESSION_SQL, "per-group regression aggregates", ("agg",)),
     "join_null_safe": QuerySpec(_null_safe_join, _NULL_SAFE_SQL, "null-safe equality join", ("join",)),
@@ -501,4 +546,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "core_corr_matrix": QuerySpec(_corr_matrix, _CORR_MATRIX_SQL, "A11 full pairwise correlation matrix", ("agg",)),
     "core_describe": QuerySpec(_describe, _DESCRIBE_SQL, "A10 describe() long-form", ("agg",)),
     "core_set_ops": QuerySpec(_set_ops, _SET_OPS_SQL, "union/intersect/except, DISTINCT + ALL", ("set",)),
+    "agg_grouped_ols": QuerySpec(
+        _grouped_ols, _GROUPED_OLS_SQL,
+        "applyInPandas multi-feature OLS vs Cramer-solve oracle", ("agg", "ml", "defer"),
+    ),
 }
