@@ -308,6 +308,31 @@ GROUP BY k.skew_key
 
 
 # ---------------------------------------------------------------------------
+# stream_stateful_user_stats — the applyInPandasWithState custom stateful
+# operator under the gate: per-user running (count, sum, last-seen) via
+# user-managed GroupState, executed AvailableNow; the cumulative end state
+# equals a batch grouped aggregate, which is the oracle.
+# ---------------------------------------------------------------------------
+def _stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.streaming import stateful as st
+    from urban_traffic_data_lake_project_spark.streaming import windows as sw
+
+    stream = sw.read_events_stream(spark, sf_dir)
+    out = sw.run_available_now(st.running_user_stats(stream), spark, mode="update")
+    return out.select(
+        "user_id", "n_events", F.round("sum_value", ROUND_SUM).alias("sum_value"), "last_ts"
+    )
+
+
+_STREAM_STATEFUL_SQL = f"""
+SELECT user_id, count(*) AS n_events,
+       round(sum(value), {ROUND_SUM}) AS sum_value,
+       max(ts) AS last_ts
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # json_extract_events — JSON scalar functions on events.props
 # ---------------------------------------------------------------------------
 def _json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -508,6 +533,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "join_salted_skew": QuerySpec(
         _salted_skew_join, _SALTED_SKEW_SQL,
         "salted join on an engineered hot key == plain join", ("join", "defer"),
+    ),
+    "stream_stateful_user_stats": QuerySpec(
+        _stream_stateful, _STREAM_STATEFUL_SQL,
+        "applyInPandasWithState running stats vs batch oracle",
+        ("streaming", "stateful", "defer"),
     ),
     "merge_suffix_day_join": QuerySpec(_suffix_day_join, _SUFFIX_DAY_SQL, "reference merge: day key + suffixes", ("join",)),
     "json_extract_events": QuerySpec(_json_extract, _JSON_SQL, "JSON scalar extraction", ("scalar",)),
