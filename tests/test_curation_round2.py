@@ -1,0 +1,200 @@
+"""Round-2 curation operators: decontamination, HLL sketches, sequence
+packing, domain-mix resampling, PII redaction — oracle parity plus
+semantic properties the hash check alone can't express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from urban_traffic_data_lake_project_spark.operators import text as T
+from urban_traffic_data_lake_project_spark.operators.decontam import (
+    decontaminate,
+    eval_ngram_set,
+    ngram_overlap_flags,
+)
+from urban_traffic_data_lake_project_spark.operators.sampling import (
+    pack_sequences,
+    resample_to_mix,
+)
+from urban_traffic_data_lake_project_spark.operators.sketches import (
+    hll_distinct,
+    hll_estimate,
+    hll_merge,
+    hll_register_table,
+)
+from urban_traffic_data_lake_project_spark.queries import curation as qc
+from urban_traffic_data_lake_project_spark.sources import load_table
+
+
+@pytest.mark.parametrize("name", sorted(qc.REGISTRY))
+def test_curation_query_matches_oracle(oracle, name):
+    oracle(name)
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+def test_decontaminate_drops_docs_sharing_eval_ngrams(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # shares 'alpha beta gamma'
+            (2, "one two three four five six seven"),     # clean
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma something else entirely")],
+        "doc_id long, text string",
+    )
+    kept = decontaminate(train, ev, "doc_id", "text", n=3).collect()
+    assert [r["doc_id"] for r in kept] == [2]
+
+    flags = {
+        r["doc_id"]: (r["n_eval_hits"], r["keep"])
+        for r in ngram_overlap_flags(
+            train, eval_ngram_set(ev, "doc_id", "text", 3), "doc_id", "text", 3
+        ).collect()
+    }
+    assert flags[1][0] >= 1 and not flags[1][1]
+    assert flags[2] == (0, True)
+
+
+def test_decontaminate_ngram_size_controls_strictness(spark):
+    # docs share a 3-gram but no 5-gram -> contaminated at n=3, clean at n=5
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps high over fences")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(9, "the quick brown bear sleeps all winter long")],
+        "doc_id long, text string",
+    )
+    assert decontaminate(train, ev, "doc_id", "text", n=3).count() == 0
+    assert decontaminate(train, ev, "doc_id", "text", n=5).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch
+# ---------------------------------------------------------------------------
+def test_hll_estimate_within_expected_error(spark):
+    # p=8 -> standard error ~1.04/sqrt(256) = 6.5%; assert within 4 sigma
+    n = 5000
+    df = spark.range(n).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    est = hll_distinct(df, ["g"], "v", p=8).collect()[0]["n_hll"]
+    assert abs(est - n) / n < 0.26
+
+
+def test_hll_merge_equals_single_pass(spark):
+    """Mergeability — the property that matters at 100 TB: per-batch
+    register tables union+re-max to exactly the single-pass sketch."""
+    df = spark.range(2000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 700).cast("string").alias("v"),
+    )
+    whole = {
+        (r["g"], r["register"]): r["max_rho"]
+        for r in hll_register_table(df, ["g"], "v", p=6).collect()
+    }
+    part1 = hll_register_table(df.filter(F.col("id") < 900), ["g"], "v", p=6)
+    part2 = hll_register_table(df.filter(F.col("id") >= 900), ["g"], "v", p=6)
+    merged = {
+        (r["g"], r["register"]): r["max_rho"]
+        for r in hll_merge(part1.union(part2), ["g"]).collect()
+    }
+    assert merged == whole
+    est_whole = hll_estimate(hll_register_table(df, ["g"], "v", p=6), ["g"], p=6)
+    est_merged = hll_estimate(hll_merge(part1.union(part2), ["g"]), ["g"], p=6)
+    assert {tuple(r) for r in est_whole.collect()} == {
+        tuple(r) for r in est_merged.collect()
+    }
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+def test_pack_sequences_respects_budget_boundaries(spark):
+    rows = [(0, i, 100) for i in range(10)]  # one shard, 10 chunks x 100 tok
+    df = spark.createDataFrame(rows, "shard_id long, chunk_id long, n_tokens long")
+    out = pack_sequences(df, "shard_id", "n_tokens", ["chunk_id"], 256).collect()
+    by_chunk = {r["chunk_id"]: r["seq_id"] for r in out}
+    # exclusive prefix sums 0,100,...,900 -> floor(pfx/256)
+    assert [by_chunk[i] for i in range(10)] == [0, 0, 0, 1, 1, 1, 2, 2, 3, 3]
+    pos = sorted(r["seq_pos"] for r in out)
+    assert pos == list(range(1, 11))
+
+
+def test_pack_sequences_is_per_shard(spark):
+    rows = [(s, i, 200) for s in (0, 1) for i in range(3)]
+    df = spark.createDataFrame(rows, "shard_id long, chunk_id long, n_tokens long")
+    out = pack_sequences(df, "shard_id", "n_tokens", ["chunk_id"], 300).collect()
+    for s in (0, 1):  # prefix restarts per shard
+        seqs = [r["seq_id"] for r in sorted(out, key=lambda r: r["chunk_id"]) if r["shard_id"] == s]
+        assert seqs == [0, 0, 1]
+
+
+# ---------------------------------------------------------------------------
+# domain-mix resampling
+# ---------------------------------------------------------------------------
+def test_resample_to_mix_hits_target_proportions(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    weights = {"en": 0.3, "es": 0.25, "fr": 0.2, "de": 0.15, "zh": 0.1}
+    out = resample_to_mix(docs, "lang", "doc_id", weights)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    # hash thinning is binomial; allow generous slack at ~300 rows
+    for lang, w in weights.items():
+        assert abs(counts.get(lang, 0) / total - w) < 0.08, (lang, counts)
+
+
+def test_resample_to_mix_is_deterministic_and_monotone(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 == 0, "a").otherwise("b").alias("lang"),
+    )
+    w = {"a": 0.5, "b": 0.5}
+    first = {r["doc_id"] for r in resample_to_mix(df, "lang", "doc_id", w).collect()}
+    second = {r["doc_id"] for r in resample_to_mix(df, "lang", "doc_id", w).collect()}
+    assert first == second
+    # groups not in the weight map are dropped entirely
+    only_a = resample_to_mix(df, "lang", "doc_id", {"a": 1.0})
+    assert only_a.filter(F.col("lang") == "b").count() == 0
+    # the binding group ('a': 250 docs, needs 50% >= its share) is kept whole
+    assert only_a.count() == 250
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+def test_redact_pii_replaces_each_pattern(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org site https://a.b/c?d=1 "
+              "host 192.168.10.20 acct 123456789 small 123")],
+        "id long, text string",
+    )
+    cols = T.redact_pii(F.col("text"))
+    row = df.select(
+        *[cols[f"n_{n}"].alias(f"n_{n}") for n, _, _ in T.PII_PATTERNS],
+        cols["redacted"].alias("red"),
+    ).collect()[0]
+    assert (row["n_email"], row["n_url"], row["n_ip"], row["n_digit_run"]) == (1, 1, 1, 1)
+    red = row["red"]
+    assert "<EMAIL>" in red and "<URL>" in red and "<IP>" in red and "<NUM>" in red
+    assert "bob.smith" not in red and "192.168" not in red and "123456789" not in red
+    assert red.endswith("small 123")  # short digit runs survive
+
+
+def test_redact_pii_order_prevents_double_matching(spark):
+    # the URL contains digits; applying the digit-run pattern after the URL
+    # replacement must not touch anything inside the replaced token
+    df = spark.createDataFrame(
+        [(1, "see http://x.example/p/12345678 done")], "id long, text string"
+    )
+    cols = T.redact_pii(F.col("text"))
+    row = df.select(
+        cols["n_url"].alias("u"), cols["n_digit_run"].alias("d"), cols["redacted"].alias("r")
+    ).collect()[0]
+    assert (row["u"], row["d"]) == (1, 0)
+    assert row["r"] == "see <URL> done"

@@ -85,3 +85,77 @@ def pack_shards(
     return df.withColumn(
         "shard_id", F.pmod(_seeded_hash(id_col, seed), F.lit(n_shards))
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    shard_col: str,
+    token_col: str,
+    order_cols: Sequence[str],
+    seq_token_budget: int,
+) -> DataFrame:
+    """Pack rows (typically document chunks) into fixed token-budget
+    training sequences WITHIN each shard: rows are laid out in the
+    deterministic ``order_cols`` order, and ``seq_id`` = which budget-sized
+    bin the row's exclusive prefix-sum of tokens lands in. ``seq_pos`` is
+    the row's position within its shard's layout.
+
+    This is boundary-fill packing (a row whose tokens straddle a boundary
+    starts the next bin's overflow, the standard streaming-packer trade) —
+    NOT bin-packing, which is inherently sequential and cannot scale.
+
+    Scale shape: ONE window partitioned by the shard id. Shards are
+    token-budget-bounded by construction (``pack_shards``), so every
+    window partition is small and uniform — the per-shard sort is the
+    in-partition sort a training-data writer needs anyway, never a global
+    single-reducer sort."""
+    w = Window.partitionBy(shard_col).orderBy(*[F.col(c).asc() for c in order_cols])
+    prefix_excl = F.sum(token_col).over(w) - F.col(token_col)
+    return df.withColumn("seq_id", F.floor(prefix_excl / seq_token_budget)).withColumn(
+        "seq_pos", F.row_number().over(w)
+    )
+
+
+def resample_to_mix(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    seed: int = 42,
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Downsample each group so the surviving corpus matches the target
+    mix ``weights`` (e.g. language/domain proportions), keeping as many
+    rows as possible: the binding group (smallest count/weight ratio) is
+    kept whole and every other group is thinned to match.
+
+    Deterministic: a row survives iff hash(id) mod resolution falls under
+    its group's acceptance threshold — re-runs, insertions elsewhere, and
+    repartitioning never flip a kept row, and the identical rule is
+    expressible in ANSI SQL (oracle-checkable).
+
+    Scale shape: one tiny count aggregate per group, cross-joined as a
+    broadcast threshold table; the corpus itself is filtered map-side —
+    no shuffle of the data. Groups absent from ``weights`` are dropped."""
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in (kv[0], float(kv[1]))]
+    )
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__w", wmap[F.col(group_col)])
+        .filter(F.col("__w").isNotNull())
+    )
+    scale = counts.agg(F.min(F.col("__n") / F.col("__w")).alias("__scale"))
+    thresholds = counts.crossJoin(F.broadcast(scale)).select(
+        group_col,
+        F.least(
+            F.lit(resolution).cast("bigint"),
+            F.floor(F.lit(resolution) * F.col("__scale") * F.col("__w") / F.col("__n")),
+        ).alias("__thr"),
+    )
+    return (
+        df.join(F.broadcast(thresholds), group_col)
+        .filter(F.pmod(_seeded_hash(id_col, seed), F.lit(resolution)) < F.col("__thr"))
+        .drop("__thr")
+    )

@@ -1,0 +1,137 @@
+"""Mergeable distinct-count sketches (HyperLogLog) built on the
+md5-derived ``stable_hash64`` — so unlike ``approx_count_distinct`` (whose
+HLL++ registers are engine-internal), the ENTIRE sketch, including every
+register value and the final estimate, has a bit-identical ANSI-SQL
+formulation and is oracle-checkable.
+
+Why a hand-rolled HLL when Spark has ``approx_count_distinct``: the point
+of a sketch at 100 TB is *mergeability* — per-partition/per-day register
+tables that union and re-max without touching raw data. Exposing the
+register table as a first-class DataFrame makes that composition explicit
+(``hll_register_table`` once per ingest batch; ``hll_merge`` + ``hll_estimate``
+at query time over any subset), which approx_count_distinct's opaque binary
+buffer cannot do across jobs.
+
+Shape: h = stable_hash64(value) is 60 bits. The low ``p`` bits pick one of
+m = 2^p registers; rho = position of the highest set bit of the remaining
+(60-p) bits, counted from the top (1..61-p). Standard HLL estimator
+(Flajolet et al. 2007) with the linear-counting small-range correction.
+
+Scale: one shuffle of at most |groups| * m rows (partial max map-side),
+then a tiny per-group fold. No memory proportional to cardinality.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from urban_traffic_data_lake_project_spark.functions import stable_hash64
+
+_HASH_BITS = 60  # stable_hash64 = first 15 hex digits of md5
+
+
+def _rho(w: Column, width: int) -> Column:
+    """1-based position of the first 1-bit of ``w`` within ``width`` bits,
+    scanning from the most significant end; width+1 when w == 0.
+
+    Bit length via ``length(bin(w))`` — exact integer arithmetic (no
+    floating log2, whose rounding at powers of two differs per engine)."""
+    return F.when(w == 0, F.lit(width + 1)).otherwise(
+        F.lit(width + 1) - F.length(F.bin(w))
+    )
+
+
+def hll_register_table(
+    df: DataFrame, group_cols: Sequence[str], value_col: str, p: int = 8
+) -> DataFrame:
+    """(group..., register, max_rho) — the mergeable sketch state.
+
+    Partial ``max`` happens map-side, so the shuffle carries at most
+    |groups| * 2^p rows no matter how many input rows there are."""
+    m = 1 << p
+    h = stable_hash64(F.col(value_col).cast("string"))
+    w = F.shiftright(h, p)
+    return (
+        df.select(
+            *group_cols,
+            h.bitwiseAND(F.lit(m - 1)).alias("register"),
+            _rho(w, _HASH_BITS - p).alias("__rho"),
+        )
+        .groupBy(*group_cols, "register")
+        .agg(F.max("__rho").alias("max_rho"))
+    )
+
+
+def hll_merge(registers: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Union-merge of register tables (same p): re-max per register. This
+    is what makes the sketch incremental — per-batch register tables merge
+    without rescanning data."""
+    return registers.groupBy(*group_cols, "register").agg(
+        F.max("max_rho").alias("max_rho")
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: Sequence[str], p: int = 8
+) -> DataFrame:
+    """(group..., n_hll): the bias-corrected HLL estimate per group.
+
+    raw = alpha_m * m^2 / sum_j 2^-M_j, where absent registers contribute
+    2^0; if raw <= 2.5m and any register is empty, switch to linear
+    counting m * ln(m / zeros)."""
+    m = 1 << p
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    folded = registers.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("__s"),
+        F.count(F.lit(1)).alias("__present"),
+    )
+    zeros = F.lit(m) - F.col("__present")
+    raw = alpha * m * m / (F.col("__s") + zeros.cast("double"))
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return folded.select(*group_cols, est.alias("n_hll"))
+
+
+def hll_distinct(
+    df: DataFrame, group_cols: Sequence[str], value_col: str, p: int = 8
+) -> DataFrame:
+    """End-to-end grouped approximate distinct count: register table ->
+    estimate. One pass over the data."""
+    return hll_estimate(hll_register_table(df, group_cols, value_col, p), group_cols, p)
+
+
+def hll_sql(
+    table_expr: str, group_cols: Sequence[str], value_expr: str, p: int = 8
+) -> str:
+    """The bit-identical DuckDB formulation of ``hll_distinct`` (shared by
+    oracle SQL and tests). ``value_expr`` must already be VARCHAR."""
+    m = 1 << p
+    width = _HASH_BITS - p
+    g = ", ".join(group_cols)
+    h = f"(('0x' || substr(md5({value_expr}), 1, 15))::UBIGINT)::BIGINT"
+    return f"""
+regs AS (
+  SELECT {g}, h & {m - 1} AS register,
+         max(CASE WHEN (h >> {p}) = 0 THEN {width + 1}
+                  ELSE {width + 1} - length(bin(h >> {p})) END) AS max_rho
+  FROM (SELECT {g}, {h} AS h FROM {table_expr})
+  GROUP BY {g}, register),
+folded AS (
+  SELECT {g}, sum(pow(2.0, -max_rho)) AS s, count(*) AS present
+  FROM regs GROUP BY {g}),
+hll AS (
+  SELECT {g},
+         CASE WHEN (0.7213 / (1.0 + 1.079 / {float(m)})) * {m} * {m}
+                   / (s + ({m} - present)::DOUBLE) <= 2.5 * {m}
+                   AND ({m} - present) > 0
+              THEN {float(m)} * ln({float(m)} / ({m} - present)::DOUBLE)
+              ELSE (0.7213 / (1.0 + 1.079 / {float(m)})) * {m} * {m}
+                   / (s + ({m} - present)::DOUBLE)
+         END AS n_hll
+  FROM folded)
+"""

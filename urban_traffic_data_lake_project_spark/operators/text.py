@@ -197,6 +197,35 @@ def chunk_documents(
     ).select(id_col, "chunk_id", F.col("__c.n_tokens"), F.col("__c.chunk_text"))
 
 
+# PII patterns, applied IN ORDER (emails before URLs before IPs before bare
+# digit runs, so a token never double-matches a later, looser pattern).
+# Every pattern stays inside the Java-regex ∩ RE2 common dialect so the
+# DuckDB oracle replicates the redaction byte-for-byte.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("ip", r"\b\d{1,3}(\.\d{1,3}){3}\b", "<IP>"),
+    ("digit_run", r"\d{6,}", "<NUM>"),
+)
+
+
+def redact_pii(text: Column) -> dict[str, Column]:
+    """PII scrubbing as a single sequential ``regexp_replace`` chain — the
+    standard pre-training privacy pass. Returns the redacted text plus a
+    per-pattern hit count (counted against the text as it stands when that
+    pattern is applied, i.e. exactly the occurrences that were replaced).
+
+    Pure Catalyst expressions — the whole chain is one codegen'd
+    projection, embarrassingly parallel at any corpus size."""
+    out: dict[str, Column] = {}
+    cur = text
+    for name, pat, token in PII_PATTERNS:
+        out[f"n_{name}"] = F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, token)
+    out["redacted"] = cur
+    return out
+
+
 def document_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Everything above in ONE projection over the corpus: id, predicted
     language, quality signals + composite score, token counts, fingerprint."""

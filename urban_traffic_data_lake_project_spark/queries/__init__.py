@@ -10,6 +10,7 @@ from urban_traffic_data_lake_project_spark.queries import (
     analytics,
     cleaning,
     core,
+    curation,
     llm,
     scalars,
     windows,
@@ -19,7 +20,7 @@ from urban_traffic_data_lake_project_spark.queries.base import QuerySpec
 
 def _assemble() -> dict[str, QuerySpec]:
     registry: dict[str, QuerySpec] = {}
-    for m in (core, cleaning, llm, windows, analytics, scalars):
+    for m in (core, cleaning, llm, windows, analytics, scalars, curation):
         overlap = registry.keys() & m.REGISTRY.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
