@@ -164,6 +164,7 @@ def chunk_documents(
     text_col: str,
     chunk_tokens: int = 100,
     overlap: int = 20,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Overlapping fixed-token-window chunking — the standard training-
     corpus preparation step: whitespace tokens, windows of ``chunk_tokens``
@@ -175,12 +176,14 @@ def chunk_documents(
     word array materializes as a column BEFORE the lambda (no CSE inside
     higher-order-function lambdas).
 
-    Returns (id, chunk_id, n_tokens, chunk_text)."""
+    Returns (id, chunk_id, n_tokens, chunk_text, *carry_cols) —
+    ``carry_cols`` ride along through the explode so downstream consumers
+    (shard labels, split tags) need no re-join back to the corpus."""
     step = chunk_tokens - overlap
     if step <= 0:
         raise ValueError("overlap must be smaller than chunk_tokens")
     words = df.select(
-        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__w")
+        F.col(id_col), *carry_cols, F.split(F.trim(F.col(text_col)), r"\s+").alias("__w")
     ).filter(F.trim(F.col(text_col)) != "")
     n = F.size("__w")
     n_chunks = F.floor((F.greatest(n - overlap, F.lit(1)) + (step - 1)) / step).cast("int")
@@ -193,8 +196,10 @@ def chunk_documents(
         ),
     )
     return words.select(
-        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "__c")
-    ).select(id_col, "chunk_id", F.col("__c.n_tokens"), F.col("__c.chunk_text"))
+        F.col(id_col), *carry_cols, F.posexplode(chunks).alias("chunk_id", "__c")
+    ).select(
+        id_col, "chunk_id", F.col("__c.n_tokens"), F.col("__c.chunk_text"), *carry_cols
+    )
 
 
 # PII patterns, applied IN ORDER (emails before URLs before IPs before bare

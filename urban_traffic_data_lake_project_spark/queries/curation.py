@@ -140,8 +140,10 @@ _PACK_SEQ_BUDGET = 512
 def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     labeled = pack_shards(docs, "doc_id", "n_chars", _PACK_SHARD_BUDGET)
-    chunks = T.chunk_documents(labeled, "doc_id", "text", _PACK_CHUNK, _PACK_OVERLAP)
-    chunks = chunks.join(labeled.select("doc_id", "shard_id"), "doc_id")
+    # shard_id rides through the explode — no chunks-to-corpus re-join
+    chunks = T.chunk_documents(
+        labeled, "doc_id", "text", _PACK_CHUNK, _PACK_OVERLAP, carry_cols=("shard_id",)
+    )
     packed = pack_sequences(
         chunks, "shard_id", "n_tokens", ["doc_id", "chunk_id"], _PACK_SEQ_BUDGET
     )

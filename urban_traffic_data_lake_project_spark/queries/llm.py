@@ -685,15 +685,20 @@ def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_MINHASH_BANDS, threshold=_JACCARD_THRESHOLD,
     )
     d2 = D.dedup_keep_canonical(d1, "doc_id", pairs)
-    d3 = d2.filter(T.quality_score(F.col("text")) >= _QUALITY_THRESHOLD)
+    # persist the curated corpus: pack_shards' total-tokens aggregate is
+    # eager and the chunk stage consumes it again — without the cache the
+    # dedup + LSH-verification + quality subtree executes twice
+    d3 = d2.filter(T.quality_score(F.col("text")) >= _QUALITY_THRESHOLD).persist()
     labeled = pack_shards(
         train_eval_split(d3, "doc_id", eval_per_mille=100),
         "doc_id", "n_chars", _CURATION_BUDGET,
     )
-    chunks = T.chunk_documents(labeled, "doc_id", "text", _CHUNK_TOKENS, _CHUNK_OVERLAP)
-    return chunks.join(
-        labeled.select("doc_id", "split", "shard_id"), "doc_id"
-    ).select("doc_id", "chunk_id", "n_tokens", "split", "shard_id")
+    # split/shard ride through the explode — no chunks-to-corpus re-join
+    chunks = T.chunk_documents(
+        labeled, "doc_id", "text", _CHUNK_TOKENS, _CHUNK_OVERLAP,
+        carry_cols=("split", "shard_id"),
+    )
+    return chunks.select("doc_id", "chunk_id", "n_tokens", "split", "shard_id")
 
 
 _CURATION_SQL = f"""
