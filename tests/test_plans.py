@@ -88,3 +88,38 @@ def test_ivf_assignment_has_no_corpus_shuffle(spark, sf_dir):
     assert "hashpartitioning(neighbor_id" not in plan
     assert "windowspecdefinition(neighbor_id" not in plan
     assert "windowspecdefinition(query_id" in plan
+
+
+def test_redact_pii_is_shuffle_free_projection(spark, sf_dir):
+    # the redaction chain is one codegen'd projection over the corpus —
+    # any Exchange would mean a scale-breaking accidental shuffle
+    df = REGISTRY["text_redact_pii"].fn(spark, sf_dir)
+    df.collect()
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    assert "*(1)" in plan  # whole-stage codegen covers the projection
+
+
+def test_decontam_corpus_side_joins_are_broadcast(spark, sf_dir):
+    # the training corpus must never shuffle against the eval n-gram set:
+    # membership test and flag-attach are broadcast joins; the only
+    # corpus-keyed exchange is the per-doc hit-count re-aggregation
+    df = REGISTRY["decontam_eval_overlap"].fn(spark, sf_dir)
+    df.collect()
+    plan = plan_of(df)
+    assert "BroadcastHashJoin [shingle], [shingle], LeftSemi" in plan.replace("#", "").replace(
+        "".join(ch for ch in plan if False), ""
+    ) or "LeftSemi, BuildRight" in plan
+    # no sort-merge join anywhere — corpus-side joins stay broadcast
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_single_shard_exchange(spark, sf_dir):
+    # exactly one hash-partition exchange (the per-shard packing window);
+    # chunk labels ride through the explode, so there is no join at all
+    df = REGISTRY["curation_pack_sequences"].fn(spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("+- == Initial Plan ==")[0]  # AQE-final only
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(shard_id" in plan
+    assert "Join" not in plan

@@ -110,9 +110,15 @@ def pack_sequences(
     in-partition sort a training-data writer needs anyway, never a global
     single-reducer sort."""
     w = Window.partitionBy(shard_col).orderBy(*[F.col(c).asc() for c in order_cols])
-    prefix_excl = F.sum(token_col).over(w) - F.col(token_col)
-    return df.withColumn("seq_id", F.floor(prefix_excl / seq_token_budget)).withColumn(
-        "seq_pos", F.row_number().over(w)
+    # explicit ROWS frame: same window spec as row_number, so both
+    # expressions land in ONE Window node over one exchange (a RANGE-framed
+    # sum would force a second Window + shuffle for the same partitioning)
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prefix_excl = F.sum(token_col).over(wr) - F.col(token_col)
+    return df.select(
+        "*",
+        F.floor(prefix_excl / seq_token_budget).alias("seq_id"),
+        F.row_number().over(w).alias("seq_pos"),
     )
 
 
