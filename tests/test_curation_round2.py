@@ -198,3 +198,89 @@ def test_redact_pii_order_prevents_double_matching(spark):
     ).collect()[0]
     assert (row["u"], row["d"]) == (1, 0)
     assert row["r"] == "see <URL> done"
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup (batch vs pre-built index)
+# ---------------------------------------------------------------------------
+def test_incremental_dedup_matches_full_pairs_restricted(spark, sf_dir):
+    """Batch-vs-index pairs == the full-corpus LSH pairs restricted to
+    (corpus, batch) — the subset-stability that makes the index sound."""
+    from urban_traffic_data_lake_project_spark.operators.dedup import (
+        dedup_index,
+        incremental_dedup_pairs,
+        minhash_lsh_dedup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = 400
+    index = dedup_index(docs.filter(F.col("doc_id") < split), "doc_id", "text")
+    batch = docs.filter(F.col("doc_id") >= split)
+    incr = {
+        (r["corpus_id"], r["batch_id"])
+        for r in incremental_dedup_pairs(index, batch, "doc_id", "text").collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_dedup_pairs(docs, "doc_id", "text").collect()
+        if r["id_a"] < split <= r["id_b"]
+    }
+    assert incr == full
+
+
+def test_dedup_index_roundtrips_through_parquet(spark, sf_dir, tmp_path):
+    """The index survives a write/read cycle — the actual production shape
+    (standing corpus indexed once on disk, batches probe it)."""
+    from urban_traffic_data_lake_project_spark.operators.dedup import (
+        dedup_index,
+        incremental_dedup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = 400
+    path = str(tmp_path / "dedup_index")
+    dedup_index(docs.filter(F.col("doc_id") < split), "doc_id", "text").write.parquet(path)
+    index = spark.read.parquet(path)
+    batch = docs.filter(F.col("doc_id") >= split)
+    live = incremental_dedup_pairs(
+        dedup_index(docs.filter(F.col("doc_id") < split), "doc_id", "text"),
+        batch, "doc_id", "text",
+    )
+    stored = incremental_dedup_pairs(index, batch, "doc_id", "text")
+    assert sorted(map(tuple, live.collect())) == sorted(map(tuple, stored.collect()))
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization
+# ---------------------------------------------------------------------------
+def test_quantize_codes_in_int8_range_and_bounded_error(spark, sf_dir):
+    from urban_traffic_data_lake_project_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings_int8(emb, "vec_id", "embedding")
+    stats = q.select(
+        F.min(F.array_min("q_codes")).alias("cmin"),
+        F.max(F.array_max("q_codes")).alias("cmax"),
+        F.max("max_abs_err").alias("emax"),
+    ).collect()[0]
+    assert -128 <= stats["cmin"] and stats["cmax"] <= 127
+    # per-dim bounds -> error is at most half a quantization step of the
+    # widest dimension; synthetic embeddings are ~[-1, 1], step ~2/255
+    assert stats["emax"] <= 0.02
+
+
+def test_quantize_constant_dimension_codes_to_zero(spark):
+    from urban_traffic_data_lake_project_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [5.0, 0.0]), (2, [5.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings_int8(df).collect()}
+    # dim 0 constant -> code 0, zero error; dim 1 spans [0,1] -> extremes
+    assert rows[1]["q_codes"][0] == 0 and rows[2]["q_codes"][0] == 0
+    assert rows[1]["q_errs"][0] == 0.0
+    assert rows[1]["q_codes"][1] == -128 and rows[2]["q_codes"][1] == 127

@@ -61,6 +61,55 @@ def grouped_vector_mean(
     )
 
 
+def quantize_embeddings_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension affine int8 quantization of an embedding column — the
+    standard 4x storage/bandwidth compression for vector stores at corpus
+    scale. Codes are ``floor((v - lo_d) * 255 / (hi_d - lo_d) + 0.5) - 128``
+    with global per-dimension bounds (constant dimensions code to 0).
+
+    Returns (id, q_codes array<bigint>, q_errs array<double>,
+    mean_abs_err, max_abs_err) — q_errs is the per-element dequantization
+    round-trip loss, the summary columns its per-vector mean/max.
+
+    Scale shape: bounds come from ONE posexplode + grouped min/max
+    (shuffle of dim-count rows after map-side partials), reassembled into
+    a single broadcast row; the quantization itself is a map-side
+    ``zip_with`` expression — the corpus is scanned twice (bounds pass +
+    code pass), never shuffled. Deterministic, so the codes themselves are
+    oracle-checkable."""
+    v = _as_double(F.col(vec_col))
+    ex = df.select(F.posexplode(v).alias("__pos", "__v"))
+    stats = ex.groupBy("__pos").agg(F.min("__v").alias("lo"), F.max("__v").alias("hi"))
+    bounds = stats.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("__pos", "lo", "hi"))).alias("__b")
+    )
+    code = lambda x, b: F.when(b["hi"] == b["lo"], F.lit(0).cast("bigint")).otherwise(  # noqa: E731
+        F.floor((x - b["lo"]) * 255.0 / (b["hi"] - b["lo"]) + 0.5) - 128
+    )
+    dequant = lambda c, b: (c + 128) * (b["hi"] - b["lo"]) / 255.0 + b["lo"]  # noqa: E731
+    qs = F.zip_with(
+        v, F.col("__b"),
+        lambda x, b: F.struct(
+            code(x, b).alias("code"), F.abs(x - dequant(code(x, b), b)).alias("err")
+        ),
+    )
+    out = df.crossJoin(F.broadcast(bounds)).select(
+        F.col(id_col), qs.alias("__q")
+    )
+    errs = F.col("__q").getField("err")
+    return out.select(
+        id_col,
+        F.col("__q").getField("code").alias("q_codes"),
+        errs.alias("q_errs"),
+        (
+            F.aggregate(errs, F.lit(0.0), lambda a, x: a + x) / F.size("__q")
+        ).alias("mean_abs_err"),
+        F.array_max(errs).alias("max_abs_err"),
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

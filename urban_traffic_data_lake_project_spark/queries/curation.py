@@ -30,8 +30,14 @@ from urban_traffic_data_lake_project_spark.operators.sketches import (
 )
 from urban_traffic_data_lake_project_spark.queries.base import ROUND_STAT, QuerySpec
 from urban_traffic_data_lake_project_spark.queries.llm import (
+    _BAND_SELECTS,
+    _JACCARD_THRESHOLD,
+    _MH_AGGS,
+    _MINHASH_BANDS,
+    _MINHASH_K,
     _NORM,
     _SEEDED_HASH_SQL,
+    _SHINGLE_CTE,
     _SHINGLES_3,
     _sql_hash64,
 )
@@ -292,6 +298,114 @@ FROM s4
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup_incremental — batch-vs-index near-dedup: the standing corpus (doc_id
+# < 400) has a pre-built signature+shingle index; the arriving batch
+# (doc_id >= 400) dedups against it without recomputing corpus signatures.
+# Banding of per-doc signatures is subset-stable, so the oracle recomputes
+# the full banding and restricts pairs to (corpus, batch).
+# ---------------------------------------------------------------------------
+_INCR_SPLIT = 400
+
+
+def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.operators.dedup import (
+        dedup_index,
+        incremental_dedup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # in production the index is persisted parquet; here it is built from
+    # the standing slice so the whole query stays one reproducible plan
+    index = dedup_index(
+        docs.filter(F.col("doc_id") < _INCR_SPLIT), "doc_id", "text",
+        n=3, num_hashes=_MINHASH_K,
+    )
+    batch = docs.filter(F.col("doc_id") >= _INCR_SPLIT)
+    pairs = incremental_dedup_pairs(
+        index, batch, "doc_id", "text", n=3, num_hashes=_MINHASH_K,
+        bands=_MINHASH_BANDS, threshold=_JACCARD_THRESHOLD,
+    )
+    return pairs.select(
+        "corpus_id", "batch_id", F.round("jaccard", ROUND_STAT).alias("jaccard")
+    )
+
+
+_DEDUP_INCREMENTAL_SQL = f"""
+WITH {_SHINGLE_CTE},
+hashed AS (SELECT doc_id, {_sql_hash64('shingle')} % 2147483647 AS h FROM sh),
+sigs AS (
+  SELECT doc_id,
+       {_MH_AGGS}
+  FROM hashed GROUP BY doc_id),
+buckets AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS batch_id
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < {_INCR_SPLIT} AND b.doc_id >= {_INCR_SPLIT}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.corpus_id, c.batch_id, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.corpus_id
+  JOIN sh b ON b.doc_id = c.batch_id AND b.shingle = a.shingle
+  GROUP BY c.corpus_id, c.batch_id),
+jac AS (
+  SELECT i.corpus_id, i.batch_id,
+         i.n_common::DOUBLE / (sa.n_sh + sb.n_sh - i.n_common) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.corpus_id
+  JOIN sizes sb ON sb.doc_id = i.batch_id)
+SELECT corpus_id, batch_id, round(jaccard, {ROUND_STAT}) AS jaccard
+FROM jac WHERE jaccard >= {_JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# sim_embedding_quantize — int8 affine quantization of the embedding table,
+# checked ELEMENT-WISE in long form: every code and its dequantization
+# error hash-match the oracle (the compression itself is verified, not a
+# summary of it).
+# ---------------------------------------------------------------------------
+def _embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings_int8(emb, "vec_id", "embedding")
+    return q.select(
+        "vec_id", F.posexplode(F.arrays_zip("q_codes", "q_errs")).alias("dim_pos", "__z")
+    ).select(
+        "vec_id",
+        "dim_pos",
+        F.col("__z.q_codes").alias("q_code"),
+        F.round(F.col("__z.q_errs"), ROUND_STAT).alias("abs_err"),
+    )
+
+
+_QUANTIZE_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+ex AS (
+  SELECT i - 1 AS pos, e[i] AS val
+  FROM v, LATERAL unnest(range(1, len(e) + 1)) AS t(i)),
+stats AS (SELECT pos, min(val) AS lo, max(val) AS hi FROM ex GROUP BY pos),
+bounds AS (
+  SELECT list(lo ORDER BY pos) AS lo_a, list(hi ORDER BY pos) AS hi_a FROM stats),
+coded AS (
+  SELECT vec_id, i - 1 AS dim_pos, e[i] AS val, lo_a[i] AS lo, hi_a[i] AS hi,
+         CASE WHEN hi_a[i] = lo_a[i] THEN 0
+              ELSE floor((e[i] - lo_a[i]) * 255.0 / (hi_a[i] - lo_a[i]) + 0.5) - 128
+         END AS q_code
+  FROM v, bounds, LATERAL unnest(range(1, len(e) + 1)) AS t(i))
+SELECT vec_id, dim_pos, q_code::BIGINT AS q_code,
+       round(abs(val - (CASE WHEN hi = lo THEN val
+                             ELSE (q_code + 128) * (hi - lo) / 255.0 + lo END)),
+             {ROUND_STAT}) AS abs_err
+FROM coded
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "decontam_eval_overlap": QuerySpec(
         _decontam_overlap, _DECONTAM_SQL,
@@ -317,5 +431,15 @@ REGISTRY: dict[str, QuerySpec] = {
         _redact_pii, _REDACT_SQL,
         "PII redaction chain: emails, URLs, IPs, digit runs",
         ("text", "curation", "defer"),
+    ),
+    "dedup_incremental": QuerySpec(
+        _dedup_incremental, _DEDUP_INCREMENTAL_SQL,
+        "batch-vs-index near-dedup against a pre-built signature index",
+        ("dedup", "curation", "defer"),
+    ),
+    "sim_embedding_quantize": QuerySpec(
+        _embedding_quantize, _QUANTIZE_SQL,
+        "int8 embedding quantization, element-wise codes + roundtrip error",
+        ("similarity", "curation", "defer"),
     ),
 }
