@@ -284,3 +284,60 @@ def test_quantize_constant_dimension_codes_to_zero(spark):
     assert rows[1]["q_codes"][0] == 0 and rows[2]["q_codes"][0] == 0
     assert rows[1]["q_errs"][0] == 0.0
     assert rows[1]["q_codes"][1] == -128 and rows[2]["q_codes"][1] == 127
+
+
+# ---------------------------------------------------------------------------
+# HLL rollup and weighted sampling
+# ---------------------------------------------------------------------------
+def test_hll_rollup_equals_direct_sketch(spark, sf_dir):
+    """Merging fine-grained register tables up loses nothing: the rolled-up
+    estimate equals the sketch built directly at the coarse level."""
+    from urban_traffic_data_lake_project_spark.operators.sketches import hll_rollup
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "m", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    direct = {
+        r["o_orderpriority"]: r["n_hll"]
+        for r in hll_distinct(orders, ["o_orderpriority"], "o_custkey", p=8).collect()
+    }
+    rolled = {
+        r["o_orderpriority"]: r["n_hll"]
+        for r in hll_rollup(
+            orders, ["o_orderpriority", "m"], ["o_orderpriority"], "o_custkey", p=8
+        ).collect()
+    }
+    assert rolled == direct
+
+
+def test_weighted_sample_favors_heavy_weights(spark):
+    from urban_traffic_data_lake_project_spark.operators.sampling import weighted_sample
+
+    # 500 light rows (w=1) + 50 heavy rows (w=50): heavy rows are ~50x more
+    # likely per row; expect heavy to dominate a k=50 sample
+    df = spark.range(550).select(
+        F.col("id").alias("doc_id"),
+        F.lit("g").alias("g"),
+        F.when(F.col("id") < 50, 50.0).otherwise(1.0).alias("w"),
+    )
+    picked = weighted_sample(df, ["g"], "doc_id", "w", k=50).collect()
+    n_heavy = sum(1 for r in picked if r["doc_id"] < 50)
+    assert len(picked) == 50
+    assert n_heavy >= 35  # E[heavy] ~ 41 of 50; 35 is ~4 sigma slack
+
+
+def test_weighted_sample_deterministic_and_excludes_nonpositive(spark):
+    from urban_traffic_data_lake_project_spark.operators.sampling import weighted_sample
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.lit("g").alias("g"),
+        F.when(F.col("id") % 10 == 0, 0.0).otherwise(1.0).alias("w"),
+    )
+    a = sorted(r["doc_id"] for r in weighted_sample(df, ["g"], "doc_id", "w", 20).collect())
+    b = sorted(r["doc_id"] for r in weighted_sample(df, ["g"], "doc_id", "w", 20).collect())
+    assert a == b
+    assert all(d % 10 != 0 for d in a)  # zero-weight rows never selected
+    # a different seed draws a different sample
+    c = sorted(r["doc_id"] for r in weighted_sample(df, ["g"], "doc_id", "w", 20, seed=7).collect())
+    assert a != c

@@ -170,3 +170,28 @@ def test_decode_metadata_parses_real_payloads(spark):
     assert (out[2]["width"], out[2]["height"], out[2]["duration_ms"]) == (None, None, 1500)
     # unknown format falls back to the deterministic stub (16..79 range)
     assert 16 <= out[3]["width"] < 80 and 16 <= out[3]["height"] < 80
+
+
+def _real_jpeg(width: int, height: int, with_app0: bool = True) -> bytes:
+    import struct
+
+    app0 = b""
+    if with_app0:
+        body = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+        app0 = b"\xff\xe0" + struct.pack(">H", 2 + len(body)) + body
+    sof0 = b"\xff\xc0" + struct.pack(">HBHH", 17, 8, height, width) + b"\x00" * 10
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_parse_media_header_jpeg_marker_walk():
+    # dimensions come from SOF0 even with an APP0/JFIF segment in front
+    # (the real camera-file layout) — the parser must walk markers, not
+    # assume SOF at a fixed offset
+    assert MM.parse_media_header(_real_jpeg(1920, 1080)) == {
+        "width": 1920, "height": 1080, "duration_ms": None,
+    }
+    assert MM.parse_media_header(_real_jpeg(64, 48, with_app0=False)) == {
+        "width": 64, "height": 48, "duration_ms": None,
+    }
+    # truncated after SOI -> no dimensions -> stub fallback path (None)
+    assert MM.parse_media_header(b"\xff\xd8\xff\xe0") is None

@@ -106,6 +106,26 @@ def parse_media_header(payload: bytes) -> dict | None:
             "height": abs(int.from_bytes(b[22:26], "little", signed=True)),
             "duration_ms": None,
         }
+    # JPEG: SOI then marker segments; dimensions live in the first SOF
+    # frame header (C0-CF except C4/C8/CC): precision(1), height(2 BE),
+    # width(2 BE) after the segment length
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        off = 2
+        while off + 4 <= len(b) and b[off] == 0xFF:
+            marker = b[off + 1]
+            if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                off += 2  # standalone markers carry no segment
+                continue
+            seg_len = int.from_bytes(b[off + 2 : off + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if off + 9 <= len(b):
+                    return {
+                        "width": int.from_bytes(b[off + 7 : off + 9], "big"),
+                        "height": int.from_bytes(b[off + 5 : off + 7], "big"),
+                        "duration_ms": None,
+                    }
+                break
+            off += 2 + seg_len
     # WAV: RIFF container — walk chunks for fmt (byte rate) and data (size)
     if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         byte_rate = data_size = None

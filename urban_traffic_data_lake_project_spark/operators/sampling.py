@@ -122,6 +122,39 @@ def pack_sequences(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k rows per group, where a
+    row's selection probability is proportional to ``weight_col`` (e.g.
+    quality-weighted corpus subsampling) — the Efraimidis–Spirakis A-ES
+    scheme with exponential keys: key = -ln(u)/w for a per-row uniform u,
+    keep the k smallest keys per group.
+
+    u comes from the seeded id hash, not an RNG — the same row always
+    draws the same u, so the sample is reproducible cross-engine and
+    stable under re-runs and repartitioning. Rows with weight <= 0 are
+    never selected.
+
+    Scale shape: one window partitioned by the group (bounded by k after
+    the rank filter); no global sort, no driver state."""
+    two53 = 1 << 53
+    u = (F.pmod(_seeded_hash(id_col, seed), F.lit(two53)) + 1) / F.lit(float(two53))
+    key = -F.log(u) / F.col(weight_col)
+    w = Window.partitionBy(*group_cols).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def resample_to_mix(
     df: DataFrame,
     group_col: str,

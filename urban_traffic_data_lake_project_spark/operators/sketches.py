@@ -105,6 +105,24 @@ def hll_distinct(
     return hll_estimate(hll_register_table(df, group_cols, value_col, p), group_cols, p)
 
 
+def hll_rollup(
+    df: DataFrame,
+    fine_cols: Sequence[str],
+    coarse_cols: Sequence[str],
+    value_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """The incremental-rollup pattern end to end: build per-``fine_cols``
+    register tables (e.g. per group per day — the granularity a daily
+    ingest job would persist), then MERGE them up to ``coarse_cols`` and
+    estimate. Because merge is a register-wise max, the result is exactly
+    the sketch built directly at the coarse level — no accuracy is lost by
+    sketching fine and rolling up, which is what makes per-batch sketch
+    tables a substitute for rescanning history."""
+    fine = hll_register_table(df, fine_cols, value_col, p)
+    return hll_estimate(hll_merge(fine, coarse_cols), coarse_cols, p)
+
+
 def hll_sql(
     table_expr: str, group_cols: Sequence[str], value_expr: str, p: int = 8
 ) -> str:

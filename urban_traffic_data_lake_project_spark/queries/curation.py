@@ -23,13 +23,16 @@ from urban_traffic_data_lake_project_spark.operators.sampling import (
     pack_sequences,
     resample_to_mix,
     train_eval_split,
+    weighted_sample,
 )
 from urban_traffic_data_lake_project_spark.operators.sketches import (
     hll_distinct,
+    hll_rollup,
     hll_sql,
 )
 from urban_traffic_data_lake_project_spark.queries.base import ROUND_STAT, QuerySpec
 from urban_traffic_data_lake_project_spark.queries.llm import (
+    _ALL_MARKERS_SQL,
     _BAND_SELECTS,
     _JACCARD_THRESHOLD,
     _MH_AGGS,
@@ -406,6 +409,78 @@ FROM coded
 """
 
 
+# ---------------------------------------------------------------------------
+# sketch_hll_rollup — the incremental-sketch pattern IN the gate: per-month
+# register tables (what a daily/monthly ingest job would persist) merged up
+# to per-priority estimates. Merge is register-wise max, so the rolled-up
+# estimate is EXACTLY the direct per-priority sketch — the oracle computes
+# the direct form and the hashes must still match.
+# ---------------------------------------------------------------------------
+def _sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "__month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    rolled = hll_rollup(
+        orders, ["o_orderpriority", "__month"], ["o_orderpriority"], "o_custkey", p=_HLL_P
+    )
+    return rolled.select(
+        "o_orderpriority", F.round("n_hll", 4).alias("n_hll")
+    )
+
+
+_HLL_ROLLUP_SQL = f"""
+WITH {hll_sql("orders", ["o_orderpriority"], "CAST(o_custkey AS VARCHAR)", p=_HLL_P)}
+SELECT o_orderpriority, round(n_hll, 4) AS n_hll FROM hll
+"""
+
+
+# ---------------------------------------------------------------------------
+# sample_weighted_quality — quality-weighted corpus subsampling: 30 docs
+# per language, selection probability proportional to the composite quality
+# score (A-ES exponential keys from the seeded id hash — reproducible
+# cross-engine, so the drawn sample itself hash-matches).
+# ---------------------------------------------------------------------------
+_WSAMPLE_K = 30
+_TWO53 = 1 << 53
+
+
+def _weighted_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    weighted = docs.withColumn("__w", T.quality_score(F.col("text")))
+    out = weighted_sample(weighted, ["lang"], "doc_id", "__w", _WSAMPLE_K)
+    return out.select("doc_id", "lang")
+
+
+_WSAMPLE_SQL = f"""
+WITH qb AS (
+  SELECT doc_id, lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{{}}-]')) AS punct,
+         {_ALL_MARKERS_SQL} AS stop_hits
+  FROM documents),
+q AS (
+  SELECT doc_id, lang,
+         0.4 * least(n_tokens::DOUBLE / 50.0, 1.0)
+       + 0.3 * (CASE WHEN nonspace > 0 THEN alpha::DOUBLE / nonspace ELSE 0.0 END)
+       + 0.2 * least((CASE WHEN n_tokens > 0 THEN stop_hits::DOUBLE / n_tokens ELSE 0.0 END) * 5.0, 1.0)
+       + 0.1 * (1.0 - least((CASE WHEN nonspace > 0 THEN punct::DOUBLE / nonspace ELSE 0.0 END) * 5.0, 1.0))
+         AS w
+  FROM qb),
+keyed AS (
+  SELECT doc_id, lang,
+         -ln(({_SEEDED_HASH_SQL} % {_TWO53} + 1) / {float(_TWO53)}) / w AS key
+  FROM q WHERE w > 0)
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY key, doc_id) AS rn
+  FROM keyed)
+WHERE rn <= {_WSAMPLE_K}
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "decontam_eval_overlap": QuerySpec(
         _decontam_overlap, _DECONTAM_SQL,
@@ -441,5 +516,15 @@ REGISTRY: dict[str, QuerySpec] = {
         _embedding_quantize, _QUANTIZE_SQL,
         "int8 embedding quantization, element-wise codes + roundtrip error",
         ("similarity", "curation", "defer"),
+    ),
+    "sketch_hll_rollup": QuerySpec(
+        _sketch_hll_rollup, _HLL_ROLLUP_SQL,
+        "per-month HLL sketches merged to per-priority estimates",
+        ("sketch", "defer"),
+    ),
+    "sample_weighted_quality": QuerySpec(
+        _weighted_quality_sample, _WSAMPLE_SQL,
+        "quality-weighted per-language sampling (A-ES exponential keys)",
+        ("curation", "defer"),
     ),
 }

@@ -118,15 +118,17 @@ FROM documents
 
 # ---------------------------------------------------------------------------
 # multimodal_decode — REAL byte-level decode, oracle-checked end to end:
-# Spark expressions construct a genuine PNG (signature + IHDR with
-# big-endian dimensions derived from the row) around each document's
-# bytes; the Arrow decode stage (operators.multimodal.parse_media_header)
-# parses the dimensions back OUT of the payload bytes; the oracle computes
-# the same dimensions arithmetically. A wrong parser (offset, endianness,
-# chunk walk) hash-mismatches immediately.
+# Spark expressions construct a genuine PNG (even doc_ids: signature + IHDR
+# with big-endian dimensions) or JPEG (odd doc_ids: SOI + SOF0 frame
+# header) around each document's bytes; the Arrow decode stage
+# (operators.multimodal.parse_media_header) SNIFFS the format and parses
+# the dimensions back OUT of the payload bytes; the oracle computes the
+# same dimensions arithmetically. A wrong parser (offset, endianness,
+# marker walk) hash-mismatches immediately.
 # ---------------------------------------------------------------------------
 _PNG_PREFIX_HEX = "89504E470D0A1A0A" + "0000000D" + "49484452"   # sig + len(13) + 'IHDR'
 _PNG_SUFFIX_HEX = "0802000000" + "DEADBEEF"  # bitdepth/colortype/... + CRC (unchecked)
+_JPEG_PREFIX_HEX = "FFD8" + "FFC0" + "0011" + "08"  # SOI + SOF0 + seg len + precision
 
 
 def _mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,19 +136,25 @@ def _mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (F.lit(1) + F.col("n_chars") % 512).cast("int")
     h = (F.lit(1) + F.col("doc_id") % 512).cast("int")
     be4 = lambda c: F.unhex(F.lpad(F.hex(c), 8, "0"))  # noqa: E731 — 4-byte big-endian
-    payload = F.concat(
+    be2 = lambda c: F.unhex(F.lpad(F.hex(c), 4, "0"))  # noqa: E731 — 2-byte big-endian
+    png = F.concat(
         F.unhex(F.lit(_PNG_PREFIX_HEX)), be4(w), be4(h),
         F.unhex(F.lit(_PNG_SUFFIX_HEX)), F.encode("text", "UTF-8"),
     )
+    jpeg = F.concat(
+        F.unhex(F.lit(_JPEG_PREFIX_HEX)), be2(h), be2(w), F.encode("text", "UTF-8"),
+    )
+    payload = F.when(F.col("doc_id") % 2 == 0, png).otherwise(jpeg)
     media = MM.ingest_binary(
-        docs.select("doc_id", payload.alias("png")), "doc_id", "png", "image", "png"
+        docs.select("doc_id", payload.alias("img")), "doc_id", "img", "image", "mixed"
     )
     return MM.decode_metadata(media).select("media_id", "byte_len", "width", "height")
 
 
 _MM_DECODE_SQL = """
 SELECT doc_id AS media_id,
-       33 + octet_length(encode(text)) AS byte_len,
+       CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 11 END
+         + octet_length(encode(text)) AS byte_len,
        1 + (n_chars % 512) AS width,
        1 + (doc_id % 512) AS height
 FROM documents
