@@ -341,3 +341,45 @@ def test_weighted_sample_deterministic_and_excludes_nonpositive(spark):
     # a different seed draws a different sample
     c = sorted(r["doc_id"] for r in weighted_sample(df, ["g"], "doc_id", "w", 20, seed=7).collect())
     assert a != c
+
+
+# ---------------------------------------------------------------------------
+# edge cases
+# ---------------------------------------------------------------------------
+def test_decontaminate_empty_eval_set_keeps_everything(spark):
+    train = spark.createDataFrame(
+        [(1, "some training text here today")], "doc_id long, text string"
+    )
+    empty_eval = spark.createDataFrame([], "doc_id long, text string")
+    assert decontaminate(train, empty_eval, "doc_id", "text", n=3).count() == 1
+
+
+def test_pack_sequences_oversized_row_gets_own_bins(spark):
+    # a row bigger than the budget still lands deterministically (its
+    # prefix advances past several bins; following rows continue after it)
+    df = spark.createDataFrame(
+        [(0, 0, 700), (0, 1, 100)], "shard_id long, chunk_id long, n_tokens long"
+    )
+    out = {r["chunk_id"]: r["seq_id"] for r in
+           pack_sequences(df, "shard_id", "n_tokens", ["chunk_id"], 256).collect()}
+    assert out[0] == 0        # starts at prefix 0
+    assert out[1] == 2        # prefix 700 -> floor(700/256) = 2
+
+
+def test_weighted_sample_k_larger_than_group_returns_all_positive(spark):
+    from urban_traffic_data_lake_project_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, "g", 1.0), (2, "g", 2.0), (3, "g", 0.0)],
+        "doc_id long, g string, w double",
+    )
+    got = sorted(r["doc_id"] for r in weighted_sample(df, ["g"], "doc_id", "w", 10).collect())
+    assert got == [1, 2]  # zero-weight row excluded, rest returned
+
+
+def test_hll_distinct_empty_and_single_value(spark):
+    empty = spark.createDataFrame([], "g string, v string")
+    assert hll_distinct(empty, ["g"], "v", p=6).count() == 0
+    one = spark.createDataFrame([("g", "x")] * 50, "g string, v string")
+    est = hll_distinct(one, ["g"], "v", p=6).collect()[0]["n_hll"]
+    assert abs(est - 1.0) < 0.2  # linear counting regime: ~exact at n=1

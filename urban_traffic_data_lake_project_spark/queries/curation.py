@@ -247,9 +247,10 @@ def _enrich(docs: DataFrame) -> F.Column:
     )
 
 
-def _redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    enriched = docs.select(F.col("doc_id"), _enrich(docs).alias("__t"))
+def _redact_projection(df: DataFrame) -> DataFrame:
+    """The enrich + redact projection, shared by the batch and streaming
+    forms (a stateless projection is streaming-safe verbatim)."""
+    enriched = df.select(F.col("doc_id"), _enrich(df).alias("__t"))
     cols = T.redact_pii(F.col("__t"))
     return enriched.select(
         "doc_id",
@@ -260,6 +261,24 @@ def _redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(cols["redacted"]).alias("redacted_chars"),
         stable_hash64(cols["redacted"]).alias("redacted_fp"),
     )
+
+
+def _redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _redact_projection(load_table(spark, sf_dir, "documents"))
+
+
+def _stream_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL streaming curation job: readStream over the corpus ->
+    the same redaction projection -> AvailableNow -> memory sink. Same
+    oracle as the batch form — streaming/batch parity for a stateless
+    curation stage, hash-checked."""
+    from urban_traffic_data_lake_project_spark.streaming.windows import (
+        read_table_stream,
+        run_available_now,
+    )
+
+    stream = read_table_stream(spark, sf_dir, "documents")
+    return run_available_now(_redact_projection(stream), spark)
 
 
 _ENRICH_SQL = (
@@ -526,5 +545,10 @@ REGISTRY: dict[str, QuerySpec] = {
         _weighted_quality_sample, _WSAMPLE_SQL,
         "quality-weighted per-language sampling (A-ES exponential keys)",
         ("curation", "defer"),
+    ),
+    "stream_redact_pii": QuerySpec(
+        _stream_redact, _REDACT_SQL,
+        "the redaction chain as a real streaming job (AvailableNow), same oracle",
+        ("streaming", "curation", "defer"),
     ),
 }

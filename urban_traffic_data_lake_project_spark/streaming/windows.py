@@ -27,6 +27,17 @@ def events_schema_and_path(spark: SparkSession, sf_dir: str) -> tuple:
     return spark.read.parquet(path).schema, path
 
 
+def read_table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """File stream over any testdata table (schema from the batch reader).
+    The streaming analogue of ``sources.load_table`` for tables without
+    the events nanos-timestamp quirk."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    schema = spark.read.parquet(path).schema
+    if os.path.isfile(path):
+        path = path[:-1] + f"[{path[-1]}]"  # see read_events_stream
+    return spark.readStream.schema(schema).parquet(path)
+
+
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
