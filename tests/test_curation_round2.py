@@ -383,3 +383,16 @@ def test_hll_distinct_empty_and_single_value(spark):
     one = spark.createDataFrame([("g", "x")] * 50, "g string, v string")
     est = hll_distinct(one, ["g"], "v", p=6).collect()[0]["n_hll"]
     assert abs(est - 1.0) < 0.2  # linear counting regime: ~exact at n=1
+
+
+def test_unigram_logprob_ranks_rare_content_lower(spark):
+    from urban_traffic_data_lake_project_spark.operators.text import unigram_logprob
+
+    # doc 1 repeats the corpus-dominant token; doc 2 is all hapaxes
+    rows = [(1, "common common common common")] + [
+        (2, "zyx wvu tsr qpo")
+    ] + [(i, "common filler") for i in range(3, 23)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["avg_logp"] for r in unigram_logprob(df, "doc_id", "text").collect()}
+    assert out[1] > out[2]  # common tokens -> higher mean log-probability
+    assert all(v < 0 for v in out.values())  # log of probabilities < 1

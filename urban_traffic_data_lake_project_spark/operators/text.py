@@ -231,6 +231,32 @@ def redact_pii(text: Column) -> dict[str, Column]:
     return out
 
 
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Language-model quality scoring, unigram form: fit term frequencies
+    on the corpus itself, score each document by its mean token
+    log-probability (the cheap stand-in for the perplexity filtering a
+    production pipeline runs with a KenLM-style model — low scores flag
+    boilerplate/garbage relative to the corpus distribution).
+
+    Returns (id, n_tokens, avg_logp).
+
+    Scale shape: one explode, one term-count aggregation (map-side
+    partials, shuffle |vocab| rows), one term-keyed join back (natural
+    text vocabularies follow Zipf — AQE's skew-join split handles the
+    head terms), one per-doc re-aggregation. No Python."""
+    terms = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    n_total = terms.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    freqs = terms.groupBy("term").agg(F.count(F.lit(1)).alias("__tf"))
+    scored = terms.join(freqs, "term").crossJoin(F.broadcast(n_total))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg(F.log(F.col("__tf") / F.col("__n"))).alias("avg_logp"),
+    )
+
+
 def document_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Everything above in ONE projection over the corpus: id, predicted
     language, quality signals + composite score, token counts, fingerprint."""

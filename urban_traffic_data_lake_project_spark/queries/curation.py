@@ -500,6 +500,34 @@ WHERE rn <= {_WSAMPLE_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# text_unigram_logprob — self-trained unigram LM scoring: each doc's mean
+# token log-probability under the corpus's own term distribution (the
+# cheap form of perplexity-based quality filtering).
+# ---------------------------------------------------------------------------
+def _unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = T.unigram_logprob(docs, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_tokens", F.round("avg_logp", ROUND_STAT).alias("avg_logp")
+    )
+
+
+_UNIGRAM_SQL = f"""
+WITH norm AS (SELECT doc_id, {_NORM.format(c='text')} AS nt FROM documents),
+terms AS (
+  SELECT doc_id, t.term
+  FROM norm, LATERAL unnest(string_split(nt, ' ')) AS t(term)
+  WHERE t.term <> ''),
+tot AS (SELECT count(*) AS n FROM terms),
+freqs AS (SELECT term, count(*) AS tf FROM terms GROUP BY term)
+SELECT t.doc_id, count(*) AS n_tokens,
+       round(avg(ln(f.tf / (SELECT n FROM tot))), {ROUND_STAT}) AS avg_logp
+FROM terms t JOIN freqs f ON f.term = t.term
+GROUP BY t.doc_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "decontam_eval_overlap": QuerySpec(
         _decontam_overlap, _DECONTAM_SQL,
@@ -550,5 +578,10 @@ REGISTRY: dict[str, QuerySpec] = {
         _stream_redact, _REDACT_SQL,
         "the redaction chain as a real streaming job (AvailableNow), same oracle",
         ("streaming", "curation", "defer"),
+    ),
+    "text_unigram_logprob": QuerySpec(
+        _unigram_logprob, _UNIGRAM_SQL,
+        "self-trained unigram LM scoring (mean token log-probability)",
+        ("text", "curation", "defer"),
     ),
 }
