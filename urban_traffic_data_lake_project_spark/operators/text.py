@@ -240,16 +240,18 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Returns (id, n_tokens, avg_logp).
 
-    Scale shape: one explode, one term-count aggregation (map-side
-    partials, shuffle |vocab| rows), one term-keyed join back (natural
-    text vocabularies follow Zipf — AQE's skew-join split handles the
-    head terms), one per-doc re-aggregation. No Python."""
+    Scale shape: the classic fit + transform two-pass — corpus pass 1
+    builds the vocabulary term counts (map-side partials, shuffle |vocab|
+    rows), which are CACHED; the total term count is derived from the
+    cached vocabulary, never from a corpus re-scan; corpus pass 2 joins
+    terms back to the vocabulary (Zipf head-term skew handled by AQE's
+    skew-join split) and re-aggregates per doc. No Python."""
     terms = df.select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
     ).filter(F.col("term") != "")
-    n_total = terms.groupBy().agg(F.count(F.lit(1)).alias("__n"))
-    freqs = terms.groupBy("term").agg(F.count(F.lit(1)).alias("__tf"))
+    freqs = terms.groupBy("term").agg(F.count(F.lit(1)).alias("__tf")).persist()
+    n_total = freqs.groupBy().agg(F.sum("__tf").alias("__n"))
     scored = terms.join(freqs, "term").crossJoin(F.broadcast(n_total))
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
