@@ -19,6 +19,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from urban_traffic_data_lake_project_spark.queries import REGISTRY  # noqa: E402
 from urban_traffic_data_lake_project_spark.session import get_spark  # noqa: E402
 
+# The round-1 headline set (BENCH_r01 baseline = 11.53 s): kept as a named
+# subset so round-over-round comparisons stay apples-to-apples while the
+# full set grows.
+BASELINE_12: tuple[str, ...] = (
+    "core_pricing_summary",
+    "core_join_snowflake",
+    "core_left_join_fanout",
+    "core_grand_aggs",
+    "core_topk_groups",
+    "core_set_ops",
+    "clean_full_kernel",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "text_profile",
+    "win_session_events",
+    "merge_asof_join",
+)
+
 # Headline set: the heavy/representative queries. Grows as operators land.
 BENCH_QUERIES: tuple[str, ...] = (
     "core_pricing_summary",
@@ -77,6 +95,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # the round-1 12-query subset, for like-for-like comparison
+                # against the BENCH_r01 baseline (11.53 s) as the headline
+                # set grows round over round
+                "baseline12_subtotal": round(
+                    sum(timings[n] for n in BASELINE_12 if n in timings), 3
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -57,3 +57,26 @@ def test_dual_write(spark, sf_dir, tmpbase):
     a, b = os.path.join(tmpbase, "a"), os.path.join(tmpbase, "b")
     cat.dual_write(region, a, b)
     assert spark.read.parquet(a).count() == spark.read.parquet(b).count() == region.count()
+
+
+def test_write_compacted_targets_file_size(spark, sf_dir, tmp_path):
+    from urban_traffic_data_lake_project_spark.sources.writers import write_compacted
+
+    li = load_table(spark, sf_dir, "lineitem").repartition(64)  # small-files shape
+    path = str(tmp_path / "compacted")
+    n = write_compacted(li, path, target_file_bytes=512 << 10)
+    import glob
+
+    files = glob.glob(f"{path}/*.parquet")
+    assert len(files) == n and n < 64  # compacted well below input partitioning
+    back = spark.read.parquet(path)
+    assert back.count() == li.count()
+
+
+def test_write_compacted_empty_input(spark, tmp_path):
+    from urban_traffic_data_lake_project_spark.sources.writers import write_compacted
+
+    empty = spark.range(0).selectExpr("id", "CAST(id AS STRING) AS s")
+    path = str(tmp_path / "empty")
+    assert write_compacted(empty, path) == 1
+    assert spark.read.parquet(path).count() == 0

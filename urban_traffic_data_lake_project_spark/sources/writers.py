@@ -45,3 +45,36 @@ def write_bucketed(
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     writer = writer.sortBy(*(sort_cols or bucket_cols))
     writer.format(fmt).saveAsTable(table)
+
+
+def write_compacted(
+    df: DataFrame,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    sample_rows: int = 1000,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> int:
+    """Size-targeted compaction: estimate the serialized bytes-per-row from
+    a bounded sample, repartition so each output file lands near
+    ``target_file_bytes``, then write. Returns the file count.
+
+    This is the small-files defense — a filtered/deduped corpus otherwise
+    inherits its parent's partitioning and writes thousands of tiny files,
+    and at 100 TB the resulting listing/open overhead dominates downstream
+    scans. One bounded sample job + one count + a round-robin repartition;
+    the estimate only needs to be right within ~2x for file sizes to be
+    healthy."""
+    import sys
+
+    sample = df.limit(sample_rows).collect()
+    if not sample:
+        df.write.mode(mode).format(fmt).save(path)
+        return 1
+    # in-memory row size overestimates parquet (encoding + compression);
+    # 4x is the usual parquet-vs-Python shrink for mixed text/numeric rows
+    bytes_per_row = max(1, sys.getsizeof(str(sample)) // len(sample) // 4)
+    total_rows = df.count()
+    n_files = max(1, round(total_rows * bytes_per_row / target_file_bytes))
+    df.repartition(n_files).write.mode(mode).format(fmt).save(path)
+    return n_files
