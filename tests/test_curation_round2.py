@@ -396,3 +396,46 @@ def test_unigram_logprob_ranks_rare_content_lower(spark):
     out = {r["doc_id"]: r["avg_logp"] for r in unigram_logprob(df, "doc_id", "text").collect()}
     assert out[1] > out[2]  # common tokens -> higher mean log-probability
     assert all(v < 0 for v in out.values())  # log of probabilities < 1
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+def test_cm_sketch_never_underestimates(spark):
+    from urban_traffic_data_lake_project_spark.operators.sketches import (
+        cm_estimate,
+        cm_sketch_table,
+    )
+
+    # skewed frequencies: value i appears i+1 times
+    df = spark.range(30).select(
+        F.explode(F.array_repeat(F.col("id").cast("string"), (F.col("id") + 1).cast("int"))).alias("v")
+    )
+    sk = cm_sketch_table(df, "v", depth=4, width=64)
+    exact = df.groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+    est = cm_estimate(sk, exact.select("v"), "v", depth=4, width=64)
+    rows = exact.join(est, "v").collect()
+    assert all(r["n_cm"] >= r["n"] for r in rows)  # CM never underestimates
+    # unseen values estimate to (near) zero collision mass only
+    unseen = spark.createDataFrame([("zzz-not-there",)], "v string")
+    e = cm_estimate(sk, unseen, "v", depth=4, width=64).collect()[0]["n_cm"]
+    assert e <= 30  # bounded by collision mass, far below heavy hitters
+
+
+def test_cm_merge_equals_single_pass(spark):
+    from urban_traffic_data_lake_project_spark.operators.sketches import (
+        cm_merge,
+        cm_sketch_table,
+    )
+
+    df = spark.range(500).select((F.col("id") % 37).cast("string").alias("v"))
+    whole = {
+        (r["row"], r["bucket"]): r["n"]
+        for r in cm_sketch_table(df, "v", 4, 64).collect()
+    }
+    p1 = cm_sketch_table(df.filter(F.col("id") < 200), "v", 4, 64)
+    p2 = cm_sketch_table(df.filter(F.col("id") >= 200), "v", 4, 64)
+    merged = {
+        (r["row"], r["bucket"]): r["n"] for r in cm_merge(p1.union(p2)).collect()
+    }
+    assert merged == whole  # cells ADD under union-merge

@@ -123,6 +123,75 @@ def hll_rollup(
     return hll_estimate(hll_merge(fine, coarse_cols), coarse_cols, p)
 
 
+def cm_sketch_table(
+    df: DataFrame, value_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-min sketch of a value column: ``depth`` salted hash rows x
+    ``width`` buckets, cell = number of occurrences hashing there.
+    Returns (row, bucket, n) — the mergeable state (cells ADD under
+    union, see ``cm_merge``).
+
+    Scale: one explode to ``depth`` (row, bucket) pairs per input row,
+    then a grouped count with map-side partials — the shuffle carries at
+    most depth x width cells regardless of input size."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                F.pmod(
+                    stable_hash64(F.col(value_col).cast("string"), salt=f"cm{j}|"),
+                    F.lit(width),
+                ).alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(entries).alias("__e"))
+        .select(F.col("__e.row").alias("row"), F.col("__e.bucket").alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cm_merge(sketches: DataFrame) -> DataFrame:
+    """Union-merge of count-min tables (same depth/width): cells add."""
+    return sketches.groupBy("row", "bucket").agg(F.sum("n").alias("n"))
+
+
+def cm_estimate(
+    sketch: DataFrame, queries: DataFrame, value_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Estimated occurrence count for each query value: min over the
+    ``depth`` rows of the cell the value hashes to (never underestimates;
+    overestimates by collision mass ~ N/width per row).
+
+    The sketch is depth x width cells — broadcast; the probe is a
+    map-side join against it."""
+    probes = queries.select(
+        F.col(value_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        F.pmod(
+                            stable_hash64(F.col(value_col).cast("string"), salt=f"cm{j}|"),
+                            F.lit(width),
+                        ).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("__e"),
+    ).select(value_col, F.col("__e.row").alias("row"), F.col("__e.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce("n", F.lit(0))).alias("n_cm"))
+    )
+
+
 def hll_sql(
     table_expr: str, group_cols: Sequence[str], value_expr: str, p: int = 8
 ) -> str:

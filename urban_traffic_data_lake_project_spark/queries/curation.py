@@ -26,6 +26,8 @@ from urban_traffic_data_lake_project_spark.operators.sampling import (
     weighted_sample,
 )
 from urban_traffic_data_lake_project_spark.operators.sketches import (
+    cm_estimate,
+    cm_sketch_table,
     hll_distinct,
     hll_rollup,
     hll_sql,
@@ -528,6 +530,69 @@ GROUP BY t.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# sketch_cm_term_freq — count-min frequency estimation over corpus terms:
+# the CM table (4 x 256 cells, built on stable_hash64) is probed with the
+# 20 most frequent exact terms; exact vs estimated counts hash-match the
+# oracle, so the sketch arithmetic itself is verified (min over salted
+# rows, collision overestimate included).
+# ---------------------------------------------------------------------------
+_CM_DEPTH, _CM_WIDTH, _CM_TOPK = 4, 256, 20
+
+
+def _cm_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")), " "
+            )
+        ).alias("term")
+    ).filter(F.col("term") != "")
+    sk = cm_sketch_table(terms, "term", _CM_DEPTH, _CM_WIDTH)
+    top = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("term").asc())
+        .limit(_CM_TOPK)
+    )
+    est = cm_estimate(sk, top.select("term"), "term", _CM_DEPTH, _CM_WIDTH)
+    return top.join(est, "term").select("term", "n_exact", "n_cm")
+
+
+def _cm_hash(j: int) -> str:
+    return _sql_hash64(f"'cm{j}|' || term")
+
+
+_CM_CELLS_UNION = "\nUNION ALL\n".join(
+    f"SELECT {j} AS r, {_cm_hash(j)} % {_CM_WIDTH} AS bucket FROM terms"
+    for j in range(_CM_DEPTH)
+)
+_CM_PROBE_UNION = "\nUNION ALL\n".join(
+    f"SELECT term, {j} AS r, {_cm_hash(j)} % {_CM_WIDTH} AS bucket FROM top"
+    for j in range(_CM_DEPTH)
+)
+
+_CM_SQL = f"""
+WITH norm AS (SELECT {_NORM.format(c='text')} AS nt FROM documents),
+terms AS (
+  SELECT t.term FROM norm, LATERAL unnest(string_split(nt, ' ')) AS t(term)
+  WHERE t.term <> ''),
+cells AS (
+  SELECT r, bucket, count(*) AS n FROM ({_CM_CELLS_UNION}) GROUP BY r, bucket),
+top AS (
+  SELECT term, count(*) AS n_exact FROM terms GROUP BY term
+  ORDER BY n_exact DESC, term LIMIT {_CM_TOPK}),
+probe AS ({_CM_PROBE_UNION}),
+est AS (
+  SELECT p.term, min(coalesce(c.n, 0)) AS n_cm
+  FROM probe p LEFT JOIN cells c ON c.r = p.r AND c.bucket = p.bucket
+  GROUP BY p.term)
+SELECT t.term, t.n_exact, e.n_cm
+FROM top t JOIN est e ON e.term = t.term
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "decontam_eval_overlap": QuerySpec(
         _decontam_overlap, _DECONTAM_SQL,
@@ -583,5 +648,10 @@ REGISTRY: dict[str, QuerySpec] = {
         _unigram_logprob, _UNIGRAM_SQL,
         "self-trained unigram LM scoring (mean token log-probability)",
         ("text", "curation", "defer"),
+    ),
+    "sketch_cm_term_freq": QuerySpec(
+        _cm_term_freq, _CM_SQL,
+        "count-min sketch frequency estimates vs exact, top terms",
+        ("sketch", "defer"),
     ),
 }
