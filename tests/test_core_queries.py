@@ -82,3 +82,24 @@ def test_describe_table_matches_pandas_describe(spark):
             ("q25", "25%"), ("q50", "50%"), ("q75", "75%"), ("max_value", "max"),
         ]:
             assert got[spark_k] == pytest.approx(ref[c][pd_k], rel=1e-9), (c, spark_k)
+
+
+def test_registry_driver_window_contract():
+    """The driver's correctness gate records ~50 entries in registration
+    order. The contract: exactly the 50 core oracle-backed queries sort
+    first (no 'defer' tag), then defer-tagged oracle queries, then
+    rows-only specs — a regression here silently drops core queries out
+    of the recorded window."""
+    from urban_traffic_data_lake_project_spark.queries import REGISTRY
+
+    tiers = []
+    for spec in REGISTRY.values():
+        if spec.oracle is None:
+            tiers.append(2)
+        elif "defer" in spec.tags:
+            tiers.append(1)
+        else:
+            tiers.append(0)
+    assert tiers == sorted(tiers), "registry must be ordered core -> defer -> rows-only"
+    assert tiers.count(0) == 50, f"core oracle tier must fill the 50-entry window, got {tiers.count(0)}"
+    assert all(s.oracle is None or s.oracle.strip() for s in REGISTRY.values())

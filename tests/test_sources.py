@@ -80,3 +80,36 @@ def test_write_compacted_empty_input(spark, tmp_path):
     path = str(tmp_path / "empty")
     assert write_compacted(empty, path) == 1
     assert spark.read.parquet(path).count() == 0
+
+
+def test_write_sorted_files_cover_disjoint_ranges(spark, sf_dir, tmp_path):
+    """Range layout contract, checked against the actual parquet metadata:
+    each output file's [min, max] for the sort key must be disjoint from
+    every other file's — that disjointness is what lets a range predicate
+    skip whole files/row groups at 100 TB."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from urban_traffic_data_lake_project_spark.sources.writers import write_sorted
+
+    li = load_table(spark, sf_dir, "lineitem")
+    path = str(tmp_path / "sorted")
+    write_sorted(li, path, ["l_shipdate"], n_files=4)
+
+    spans = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("l_shipdate")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    assert len(spans) >= 2
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(spans, spans[1:]):
+        assert hi_a <= lo_b, f"file ranges overlap: {hi_a} > {lo_b}"
+    # and the data round-trips
+    assert spark.read.parquet(path).count() == li.count()
