@@ -8,6 +8,8 @@ import tempfile
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from urban_traffic_data_lake_project_spark.sources import catalog as cat
 from urban_traffic_data_lake_project_spark.sources import load_table
 
@@ -113,3 +115,46 @@ def test_write_sorted_files_cover_disjoint_ranges(spark, sf_dir, tmp_path):
         assert hi_a <= lo_b, f"file ranges overlap: {hi_a} > {lo_b}"
     # and the data round-trips
     assert spark.read.parquet(path).count() == li.count()
+
+
+def test_write_zordered_files_cluster_both_dimensions(spark, tmp_path):
+    """Z-order contract: every output file covers a compact rectangle in
+    BOTH dimensions (a single-key sort leaves the second dimension
+    spanning the full range), verified from actual parquet footer stats."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from urban_traffic_data_lake_project_spark.sources.writers import (
+        write_sorted,
+        write_zordered,
+    )
+
+    df = spark.range(20000).select(
+        (F.pmod(F.col("id") * 7919, F.lit(20000)) / 20000.0).alias("x"),
+        (F.pmod(F.col("id") * 104729, F.lit(20000)) / 20000.0).alias("y"),
+    )
+
+    def spans(path, col):
+        out = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            st = [md.row_group(g).column(idx).statistics for g in range(md.num_row_groups)]
+            out.append(max(s.max for s in st) - min(s.min for s in st))
+        return out
+
+    zpath = str(tmp_path / "zorder")
+    write_zordered(df, zpath, "x", "y", n_files=16)
+    x_spans, y_spans = spans(zpath, "x"), spans(zpath, "y")
+    # 16 z-slices over 2D -> ~quarter-range rectangles; allow slack for
+    # sample-based range boundaries
+    assert sum(x_spans) / len(x_spans) < 0.55
+    assert sum(y_spans) / len(y_spans) < 0.55
+
+    spath = str(tmp_path / "xsorted")
+    write_sorted(df, spath, ["x"], n_files=16)
+    # single-key sort clusters x tightly but leaves y unclustered
+    assert sum(spans(spath, "x")) / 16 < 0.2
+    assert sum(spans(spath, "y")) / 16 > 0.9
+    assert spark.read.parquet(zpath).count() == 20000

@@ -20,7 +20,8 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 
 def write_partitioned(
@@ -69,6 +70,68 @@ def write_sorted(
         df.repartitionByRange(n_files, *cols) if n_files else df.repartitionByRange(*cols)
     )
     ranged.sortWithinPartitions(*cols).write.mode(mode).format(fmt).save(path)
+
+
+def _quantile_bucket(col: Column, boundaries: list) -> Column:
+    """Map a value to its quantile bucket [0, len(boundaries)]: the number
+    of boundaries <= value. A per-row expression against a literal
+    boundary array — no join, no shuffle, no global rank."""
+    lit_bounds = F.array(*[F.lit(float(b)) for b in boundaries])
+    return F.size(F.filter(lit_bounds, lambda b: b <= col.cast("double")))
+
+
+def zorder_value(bucket_a: Column, bucket_b: Column, bits: int = 8) -> Column:
+    """Interleave two ``bits``-bit bucket ids into one Morton (Z-order)
+    value — pure shift/mask arithmetic, codegen-friendly."""
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = (
+            z
+            + (F.shiftright(bucket_a, i).bitwiseAND(F.lit(1)).cast("bigint") * (1 << (2 * i + 1)))
+            + (F.shiftright(bucket_b, i).bitwiseAND(F.lit(1)).cast("bigint") * (1 << (2 * i)))
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    bits: int = 8,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Two-dimensional data clustering (Delta OPTIMIZE ZORDER, parquet-
+    native): each key is quantile-bucketed into 2^bits ranks via ONE
+    approx-percentile aggregate (sample-based — never a global rank
+    window), the bucket ids are Morton-interleaved, and the data is
+    range-partitioned + sorted on the z-value.
+
+    Result: every file covers a compact rectangle in (col_a, col_b)
+    space, so parquet min/max stats prune files for predicates on EITHER
+    column — the property a single-key sort can't give the second key."""
+    m = 1 << bits
+    probs = [i / m for i in range(1, m)]
+    row = df.agg(
+        F.percentile_approx(col_a, probs).alias("qa"),
+        F.percentile_approx(col_b, probs).alias("qb"),
+    ).first()
+    z = zorder_value(
+        _quantile_bucket(F.col(col_a), row["qa"]),
+        _quantile_bucket(F.col(col_b), row["qb"]),
+        bits,
+    )
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .format(fmt)
+        .save(path)
+    )
 
 
 def write_compacted(
