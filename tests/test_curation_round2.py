@@ -439,3 +439,18 @@ def test_cm_merge_equals_single_pass(spark):
         (r["row"], r["bucket"]): r["n"] for r in cm_merge(p1.union(p2)).collect()
     }
     assert merged == whole  # cells ADD under union-merge
+
+
+def test_key_skew_profile_orders_heaviest_first(spark):
+    from urban_traffic_data_lake_project_spark.operators.stats import key_skew_profile
+
+    # key 'hot' holds half the table
+    df = spark.range(1000).select(
+        F.when(F.col("id") < 500, "hot").otherwise((F.col("id") % 50).cast("string")).alias("k")
+    )
+    rows = key_skew_profile(df, ["k"], top_n=5).collect()
+    assert rows[0]["k"] == "hot" and rows[0]["rank"] == 1
+    assert abs(rows[0]["share"] - 0.5) < 1e-9
+    shares = [r["share"] for r in rows]
+    assert shares == sorted(shares, reverse=True)
+    assert sum(shares) <= 1.0 + 1e-9

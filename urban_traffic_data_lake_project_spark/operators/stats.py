@@ -22,7 +22,7 @@ from __future__ import annotations
 import math
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -347,3 +347,33 @@ def grand_aggregate_bundle(df: DataFrame, quantity_col: str, price_col: str, fla
     ).first()
     q25, q75 = exact_percentiles(df, price_col, [0.25, 0.75], n=row["n_price"])
     return {**row.asDict(), "q25_price": q25, "q75_price": q75}
+
+
+def key_skew_profile(
+    df: DataFrame, key_cols: Sequence[str], top_n: int = 20
+) -> DataFrame:
+    """Join/agg-key skew diagnostic — the pre-flight check for choosing a
+    salting factor or trusting AQE's skew-join split: the ``top_n``
+    heaviest keys with their row share of the table.
+
+    Returns (key..., n, share, rank), rank 1 = heaviest, ties broken by
+    key for determinism.
+
+    Scale shape: one grouped count with map-side partials (the shuffle
+    carries |keys| rows, not data rows); the share/rank machinery runs on
+    the aggregated key table, and top-n is a TakeOrderedAndProject —
+    never a full sort of the counts."""
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("__t"))
+    ranked = (
+        counts.crossJoin(F.broadcast(total))
+        .orderBy(F.col("n").desc(), *[F.col(c).asc() for c in key_cols])
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.col("n").desc(), *[F.col(c).asc() for c in key_cols])
+    return ranked.select(
+        *key_cols,
+        "n",
+        (F.col("n") / F.col("__t")).alias("share"),
+        F.row_number().over(w).alias("rank"),
+    )

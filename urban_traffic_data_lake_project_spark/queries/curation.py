@@ -29,6 +29,8 @@ from urban_traffic_data_lake_project_spark.operators.sketches import (
     cm_estimate,
     cm_sketch_table,
     hll_distinct,
+    hll_estimate,
+    hll_register_table,
     hll_rollup,
     hll_sql,
 )
@@ -455,6 +457,26 @@ SELECT o_orderpriority, round(n_hll, 4) AS n_hll FROM hll
 """
 
 
+def _stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sketch maintenance: the HLL register table is kept by a
+    STREAMING aggregation (readStream -> groupBy(group, register).max —
+    state is |groups| x 2^p tiny rows, never per-key), materialized with
+    AvailableNow, then estimated batch-side. Same oracle as the direct
+    sketch — the streaming register state converges to exactly the batch
+    registers."""
+    from urban_traffic_data_lake_project_spark.streaming.windows import (
+        read_table_stream,
+        run_available_now,
+    )
+
+    stream = read_table_stream(spark, sf_dir, "orders")
+    regs = run_available_now(
+        hll_register_table(stream, ["o_orderpriority"], "o_custkey", p=_HLL_P), spark
+    )
+    est = hll_estimate(regs, ["o_orderpriority"], p=_HLL_P)
+    return est.select("o_orderpriority", F.round("n_hll", 4).alias("n_hll"))
+
+
 # ---------------------------------------------------------------------------
 # sample_weighted_quality — quality-weighted corpus subsampling: 30 docs
 # per language, selection probability proportional to the composite quality
@@ -593,6 +615,37 @@ FROM top t JOIN est e ON e.term = t.term
 """
 
 
+# ---------------------------------------------------------------------------
+# agg_key_skew_profile — join-key skew diagnostic over lineitem's supplier
+# key: the 20 heaviest keys with their row share (what you check before
+# picking a salt factor for join_salted_skew).
+# ---------------------------------------------------------------------------
+_SKEW_TOPN = 20
+
+
+def _key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.operators.stats import key_skew_profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = key_skew_profile(li, ["l_suppkey"], top_n=_SKEW_TOPN)
+    return out.select(
+        "l_suppkey", "n", F.round("share", ROUND_STAT).alias("share"), "rank"
+    )
+
+
+_KEY_SKEW_SQL = f"""
+WITH counts AS (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY l_suppkey),
+tot AS (SELECT sum(n) AS t FROM counts),
+ranked AS (
+  SELECT l_suppkey, n,
+         row_number() OVER (ORDER BY n DESC, l_suppkey) AS rank
+  FROM counts)
+SELECT l_suppkey, n,
+       round(n / (SELECT t FROM tot), {ROUND_STAT}) AS share, rank
+FROM ranked WHERE rank <= {_SKEW_TOPN}
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "decontam_eval_overlap": QuerySpec(
         _decontam_overlap, _DECONTAM_SQL,
@@ -653,5 +706,15 @@ REGISTRY: dict[str, QuerySpec] = {
         _cm_term_freq, _CM_SQL,
         "count-min sketch frequency estimates vs exact, top terms",
         ("sketch", "defer"),
+    ),
+    "stream_sketch_hll": QuerySpec(
+        _stream_hll, _HLL_ROLLUP_SQL,
+        "HLL register table maintained by a streaming aggregation, same oracle",
+        ("sketch", "streaming", "defer"),
+    ),
+    "agg_key_skew_profile": QuerySpec(
+        _key_skew, _KEY_SKEW_SQL,
+        "join-key skew diagnostic: heaviest keys with row share",
+        ("diagnostics", "defer"),
     ),
 }
