@@ -170,3 +170,39 @@ def test_fa_loadings_shape_and_rounding(spark, lineitem):
     rows = ldf.collect()
     assert len(rows) == 4
     assert set(ldf.columns) == {"variable", "Factor_1_loading", "Factor_2_loading", "Factor_3_loading"}
+
+
+def test_grouped_bootstrap_ci_covers_group_means(spark):
+    from urban_traffic_data_lake_project_spark.operators.bootstrap import (
+        grouped_bootstrap_ci,
+    )
+
+    # two groups with well-separated means; CIs must bracket each group's
+    # own mean and be far narrower than the between-group gap
+    df = spark.range(4000).select(
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("g"),
+        (
+            F.when(F.col("id") % 2 == 0, 100.0).otherwise(500.0)
+            + F.pmod(F.col("id") * 2654435761, F.lit(97)).cast("double") / 97.0 * 10.0
+        ).alias("x"),
+    )
+    true_means = {
+        r["g"]: r["m"]
+        for r in df.groupBy("g").agg(F.avg("x").alias("m")).collect()
+    }
+    out = {r["g"]: r for r in grouped_bootstrap_ci(df, "g", ["x"], n_replicates=500).collect()}
+    assert set(out) == {"a", "b"}
+    for g, r in out.items():
+        assert r["ci_lower_95"] <= true_means[g] <= r["ci_upper_95"], (g, r)
+        assert (r["ci_upper_95"] - r["ci_lower_95"]) < 50  # narrow vs 400 gap
+        assert r["simulations"] == 500
+
+
+def test_grouped_bootstrap_query_runs(spark, sf_dir):
+    from urban_traffic_data_lake_project_spark.queries.analytics import REGISTRY
+
+    out = REGISTRY["bootstrap_ci_grouped"].fn(spark, sf_dir).collect()
+    langs = {r["lang"] for r in out}
+    assert langs == {"en", "es", "fr", "de", "zh"}
+    assert all(r["column_name"] == "n_chars" for r in out)
+    assert all(r["ci_lower_95"] < r["mean_estimate"] < r["ci_upper_95"] for r in out)

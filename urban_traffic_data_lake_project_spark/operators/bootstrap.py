@@ -127,6 +127,85 @@ def poisson_bootstrap_means(
     )
 
 
+def grouped_bootstrap_ci(
+    df: DataFrame,
+    group_col: str,
+    cols: Sequence[str],
+    n_replicates: int = 1000,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-GROUP bootstrap CIs (e.g. per-language corpus statistics):
+    the same Poisson-bootstrap kernel, accumulated per group inside each
+    Arrow batch, so one pass over the data serves every group — groups
+    are NOT repartitioned into their own tasks (a giant group would
+    convoy a per-group applyInPandas; here group size only affects the
+    accumulation, not the parallelism).
+
+    Returns one row per (group, column) with mean/std/CI bounds over the
+    replicate means. Output volume is |groups| x |cols| x replicates tiny
+    partials per partition — the replicate count is the only memory knob."""
+    cols = list(cols)
+    proj = df.select(group_col, *cols)
+    target = proj.sparkSession.sparkContext.defaultParallelism
+    if proj.rdd.getNumPartitions() < target:
+        proj = proj.repartition(target)
+
+    schema = f"{group_col} string, column_name string, replicate int, wx double, w double"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        rng = np.random.default_rng(seed * 100_003 + pid)
+        acc_wx: dict = {}
+        acc_w: dict = {}
+        for pdf in batches:
+            for g, sub in pdf.groupby(group_col, sort=False):
+                if g not in acc_wx:
+                    acc_wx[g] = {c: np.zeros(n_replicates) for c in cols}
+                    acc_w[g] = {c: np.zeros(n_replicates) for c in cols}
+                X = sub[cols].to_numpy(dtype="float32")
+                chunk = max(1, int(4_000_000 / max(n_replicates, 1)))
+                for lo in range(0, X.shape[0], chunk):
+                    Xs = X[lo : lo + chunk]
+                    w = _poisson1_weights(rng, (Xs.shape[0], n_replicates))
+                    nan_mask = np.isnan(Xs)
+                    Xz = np.where(nan_mask, np.float32(0.0), Xs)
+                    wx = w.T @ Xz
+                    wn = w.T @ (~nan_mask).astype("float32")
+                    for j, c in enumerate(cols):
+                        acc_wx[g][c] += wx[:, j]
+                        acc_w[g][c] += wn[:, j]
+        out = []
+        for g in acc_wx:
+            for c in cols:
+                out.append(
+                    pd.DataFrame(
+                        {
+                            group_col: str(g),
+                            "column_name": c,
+                            "replicate": np.arange(n_replicates, dtype="int32"),
+                            "wx": acc_wx[g][c],
+                            "w": acc_w[g][c],
+                        }
+                    )
+                )
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    partials = proj.mapInPandas(gen, schema=schema)
+    means = partials.groupBy(group_col, "column_name", "replicate").agg(
+        (F.sum("wx") / F.sum("w")).alias("replicate_mean")
+    )
+    return means.groupBy(group_col, "column_name").agg(
+        F.round(F.avg("replicate_mean"), 4).alias("mean_estimate"),
+        F.round(F.stddev_pop("replicate_mean"), 4).alias("std_estimate"),
+        F.round(F.percentile("replicate_mean", 0.025), 4).alias("ci_lower_95"),
+        F.round(F.percentile("replicate_mean", 0.975), 4).alias("ci_upper_95"),
+        F.lit(n_replicates).alias("simulations"),
+    )
+
+
 def bootstrap_ci(
     df: DataFrame,
     cols: Sequence[str] | None = None,

@@ -72,6 +72,17 @@ def _bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# bootstrap_ci_grouped — per-language bootstrap CIs over document stats
+# (rows-only; pytest asserts group CIs cover per-group true means)
+# ---------------------------------------------------------------------------
+def _bootstrap_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return B.grouped_bootstrap_ci(
+        docs, "lang", cols=["n_chars"], n_replicates=1000, seed=42
+    )
+
+
+# ---------------------------------------------------------------------------
 # fa_loadings / fa_scores_summary — factor analysis (rows-only: loadings are
 # rotation/sign ambiguous; pytest checks reconstruction + shapes)
 # ---------------------------------------------------------------------------
@@ -99,6 +110,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "mc_scenario_expectations": QuerySpec(_mc_expectations, _MC_EXPECTATIONS_SQL, "M2 deterministic scenario core", ("analytics",)),
     "mc_scenarios": QuerySpec(_mc_scenarios, None, "M2 Monte Carlo scenario simulation", ("analytics", "stochastic")),
     "bootstrap_ci": QuerySpec(_bootstrap, None, "M3 Poisson bootstrap CIs", ("analytics", "stochastic")),
+    "bootstrap_ci_grouped": QuerySpec(_bootstrap_grouped, None, "per-group Poisson bootstrap CIs", ("analytics", "stochastic")),
     "fa_loadings": QuerySpec(_fa_loadings, None, "M1 factor loadings", ("analytics", "ml")),
     "fa_scores_summary": QuerySpec(_fa_scores_summary, None, "M1 distributed factor scoring summary", ("analytics", "ml")),
 }
