@@ -59,3 +59,61 @@ def test_median_fill_leaves_no_nulls_when_any_value(spark, values):
         assert nulls == 0
     else:
         assert nulls == len(values)  # nothing to fit on — NULLs remain
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    tokens=st.lists(st.integers(min_value=1, max_value=400), min_size=1, max_size=60),
+    budget=st.integers(min_value=16, max_value=512),
+)
+def test_pack_sequences_prefix_invariants(spark, tokens, budget):
+    """For any token sizes and budget: seq ids are non-decreasing along
+    the pack order, start at 0, and never skip more bins than one
+    oversized row can account for."""
+    from urban_traffic_data_lake_project_spark.operators.sampling import pack_sequences
+
+    rows = [(0, i, t) for i, t in enumerate(tokens)]
+    df = spark.createDataFrame(rows, "shard_id long, chunk_id long, n_tokens long")
+    out = sorted(
+        pack_sequences(df, "shard_id", "n_tokens", ["chunk_id"], budget).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    seqs = [r["seq_id"] for r in out]
+    assert seqs[0] == 0
+    assert all(b >= a for a, b in zip(seqs, seqs[1:]))
+    # exact contract: seq_id == floor(exclusive_prefix / budget)
+    prefix = 0
+    for r, t in zip(out, tokens):
+        assert r["seq_id"] == prefix // budget
+        prefix += t
+    assert [r["seq_pos"] for r in out] == list(range(1, len(tokens) + 1))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n_a=st.integers(min_value=1, max_value=120),
+    n_b=st.integers(min_value=1, max_value=120),
+    w_a=st.floats(min_value=0.05, max_value=0.95),
+)
+def test_resample_to_mix_threshold_invariants(spark, n_a, n_b, w_a):
+    """For any two-group composition and weights: the binding group is
+    kept (nearly) whole, nothing is upsampled, and output is a subset of
+    the input chosen purely by id hash."""
+    from urban_traffic_data_lake_project_spark.operators.sampling import resample_to_mix
+
+    w = {"a": w_a, "b": 1.0 - w_a}
+    rows = [(i, "a") for i in range(n_a)] + [(1000 + i, "b") for i in range(n_b)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = resample_to_mix(df, "lang", "doc_id", w).collect()
+    got = {"a": 0, "b": 0}
+    in_ids = {r[0] for r in rows}
+    for r in out:
+        got[r["lang"]] += 1
+        assert r["doc_id"] in in_ids
+    assert got["a"] <= n_a and got["b"] <= n_b  # never upsample
+    # the binding group's threshold is the full resolution -> kept whole
+    # (allow one row of slack: float rounding can land the threshold at
+    # resolution - 1, dropping a row only if some hash hits that exact cell)
+    binding = "a" if n_a / w["a"] <= n_b / w["b"] else "b"
+    n_binding = n_a if binding == "a" else n_b
+    assert got[binding] >= n_binding - 1
