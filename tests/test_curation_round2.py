@@ -454,3 +454,30 @@ def test_key_skew_profile_orders_heaviest_first(spark):
     shares = [r["share"] for r in rows]
     assert shares == sorted(shares, reverse=True)
     assert sum(shares) <= 1.0 + 1e-9
+
+
+def test_bloom_filter_no_false_negatives_and_merge(spark):
+    from urban_traffic_data_lake_project_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    members = spark.range(200).select(F.concat(F.lit("doc-"), F.col("id")).alias("v"))
+    bloom = bloom_build(members, "v", m_bits=4096, k=4)
+    # every inserted value MUST probe true (structural guarantee)
+    probe_in = bloom_probe(
+        members.select(F.col("v").alias("id"), "v"), "id", "v", bloom, 4096, 4
+    )
+    assert probe_in.filter(~F.col("maybe_member")).count() == 0
+    # disjoint values are mostly definitive negatives (fp rate ~(800/4096)^4)
+    others = spark.range(500).select(
+        F.concat(F.lit("other-"), F.col("id")).alias("id"),
+        F.concat(F.lit("other-"), F.col("id")).alias("v"),
+    )
+    n_fp = bloom_probe(others, "id", "v", bloom, 4096, 4).filter("maybe_member").count()
+    assert n_fp < 25  # ~0.15% expected; generous bound
+    # merge = union + re-OR: equal to the single-pass filter
+    b1 = bloom_build(members.limit(100), "v", 4096, 4)
+    b2 = bloom_build(members.subtract(members.limit(100)), "v", 4096, 4)
+    merged = b1.union(b2).groupBy("word").agg(F.bit_or("word_bits").alias("word_bits"))
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, bloom.collect()))

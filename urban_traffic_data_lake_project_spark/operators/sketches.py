@@ -192,6 +192,72 @@ def cm_estimate(
     )
 
 
+_BLOOM_WORD_BITS = 32  # bits packed per 64-bit word: staying below bit 32
+                       # keeps every mask positive, so shift/AND semantics
+                       # are unambiguous across engines (no sign-bit cases)
+
+
+def _bloom_entries(value_col: str, m_bits: int, k: int) -> Column:
+    """array<struct<word, mask>> of the k bit positions for one value.
+    mask = 2^bit via pow (exact for bit < 32; the Python shiftleft API
+    only accepts literal shift amounts)."""
+    def entry(j: int) -> Column:
+        pos = F.pmod(
+            stable_hash64(F.col(value_col).cast("string"), salt=f"bl{j}|"),
+            F.lit(m_bits),
+        )
+        return F.struct(
+            F.shiftright(pos, 5).alias("word"),
+            F.pow(F.lit(2.0), pos.bitwiseAND(F.lit(_BLOOM_WORD_BITS - 1)))
+            .cast("bigint")
+            .alias("mask"),
+        )
+
+    return F.array(*[entry(j) for j in range(k)])
+
+
+def bloom_build(
+    df: DataFrame, value_col: str, m_bits: int = 1024, k: int = 4
+) -> DataFrame:
+    """Bloom filter over a value column as a (word, word_bits) table:
+    ``k`` salted hashes set ``k`` of ``m_bits`` bits; bits are OR-folded
+    into m_bits/32 words. The third mergeable-sketch family next to HLL
+    (cardinality) and count-min (frequency): set MEMBERSHIP with no false
+    negatives. Merge = union the tables and re-``bit_or``.
+
+    Scale: explode to k rows per input, map-side partial bit_or, shuffle
+    at most m_bits/32 rows. The finished filter is a few KB — broadcast
+    it to screen a corpus without joining the underlying set."""
+    return (
+        df.select(F.explode(_bloom_entries(value_col, m_bits, k)).alias("__e"))
+        .select(F.col("__e.word").alias("word"), F.col("__e.mask").alias("mask"))
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("word_bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame, id_col: str, value_col: str, bloom: DataFrame,
+    m_bits: int = 1024, k: int = 4,
+) -> DataFrame:
+    """(id, maybe_member): True iff all k bits for the value are set in
+    the filter — guaranteed True for every value that was inserted (no
+    false negatives); False is definitive. The filter joins broadcast;
+    the probe side is one explode + a per-id bool_and re-aggregation."""
+    probes = df.select(
+        F.col(id_col), F.explode(_bloom_entries(value_col, m_bits, k)).alias("__e")
+    ).select(id_col, F.col("__e.word").alias("word"), F.col("__e.mask").alias("mask"))
+    hit = (
+        F.coalesce("word_bits", F.lit(0)).bitwiseAND(F.col("mask")) == F.col("mask")
+    )
+    return (
+        probes.join(F.broadcast(bloom), "word", "left")
+        .select(F.col(id_col), hit.alias("__hit"))
+        .groupBy(id_col)
+        .agg(F.bool_and("__hit").alias("maybe_member"))
+    )
+
+
 def hll_sql(
     table_expr: str, group_cols: Sequence[str], value_expr: str, p: int = 8
 ) -> str:

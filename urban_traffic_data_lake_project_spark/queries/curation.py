@@ -26,6 +26,8 @@ from urban_traffic_data_lake_project_spark.operators.sampling import (
     weighted_sample,
 )
 from urban_traffic_data_lake_project_spark.operators.sketches import (
+    bloom_build,
+    bloom_probe,
     cm_estimate,
     cm_sketch_table,
     hll_distinct,
@@ -616,6 +618,61 @@ FROM top t JOIN est e ON e.term = t.term
 
 
 # ---------------------------------------------------------------------------
+# sketch_bloom_screen — Bloom-filter membership screening: the eval split's
+# content fingerprints become a ~4 KB filter; every train doc is screened
+# against it WITHOUT joining the eval set. No false negatives by
+# construction; the (rare, deterministic) false positives are part of what
+# the oracle hash-checks.
+# ---------------------------------------------------------------------------
+_BLOOM_M, _BLOOM_K = 1024, 4
+
+
+def _bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.functions import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = train_eval_split(docs, "doc_id", eval_per_mille=_EVAL_PER_MILLE).withColumn(
+        "__fp", stable_hash64(normalize_text(F.col("text")))
+    )
+    ev = split.filter(F.col("split") == "eval")
+    train = split.filter(F.col("split") == "train")
+    bloom = bloom_build(ev, "__fp", _BLOOM_M, _BLOOM_K)
+    return bloom_probe(train, "doc_id", "__fp", bloom, _BLOOM_M, _BLOOM_K)
+
+
+def _bloom_pos(j: int) -> str:
+    hash_expr = _sql_hash64(f"'bl{j}|' || CAST(fp AS VARCHAR)")
+    return f"({hash_expr} % {_BLOOM_M})"
+
+
+_BLOOM_INSERTS = "\nUNION ALL\n".join(
+    f"SELECT ({_bloom_pos(j)} >> 5) AS word, (1::BIGINT << ({_bloom_pos(j)} & 31)) AS mask "
+    "FROM fps WHERE is_eval"
+    for j in range(_BLOOM_K)
+)
+_BLOOM_PROBES = "\nUNION ALL\n".join(
+    f"SELECT doc_id, ({_bloom_pos(j)} >> 5) AS word, (1::BIGINT << ({_bloom_pos(j)} & 31)) AS mask "
+    "FROM fps WHERE NOT is_eval"
+    for j in range(_BLOOM_K)
+)
+
+_BLOOM_SQL = f"""
+WITH split AS (
+  SELECT doc_id, {_NORM.format(c='text')} AS nt,
+         ({_SEEDED_HASH_SQL} % 1000 < {_EVAL_PER_MILLE}) AS is_eval
+  FROM documents),
+fps AS (SELECT doc_id, {_sql_hash64('nt')} AS fp, is_eval FROM split),
+bloom AS (
+  SELECT word, bit_or(mask) AS word_bits FROM ({_BLOOM_INSERTS}) GROUP BY word),
+probes AS ({_BLOOM_PROBES})
+SELECT p.doc_id,
+       bool_and((coalesce(b.word_bits, 0) & p.mask) = p.mask) AS maybe_member
+FROM probes p LEFT JOIN bloom b ON b.word = p.word
+GROUP BY p.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # agg_key_skew_profile — join-key skew diagnostic over lineitem's supplier
 # key: the 20 heaviest keys with their row share (what you check before
 # picking a salt factor for join_salted_skew).
@@ -716,5 +773,10 @@ REGISTRY: dict[str, QuerySpec] = {
         _key_skew, _KEY_SKEW_SQL,
         "join-key skew diagnostic: heaviest keys with row share",
         ("diagnostics", "defer"),
+    ),
+    "sketch_bloom_screen": QuerySpec(
+        _bloom_screen, _BLOOM_SQL,
+        "Bloom-filter membership screen of train docs vs eval fingerprints",
+        ("sketch", "curation", "defer"),
     ),
 }
