@@ -75,17 +75,26 @@ def main() -> None:
     for t in TESTDATA_TABLES:
         load_table(spark, sf_dir, t).count()
 
+    load_before = os.getloadavg()
+
     names = [n for n in BENCH_QUERIES if n in REGISTRY]
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "4"))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in names:
-        # steady-state: two runs, report the faster (first run pays
-        # whole-stage-codegen compilation, not execution)
-        best = float("inf")
-        for _ in range(2):
+        # First run pays whole-stage-codegen compilation — discard it as
+        # warm-up, then take the MEDIAN of the remaining repeats so one
+        # noisy-neighbor spike can't masquerade as a regression (the
+        # recorded round-2 bench was ambient machine load, not code).
+        runs: list[float] = []
+        for i in range(repeats):
             t0 = time.time()
             REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            if i > 0:
+                runs.append(time.time() - t0)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 3)
+        spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -102,6 +111,13 @@ def main() -> None:
                     sum(timings[n] for n in BASELINE_12 if n in timings), 3
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # measurement hygiene: per-query [min, max] across the
+                # measured repeats + 1/5/15-min loadavg before/after, so a
+                # loaded machine is visible in the artifact itself
+                "repeats_measured": repeats - 1,
+                "queries_minmax": spread,
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )

@@ -86,10 +86,13 @@ def test_describe_table_matches_pandas_describe(spark):
 
 def test_registry_driver_window_contract():
     """The driver's correctness gate records ~50 entries in registration
-    order. The contract: exactly the 50 core oracle-backed queries sort
-    first (no 'defer' tag), then defer-tagged oracle queries, then
-    rows-only specs — a regression here silently drops core queries out
-    of the recorded window."""
+    order. Round-3 rotation: the 26 queries deferred in rounds 1-2 (the
+    curation/sketch/streaming surface) now occupy the recorded window so
+    they gain driver-grade proof; 30 queries with green rows in BOTH
+    CORRECTNESS_r01.json and CORRECTNESS_r02.json moved to the "defer"
+    tier (still verified every round by tools/check_oracle.py). A
+    regression here silently drops core queries out of the recorded
+    window."""
     from urban_traffic_data_lake_project_spark.queries import REGISTRY
 
     tiers = []
@@ -101,5 +104,24 @@ def test_registry_driver_window_contract():
         else:
             tiers.append(0)
     assert tiers == sorted(tiers), "registry must be ordered core -> defer -> rows-only"
-    assert tiers.count(0) == 50, f"core oracle tier must fill the 50-entry window, got {tiers.count(0)}"
+    assert tiers.count(0) <= 50, f"core oracle tier must fit the 50-entry window, got {tiers.count(0)}"
+    # Every query deferred in r01/r02 must now sit inside the recorded window.
+    promoted = {
+        "agg_grouped_ols", "dedup_clusters", "sample_stratified",
+        "sample_split_shards", "text_chunks", "sim_lang_centroids",
+        "curation_pipeline", "merge_range_join", "stream_interval_join",
+        "join_salted_skew", "stream_stateful_user_stats",
+        "decontam_eval_overlap", "sketch_hll_distinct",
+        "curation_pack_sequences", "sample_domain_mix", "text_redact_pii",
+        "dedup_incremental", "sim_embedding_quantize", "sketch_hll_rollup",
+        "sample_weighted_quality", "stream_redact_pii",
+        "text_unigram_logprob", "sketch_cm_term_freq", "stream_sketch_hll",
+        "agg_key_skew_profile", "sketch_bloom_screen",
+    }
+    recorded = {
+        n for n, s in REGISTRY.items()
+        if s.oracle is not None and "defer" not in s.tags
+    }
+    assert promoted <= recorded, f"rotated out of window: {promoted - recorded}"
+    # Deferred queries must still be oracle-backed (check_oracle covers them).
     assert all(s.oracle is None or s.oracle.strip() for s in REGISTRY.values())

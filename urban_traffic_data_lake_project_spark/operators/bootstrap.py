@@ -150,7 +150,11 @@ def grouped_bootstrap_ci(
     if proj.rdd.getNumPartitions() < target:
         proj = proj.repartition(target)
 
-    schema = f"{group_col} string, column_name string, replicate int, wx double, w double"
+    # carry the group key's NATIVE type through the partial schema — a
+    # hardcoded string + str(g) would coerce int/date keys and make the
+    # CI table mismatch the source on join-back (formatting drift)
+    group_ddl = df.schema[group_col].dataType.simpleString()
+    schema = f"{group_col} {group_ddl}, column_name string, replicate int, wx double, w double"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -182,7 +186,7 @@ def grouped_bootstrap_ci(
                 out.append(
                     pd.DataFrame(
                         {
-                            group_col: str(g),
+                            group_col: g,
                             "column_name": c,
                             "replicate": np.arange(n_replicates, dtype="int32"),
                             "wx": acc_wx[g][c],

@@ -389,13 +389,17 @@ def dup_clusters(
     semantics that ``dedup_keep_canonical``'s drop-all-b approximates —
     e.g. pairs (1,3),(2,3) put 1 and 2 in ONE cluster via 3.
 
-    Iterative min-label propagation: labels ride along edges, each round
-    every vertex takes the min of its own and its neighbors' labels;
-    converges in O(graph diameter) rounds. Near-dup graphs are unions of
-    small dense cliques, so the diameter is tiny (2-4) at any corpus size;
-    each round is one shuffle join + one grouped min — no driver-side
-    graph. ``persist``/``unpersist`` bound the lineage so round k does not
-    recompute rounds 0..k-1."""
+    Iterative min-label propagation with POINTER JUMPING: each round every
+    vertex takes the min of its own and its neighbors' labels, then
+    shortcuts label -> label-of-label. The shortcut halves remaining path
+    lengths, so convergence is O(log diameter) rounds — max_iter=20 covers
+    diameters up to ~2^20 even on pathological chain graphs (templated /
+    boilerplate corpora where near-dups form long paths, not just tiny
+    cliques). Each round is two shuffle joins + one grouped min — no
+    driver-side graph. ``persist``/``unpersist`` bound the lineage so
+    round k does not recompute rounds 0..k-1. If the cap is still hit
+    without convergence this raises rather than silently returning split
+    clusters."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -404,15 +408,26 @@ def dup_clusters(
     )
     labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("label")).persist()
     labels.count()
+    changed = 1
     for _ in range(max_iter):
         msgs = (
             edges.join(labels, edges.src == labels.id)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        propagated = labels.join(msgs, "id", "left").select(
+            "id", F.least("label", F.coalesce("nbr_label", "label")).alias("label")
+        )
+        # pointer jump: label <- label(label). Every label is itself an id
+        # (labels start as ids and only ever take mins of ids), so the
+        # lookup always resolves; the left join + coalesce is belt-and-
+        # braces for ids filtered out of df.
+        lookup = propagated.select(
+            F.col("id").alias("label"), F.col("label").alias("__jump")
+        )
         new_labels = (
-            labels.join(msgs, "id", "left")
-            .select("id", F.least("label", F.coalesce("nbr_label", "label")).alias("label"))
+            propagated.join(lookup, "label", "left")
+            .select("id", F.coalesce("__jump", "label").alias("label"))
             .persist()
         )
         changed = (
@@ -425,6 +440,13 @@ def dup_clusters(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        labels.unpersist()
+        raise RuntimeError(
+            f"dup_clusters: label propagation did not converge in {max_iter} "
+            "rounds (graph diameter > 2^max_iter is implausible — check the "
+            "pair input for corruption, or raise max_iter)"
+        )
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 
 

@@ -102,7 +102,11 @@ def range_join_binned(
 ) -> DataFrame:
     """Interval join: pair each left row with every right row of the same
     ``by`` key whose timestamp lies within ±``window_seconds`` of the left
-    timestamp.
+    timestamp. INNER only: the 3x bin explode would multiply unmatched
+    left rows and the post-join range filter would drop null-matched rows,
+    so any outer variant through this plan silently collapses back to
+    inner — build outer semantics by left-anti-joining the matched ids and
+    unioning the remainder back with null right columns.
 
     The naive formulation (non-equi `abs(l - r) <= w`) plans as a
     broadcast-nested-loop / cartesian per key — quadratic. This is the
@@ -116,6 +120,11 @@ def range_join_binned(
     # bins on truncated seconds; the exact predicate below is full
     # microsecond precision — |l - r| <= W still implies the truncated
     # bins differ by at most 1, so ±1-bin candidates remain complete
+    if how != "inner":
+        raise ValueError(
+            f"range_join_binned supports only how='inner' (got {how!r}); "
+            "outer semantics do not survive the bin explode + range filter"
+        )
     lbin = (F.unix_timestamp(F.col(left_ts)) / window_seconds).cast("long")
     rbin = (F.unix_timestamp(F.col(right_ts)) / window_seconds).cast("long")
     l = left.withColumn(

@@ -242,8 +242,13 @@ def bloom_probe(
 ) -> DataFrame:
     """(id, maybe_member): True iff all k bits for the value are set in
     the filter — guaranteed True for every value that was inserted (no
-    false negatives); False is definitive. The filter joins broadcast;
-    the probe side is one explode + a per-id bool_and re-aggregation."""
+    false negatives); False is definitive. A NULL value was never
+    inserted (the builder's hash of NULL produces no entries), so its
+    membership is a concrete False, not NULL — a NULL here would
+    silently drop those rows through BOTH directions of a downstream
+    ``filter(maybe_member)`` / ``filter(~maybe_member)``. The filter
+    joins broadcast; the probe side is one explode + a per-id bool_and
+    re-aggregation."""
     probes = df.select(
         F.col(id_col), F.explode(_bloom_entries(value_col, m_bits, k)).alias("__e")
     ).select(id_col, F.col("__e.word").alias("word"), F.col("__e.mask").alias("mask"))
@@ -254,7 +259,7 @@ def bloom_probe(
         probes.join(F.broadcast(bloom), "word", "left")
         .select(F.col(id_col), hit.alias("__hit"))
         .groupBy(id_col)
-        .agg(F.bool_and("__hit").alias("maybe_member"))
+        .agg(F.coalesce(F.bool_and("__hit"), F.lit(False)).alias("maybe_member"))
     )
 
 

@@ -339,13 +339,13 @@ FROM clipped
 
 
 REGISTRY: dict[str, QuerySpec] = {
-    "clean_timestamp_multiformat": QuerySpec(_timestamp_multiformat, _TS_MULTIFORMAT_SQL, "R2/R4 multi-layout parse + drop", ("cleaning",)),
-    "clean_dedup_keyed": QuerySpec(_dedup_keyed, _DEDUP_SQL, "R1 deterministic keep-first dedup", ("cleaning",)),
-    "clean_numeric_coercion": QuerySpec(_numeric_coercion, _COERCION_SQL, "R6 mixed-type coercion", ("cleaning",)),
-    "clean_mode_fill": QuerySpec(_mode_fill, _MODE_FILL_SQL, "R7 mode fill", ("cleaning",)),
-    "clean_median_fill": QuerySpec(_median_fill, _MEDIAN_FILL_SQL, "R8 median fill", ("cleaning",)),
-    "clean_iqr_clip": QuerySpec(_iqr_clip, _IQR_CLIP_SQL, "R9 IQR clip", ("cleaning",)),
-    "clean_null_fraction_drop": QuerySpec(_null_fraction_drop, _NULL_FRAC_SQL, "R5 conditional null-row drop", ("cleaning",)),
-    "clean_variance_filter": QuerySpec(_variance_filter, _VARIANCE_SQL, "R13 low-variance column pruning", ("cleaning",)),
-    "clean_full_kernel": QuerySpec(_full_kernel, _FULL_KERNEL_SQL, "full silver cleaning pipeline", ("cleaning",)),
+    "clean_timestamp_multiformat": QuerySpec(_timestamp_multiformat, _TS_MULTIFORMAT_SQL, "R2/R4 multi-layout parse + drop", ("cleaning", "defer")),
+    "clean_dedup_keyed": QuerySpec(_dedup_keyed, _DEDUP_SQL, "R1 deterministic keep-first dedup", ("cleaning", "defer")),
+    "clean_numeric_coercion": QuerySpec(_numeric_coercion, _COERCION_SQL, "R6 mixed-type coercion", ("cleaning", "defer")),
+    "clean_mode_fill": QuerySpec(_mode_fill, _MODE_FILL_SQL, "R7 mode fill", ("cleaning", "defer")),
+    "clean_median_fill": QuerySpec(_median_fill, _MEDIAN_FILL_SQL, "R8 median fill", ("cleaning", "defer")),
+    "clean_iqr_clip": QuerySpec(_iqr_clip, _IQR_CLIP_SQL, "R9 IQR clip", ("cleaning", "defer")),
+    "clean_null_fraction_drop": QuerySpec(_null_fraction_drop, _NULL_FRAC_SQL, "R5 conditional null-row drop", ("cleaning", "defer")),
+    "clean_variance_filter": QuerySpec(_variance_filter, _VARIANCE_SQL, "R13 low-variance column pruning", ("cleaning", "defer")),
+    "clean_full_kernel": QuerySpec(_full_kernel, _FULL_KERNEL_SQL, "full silver cleaning pipeline", ("cleaning", "defer")),
 }

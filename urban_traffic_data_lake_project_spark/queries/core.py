@@ -534,20 +534,20 @@ FROM solved
 
 
 REGISTRY: dict[str, QuerySpec] = {
-    "agg_regression": QuerySpec(_regression, _REGRESSION_SQL, "per-group regression aggregates", ("agg",)),
-    "join_null_safe": QuerySpec(_null_safe_join, _NULL_SAFE_SQL, "null-safe equality join", ("join",)),
-    "core_pricing_summary": QuerySpec(_pricing_summary, _PRICING_SQL, "TPC-H Q1-shaped grouped aggregate", ("agg", "scan")),
-    "core_join_snowflake": QuerySpec(_join_snowflake, _SNOWFLAKE_SQL, "5-way join via broadcast dims", ("join",)),
-    "core_left_join_fanout": QuerySpec(_left_join_fanout, _FANOUT_SQL, "J1 coarse-key left join fan-out", ("join",)),
-    "core_grand_aggs": QuerySpec(_grand_aggs, _GRAND_AGGS_SQL, "A1-A12 grand aggregate bundle incl. A5 mode", ("agg",)),
-    "core_topk_abs": QuerySpec(_topk_abs, _TOPK_ABS_SQL, "T1 top-k by |value|", ("sort",)),
-    "core_topk_groups": QuerySpec(_topk_groups, _TOPK_GROUPS_SQL, "top-5 groups by aggregate", ("sort", "agg")),
-    "core_filter_project": QuerySpec(_filter_project, _FILTER_PROJECT_SQL, "pushdown filter + projection", ("scan",)),
-    "core_corr_matrix": QuerySpec(_corr_matrix, _CORR_MATRIX_SQL, "A11 full pairwise correlation matrix", ("agg",)),
-    "core_describe": QuerySpec(_describe, _DESCRIBE_SQL, "A10 describe() long-form", ("agg",)),
-    "core_set_ops": QuerySpec(_set_ops, _SET_OPS_SQL, "union/intersect/except, DISTINCT + ALL", ("set",)),
+    "agg_regression": QuerySpec(_regression, _REGRESSION_SQL, "per-group regression aggregates", ("agg", "defer")),
+    "join_null_safe": QuerySpec(_null_safe_join, _NULL_SAFE_SQL, "null-safe equality join", ("join", "defer")),
+    "core_pricing_summary": QuerySpec(_pricing_summary, _PRICING_SQL, "TPC-H Q1-shaped grouped aggregate", ("agg", "scan", "defer")),
+    "core_join_snowflake": QuerySpec(_join_snowflake, _SNOWFLAKE_SQL, "5-way join via broadcast dims", ("join", "defer")),
+    "core_left_join_fanout": QuerySpec(_left_join_fanout, _FANOUT_SQL, "J1 coarse-key left join fan-out", ("join", "defer")),
+    "core_grand_aggs": QuerySpec(_grand_aggs, _GRAND_AGGS_SQL, "A1-A12 grand aggregate bundle incl. A5 mode", ("agg", "defer")),
+    "core_topk_abs": QuerySpec(_topk_abs, _TOPK_ABS_SQL, "T1 top-k by |value|", ("sort", "defer")),
+    "core_topk_groups": QuerySpec(_topk_groups, _TOPK_GROUPS_SQL, "top-5 groups by aggregate", ("sort", "agg", "defer")),
+    "core_filter_project": QuerySpec(_filter_project, _FILTER_PROJECT_SQL, "pushdown filter + projection", ("scan", "defer")),
+    "core_corr_matrix": QuerySpec(_corr_matrix, _CORR_MATRIX_SQL, "A11 full pairwise correlation matrix", ("agg", "defer")),
+    "core_describe": QuerySpec(_describe, _DESCRIBE_SQL, "A10 describe() long-form", ("agg", "defer")),
+    "core_set_ops": QuerySpec(_set_ops, _SET_OPS_SQL, "union/intersect/except, DISTINCT + ALL", ("set", "defer")),
     "agg_grouped_ols": QuerySpec(
         _grouped_ols, _GROUPED_OLS_SQL,
-        "applyInPandas multi-feature OLS vs Cramer-solve oracle", ("agg", "ml", "defer"),
+        "applyInPandas multi-feature OLS vs Cramer-solve oracle", ("agg", "ml"),
     ),
 }

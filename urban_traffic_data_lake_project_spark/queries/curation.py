@@ -707,76 +707,76 @@ REGISTRY: dict[str, QuerySpec] = {
     "decontam_eval_overlap": QuerySpec(
         _decontam_overlap, _DECONTAM_SQL,
         "eval-set n-gram decontamination flags over the train split",
-        ("curation", "decontam", "defer"),
+        ("curation", "decontam"),
     ),
     "sketch_hll_distinct": QuerySpec(
         _sketch_hll, _HLL_SQL,
         "mergeable HyperLogLog distinct sketch vs exact, per group",
-        ("sketch", "defer"),
+        ("sketch"),
     ),
     "curation_pack_sequences": QuerySpec(
         _pack_sequences, _PACK_SEQUENCES_SQL,
         "chunk -> shard -> fixed-token-budget sequence packing",
-        ("curation", "defer"),
+        ("curation"),
     ),
     "sample_domain_mix": QuerySpec(
         _domain_mix, _DOMAIN_MIX_SQL,
         "deterministic resampling to a target language mix",
-        ("curation", "defer"),
+        ("curation"),
     ),
     "text_redact_pii": QuerySpec(
         _redact_pii, _REDACT_SQL,
         "PII redaction chain: emails, URLs, IPs, digit runs",
-        ("text", "curation", "defer"),
+        ("text", "curation"),
     ),
     "dedup_incremental": QuerySpec(
         _dedup_incremental, _DEDUP_INCREMENTAL_SQL,
         "batch-vs-index near-dedup against a pre-built signature index",
-        ("dedup", "curation", "defer"),
+        ("dedup", "curation"),
     ),
     "sim_embedding_quantize": QuerySpec(
         _embedding_quantize, _QUANTIZE_SQL,
         "int8 embedding quantization, element-wise codes + roundtrip error",
-        ("similarity", "curation", "defer"),
+        ("similarity", "curation"),
     ),
     "sketch_hll_rollup": QuerySpec(
         _sketch_hll_rollup, _HLL_ROLLUP_SQL,
         "per-month HLL sketches merged to per-priority estimates",
-        ("sketch", "defer"),
+        ("sketch"),
     ),
     "sample_weighted_quality": QuerySpec(
         _weighted_quality_sample, _WSAMPLE_SQL,
         "quality-weighted per-language sampling (A-ES exponential keys)",
-        ("curation", "defer"),
+        ("curation"),
     ),
     "stream_redact_pii": QuerySpec(
         _stream_redact, _REDACT_SQL,
         "the redaction chain as a real streaming job (AvailableNow), same oracle",
-        ("streaming", "curation", "defer"),
+        ("streaming", "curation"),
     ),
     "text_unigram_logprob": QuerySpec(
         _unigram_logprob, _UNIGRAM_SQL,
         "self-trained unigram LM scoring (mean token log-probability)",
-        ("text", "curation", "defer"),
+        ("text", "curation"),
     ),
     "sketch_cm_term_freq": QuerySpec(
         _cm_term_freq, _CM_SQL,
         "count-min sketch frequency estimates vs exact, top terms",
-        ("sketch", "defer"),
+        ("sketch"),
     ),
     "stream_sketch_hll": QuerySpec(
         _stream_hll, _HLL_ROLLUP_SQL,
         "HLL register table maintained by a streaming aggregation, same oracle",
-        ("sketch", "streaming", "defer"),
+        ("sketch", "streaming"),
     ),
     "agg_key_skew_profile": QuerySpec(
         _key_skew, _KEY_SKEW_SQL,
         "join-key skew diagnostic: heaviest keys with row share",
-        ("diagnostics", "defer"),
+        ("diagnostics"),
     ),
     "sketch_bloom_screen": QuerySpec(
         _bloom_screen, _BLOOM_SQL,
         "Bloom-filter membership screen of train docs vs eval fingerprints",
-        ("sketch", "curation", "defer"),
+        ("sketch", "curation"),
     ),
 }

@@ -772,28 +772,28 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_clusters": QuerySpec(
         _dedup_clusters, _DEDUP_CLUSTERS_SQL,
         "connected-component dup clusters (min-label propagation)",
-        ("dedup", "defer"),
+        ("dedup"),
     ),
     "sample_stratified": QuerySpec(
         _sample_stratified, _SAMPLE_STRATIFIED_SQL,
-        "deterministic per-stratum quota sample", ("curation", "defer"),
+        "deterministic per-stratum quota sample", ("curation"),
     ),
     "sample_split_shards": QuerySpec(
         _sample_split_shards, _SAMPLE_SPLIT_SHARDS_SQL,
-        "hash train/eval split + token-budget sharding", ("curation", "defer"),
+        "hash train/eval split + token-budget sharding", ("curation"),
     ),
     "text_chunks": QuerySpec(
         _text_chunks, _TEXT_CHUNKS_SQL,
-        "overlapping token-window chunking", ("text", "curation", "defer"),
+        "overlapping token-window chunking", ("text", "curation"),
     ),
     "sim_lang_centroids": QuerySpec(
         _lang_centroids, _LANG_CENTROIDS_SQL,
         "per-language embedding centroids (grouped vector mean)",
-        ("similarity", "defer"),
+        ("similarity"),
     ),
     "curation_pipeline": QuerySpec(
         _curation_pipeline, _CURATION_SQL,
         "end-to-end curation: dedup -> quality -> split/shard -> chunk",
-        ("curation", "dedup", "text", "defer"),
+        ("curation", "dedup", "text"),
     ),
 }

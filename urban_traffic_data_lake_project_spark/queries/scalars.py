@@ -227,9 +227,9 @@ WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
 
 
 REGISTRY: dict[str, QuerySpec] = {
-    "arr_vector_stats": QuerySpec(_vector_stats, _VECTOR_STATS_SQL, "array/vector column functions", ("scalar", "array")),
-    "scalar_subquery": QuerySpec(_scalar_subquery, _SCALAR_SUBQUERY_SQL, "correlated scalar subquery", ("scalar", "join")),
-    "scalar_functions": QuerySpec(_scalar_functions, _SCALAR_FUNCTIONS_SQL, "F1/F2/F4 date+string+math scalars", ("scalar",)),
+    "arr_vector_stats": QuerySpec(_vector_stats, _VECTOR_STATS_SQL, "array/vector column functions", ("scalar", "array", "defer")),
+    "scalar_subquery": QuerySpec(_scalar_subquery, _SCALAR_SUBQUERY_SQL, "correlated scalar subquery", ("scalar", "join", "defer")),
+    "scalar_functions": QuerySpec(_scalar_functions, _SCALAR_FUNCTIONS_SQL, "F1/F2/F4 date+string+math scalars", ("scalar", "defer")),
     "scalar_random_moments": QuerySpec(_random_moments, None, "F3 random generators (moments)", ("scalar", "stochastic")),
     "multimodal_ingest": QuerySpec(_mm_ingest, _MM_INGEST_SQL, "binary payload + typed metadata", ("multimodal",)),
     "multimodal_decode": QuerySpec(_mm_decode, _MM_DECODE_SQL, "real PNG header decode roundtrip", ("multimodal",)),

@@ -518,27 +518,27 @@ REGISTRY: dict[str, QuerySpec] = {
         _stream_tumbling, _WIN_TUMBLING_SQL,
         "real streaming job (AvailableNow) vs batch oracle", ("streaming",),
     ),
-    "win_rollup_cube": QuerySpec(_rollup_cube, _ROLLUP_CUBE_SQL, "ROLLUP + CUBE grouping sets", ("agg",)),
-    "join_semi_anti": QuerySpec(_semi_anti, _SEMI_ANTI_SQL, "left-semi/left-anti joins", ("join",)),
-    "agg_pivot": QuerySpec(_pivot, _PIVOT_SQL, "pivot to wide conditional aggregates", ("agg",)),
-    "win_rank_lag": QuerySpec(_win_rank_lag, _WIN_RANK_LAG_SQL, "row_number/lag/running agg windows", ("window",)),
+    "win_rollup_cube": QuerySpec(_rollup_cube, _ROLLUP_CUBE_SQL, "ROLLUP + CUBE grouping sets", ("agg", "defer")),
+    "join_semi_anti": QuerySpec(_semi_anti, _SEMI_ANTI_SQL, "left-semi/left-anti joins", ("join", "defer")),
+    "agg_pivot": QuerySpec(_pivot, _PIVOT_SQL, "pivot to wide conditional aggregates", ("agg", "defer")),
+    "win_rank_lag": QuerySpec(_win_rank_lag, _WIN_RANK_LAG_SQL, "row_number/lag/running agg windows", ("window", "defer")),
     "win_sliding_events": QuerySpec(_win_sliding, _WIN_SLIDING_SQL, "sliding window (1h / 30m)", ("window", "streaming-equiv")),
     "win_session_events": QuerySpec(_win_session, _WIN_SESSION_SQL, "session windows, 10-min gap", ("window", "streaming-equiv")),
     "merge_asof_join": QuerySpec(_asof, _ASOF_SQL, "backward as-of join (union+window)", ("join",)),
-    "merge_range_join": QuerySpec(_range_join, _RANGE_JOIN_SQL, "interval join via binned equi-join", ("join", "defer")),
+    "merge_range_join": QuerySpec(_range_join, _RANGE_JOIN_SQL, "interval join via binned equi-join", ("join",)),
     "stream_interval_join": QuerySpec(
         _stream_interval_join, _STREAM_INTERVAL_JOIN_SQL,
-        "real stream-stream interval join vs batch oracle", ("streaming", "join", "defer"),
+        "real stream-stream interval join vs batch oracle", ("streaming", "join"),
     ),
     "join_salted_skew": QuerySpec(
         _salted_skew_join, _SALTED_SKEW_SQL,
-        "salted join on an engineered hot key == plain join", ("join", "defer"),
+        "salted join on an engineered hot key == plain join", ("join",),
     ),
     "stream_stateful_user_stats": QuerySpec(
         _stream_stateful, _STREAM_STATEFUL_SQL,
         "applyInPandasWithState running stats vs batch oracle",
-        ("streaming", "stateful", "defer"),
+        ("streaming", "stateful"),
     ),
-    "merge_suffix_day_join": QuerySpec(_suffix_day_join, _SUFFIX_DAY_SQL, "reference merge: day key + suffixes", ("join",)),
-    "json_extract_events": QuerySpec(_json_extract, _JSON_SQL, "JSON scalar extraction", ("scalar",)),
+    "merge_suffix_day_join": QuerySpec(_suffix_day_join, _SUFFIX_DAY_SQL, "reference merge: day key + suffixes", ("join", "defer")),
+    "json_extract_events": QuerySpec(_json_extract, _JSON_SQL, "JSON scalar extraction", ("scalar", "defer")),
 }

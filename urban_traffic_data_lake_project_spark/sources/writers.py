@@ -149,19 +149,37 @@ def write_compacted(
     This is the small-files defense — a filtered/deduped corpus otherwise
     inherits its parent's partitioning and writes thousands of tiny files,
     and at 100 TB the resulting listing/open overhead dominates downstream
-    scans. One bounded sample job + one count + a round-robin repartition;
-    the estimate only needs to be right within ~2x for file sizes to be
-    healthy."""
-    import sys
+    scans. One count + one bounded sample aggregate + a round-robin
+    repartition; the estimate only needs to be right within ~2x for file
+    sizes to be healthy.
 
-    sample = df.limit(sample_rows).collect()
-    if not sample:
+    Row size comes from a SEEDED RANDOM sample aggregated Spark-side (sum
+    of per-field octet lengths), not ``limit()`` + driver repr: the first
+    rows of the first partition are a biased sample on size-ordered data
+    (e.g. a corpus sorted by text length), and Python object overhead has
+    nothing to do with serialized bytes."""
+    total_rows = df.count()
+    if total_rows == 0:
         df.write.mode(mode).format(fmt).save(path)
         return 1
-    # in-memory row size overestimates parquet (encoding + compression);
-    # 4x is the usual parquet-vs-Python shrink for mixed text/numeric rows
-    bytes_per_row = max(1, sys.getsizeof(str(sample)) // len(sample) // 4)
-    total_rows = df.count()
+    # per-field serialized size: binary as-is, everything else via its
+    # string form; NULLs count 0
+    size_expr = None
+    for fld in df.schema.fields:
+        col = F.col(fld.name)
+        sz = F.octet_length(col if fld.dataType.typeName() == "binary" else col.cast("string"))
+        sz = F.coalesce(sz, F.lit(0))
+        size_expr = sz if size_expr is None else size_expr + sz
+    fraction = min(1.0, (3.0 * sample_rows) / total_rows)
+    avg_raw = (
+        df.sample(fraction=fraction, seed=42)
+        .limit(sample_rows)
+        .agg(F.avg(size_expr).alias("sz"))
+        .first()["sz"]
+    )
+    # parquet encoding + compression shrink raw field bytes ~3x on mixed
+    # text/numeric rows
+    bytes_per_row = max(1, int((avg_raw or 8.0) / 3))
     n_files = max(1, round(total_rows * bytes_per_row / target_file_bytes))
     df.repartition(n_files).write.mode(mode).format(fmt).save(path)
     return n_files
