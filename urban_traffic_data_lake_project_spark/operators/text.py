@@ -87,6 +87,63 @@ def lang_id(text: Column, default: str = "und") -> Column:
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit(default))
 
 
+def repetition_signals(text: Column) -> dict[str, Column]:
+    """The C4/Gopher-family repetition and boilerplate filters — the
+    signals a production curation pipeline leans on daily to catch
+    templated/spammy documents that pass the length/alpha checks:
+
+    - ``dup_line_frac``: fraction of non-empty (trimmed) lines that are
+      repeats of an earlier line. Navigation chrome / boilerplate
+      footers repeat lines; prose does not.
+    - ``top_bigram_share``: fraction of tokens covered by occurrences of
+      the single most frequent word bigram (lowercased whitespace
+      tokens). Keyword-stuffed and machine-generated text concentrates
+      mass on one bigram.
+    - ``symbol_word_ratio``: '#'/ellipsis symbols per token (the Gopher
+      symbol-to-word filter) — markup debris and truncated scrapes.
+
+    All pure Catalyst array/regexp expressions (one projection, no
+    shuffle, no Python). The bigram count is O(distinct·n) per document
+    via a transform-over-distinct counting pass — exact, and cheap at
+    realistic document lengths (the alternative groupBy would shuffle
+    the whole corpus's bigrams)."""
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        (n_lines - F.size(F.array_distinct(lines))).cast("double") / n_lines,
+    ).otherwise(F.lit(0.0))
+
+    toks = F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda x: x != "")
+    n_toks = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(0), n_toks - 2),
+        lambda i: F.concat(F.get(toks, i), F.lit(" "), F.get(toks, i + 1)),
+    )
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(bigrams),
+            lambda d: F.size(F.filter(bigrams, lambda x: x == d)),
+        )
+    )
+    top_bigram_share = F.when(
+        n_toks >= 2, (2.0 * top_count.cast("double")) / n_toks
+    ).otherwise(F.lit(0.0))
+
+    n_sym = F.regexp_count(text, F.lit(r"#|\.\.\."))
+    symbol_word_ratio = F.when(
+        n_toks > 0, n_sym.cast("double") / n_toks
+    ).otherwise(F.lit(0.0))
+    return {
+        "dup_line_frac": dup_line_frac,
+        "top_bigram_share": top_bigram_share,
+        "symbol_word_ratio": symbol_word_ratio,
+    }
+
+
 def quality_signals(text: Column) -> dict[str, Column]:
     """The classic cheap quality signals, one projection pass:
     - n_chars, n_tokens
@@ -94,6 +151,7 @@ def quality_signals(text: Column) -> dict[str, Column]:
     - alpha ratio (letters / non-space chars)
     - punct ratio
     - stopword ratio (any-language markers / tokens)
+    - the repetition/boilerplate family (``repetition_signals``)
     """
     n_chars = F.length(text)
     n_tokens = token_count_whitespace(text)
@@ -109,20 +167,24 @@ def quality_signals(text: Column) -> dict[str, Column]:
         "alpha_ratio": F.when(nonspace > 0, alpha.cast("double") / nonspace).otherwise(F.lit(0.0)),
         "punct_ratio": F.when(nonspace > 0, punct.cast("double") / nonspace).otherwise(F.lit(0.0)),
         "stopword_ratio": F.when(n_tokens > 0, stop_hits.cast("double") / n_tokens).otherwise(F.lit(0.0)),
+        **repetition_signals(text),
     }
 
 
 def quality_score(text: Column) -> Column:
-    """Composite [0,1] quality score: weighted blend of bounded signals.
-    Deterministic, monotone in each signal — a filterable ranking, not a
-    trained model."""
+    """Composite [0,1] quality score: weighted blend of bounded signals,
+    now including the repetition/boilerplate penalties. Deterministic,
+    monotone in each signal — a filterable ranking, not a trained model."""
     s = quality_signals(text)
     len_score = F.least(s["n_tokens"].cast("double") / 50.0, F.lit(1.0))
     return (
-        0.4 * len_score
-        + 0.3 * s["alpha_ratio"]
-        + 0.2 * F.least(s["stopword_ratio"] * 5.0, F.lit(1.0))
+        0.3 * len_score
+        + 0.25 * s["alpha_ratio"]
+        + 0.15 * F.least(s["stopword_ratio"] * 5.0, F.lit(1.0))
         + 0.1 * (1.0 - F.least(s["punct_ratio"] * 5.0, F.lit(1.0)))
+        + 0.1 * (1.0 - s["dup_line_frac"])
+        + 0.05 * (1.0 - F.least(s["top_bigram_share"] * 2.0, F.lit(1.0)))
+        + 0.05 * (1.0 - F.least(s["symbol_word_ratio"] * 10.0, F.lit(1.0)))
     )
 
 

@@ -321,6 +321,9 @@ def _text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("alpha_ratio", ROUND_STAT).alias("alpha_ratio"),
         F.round("punct_ratio", ROUND_STAT).alias("punct_ratio"),
         F.round("stopword_ratio", ROUND_STAT).alias("stopword_ratio"),
+        F.round("dup_line_frac", ROUND_STAT).alias("dup_line_frac"),
+        F.round("top_bigram_share", ROUND_STAT).alias("top_bigram_share"),
+        F.round("symbol_word_ratio", ROUND_STAT).alias("symbol_word_ratio"),
         "quality",
         "n_tokens_bpe",
         "fingerprint",
@@ -337,6 +340,87 @@ def _marker_hits_sql(langs: tuple[str, ...]) -> str:
 
 
 _ALL_MARKERS_SQL = _marker_hits_sql(("en", "es", "fr", "de"))
+
+# ---- repetition/boilerplate signal fragments ------------------------------
+# DuckDB mirrors of operators/text.py::repetition_signals, kept expression-
+# for-expression and cast-for-cast identical so the composite quality score
+# hash-matches. `lines`/`ltoks`/`bigrams` are intermediate array columns;
+# n_tokens (whitespace count) doubles as len(ltoks) — trimming first means
+# the split yields no empty tokens, and lowercasing never changes the count.
+_LINES_SQL = (
+    "list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), "
+    "x -> x <> '')"
+)
+_LTOKS_SQL = (
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+)
+_SYM_COUNT_SQL = "len(regexp_extract_all(text, '#|\\.\\.\\.'))"
+_BIGRAMS_SQL = "list_transform(range(1, len(ltoks)), i -> ltoks[i] || ' ' || ltoks[i+1])"
+_TOP_BIGRAM_COUNT_SQL = (
+    "CASE WHEN len(bigrams) > 0 THEN "
+    "list_max(list_transform(list_distinct(bigrams), "
+    "d -> len(list_filter(bigrams, x -> x = d)))) ELSE 0 END"
+)
+_DUP_LINE_FRAC_SQL = (
+    "CASE WHEN n_lines > 0 THEN (n_lines - n_uniq_lines)::DOUBLE / n_lines "
+    "ELSE 0.0 END"
+)
+_TOP_BIGRAM_SHARE_SQL = (
+    "CASE WHEN n_tokens >= 2 THEN (2.0 * top_bigram::DOUBLE) / n_tokens "
+    "ELSE 0.0 END"
+)
+_SYMBOL_RATIO_SQL = (
+    "CASE WHEN n_tokens > 0 THEN n_sym::DOUBLE / n_tokens ELSE 0.0 END"
+)
+
+# the composite quality formula over named ratio columns — term order and
+# parenthesization match operators/text.py::quality_score exactly (IEEE
+# doubles are order-sensitive; both engines fold left-associatively)
+_QUALITY_EXPR_SQL = (
+    "0.3 * least(n_tokens::DOUBLE / 50.0, 1.0) "
+    "+ 0.25 * alpha_ratio "
+    "+ 0.15 * least(stopword_ratio * 5.0, 1.0) "
+    "+ 0.1 * (1.0 - least(punct_ratio * 5.0, 1.0)) "
+    "+ 0.1 * (1.0 - dup_line_frac) "
+    "+ 0.05 * (1.0 - least(top_bigram_share * 2.0, 1.0)) "
+    "+ 0.05 * (1.0 - least(symbol_word_ratio * 10.0, 1.0))"
+)
+
+
+def _quality_cte_sql(extra: str = "") -> str:
+    """CTE body: ``SELECT doc_id{extra}, quality FROM documents`` — the ONE
+    DuckDB formulation of the composite quality score, shared by every
+    oracle that filters or weights by quality (text_profile keeps its own
+    chain because it also exposes the individual ratios)."""
+    return f"""
+  SELECT doc_id{extra}, {_QUALITY_EXPR_SQL} AS quality
+  FROM (
+    SELECT doc_id{extra}, n_tokens,
+           CASE WHEN nonspace > 0 THEN alpha::DOUBLE / nonspace ELSE 0.0 END AS alpha_ratio,
+           CASE WHEN nonspace > 0 THEN punct::DOUBLE / nonspace ELSE 0.0 END AS punct_ratio,
+           CASE WHEN n_tokens > 0 THEN stop_hits::DOUBLE / n_tokens ELSE 0.0 END AS stopword_ratio,
+           {_DUP_LINE_FRAC_SQL} AS dup_line_frac,
+           {_TOP_BIGRAM_SHARE_SQL} AS top_bigram_share,
+           {_SYMBOL_RATIO_SQL} AS symbol_word_ratio
+    FROM (
+      SELECT doc_id{extra}, n_tokens, nonspace, alpha, punct, stop_hits,
+             n_lines, n_uniq_lines, n_sym, {_TOP_BIGRAM_COUNT_SQL} AS top_bigram
+      FROM (
+        SELECT doc_id{extra}, n_tokens, nonspace, alpha, punct, stop_hits,
+               len(lines) AS n_lines, len(list_distinct(lines)) AS n_uniq_lines,
+               n_sym, {_BIGRAMS_SQL} AS bigrams
+        FROM (
+          SELECT doc_id{extra},
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                 length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+                 length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                 len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{{}}-]')) AS punct,
+                 {_ALL_MARKERS_SQL} AS stop_hits,
+                 {_LINES_SQL} AS lines,
+                 {_LTOKS_SQL} AS ltoks,
+                 {_SYM_COUNT_SQL} AS n_sym
+          FROM documents))))"""
 _SCORE_EXPRS = {lang: _marker_hits_sql((lang,)) for lang in ("de", "en", "es", "fr")}
 _SCORE_EXPRS["zh"] = "len(regexp_extract_all(text, '[一-鿿]'))"
 
@@ -364,26 +448,38 @@ WITH base AS (
          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
          len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{{}}-]')) AS punct,
          {_ALL_MARKERS_SQL} AS stop_hits,
-         len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_tokens_bpe
+         len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_tokens_bpe,
+         {_LINES_SQL} AS lines,
+         {_LTOKS_SQL} AS ltoks,
+         {_SYM_COUNT_SQL} AS n_sym
   FROM documents),
+rep AS (
+  SELECT *, len(lines) AS n_lines, len(list_distinct(lines)) AS n_uniq_lines,
+         {_BIGRAMS_SQL} AS bigrams
+  FROM base),
+cnt AS (
+  SELECT *, {_TOP_BIGRAM_COUNT_SQL} AS top_bigram FROM rep),
 sig AS (
   SELECT doc_id, {_LANG_CASE} AS pred_lang, n_chars, n_tokens,
          CASE WHEN n_tokens > 0 THEN nonspace::DOUBLE / n_tokens ELSE 0.0 END AS mean_token_len,
          CASE WHEN nonspace > 0 THEN alpha::DOUBLE / nonspace ELSE 0.0 END AS alpha_ratio,
          CASE WHEN nonspace > 0 THEN punct::DOUBLE / nonspace ELSE 0.0 END AS punct_ratio,
          CASE WHEN n_tokens > 0 THEN stop_hits::DOUBLE / n_tokens ELSE 0.0 END AS stopword_ratio,
+         {_DUP_LINE_FRAC_SQL} AS dup_line_frac,
+         {_TOP_BIGRAM_SHARE_SQL} AS top_bigram_share,
+         {_SYMBOL_RATIO_SQL} AS symbol_word_ratio,
          n_tokens_bpe,
          {_sql_hash64(_NORM.format(c='text'))} AS fingerprint
-  FROM base)
+  FROM cnt)
 SELECT doc_id, pred_lang, n_chars, n_tokens,
        round(mean_token_len, {ROUND_STAT}) AS mean_token_len,
        round(alpha_ratio, {ROUND_STAT}) AS alpha_ratio,
        round(punct_ratio, {ROUND_STAT}) AS punct_ratio,
        round(stopword_ratio, {ROUND_STAT}) AS stopword_ratio,
-       round(0.4 * least(n_tokens::DOUBLE / 50.0, 1.0)
-             + 0.3 * alpha_ratio
-             + 0.2 * least(stopword_ratio * 5.0, 1.0)
-             + 0.1 * (1.0 - least(punct_ratio * 5.0, 1.0)), {ROUND_STAT}) AS quality,
+       round(dup_line_frac, {ROUND_STAT}) AS dup_line_frac,
+       round(top_bigram_share, {ROUND_STAT}) AS top_bigram_share,
+       round(symbol_word_ratio, {ROUND_STAT}) AS symbol_word_ratio,
+       round({_QUALITY_EXPR_SQL}, {ROUND_STAT}) AS quality,
        n_tokens_bpe, fingerprint
 FROM sig
 """
