@@ -48,6 +48,7 @@ from urban_traffic_data_lake_project_spark.queries.llm import (
     _SEEDED_HASH_SQL,
     _SHINGLE_CTE,
     _SHINGLES_3,
+    _quality_cte_sql,
     _sql_hash64,
 )
 from urban_traffic_data_lake_project_spark.sources import load_table
@@ -497,27 +498,11 @@ def _weighted_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _WSAMPLE_SQL = f"""
-WITH qb AS (
-  SELECT doc_id, lang,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
-         length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
-         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
-         len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{{}}-]')) AS punct,
-         {_ALL_MARKERS_SQL} AS stop_hits
-  FROM documents),
-q AS (
-  SELECT doc_id, lang,
-         0.4 * least(n_tokens::DOUBLE / 50.0, 1.0)
-       + 0.3 * (CASE WHEN nonspace > 0 THEN alpha::DOUBLE / nonspace ELSE 0.0 END)
-       + 0.2 * least((CASE WHEN n_tokens > 0 THEN stop_hits::DOUBLE / n_tokens ELSE 0.0 END) * 5.0, 1.0)
-       + 0.1 * (1.0 - least((CASE WHEN nonspace > 0 THEN punct::DOUBLE / nonspace ELSE 0.0 END) * 5.0, 1.0))
-         AS w
-  FROM qb),
+WITH q AS ({_quality_cte_sql(extra=", lang")}),
 keyed AS (
   SELECT doc_id, lang,
-         -ln(({_SEEDED_HASH_SQL} % {_TWO53} + 1) / {float(_TWO53)}) / w AS key
-  FROM q WHERE w > 0)
+         -ln(({_SEEDED_HASH_SQL} % {_TWO53} + 1) / {float(_TWO53)}) / quality AS key
+  FROM q WHERE quality > 0)
 SELECT doc_id, lang FROM (
   SELECT doc_id, lang,
          row_number() OVER (PARTITION BY lang ORDER BY key, doc_id) AS rn

@@ -356,11 +356,21 @@ _LTOKS_SQL = (
 )
 _SYM_COUNT_SQL = "len(regexp_extract_all(text, '#|\\.\\.\\.'))"
 _BIGRAMS_SQL = "list_transform(range(1, len(ltoks)), i -> ltoks[i] || ' ' || ltoks[i+1])"
-_TOP_BIGRAM_COUNT_SQL = (
-    "CASE WHEN len(bigrams) > 0 THEN "
-    "list_max(list_transform(list_distinct(bigrams), "
-    "d -> len(list_filter(bigrams, x -> x = d)))) ELSE 0 END"
-)
+
+
+def _top_bigram_cte_sql(src: str) -> str:
+    """Per-doc max bigram count via unnest + two-level GROUP BY — linear,
+    unlike the O(distinct·n) list-lambda DuckDB evaluates interpretively
+    (the Spark side keeps the per-row lambda: it runs fused in codegen
+    with no shuffle, while a corpus-wide bigram groupBy would exchange
+    every bigram). `src` must expose (doc_id, bigrams). Docs with <2
+    tokens produce no rows; consumers coalesce to 0 on the join back."""
+    return (
+        f"SELECT doc_id, max(c) AS top_bigram FROM ("
+        f"SELECT doc_id, bg, count(*) AS c "
+        f"FROM {src}, LATERAL unnest(bigrams) AS u(bg) "
+        f"GROUP BY doc_id, bg) GROUP BY doc_id"
+    )
 _DUP_LINE_FRAC_SQL = (
     "CASE WHEN n_lines > 0 THEN (n_lines - n_uniq_lines)::DOUBLE / n_lines "
     "ELSE 0.0 END"
@@ -393,6 +403,23 @@ def _quality_cte_sql(extra: str = "") -> str:
     oracle that filters or weights by quality (text_profile keeps its own
     chain because it also exposes the individual ratios)."""
     return f"""
+  WITH __qb AS (
+    SELECT doc_id{extra}, n_tokens, nonspace, alpha, punct, stop_hits,
+           len(lines) AS n_lines, len(list_distinct(lines)) AS n_uniq_lines,
+           n_sym, {_BIGRAMS_SQL} AS bigrams
+    FROM (
+      SELECT doc_id{extra},
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+             length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+             len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{{}}-]')) AS punct,
+             {_ALL_MARKERS_SQL} AS stop_hits,
+             {_LINES_SQL} AS lines,
+             {_LTOKS_SQL} AS ltoks,
+             {_SYM_COUNT_SQL} AS n_sym
+      FROM documents)),
+  __tb AS ({_top_bigram_cte_sql("__qb")})
   SELECT doc_id{extra}, {_QUALITY_EXPR_SQL} AS quality
   FROM (
     SELECT doc_id{extra}, n_tokens,
@@ -403,24 +430,10 @@ def _quality_cte_sql(extra: str = "") -> str:
            {_TOP_BIGRAM_SHARE_SQL} AS top_bigram_share,
            {_SYMBOL_RATIO_SQL} AS symbol_word_ratio
     FROM (
-      SELECT doc_id{extra}, n_tokens, nonspace, alpha, punct, stop_hits,
-             n_lines, n_uniq_lines, n_sym, {_TOP_BIGRAM_COUNT_SQL} AS top_bigram
-      FROM (
-        SELECT doc_id{extra}, n_tokens, nonspace, alpha, punct, stop_hits,
-               len(lines) AS n_lines, len(list_distinct(lines)) AS n_uniq_lines,
-               n_sym, {_BIGRAMS_SQL} AS bigrams
-        FROM (
-          SELECT doc_id{extra},
-                 CASE WHEN trim(text) = '' THEN 0
-                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
-                 length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
-                 length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
-                 len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{{}}-]')) AS punct,
-                 {_ALL_MARKERS_SQL} AS stop_hits,
-                 {_LINES_SQL} AS lines,
-                 {_LTOKS_SQL} AS ltoks,
-                 {_SYM_COUNT_SQL} AS n_sym
-          FROM documents))))"""
+      SELECT __qb.doc_id{extra}, n_tokens, nonspace, alpha, punct, stop_hits,
+             n_lines, n_uniq_lines, n_sym,
+             coalesce(__tb.top_bigram, 0) AS top_bigram
+      FROM __qb LEFT JOIN __tb ON __tb.doc_id = __qb.doc_id))"""
 _SCORE_EXPRS = {lang: _marker_hits_sql((lang,)) for lang in ("de", "en", "es", "fr")}
 _SCORE_EXPRS["zh"] = "len(regexp_extract_all(text, '[一-鿿]'))"
 
@@ -457,8 +470,10 @@ rep AS (
   SELECT *, len(lines) AS n_lines, len(list_distinct(lines)) AS n_uniq_lines,
          {_BIGRAMS_SQL} AS bigrams
   FROM base),
+tb AS ({_top_bigram_cte_sql("rep")}),
 cnt AS (
-  SELECT *, {_TOP_BIGRAM_COUNT_SQL} AS top_bigram FROM rep),
+  SELECT rep.*, coalesce(tb.top_bigram, 0) AS top_bigram
+  FROM rep LEFT JOIN tb ON tb.doc_id = rep.doc_id),
 sig AS (
   SELECT doc_id, {_LANG_CASE} AS pred_lang, n_chars, n_tokens,
          CASE WHEN n_tokens > 0 THEN nonspace::DOUBLE / n_tokens ELSE 0.0 END AS mean_token_len,
@@ -806,23 +821,7 @@ dropped AS (
   SELECT DISTINCT p.id_b AS doc_id FROM jac_pairs p
   JOIN exact_keep a ON a.doc_id = p.id_a
   JOIN exact_keep b ON b.doc_id = p.id_b),
-quality_base AS (
-  SELECT doc_id,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
-         length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
-         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
-         len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{{}}-]')) AS punct,
-         {_ALL_MARKERS_SQL} AS stop_hits
-  FROM documents),
-quality AS (
-  SELECT doc_id,
-         0.4 * least(n_tokens::DOUBLE / 50.0, 1.0)
-       + 0.3 * (CASE WHEN nonspace > 0 THEN alpha::DOUBLE / nonspace ELSE 0.0 END)
-       + 0.2 * least((CASE WHEN n_tokens > 0 THEN stop_hits::DOUBLE / n_tokens ELSE 0.0 END) * 5.0, 1.0)
-       + 0.1 * (1.0 - least((CASE WHEN nonspace > 0 THEN punct::DOUBLE / nonspace ELSE 0.0 END) * 5.0, 1.0))
-         AS quality
-  FROM quality_base),
+quality AS ({_quality_cte_sql()}),
 d3 AS (
   SELECT d.doc_id, d.text, d.n_chars FROM documents d
   JOIN exact_keep k ON k.doc_id = d.doc_id
