@@ -57,6 +57,54 @@ def test_minhash_lsh_agrees_with_exact_jaccard_on_testdata(spark, sf_dir):
         assert len(lsh) / len(exact) >= 0.8
 
 
+def test_substring_span_dedup_flags_shared_paragraph(spark):
+    boiler = "subscribe to our newsletter for daily updates and exclusive offers every single day"
+    unique = [
+        "completely original research about query optimizers and vectorized execution engines",
+        "another entirely different passage describing watermark semantics in stream processing",
+        "a third text on broadcast joins partition pruning and adaptive query execution",
+    ]
+    rows = [
+        (1, unique[0] + "\n" + boiler),
+        (2, unique[1] + "\n" + boiler),
+        (3, unique[2]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in D.substring_span_dedup(
+            df, "doc_id", "text", unit="paragraph", min_span_tokens=5
+        ).collect()
+    }
+    # the boilerplate paragraph is shared by docs 1 and 2 -> one dup span each
+    assert out[1]["n_spans"] == 2 and out[1]["n_dup_spans"] == 1
+    assert out[2]["n_spans"] == 2 and out[2]["n_dup_spans"] == 1
+    assert out[3]["n_dup_spans"] == 0 and out[3]["keep"]
+    assert abs(out[1]["dup_span_frac"] - 0.5) < 1e-9 and out[1]["keep"]
+
+    # window mode: a 50-token window duplicated verbatim across two docs
+    shared = " ".join(f"tok{i}" for i in range(50))
+    tail_a = " ".join(f"aaa{i}" for i in range(30))
+    tail_b = " ".join(f"bbb{i}" for i in range(30))
+    wdf = spark.createDataFrame(
+        [(1, shared + " " + tail_a), (2, shared + " " + tail_b)],
+        "doc_id long, text string",
+    )
+    wout = {
+        r["doc_id"]: r
+        for r in D.substring_span_dedup(
+            wdf, "doc_id", "text", unit="window", window_tokens=50, min_span_tokens=8
+        ).collect()
+    }
+    # spans per doc: [0:50] (shared) and [50:80] (unique tail)
+    assert wout[1]["n_spans"] == 2 and wout[1]["n_dup_spans"] == 1
+    assert wout[2]["n_spans"] == 2 and wout[2]["n_dup_spans"] == 1
+    # docs with no qualifying spans keep trivially
+    tiny = spark.createDataFrame([(9, "short")], "doc_id long, text string")
+    tout = D.substring_span_dedup(tiny, "doc_id", "text").collect()[0]
+    assert tout["n_spans"] == 0 and tout["keep"] and tout["dup_span_frac"] == 0.0
+
+
 def test_simhash_near_duplicates_have_small_hamming_distance(spark):
     a = "the quick brown fox jumps over the lazy dog again and again today"
     b = "the quick brown fox jumps over the lazy dog again and again tomorrow"

@@ -90,6 +90,20 @@ def test_ivf_assignment_has_no_corpus_shuffle(spark, sf_dir):
     assert "windowspecdefinition(query_id" in plan
 
 
+def test_exact_topk_prunes_before_rank_exchange(spark, sf_dir):
+    # two-phase exact top-k: the partition-local prune (MapInPandas over
+    # the three scalar columns) must sit BELOW the hash-partition exchange
+    # feeding the global rank window, so the shuffle carries at most
+    # partitions*q*k survivor rows instead of |corpus|*q scored rows
+    df = REGISTRY["sim_cosine_topk"].fn(spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("+- == Initial Plan ==")[0]
+    assert "MapInPandas" in plan
+    exchange_subtree = plan.split("Exchange hashpartitioning(query_id", 1)[1]
+    assert "MapInPandas" in exchange_subtree  # prune feeds the exchange
+    assert "windowspecdefinition(query_id" in plan
+
+
 def test_redact_pii_is_shuffle_free_projection(spark, sf_dir):
     # the redaction chain is one codegen'd projection over the corpus —
     # any Exchange would mean a scale-breaking accidental shuffle

@@ -54,6 +54,44 @@ def test_json_and_orc_round_trip(spark, sf_dir, tmpbase):
     assert sorted(r["event_id"] for r in back_o.collect()) == a
 
 
+def test_event_ts_normalized_across_representations(spark, sf_dir):
+    """events.ts has shipped as epoch-nanos BIGINT (nanosAsLong) and as
+    TIMESTAMP_NTZ (micros without isAdjustedToUTC) across testdata
+    generations; the loader must coerce every representation to plain
+    TIMESTAMP — withWatermark/unix_micros hard-reject NTZ — and all three
+    must decode to the same instants under the UTC session zone."""
+    from urban_traffic_data_lake_project_spark.sources.tables import normalize_event_ts
+
+    assert dict(load_table(spark, sf_dir, "events").dtypes)["ts"] == "timestamp"
+
+    micros = [1704067200_000_000, 1704070800_500_000]  # 2024-01-01 00:00/01:00 UTC
+    as_bigint = spark.createDataFrame(
+        [(m * 1000,) for m in micros], "ts bigint"
+    )
+    as_ntz = spark.createDataFrame([(m,) for m in micros], "ts bigint").select(
+        F.timestamp_micros(F.col("ts")).cast("timestamp_ntz").alias("ts")
+    )
+    as_ts = spark.createDataFrame([(m,) for m in micros], "ts bigint").select(
+        F.timestamp_micros(F.col("ts")).alias("ts")
+    )
+    outs = []
+    for df in (as_bigint, as_ntz, as_ts):
+        norm = normalize_event_ts(df, "ts")
+        assert dict(norm.dtypes)["ts"] == "timestamp"
+        outs.append(sorted(r["ts"] for r in norm.collect()))
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_events_stream_ts_is_watermarkable(spark, sf_dir):
+    """The streaming reader applies the same normalization — a watermark
+    on ts must analyze regardless of the on-disk representation."""
+    from urban_traffic_data_lake_project_spark.streaming.windows import read_events_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    stream.withWatermark("ts", "1 hour")  # raises AnalysisException on NTZ
+
+
 def test_dual_write(spark, sf_dir, tmpbase):
     region = load_table(spark, sf_dir, "region")
     a, b = os.path.join(tmpbase, "a"), os.path.join(tmpbase, "b")

@@ -33,6 +33,7 @@ from urban_traffic_data_lake_project_spark.functions import (
     stable_hash64,
     word_shingles,
 )
+from urban_traffic_data_lake_project_spark.sources.tables import spread_to_parallelism
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -51,6 +52,7 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     BEFORE the shingle lambda (no CSE inside higher-order lambdas)."""
     from urban_traffic_data_lake_project_spark.functions.core import shingles_from_words
 
+    df = spread_to_parallelism(df)
     words = df.select(
         F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("__words")
     )
@@ -290,11 +292,121 @@ def incremental_dedup_pairs(
     )
 
 
+def substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    unit: str = "window",
+    window_tokens: int = 50,
+    min_span_tokens: int = 8,
+) -> DataFrame:
+    """(id, span, n_toks) rows — the exact-substring units for span-level
+    dedup. ``unit='window'``: maximal non-overlapping ``window_tokens``-wide
+    windows over the normalized word sequence (the Lee-et-al-style
+    exact-substring granularity, catching boilerplate that crosses line
+    breaks); ``unit='paragraph'``: newline-delimited paragraphs, each
+    normalized. Spans shorter than ``min_span_tokens`` tokens are dropped
+    (trivial short strings would match everywhere).
+
+    The word array is materialized as a column BEFORE the window lambda
+    (slices inside the lambda touch the materialized attribute, never
+    re-evaluating the split — no CSE inside HOF lambdas)."""
+    df = spread_to_parallelism(df)
+    if unit == "paragraph":
+        paras = F.filter(
+            F.transform(F.split(F.col(text_col), "\n"), normalize_text),
+            lambda p: p != "",
+        )
+        out = df.select(F.col(id_col), F.explode(paras).alias("span")).withColumn(
+            "n_toks", F.size(F.split(F.col("span"), " "))
+        )
+        return out.filter(F.col("n_toks") >= min_span_tokens)
+    if unit != "window":
+        raise ValueError(f"unit must be 'window' or 'paragraph' (got {unit!r})")
+    words = df.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("__w")
+    )
+    n = F.size("__w")
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(window_tokens))
+    win = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.size(F.slice("__w", s, window_tokens)).alias("n_toks"),
+            F.array_join(F.slice("__w", s, window_tokens), " ").alias("span"),
+        ),
+    )
+    return (
+        words.select(F.col(id_col), F.explode(win).alias("__s"))
+        .select(id_col, F.col("__s.span").alias("span"), F.col("__s.n_toks").alias("n_toks"))
+        .filter((F.col("n_toks") >= min_span_tokens) & (F.col("span") != ""))
+    )
+
+
+def substring_span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    unit: str = "window",
+    window_tokens: int = 50,
+    min_span_tokens: int = 8,
+    max_dup_frac: float = 0.5,
+) -> DataFrame:
+    """Span-level exact-substring dedup profile — the complement to
+    document-level MinHash that production cleaning runs alongside it: a
+    span (50-token window / paragraph) is DUPLICATED when its hash occurs
+    in at least one OTHER document; each document reports the fraction of
+    its spans that are duplicated and a keep/drop verdict
+    (``dup_span_frac <= max_dup_frac``). Documents with no qualifying
+    spans keep trivially (n_spans = 0).
+
+    Returns (id, n_spans, n_dup_spans, dup_span_frac, keep).
+
+    Scale shape: explode spans -> ``stable_hash64`` -> one groupBy on the
+    span hash counting distinct owner docs -> equi-join occurrences back
+    on the hash -> one groupBy per doc. Two hash shuffles of span rows
+    (each doc contributes len/window rows, so span rows ≈ corpus tokens /
+    window_tokens) — the standard corpus shape, no all-pairs anywhere;
+    within-doc repeats are NOT flagged (that is dup_line_frac's job)."""
+    spans = substring_spans(df, id_col, text_col, unit, window_tokens, min_span_tokens)
+    hashed = spans.select(F.col(id_col), stable_hash64(F.col("span")).alias("__h"))
+    sharers = hashed.groupBy("__h").agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+    perdoc = (
+        hashed.join(sharers, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("__nd") >= 2, 1).otherwise(0)).alias("n_dup_spans"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(perdoc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.when(
+                F.coalesce("n_spans", F.lit(0)) > 0,
+                F.col("n_dup_spans").cast("double") / F.col("n_spans"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_span_frac"),
+            (
+                F.when(
+                    F.coalesce("n_spans", F.lit(0)) > 0,
+                    F.col("n_dup_spans").cast("double") / F.col("n_spans"),
+                ).otherwise(F.lit(0.0))
+                <= max_dup_frac
+            ).alias("keep"),
+        )
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """SimHash sketch over distinct normalized words: bit j of the sketch is
     the sign of sum(+-1 over word-hash bit j). One explode + one grouped
     aggregate with ``bits`` expressions."""
-    words = df.select(
+    words = spread_to_parallelism(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))).alias("w"),
     ).filter(F.col("w") != "")

@@ -125,6 +125,12 @@ def range_join_binned(
             f"range_join_binned supports only how='inner' (got {how!r}); "
             "outer semantics do not survive the bin explode + range filter"
         )
+    # tolerate TIMESTAMP_NTZ inputs (unix_micros below requires TIMESTAMP;
+    # the cast is identity under the pinned UTC session zone)
+    if dict(left.dtypes).get(left_ts) == "timestamp_ntz":
+        left = left.withColumn(left_ts, F.col(left_ts).cast("timestamp"))
+    if dict(right.dtypes).get(right_ts) == "timestamp_ntz":
+        right = right.withColumn(right_ts, F.col(right_ts).cast("timestamp"))
     lbin = (F.unix_timestamp(F.col(left_ts)) / window_seconds).cast("long")
     rbin = (F.unix_timestamp(F.col(right_ts)) / window_seconds).cast("long")
     l = left.withColumn(

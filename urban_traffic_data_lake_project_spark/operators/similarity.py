@@ -110,6 +110,39 @@ def quantize_embeddings_int8(
     )
 
 
+def _partition_local_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Phase-1 prune for exact top-k: within each partition keep only the k
+    best (cosine_sim DESC, neighbor_id ASC) rows per query — the global
+    top-k is necessarily a subset of the union of per-partition top-ks,
+    so this is lossless. Runs as an Arrow ``mapInPandas`` over the three
+    SCALAR columns only (the vectors are already reduced to a similarity
+    by then); each batch is pruned as it streams, so partition memory is
+    O(queries * k). The exchange feeding the global rank window then
+    carries <= partitions * queries * k rows instead of |corpus| * q."""
+    import pandas as pd
+
+    cols = ["query_id", "neighbor_id", "cosine_sim"]
+    proj = scored.select(*cols)
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["query_id", "cosine_sim", "neighbor_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return pdf.groupby("query_id", sort=False).head(k)
+
+    def per_partition(batches):
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            cur = prune(pdf)
+            best = cur if best is None else prune(pd.concat([best, cur]))
+        if best is not None:
+            yield best
+
+    return proj.mapInPandas(per_partition, proj.schema)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -119,7 +152,14 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector over the corpus.
     Returns (query_id, neighbor_id, cosine_sim, rank); self-matches are
-    excluded; ties break to the smaller neighbor id."""
+    excluded; ties break to the smaller neighbor id.
+
+    Two-phase: queries broadcast to every corpus partition and similarities
+    are computed JVM-side (``aggregate(zip_with)``), then each partition
+    pre-prunes to its local top-k (``_partition_local_topk``) so the global
+    rank window only exchanges partitions*q*k survivor rows — at corpus
+    scale the all-scores shuffle, not the dot products, is the bottleneck
+    this removes. Identical ordering keys in both phases keep it exact."""
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
     )
@@ -133,11 +173,12 @@ def cosine_topk(
             _dot(F.col("__qv"), F.col("__cv")) / (_norm(F.col("__qv")) * _norm(F.col("__cv"))),
         )
     )
+    pruned = _partition_local_topk(scored, k)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )

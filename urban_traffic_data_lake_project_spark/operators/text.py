@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from urban_traffic_data_lake_project_spark.functions import normalize_text, stable_hash64
+from urban_traffic_data_lake_project_spark.sources.tables import spread_to_parallelism
 
 # Tiny per-language stopword marker sets for the n-gram/stopword-hit
 # language heuristic. Deliberately small and high-precision: the point is
@@ -103,10 +104,13 @@ def repetition_signals(text: Column) -> dict[str, Column]:
       symbol-to-word filter) — markup debris and truncated scrapes.
 
     All pure Catalyst array/regexp expressions (one projection, no
-    shuffle, no Python). The bigram count is O(distinct·n) per document
-    via a transform-over-distinct counting pass — exact, and cheap at
-    realistic document lengths (the alternative groupBy would shuffle
-    the whole corpus's bigrams)."""
+    shuffle, no Python). The bigram count is LINEAR per document:
+    adjacent-token pairs via ``zip_with`` over two shifted slices (the
+    lambda touches only its element arguments — never an outer subtree,
+    which interpreted HOF evaluation would re-execute per element), then
+    ``array_sort`` + one ``aggregate`` pass tracking the longest equal-run
+    — O(n log n) per row, exactly the max-count the oracle's
+    unnest+GROUP BY computes, with no corpus-wide bigram shuffle."""
     lines = F.filter(
         F.transform(F.split(text, "\n"), lambda x: F.trim(x)),
         lambda x: x != "",
@@ -119,15 +123,31 @@ def repetition_signals(text: Column) -> dict[str, Column]:
 
     toks = F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda x: x != "")
     n_toks = F.size(toks)
-    bigrams = F.transform(
-        F.sequence(F.lit(0), n_toks - 2),
-        lambda i: F.concat(F.get(toks, i), F.lit(" "), F.get(toks, i + 1)),
+    n_bigrams = F.greatest(n_toks - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n_bigrams),
+        F.slice(toks, 2, n_bigrams),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    top_count = F.array_max(
-        F.transform(
-            F.array_distinct(bigrams),
-            lambda d: F.size(F.filter(bigrams, lambda x: x == d)),
-        )
+
+    def _run(acc: Column, x: Column) -> Column:
+        # current equal-run length after appending x (sorted order puts
+        # equal bigrams adjacent, so max run length == max bigram count)
+        return F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+
+    top_count = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            _run(acc, x).alias("run"),
+            F.greatest(acc["best"], _run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     top_bigram_share = F.when(
         n_toks >= 2, (2.0 * top_count.cast("double")) / n_toks
@@ -175,7 +195,14 @@ def quality_score(text: Column) -> Column:
     """Composite [0,1] quality score: weighted blend of bounded signals,
     now including the repetition/boilerplate penalties. Deterministic,
     monotone in each signal — a filterable ranking, not a trained model."""
-    s = quality_signals(text)
+    return quality_score_from(quality_signals(text))
+
+
+def quality_score_from(s: dict[str, Column]) -> Column:
+    """The composite-score formula over already-computed signal columns —
+    callers that also project the individual signals (``document_profile``)
+    compute them ONCE into a struct and feed the fields here, so the
+    signal expression trees are not re-expanded inside the score."""
     len_score = F.least(s["n_tokens"].cast("double") / 50.0, F.lit(1.0))
     return (
         0.3 * len_score
@@ -198,23 +225,28 @@ def tf_idf(df: DataFrame, id_col: str, text_col: str, min_df: int = 1) -> DataFr
     """Classic smooth TF-IDF over whitespace-normalized terms:
     tf = term count / doc length, idf = ln(N / df). One explode + two
     grouped aggregations; the per-term document frequency joins back on
-    the term (broadcast when the vocabulary is small)."""
+    the term (broadcast when the vocabulary is small). The corpus doc
+    count N is a broadcast one-row aggregate INSIDE the plan — no eager
+    ``df.count()`` job before the real one (same pattern as
+    ``unigram_logprob``'s total term count)."""
+    df = spread_to_parallelism(df)
     terms = df.select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
     ).filter(F.col("term") != "")
-    n_docs = df.count()
+    n_docs = df.groupBy().agg(F.count(F.lit(1)).cast("double").alias("__n_docs"))
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("n"))
     doc_len = terms.groupBy(id_col).agg(F.count(F.lit(1)).alias("len"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") >= min_df)
     return (
         tf.join(doc_len, id_col)
         .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
         .select(
             F.col(id_col),
             "term",
             (
-                (F.col("n") / F.col("len")) * F.log(F.lit(float(n_docs)) / F.col("df"))
+                (F.col("n") / F.col("len")) * F.log(F.col("__n_docs") / F.col("df"))
             ).alias("tfidf"),
         )
     )
@@ -244,6 +276,7 @@ def chunk_documents(
     step = chunk_tokens - overlap
     if step <= 0:
         raise ValueError("overlap must be smaller than chunk_tokens")
+    df = spread_to_parallelism(df)
     words = df.select(
         F.col(id_col), *carry_cols, F.split(F.trim(F.col(text_col)), r"\s+").alias("__w")
     ).filter(F.trim(F.col(text_col)) != "")
@@ -308,6 +341,7 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     cached vocabulary, never from a corpus re-scan; corpus pass 2 joins
     terms back to the vocabulary (Zipf head-term skew handled by AQE's
     skew-join split) and re-aggregates per doc. No Python."""
+    df = spread_to_parallelism(df)
     terms = df.select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
@@ -322,15 +356,30 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def document_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Everything above in ONE projection over the corpus: id, predicted
-    language, quality signals + composite score, token counts, fingerprint."""
+    """Everything above in one pass over the corpus: id, predicted
+    language, quality signals + composite score, token counts, fingerprint.
+
+    Two stacked projections: the first computes every quality signal ONCE
+    into a struct column, the second projects the fields and derives the
+    composite score from them. CollapseProject will not merge the two
+    (the struct is referenced many times and is not cheap), so the signal
+    trees are evaluated once per row instead of once per output column."""
+    df = spread_to_parallelism(df)
     t = F.col(text_col)
     sig = quality_signals(t)
-    return df.select(
+    staged = df.select(
         F.col(id_col),
         lang_id(t).alias("pred_lang"),
-        *[c.alias(name) for name, c in sig.items()],
-        F.round(quality_score(t), 6).alias("quality"),
+        F.struct(*[c.alias(name) for name, c in sig.items()]).alias("__sig"),
         token_count_bpe_ish(t).alias("n_tokens_bpe"),
         fingerprint(t).alias("fingerprint"),
+    )
+    fields = {name: F.col("__sig").getField(name) for name in sig}
+    return staged.select(
+        F.col(id_col),
+        "pred_lang",
+        *[fields[name].alias(name) for name in sig],
+        F.round(quality_score_from(fields), 6).alias("quality"),
+        "n_tokens_bpe",
+        "fingerprint",
     )

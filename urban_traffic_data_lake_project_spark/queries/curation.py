@@ -38,7 +38,6 @@ from urban_traffic_data_lake_project_spark.operators.sketches import (
 )
 from urban_traffic_data_lake_project_spark.queries.base import ROUND_STAT, QuerySpec
 from urban_traffic_data_lake_project_spark.queries.llm import (
-    _ALL_MARKERS_SQL,
     _BAND_SELECTS,
     _JACCARD_THRESHOLD,
     _MH_AGGS,
@@ -697,17 +696,17 @@ REGISTRY: dict[str, QuerySpec] = {
     "sketch_hll_distinct": QuerySpec(
         _sketch_hll, _HLL_SQL,
         "mergeable HyperLogLog distinct sketch vs exact, per group",
-        ("sketch"),
+        ("sketch",),
     ),
     "curation_pack_sequences": QuerySpec(
         _pack_sequences, _PACK_SEQUENCES_SQL,
         "chunk -> shard -> fixed-token-budget sequence packing",
-        ("curation"),
+        ("curation",),
     ),
     "sample_domain_mix": QuerySpec(
         _domain_mix, _DOMAIN_MIX_SQL,
         "deterministic resampling to a target language mix",
-        ("curation"),
+        ("curation",),
     ),
     "text_redact_pii": QuerySpec(
         _redact_pii, _REDACT_SQL,
@@ -727,12 +726,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "sketch_hll_rollup": QuerySpec(
         _sketch_hll_rollup, _HLL_ROLLUP_SQL,
         "per-month HLL sketches merged to per-priority estimates",
-        ("sketch"),
+        ("sketch",),
     ),
     "sample_weighted_quality": QuerySpec(
         _weighted_quality_sample, _WSAMPLE_SQL,
         "quality-weighted per-language sampling (A-ES exponential keys)",
-        ("curation"),
+        ("curation",),
     ),
     "stream_redact_pii": QuerySpec(
         _stream_redact, _REDACT_SQL,
@@ -747,7 +746,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "sketch_cm_term_freq": QuerySpec(
         _cm_term_freq, _CM_SQL,
         "count-min sketch frequency estimates vs exact, top terms",
-        ("sketch"),
+        ("sketch",),
     ),
     "stream_sketch_hll": QuerySpec(
         _stream_hll, _HLL_ROLLUP_SQL,

@@ -184,6 +184,60 @@ _DEDUP_MINHASH_HI_SQL = _minhash_sql(_HI_RECALL_BANDS)
 
 
 # ---------------------------------------------------------------------------
+# dedup_substring_spans — span-level exact-substring dedup profile:
+# non-overlapping 50-token windows, a span is duplicated when its hash
+# occurs in >= 2 documents (operators/dedup.py::substring_span_dedup)
+# ---------------------------------------------------------------------------
+_SPAN_WINDOW = 50
+_SPAN_MIN_TOKENS = 8
+_SPAN_MAX_DUP_FRAC = 0.5
+
+
+def _dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    prof = D.substring_span_dedup(
+        docs, "doc_id", "text",
+        unit="window", window_tokens=_SPAN_WINDOW,
+        min_span_tokens=_SPAN_MIN_TOKENS, max_dup_frac=_SPAN_MAX_DUP_FRAC,
+    )
+    return prof.select(
+        "doc_id", "n_spans", "n_dup_spans",
+        F.round("dup_span_frac", ROUND_STAT).alias("dup_span_frac"), "keep",
+    )
+
+
+_SPAN_FRAC_CASE = (
+    "CASE WHEN coalesce(p.n_spans, 0) > 0 "
+    "THEN p.n_dup_spans::DOUBLE / p.n_spans ELSE 0.0 END"
+)
+_DEDUP_SUBSTRING_SQL = f"""
+WITH wordsx AS (
+  SELECT doc_id, string_split({_NORM.format(c='text')}, ' ') AS w FROM documents),
+spans AS (
+  SELECT doc_id,
+         array_to_string(w[s:s+{_SPAN_WINDOW - 1}], ' ') AS span,
+         len(w[s:s+{_SPAN_WINDOW - 1}]) AS n_toks
+  FROM wordsx,
+       LATERAL unnest(range(1, greatest(len(w), 1) + 1, {_SPAN_WINDOW})) AS t(s)),
+sp AS (
+  SELECT doc_id, span FROM spans
+  WHERE n_toks >= {_SPAN_MIN_TOKENS} AND span <> ''),
+hashed AS (SELECT doc_id, {_sql_hash64('span')} AS h FROM sp),
+sharers AS (SELECT h, count(DISTINCT doc_id) AS nd FROM hashed GROUP BY h),
+perdoc AS (
+  SELECT doc_id, count(*) AS n_spans,
+         (sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END))::BIGINT AS n_dup_spans
+  FROM hashed JOIN sharers USING (h) GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(p.n_spans, 0) AS n_spans,
+       coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+       round({_SPAN_FRAC_CASE}, {ROUND_STAT}) AS dup_span_frac,
+       ({_SPAN_FRAC_CASE}) <= {_SPAN_MAX_DUP_FRAC} AS keep
+FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup_simhash — 32-bit SimHash sketch per document
 # ---------------------------------------------------------------------------
 _SIMHASH_BITS = 32
@@ -861,21 +915,26 @@ REGISTRY: dict[str, QuerySpec] = {
         "MinHash-LSH, 2-row bands: recall@0.5 ~90%", ("dedup",),
     ),
     "dedup_simhash": QuerySpec(_dedup_simhash, _DEDUP_SIMHASH_SQL, "32-bit SimHash sketch", ("dedup",)),
+    "dedup_substring_spans": QuerySpec(
+        _dedup_substring, _DEDUP_SUBSTRING_SQL,
+        "span-level exact-substring dedup: 50-token windows, per-doc dup fraction",
+        ("dedup",),
+    ),
     "sim_cosine_topk": QuerySpec(_cosine_topk, _COSINE_TOPK_SQL, "brute-force cosine top-k", ("similarity",)),
     "sim_cosine_topk_ivf": QuerySpec(_cosine_topk_ivf, _COSINE_IVF_SQL, "IVF-bucketed cosine top-k", ("similarity",)),
     "text_profile": QuerySpec(_text_profile, _TEXT_PROFILE_SQL, "lang-ID + quality + tokens + fingerprint", ("text",)),
     "dedup_clusters": QuerySpec(
         _dedup_clusters, _DEDUP_CLUSTERS_SQL,
         "connected-component dup clusters (min-label propagation)",
-        ("dedup"),
+        ("dedup",),
     ),
     "sample_stratified": QuerySpec(
         _sample_stratified, _SAMPLE_STRATIFIED_SQL,
-        "deterministic per-stratum quota sample", ("curation"),
+        "deterministic per-stratum quota sample", ("curation",),
     ),
     "sample_split_shards": QuerySpec(
         _sample_split_shards, _SAMPLE_SPLIT_SHARDS_SQL,
-        "hash train/eval split + token-budget sharding", ("curation"),
+        "hash train/eval split + token-budget sharding", ("curation",),
     ),
     "text_chunks": QuerySpec(
         _text_chunks, _TEXT_CHUNKS_SQL,
@@ -884,7 +943,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "sim_lang_centroids": QuerySpec(
         _lang_centroids, _LANG_CENTROIDS_SQL,
         "per-language embedding centroids (grouped vector mean)",
-        ("similarity"),
+        ("similarity",),
     ),
     "curation_pipeline": QuerySpec(
         _curation_pipeline, _CURATION_SQL,

@@ -28,11 +28,53 @@ TESTDATA_TABLES: tuple[str, ...] = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Columns stored as parquet TIMESTAMP(NANOS), which Spark reads as long
-# (spark.sql.legacy.parquet.nanosAsLong) — converted to micros here.
-# Integer division, NOT /1000.0: epoch-nanos (~1.7e18) exceed double's
-# 53-bit mantissa, a float division would corrupt timestamps.
-_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+# Event-time columns whose on-disk representation has varied across
+# testdata generations: parquet TIMESTAMP(NANOS) read as long
+# (spark.sql.legacy.parquet.nanosAsLong), or TIMESTAMP(MICROS) without
+# isAdjustedToUTC read as TIMESTAMP_NTZ. Both are normalized to session-tz
+# TIMESTAMP so downstream event-time ops (withWatermark, unix_micros) work
+# regardless of which generation produced the files.
+_EVENT_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def normalize_event_ts(df: DataFrame, *cols: str) -> DataFrame:
+    """Coerce event-time columns to plain TIMESTAMP by dtype:
+
+    - ``bigint``        : epoch-nanos (nanosAsLong) → ``timestamp_micros(ns
+      div 1000)``. Integer division, NOT /1000.0: epoch-nanos (~1.7e18)
+      exceed double's 53-bit mantissa, a float division would corrupt them.
+    - ``timestamp_ntz`` : wall-clock with no zone → cast to TIMESTAMP under
+      the pinned UTC session zone (identical instants; ``withWatermark`` /
+      ``unix_micros`` require TIMESTAMP, not NTZ).
+    - ``timestamp``     : already right, untouched.
+    """
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        if c not in dtypes:
+            continue
+        if dtypes[c] == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        elif dtypes[c] == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
+def spread_to_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the cluster's default parallelism when
+    the input has fewer partitions — no-op otherwise (never coalesces).
+
+    CPU-bound operators (text profiling, shingling/MinHash, chunking,
+    Arrow bootstrap) otherwise convoy on the parquet split count: a corpus
+    that compresses under ``maxPartitionBytes`` arrives as ONE partition
+    and serializes the whole stage on one core. The shuffle this inserts
+    is one pass over the (small-by-definition) under-partitioned input —
+    at healthy scale the branch never triggers."""
+    if df.isStreaming:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -43,13 +85,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     change RESULTS (nanos handling, timestamp session zone) are pinned here
     at read time (both runtime-settable)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name in _NANOS_TS_COLS:
+    if name in _EVENT_TS_COLS:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for c in _NANOS_TS_COLS.get(name, ()):
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
-    return df
+    return normalize_event_ts(df, *_EVENT_TS_COLS.get(name, ()))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -17,6 +17,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from urban_traffic_data_lake_project_spark.sources.tables import normalize_event_ts
+
 _sink_counter = itertools.count()
 
 
@@ -29,13 +31,14 @@ def events_schema_and_path(spark: SparkSession, sf_dir: str) -> tuple:
 
 def read_table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """File stream over any testdata table (schema from the batch reader).
-    The streaming analogue of ``sources.load_table`` for tables without
-    the events nanos-timestamp quirk."""
+    The streaming analogue of ``sources.load_table``; event-time columns
+    get the same representation normalization (``normalize_event_ts``)."""
     path = os.path.join(sf_dir, f"{table}.parquet")
     schema = spark.read.parquet(path).schema
     if os.path.isfile(path):
         path = path[:-1] + f"[{path[-1]}]"  # see read_events_stream
-    return spark.readStream.schema(schema).parquet(path)
+    df = spark.readStream.schema(schema).parquet(path)
+    return normalize_event_ts(df, "ts")
 
 
 def read_events_stream(
@@ -51,10 +54,10 @@ def read_events_stream(
         # source treats the parent as base and matches exactly this file.
         path = path[:-1] + f"[{path[-1]}]"
     df = reader.parquet(path)
-    # events.ts is parquet TIMESTAMP(NANOS) read as long (see sources.tables)
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    # events.ts arrives as nanos-long or TIMESTAMP_NTZ depending on the
+    # testdata generation — normalize to TIMESTAMP (see sources.tables);
+    # withWatermark hard-rejects NTZ event-time columns.
+    return normalize_event_ts(df, "ts")
 
 
 def tumbling_counts(stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
