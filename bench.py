@@ -59,6 +59,12 @@ BENCH_QUERIES: tuple[str, ...] = (
     # the end-to-end corpus curation flagship (dedup -> quality ->
     # split/shard -> chunk as one lazy plan)
     "curation_pipeline",
+    # round-4 additions: span-hash dedup (two corpus shuffles), per-column
+    # histogram (stacked single-pass bounds + binning), and the real PNG
+    # encode->decode->aHash->banded-pairs chain (Arrow-heavy path)
+    "dedup_substring_spans",
+    "core_histogram",
+    "image_near_dup",
 )
 
 

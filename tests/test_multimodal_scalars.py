@@ -195,3 +195,77 @@ def test_parse_media_header_jpeg_marker_walk():
     }
     # truncated after SOI -> no dimensions -> stub fallback path (None)
     assert MM.parse_media_header(b"\xff\xd8\xff\xe0") is None
+
+
+def test_png_pixel_codec_roundtrip_all_filters():
+    import numpy as np
+
+    from urban_traffic_data_lake_project_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(7)
+    for h, w in ((8, 8), (16, 8), (24, 16), (1, 5), (6, 1)):
+        pix = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        out = MM.png_decode_gray(MM.png_encode_gray(pix))
+        assert out is not None
+        ww, hh, back = out
+        assert (ww, hh) == (w, h)
+        assert (back == pix).all()
+
+
+def test_png_decode_handbuilt_filter0_png():
+    """Independent of the encoder: a PNG assembled byte-by-byte from the
+    spec (filter 0 rows, raw zlib) must decode to exactly its pixels —
+    guards against encode/decode bugs that cancel in a round trip."""
+    import zlib
+
+    import numpy as np
+
+    from urban_traffic_data_lake_project_spark.operators import multimodal as MM
+
+    w, h = 3, 2
+    rows = [[10, 20, 30], [200, 150, 100]]
+    raw = b"".join(bytes([0]) + bytes(r) for r in rows)
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 0, 0, 0, 0])
+
+    def chunk(t, p):
+        return len(p).to_bytes(4, "big") + t + p + zlib.crc32(t + p).to_bytes(4, "big")
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = MM.png_decode_gray(png)
+    assert out is not None and out[:2] == (w, h)
+    assert (out[2] == np.array(rows, dtype=np.uint8)).all()
+    # unsupported layouts refuse rather than mis-decode
+    bad_ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([16, 0, 0, 0, 0])
+    bad = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", bad_ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    assert MM.png_decode_gray(bad) is None
+
+
+def test_ahash_and_hamming_near_dup_pairs(spark):
+    import numpy as np
+
+    from urban_traffic_data_lake_project_spark.operators import multimodal as MM
+    from urban_traffic_data_lake_project_spark.operators.dedup import (
+        hamming_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (8, 8)).astype(np.uint8)
+    near = base.copy()
+    near[0, 0], near[0, 1] = near[0, 1], near[0, 0]  # mean-preserving swap
+    far = rng.integers(0, 256, (8, 8)).astype(np.uint8)
+    h_base, h_near, h_far = MM.ahash64(base), MM.ahash64(near), MM.ahash64(far)
+    assert bin((h_base ^ h_near) & ((1 << 64) - 1)).count("1") <= 2
+
+    df = spark.createDataFrame(
+        [(1, h_base), (2, h_near), (3, h_far)], "media_id long, ahash long"
+    )
+    pairs = hamming_near_dup_pairs(df, "media_id", "ahash", max_hamming=3, bands=4).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    # 16x16 block-mean downsample path
+    big = np.kron(base, np.ones((2, 2), dtype=np.uint8))
+    assert MM.ahash64(big) == h_base

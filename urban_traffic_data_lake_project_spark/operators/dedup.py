@@ -423,6 +423,51 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     return sums.select(F.col(id_col), sketch.cast("bigint").alias("simhash"))
 
 
+def hamming_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs over a 64-bit sketch column (SimHash, image aHash)
+    by Hamming distance: band the 64 bits into ``bands`` contiguous
+    16*(4/bands)-bit slices, bucket-join on any identical band, verify
+    ``bit_count(xor) <= max_hamming`` on the candidates. Pigeonhole makes
+    recall EXACT whenever ``max_hamming < bands`` (a pair differing in
+    fewer bits than there are bands must agree on some band); wider
+    distances trade recall for candidate volume exactly like MinHash-LSH
+    banding. Returns (id_a, id_b, hamming), id_a < id_b.
+
+    Scale shape: |bands| rows per document into one equi-join on
+    (band, slice) — the same near-linear bucket-join as LSH; the
+    arithmetic-shift-plus-mask slices are sign-safe on BIGINT."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    entries = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.shiftright(F.col(hash_col), j * width).bitwiseAND(F.lit(mask)).alias("slice"),
+        )
+        for j in range(bands)
+    ]
+    buckets = df.select(
+        F.col(id_col), F.col(hash_col).alias("__h"), F.explode(F.array(*entries)).alias("__b")
+    ).select(id_col, "__h", F.col("__b.band").alias("band"), F.col("__b.slice").alias("slice"))
+    a = buckets.select(F.col(id_col).alias("id_a"), F.col("__h").alias("__ha"), "band", "slice")
+    b = buckets.select(F.col(id_col).alias("id_b"), F.col("__h").alias("__hb"), "band", "slice")
+    return (
+        a.join(b, ["band", "slice"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -2,16 +2,16 @@
 as opaque ``binary`` payloads + typed metadata, processed by Arrow-batched
 ``mapInPandas`` stages.
 
-The decode step is STUBBED — image/audio libraries are not in this
-container — but everything Spark-side is real and tested: the schema
-contract, the pandas-UDF signatures and batch shapes, partition balancing
-for skewed payload sizes, and the deterministic fake feature extractor
-(features derived from the payload's md5 bytes) that stands in for a real
-model so downstream similarity/dedup operators can be exercised end to end.
-
-Real decoders plug in by replacing ``_decode_stub`` — the surrounding plan
-(repartition -> mapInPandas -> typed struct/array outputs) is exactly what
-a production pipeline runs; only the per-batch Python body changes.
+Decode depth, no imaging libraries needed:
+- header metadata (``parse_media_header``): REAL byte-level parsing for
+  PNG / JPEG / GIF / BMP / WAV;
+- PNG PIXELS (``png_decode_gray`` / ``decode_png_pixels``): REAL zlib
+  inflate + scanline unfilter (all five filter types), plus an encoder
+  (``png_encode_gray``) producing spec-valid CRC'd PNGs — so the round
+  trip is oracle-checkable down to the pixel checksum and 8x8 aHash;
+- everything else (mp4, model embeddings): a deterministic fake
+  (``_decode_stub`` / ``extract_features``) standing in for PIL/ffmpeg/a
+  GPU model, keeping batch shapes and schema contracts production-real.
 """
 
 from __future__ import annotations
@@ -242,3 +242,226 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         df.filter(F.col("media_type").isin("video", "audio"))
         .select("media_id", F.explode(offsets).alias("frame_offset_ms"))
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL PNG pixel codec — no imaging libraries: zlib + byte arithmetic.
+# Supports 8-bit grayscale (color type 0) and truecolor (2), scanline
+# filters 0-4 (None/Sub/Up/Average/Paeth) per the PNG spec.
+# ---------------------------------------------------------------------------
+import zlib
+
+
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    return (
+        len(payload).to_bytes(4, "big")
+        + ctype
+        + payload
+        + zlib.crc32(ctype + payload).to_bytes(4, "big")
+    )
+
+
+def png_encode_gray(pix: "np.ndarray") -> bytes:
+    """Encode an (h, w) uint8 grayscale array as a real, spec-valid PNG.
+    Each scanline uses filter type ``row % 5`` so a round trip exercises
+    every unfilter path (None/Sub/Up/Average/Paeth), and CRCs are real."""
+    pix = np.asarray(pix, dtype=np.uint8)
+    h, w = pix.shape
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.int32)
+    for r in range(h):
+        row = pix[r].astype(np.int32)
+        ftype = r % 5
+        raw.append(ftype)
+        if ftype == 0:  # None
+            out = row
+        elif ftype == 1:  # Sub: x - left
+            out = np.empty(w, dtype=np.int32)
+            out[0] = row[0]
+            out[1:] = row[1:] - row[:-1]
+        elif ftype == 2:  # Up: x - up
+            out = row - prev
+        elif ftype == 3:  # Average: x - (left + up) // 2
+            out = np.empty(w, dtype=np.int32)
+            out[0] = row[0] - prev[0] // 2
+            out[1:] = row[1:] - (row[:-1] + prev[1:]) // 2
+        else:  # Paeth
+            out = np.empty(w, dtype=np.int32)
+            out[0] = row[0] - _paeth(0, int(prev[0]), 0)
+            for c in range(1, w):
+                out[c] = row[c] - _paeth(int(row[c - 1]), int(prev[c]), int(prev[c - 1]))
+        raw.extend((out % 256).astype(np.uint8).tobytes())
+        prev = row
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, 0, 0, 0, 0])  # bit depth 8, gray, deflate, adaptive, no interlace
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def png_decode_gray(payload: bytes) -> tuple[int, int, "np.ndarray"] | None:
+    """REAL PNG decode: chunk walk -> zlib inflate -> per-scanline
+    unfilter (all five filter types) -> (width, height, uint8 gray array).
+    Truecolor (type 2) collapses to integer luma (r+g+b)//3; unsupported
+    layouts (palette, alpha, 16-bit, interlaced) return None."""
+    b = payload or b""
+    if len(b) < 33 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    off, w = 8, None
+    idat = bytearray()
+    while off + 8 <= len(b):
+        clen = int.from_bytes(b[off : off + 4], "big")
+        ctype = b[off + 4 : off + 8]
+        data = b[off + 8 : off + 8 + clen]
+        if ctype == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, color, interlace = data[8], data[9], data[12]
+            if depth != 8 or color not in (0, 2) or interlace != 0:
+                return None
+            nch = 1 if color == 0 else 3
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        off += 12 + clen
+    if w is None or not idat:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        return None
+    img = np.zeros((h, stride), dtype=np.int32)
+    pos = 0
+    for r in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).astype(np.int32)
+        pos += 1 + stride
+        prev = img[r - 1] if r > 0 else np.zeros(stride, dtype=np.int32)
+        if ftype == 0:
+            img[r] = line
+        elif ftype == 1:
+            for c in range(stride):
+                left = img[r, c - nch] if c >= nch else 0
+                img[r, c] = (line[c] + left) % 256
+        elif ftype == 2:
+            img[r] = (line + prev) % 256
+        elif ftype == 3:
+            for c in range(stride):
+                left = img[r, c - nch] if c >= nch else 0
+                img[r, c] = (line[c] + (left + prev[c]) // 2) % 256
+        elif ftype == 4:
+            for c in range(stride):
+                left = img[r, c - nch] if c >= nch else 0
+                ul = img[r - 1, c - nch] if (c >= nch and r > 0) else 0
+                img[r, c] = (line[c] + _paeth(int(left), int(prev[c]), int(ul))) % 256
+        else:
+            return None
+    if nch == 3:
+        img = (img[:, 0::3] + img[:, 1::3] + img[:, 2::3]) // 3
+    return w, h, img.astype(np.uint8)
+
+
+def ahash64(gray: "np.ndarray") -> int:
+    """8x8 average hash of a gray image already at (or resampled to) 8x8:
+    bit i (row-major) is set when pixel i > mean; packed into a SIGNED
+    64-bit int (bit 63 contributes -2^63, i.e. the two's-complement view —
+    the form both Spark BIGINT and the oracle's HUGEINT-then-cast use).
+    Images larger than 8x8 are block-mean downsampled first (sizes must be
+    multiples of 8 — the deterministic stand-in for area resampling)."""
+    h, w = gray.shape
+    if (h, w) != (8, 8):
+        if h % 8 or w % 8:
+            raise ValueError(f"ahash64 requires 8-divisible dims, got {h}x{w}")
+        gray = gray.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+    flat = gray.astype(np.float64).ravel()
+    mean = flat.sum() / flat.size
+    raw = 0
+    for i, v in enumerate(flat):
+        if v > mean:
+            raw |= 1 << i
+    return raw - (1 << 64) if raw >= (1 << 63) else raw
+
+
+PIXEL_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("pixels", ArrayType(IntegerType())),
+        StructField("pix_sum", LongType()),
+        StructField("ahash", LongType()),
+    ]
+)
+
+
+def encode_png_images(df: DataFrame, id_col: str, pixels_col: str, width_col: str, height_col: str) -> DataFrame:
+    """Arrow-batched REAL PNG encode: (id, flat pixel array, w, h) ->
+    media rows with genuine zlib-compressed, CRC-valid PNG payloads."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                png_encode_gray(np.asarray(px, dtype=np.uint8).reshape(h, w))
+                for px, w, h in zip(pdf[pixels_col], pdf[width_col], pdf[height_col])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "payload": payloads,
+                    "media_type": "image",
+                    "format": "png",
+                    "byte_len": [len(p) for p in payloads],
+                    "width": pd.array(pdf[width_col], dtype="Int32"),
+                    "height": pd.array(pdf[height_col], dtype="Int32"),
+                    "duration_ms": pd.array([None] * len(pdf), dtype="Int32"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def decode_png_pixels(df: DataFrame) -> DataFrame:
+    """REAL pixel decode stage (the round-2 stub retired): inflate +
+    unfilter every PNG payload in Arrow batches and emit (media_id, width,
+    height, pixels row-major, pix_sum, ahash). Non-PNG / unsupported
+    payloads are dropped (a production pipeline would route them to a
+    quarantine sink). Embarrassingly parallel; CPU cost is per-byte
+    decode, so feed it through ``balance_partitions``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "width", "height", "pixels", "pix_sum", "ahash")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                dec = png_decode_gray(payload)
+                if dec is None:
+                    continue
+                w, h, gray = dec
+                flat = gray.ravel()
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["pixels"].append(flat.astype("int32"))
+                out["pix_sum"].append(int(flat.astype(np.int64).sum()))
+                out["ahash"].append(ahash64(gray))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=PIXEL_SCHEMA)

@@ -377,3 +377,66 @@ def key_skew_profile(
         (F.col("n") / F.col("__t")).alias("share"),
         F.row_number().over(w).alias("rank"),
     )
+
+
+def histogram(df: DataFrame, cols: Sequence[str], bins: int = 40) -> DataFrame:
+    """Equal-width binned counts for several numeric columns in one pass —
+    the engine counterpart of the reference dashboard's per-column
+    ``Series.hist(bins=40)`` panels (reference notebooks/Analysis.ipynb
+    cell 13). Returns (col_name, bin, bin_lo, bin_hi, n); empty bins are
+    omitted (a count table, not a render); NULLs are excluded; the max
+    value lands in the last bin (bins-1); constant columns collapse into
+    bin 0.
+
+    Scale shape: stack the columns as (name, value) rows — a projection,
+    no shuffle — aggregate global per-column min/max (map-side partials,
+    |cols| result rows), broadcast the bounds back, bin with one floor
+    expression, and count by (column, bin): ONE shuffle of at most
+    |cols| * bins rows after partial aggregation. Never a per-column job
+    loop, never a driver-side pass."""
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("double").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("__e")
+    ).select("__e.col_name", "__e.v").filter(F.col("v").isNotNull())
+    bounds = stacked.groupBy("col_name").agg(
+        F.min("v").alias("__lo"), F.max("v").alias("__hi")
+    )
+    bin_idx = (
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    ((F.col("v") - F.col("__lo")) * float(bins))
+                    / (F.col("__hi") - F.col("__lo"))
+                ),
+                F.lit(bins - 1),
+            )
+        )
+        .cast("int")
+    )
+    return (
+        stacked.join(F.broadcast(bounds), "col_name")
+        .select("col_name", bin_idx.alias("bin"), "__lo", "__hi")
+        .groupBy("col_name", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("__lo").alias("__lo"),
+            F.first("__hi").alias("__hi"),
+        )
+        .select(
+            "col_name",
+            "bin",
+            (F.col("__lo") + F.col("bin") * ((F.col("__hi") - F.col("__lo")) / float(bins))).alias("bin_lo"),
+            (F.col("__lo") + (F.col("bin") + 1) * ((F.col("__hi") - F.col("__lo")) / float(bins))).alias("bin_hi"),
+            "n",
+        )
+    )

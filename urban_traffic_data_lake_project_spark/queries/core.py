@@ -386,6 +386,55 @@ GROUP BY column_name
 
 
 # ---------------------------------------------------------------------------
+# core_histogram — equal-width binned counts per numeric column (the engine
+# counterpart of the notebook dashboard's per-column hist(bins=40) panels,
+# reference notebooks/Analysis.ipynb cell 13)
+# ---------------------------------------------------------------------------
+_HIST_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+_HIST_BINS = 40
+
+
+def _histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.operators.stats import histogram
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = histogram(li, _HIST_COLS, bins=_HIST_BINS)
+    return out.select(
+        "col_name",
+        "bin",
+        F.round("bin_lo", ROUND_STAT).alias("bin_lo"),
+        F.round("bin_hi", ROUND_STAT).alias("bin_hi"),
+        "n",
+    )
+
+
+_HISTOGRAM_SQL = f"""
+WITH vals AS (
+{chr(10).join(f"  SELECT '{c}' AS col_name, {c}::DOUBLE AS v FROM lineitem"
+              + (" UNION ALL" if i < len(_HIST_COLS) - 1 else "")
+              for i, c in enumerate(_HIST_COLS))}
+),
+nn AS (SELECT col_name, v FROM vals WHERE v IS NOT NULL),
+b AS (SELECT col_name, min(v) AS lo, max(v) AS hi FROM nn GROUP BY col_name),
+binned AS (
+  SELECT nn.col_name,
+         (CASE WHEN hi = lo THEN 0
+               ELSE least(floor(((v - lo) * {float(_HIST_BINS)}) / (hi - lo)),
+                          {float(_HIST_BINS - 1)}) END)::INT AS bin,
+         lo, hi
+  FROM nn JOIN b USING (col_name)),
+g AS (
+  SELECT col_name, bin, count(*) AS n, min(lo) AS lo, min(hi) AS hi
+  FROM binned GROUP BY col_name, bin)
+SELECT col_name, bin,
+       round(lo + bin * ((hi - lo) / {float(_HIST_BINS)}), {ROUND_STAT}) AS bin_lo,
+       round(lo + (bin + 1) * ((hi - lo) / {float(_HIST_BINS)}), {ROUND_STAT}) AS bin_hi,
+       n
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
 # core_set_ops — union / intersect / except in BOTH set (DISTINCT) and bag
 # (ALL, multiplicity-preserving) forms, one query (SURVEY §2.6: absent in
 # the reference, exposed as net-new Spark surface)
@@ -549,5 +598,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "agg_grouped_ols": QuerySpec(
         _grouped_ols, _GROUPED_OLS_SQL,
         "applyInPandas multi-feature OLS vs Cramer-solve oracle", ("agg", "ml"),
+    ),
+    "core_histogram": QuerySpec(
+        _histogram, _HISTOGRAM_SQL,
+        "equal-width 40-bin histogram counts per numeric column (notebook dashboards)",
+        ("agg",),
     ),
 }

@@ -162,6 +162,107 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# multimodal_pixels / image_near_dup — REAL PNG pixel round trip. Spark
+# builds deterministic 8x8 grayscale images (pairs 2k/2k+1 share a base
+# image; odd ids swap pixels 0 and 1 — a mean-preserving perturbation),
+# encodes them as genuine zlib-compressed CRC-valid PNGs (scanline filter
+# r % 5, so every unfilter path executes), decodes the pixels back OUT of
+# the bytes (inflate + unfilter), and emits the pixel checksum + 8x8 aHash.
+# The oracle computes both arithmetically from the same pixel formula —
+# any codec error (filter math, bit order, sign handling) hash-mismatches.
+# ---------------------------------------------------------------------------
+def _pixel_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    odd = F.col("doc_id") % 2 == 1
+    base = F.expr("doc_id div 2")
+
+    def pv(i):
+        # nonlinear in (base, j) so DIFFERENT base images land far apart
+        # in aHash space (a linear ramp would make every base image a
+        # rotation of the others and near-collide); pairs sharing a base
+        # stay within 2 bits of each other via the mean-preserving swap
+        j = F.when(odd & (i == 0), F.lit(1)).when(odd & (i == 1), F.lit(0)).otherwise(i)
+        return (((base + 1) * (j + 7) * (j + base + 3)) % 251).cast("int")
+
+    pixels = F.transform(F.sequence(F.lit(0), F.lit(63)), pv)
+    imgs = docs.select(
+        "doc_id", pixels.alias("px"), F.lit(8).alias("w"), F.lit(8).alias("h")
+    )
+    media = MM.encode_png_images(imgs, "doc_id", "px", "w", "h")
+    return MM.decode_png_pixels(media)
+
+
+def _mm_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pixel_images(spark, sf_dir).select(
+        "media_id", "width", "height", "pix_sum", "ahash"
+    )
+
+
+# pixel value / checksum / aHash CTEs shared by both oracles
+_PIXEL_CTES = """
+px AS (
+  SELECT doc_id, i,
+         (((doc_id // 2) + 1)
+          * ((CASE WHEN doc_id % 2 = 1 AND i = 0 THEN 1
+                   WHEN doc_id % 2 = 1 AND i = 1 THEN 0
+                   ELSE i END) + 7)
+          * ((CASE WHEN doc_id % 2 = 1 AND i = 0 THEN 1
+                   WHEN doc_id % 2 = 1 AND i = 1 THEN 0
+                   ELSE i END) + (doc_id // 2) + 3)) % 251 AS pv
+  FROM documents, LATERAL unnest(range(0, 64)) AS t(i)),
+agg AS (
+  SELECT doc_id, (sum(pv))::BIGINT AS pix_sum, sum(pv) / 64.0 AS m
+  FROM px GROUP BY doc_id),
+bits AS (
+  SELECT px.doc_id,
+         sum(CASE WHEN pv > m THEN (1::HUGEINT << i) ELSE 0::HUGEINT END) AS raw
+  FROM px JOIN agg ON agg.doc_id = px.doc_id GROUP BY px.doc_id),
+ah AS (
+  SELECT doc_id,
+         (CASE WHEN raw >= 9223372036854775808::HUGEINT
+               THEN raw - 18446744073709551616::HUGEINT ELSE raw END)::BIGINT AS ahash
+  FROM bits)
+"""
+
+_MM_PIXELS_SQL = f"""
+WITH {_PIXEL_CTES}
+SELECT a.doc_id AS media_id, 8 AS width, 8 AS height, a.pix_sum, h.ahash
+FROM agg a JOIN ah h ON h.doc_id = a.doc_id
+"""
+
+
+_IMG_MAX_HAMMING = 3
+_IMG_BANDS = 4
+
+
+def _image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.operators.dedup import (
+        hamming_near_dup_pairs,
+    )
+
+    dec = _pixel_images(spark, sf_dir)
+    return hamming_near_dup_pairs(
+        dec, "media_id", "ahash", max_hamming=_IMG_MAX_HAMMING, bands=_IMG_BANDS
+    )
+
+
+_IMAGE_NEAR_DUP_SQL = f"""
+WITH {_PIXEL_CTES},
+bands AS (
+  SELECT doc_id, j, (ahash >> (j * 16)) & 65535 AS slice
+  FROM ah, LATERAL unnest(range(0, {_IMG_BANDS})) AS t(j)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.j = b.j AND a.slice = b.slice AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, bit_count(xor(ha.ahash, hb.ahash))::INT AS hamming
+FROM cand
+JOIN ah ha ON ha.doc_id = id_a
+JOIN ah hb ON hb.doc_id = id_b
+WHERE bit_count(xor(ha.ahash, hb.ahash)) <= {_IMG_MAX_HAMMING}
+"""
+
+
+# ---------------------------------------------------------------------------
 # multimodal_features — stubbed decode + deterministic fake features
 # (rows-only: the feature bytes come from a Python-side RNG)
 # ---------------------------------------------------------------------------
@@ -233,5 +334,15 @@ REGISTRY: dict[str, QuerySpec] = {
     "scalar_random_moments": QuerySpec(_random_moments, None, "F3 random generators (moments)", ("scalar", "stochastic")),
     "multimodal_ingest": QuerySpec(_mm_ingest, _MM_INGEST_SQL, "binary payload + typed metadata", ("multimodal",)),
     "multimodal_decode": QuerySpec(_mm_decode, _MM_DECODE_SQL, "real PNG header decode roundtrip", ("multimodal",)),
+    "multimodal_pixels": QuerySpec(
+        _mm_pixels, _MM_PIXELS_SQL,
+        "real PNG pixel codec: encode -> inflate+unfilter -> checksum + aHash",
+        ("multimodal",),
+    ),
+    "image_near_dup": QuerySpec(
+        _image_near_dup, _IMAGE_NEAR_DUP_SQL,
+        "image near-dup pairs: 8x8 aHash + Hamming-banded bucket join",
+        ("multimodal", "dedup"),
+    ),
     "multimodal_features": QuerySpec(_mm_features, None, "stub decode + fake features via mapInPandas", ("multimodal",)),
 }
