@@ -172,17 +172,24 @@ FROM documents
 # any codec error (filter math, bit order, sign handling) hash-mismatches.
 # ---------------------------------------------------------------------------
 def _pixel_images(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from urban_traffic_data_lake_project_spark.sources import spread_to_parallelism
+
+    # the codec stages are CPU-bound Python; never let a single-file
+    # parquet input serialize them on one core
+    docs = spread_to_parallelism(load_table(spark, sf_dir, "documents"))
     odd = F.col("doc_id") % 2 == 1
     base = F.expr("doc_id div 2")
 
     def pv(i):
-        # nonlinear in (base, j) so DIFFERENT base images land far apart
-        # in aHash space (a linear ramp would make every base image a
-        # rotation of the others and near-collide); pairs sharing a base
-        # stay within 2 bits of each other via the mean-preserving swap
+        # md5-mixed pixels so DIFFERENT base images land far apart in
+        # aHash space (any arithmetic formula makes base images shifted /
+        # rotated copies of each other and they near-collide — verified:
+        # linear and polynomial variants produced 20-200x spurious pairs
+        # at sf0.1); pairs sharing a base stay within 2 bits via the
+        # mean-preserving swap. Both engines compute the identical byte.
         j = F.when(odd & (i == 0), F.lit(1)).when(odd & (i == 1), F.lit(0)).otherwise(i)
-        return (((base + 1) * (j + 7) * (j + base + 3)) % 251).cast("int")
+        key = F.concat_ws("_", base.cast("string"), j.cast("string"))
+        return F.conv(F.substring(F.md5(key), 1, 2), 16, 10).cast("int")
 
     pixels = F.transform(F.sequence(F.lit(0), F.lit(63)), pv)
     imgs = docs.select(
@@ -200,16 +207,16 @@ def _mm_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # pixel value / checksum / aHash CTEs shared by both oracles
 _PIXEL_CTES = """
+pj AS (
+  SELECT doc_id, i,
+         CASE WHEN doc_id % 2 = 1 AND i = 0 THEN 1
+              WHEN doc_id % 2 = 1 AND i = 1 THEN 0
+              ELSE i END AS jj
+  FROM documents, LATERAL unnest(range(0, 64)) AS t(i)),
 px AS (
   SELECT doc_id, i,
-         (((doc_id // 2) + 1)
-          * ((CASE WHEN doc_id % 2 = 1 AND i = 0 THEN 1
-                   WHEN doc_id % 2 = 1 AND i = 1 THEN 0
-                   ELSE i END) + 7)
-          * ((CASE WHEN doc_id % 2 = 1 AND i = 0 THEN 1
-                   WHEN doc_id % 2 = 1 AND i = 1 THEN 0
-                   ELSE i END) + (doc_id // 2) + 3)) % 251 AS pv
-  FROM documents, LATERAL unnest(range(0, 64)) AS t(i)),
+         ('0x' || substr(md5((doc_id // 2)::VARCHAR || '_' || jj::VARCHAR), 1, 2))::INT AS pv
+  FROM pj),
 agg AS (
   SELECT doc_id, (sum(pv))::BIGINT AS pix_sum, sum(pv) / 64.0 AS m
   FROM px GROUP BY doc_id),
