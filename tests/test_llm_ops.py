@@ -324,3 +324,61 @@ def test_grouped_vector_mean_matches_numpy(spark):
     for g in ("a", "b"):
         want = np.mean([v for gg, v in rows if gg == g], axis=0)
         assert np.allclose(out[g], want, atol=1e-12)
+
+
+def test_bpe_counts_match_cleanroom_python(spark):
+    """Clean-room check: an independent pure-Python BPE (trained and
+    applied with explicit loops, no string replace tricks shared with the
+    operator) must produce identical per-doc token counts."""
+    corpus = [
+        (1, "low lower lowest low low"),
+        (2, "new newer newest new lower"),
+        (3, "wider wide widest new low"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    num_merges = 6
+
+    # --- independent implementation ---
+    import re
+    from collections import Counter
+
+    def norm(t):
+        return re.sub(r"[^a-z0-9]+", " ", t.lower()).strip()
+
+    vocab = Counter(w for _, t in corpus for w in norm(t).split() if w)
+    syms = {w: list(w) for w in vocab}
+    merges = []
+    for _ in range(num_merges):
+        pair_counts = Counter()
+        for w, f in vocab.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                pair_counts[(a, b)] += f
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == best:
+                    out.append(s[i] + s[i + 1])
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    expected = {}
+    for doc_id, t in corpus:
+        ws = [w for w in norm(t).split() if w]
+        expected[doc_id] = (len(ws), sum(len(syms[w]) for w in ws))
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in T.bpe_token_counts(df, "doc_id", "text", num_merges=num_merges).collect()
+    }
+    assert got == expected
+    # and the learned merges themselves are the classic ones for this corpus
+    learned, _ = T.bpe_train(df, "text", num_merges=num_merges)
+    assert learned == merges

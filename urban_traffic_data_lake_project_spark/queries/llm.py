@@ -238,6 +238,69 @@ FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# text_bpe_tokens — tokenizer-FAITHFUL token counts: real BPE merges
+# trained on the corpus word frequencies, applied merge for merge. The
+# oracle replays the ENTIRE training loop (pair-count -> argmax -> replace,
+# one CTE block per merge): greedy left-to-right non-overlapping replace
+# has identical semantics in Spark, DuckDB, and Python, so even the learned
+# merge table is hash-checked implicitly through the final counts.
+# ---------------------------------------------------------------------------
+_BPE_MERGES = 12
+
+
+def _text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bpe_token_counts(docs, "doc_id", "text", num_merges=_BPE_MERGES)
+
+
+def _bpe_train_ctes(num_merges: int) -> str:
+    """w0..wN training chain. Each round: adjacent-pair frequencies over
+    the current symbol strings, deterministic argmax (count DESC, pair
+    ASC), merge applied via literal replace. LEFT JOIN ON TRUE so an
+    exhausted vocabulary (no pairs left) passes through unchanged, the
+    same early-stop the Spark loop takes."""
+    blocks = [f"""
+w0 AS (
+  SELECT w AS word, count(*) AS freq,
+         trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym
+  FROM (SELECT unnest(string_split({_NORM.format(c='text')}, ' ')) AS w
+        FROM documents)
+  WHERE w <> '' GROUP BY w)"""]
+    for k in range(num_merges):
+        blocks.append(f"""
+p{k} AS (
+  SELECT s[i] AS pa, s[i+1] AS pb, sum(freq) AS cnt
+  FROM (SELECT string_split(sym, ' ') AS s, freq FROM w{k}),
+       LATERAL unnest(range(1, len(s))) AS t(i)
+  GROUP BY 1, 2),
+m{k} AS (SELECT pa, pb FROM p{k} ORDER BY cnt DESC, pa ASC, pb ASC LIMIT 1),
+w{k + 1} AS (
+  SELECT word, freq,
+         CASE WHEN pa IS NULL THEN sym
+              ELSE replace(sym, pa || ' ' || pb, pa || pb) END AS sym
+  FROM w{k} LEFT JOIN m{k} ON TRUE)""")
+    return ",".join(blocks)
+
+
+_TEXT_BPE_SQL = f"""
+WITH {_bpe_train_ctes(_BPE_MERGES)},
+wc AS (SELECT word, len(string_split(sym, ' ')) AS n_sub FROM w{_BPE_MERGES}),
+dw AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split({_NORM.format(c='text')}, ' ')) AS w
+    FROM documents)
+  WHERE w <> ''),
+per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_words, sum(n_sub)::BIGINT AS n_bpe_tokens
+  FROM dw JOIN wc ON wc.word = dw.w GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(per.n_words, 0) AS n_words,
+       coalesce(per.n_bpe_tokens, 0) AS n_bpe_tokens
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup_simhash — 32-bit SimHash sketch per document
 # ---------------------------------------------------------------------------
 _SIMHASH_BITS = 32
@@ -908,6 +971,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_apply_near": QuerySpec(_dedup_apply, _DEDUP_APPLY_SQL, "corpus after near-dup removal", ("dedup",)),
     "dedup_embedding_cosine": QuerySpec(_dedup_embedding, _DEDUP_EMBEDDING_SQL, "embedding-cosine near-dup pairs", ("dedup", "similarity")),
     "text_tfidf": QuerySpec(_text_tfidf, _TFIDF_SQL, "smooth TF-IDF table", ("text",)),
+    "text_bpe_tokens": QuerySpec(
+        _text_bpe, _TEXT_BPE_SQL,
+        "tokenizer-faithful BPE counts: corpus-trained merges, oracle replays training",
+        ("text", "defer"),
+    ),
     "dedup_ngram_jaccard": QuerySpec(_dedup_jaccard, _DEDUP_JACCARD_SQL, "exact n-gram Jaccard pairs", ("dedup",)),
     "dedup_minhash_lsh": QuerySpec(_dedup_minhash_cfg(_MINHASH_BANDS), _DEDUP_MINHASH_SQL, "MinHash-LSH verified near-dup pairs", ("dedup",)),
     "dedup_minhash_lsh_hi_recall": QuerySpec(
