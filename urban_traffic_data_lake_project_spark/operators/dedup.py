@@ -501,6 +501,7 @@ def embedding_near_dup_pairs(
 
     sim = _dot(F.col("__va"), F.col("__vb")) / (_norm(F.col("__va")) * _norm(F.col("__vb")))
     if brute_force:
+        emb = spread_to_parallelism(emb)
         a = emb.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("__va"))
         b = emb.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("__vb"))
         return (
@@ -511,7 +512,7 @@ def embedding_near_dup_pairs(
         )
 
     cents = _centroid_literal(centroid_entries(emb, id_col, vec_col, n_centroids))
-    v = emb.select(
+    v = spread_to_parallelism(emb).select(
         F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
     ).withColumn("__n", _norm(F.col("__v")))
     buckets = v.select(

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from urban_traffic_data_lake_project_spark.sources.tables import spread_to_parallelism
+
 
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -52,7 +54,9 @@ def grouped_vector_mean(
     ordered by position. One shuffle on (group, pos) WITH map-side partial
     aggregation — never a collect_list of whole vectors (which would move
     every vector to one reducer per group)."""
-    ex = df.select(*group_cols, F.posexplode(_as_double(F.col(vec_col))).alias("__pos", "__v"))
+    ex = spread_to_parallelism(df).select(
+        *group_cols, F.posexplode(_as_double(F.col(vec_col))).alias("__pos", "__v")
+    )
     per = ex.groupBy(*group_cols, "__pos").agg(F.avg("__v").alias("__m"))
     return per.groupBy(*group_cols).agg(
         F.array_sort(F.collect_list(F.struct("__pos", "__m")))
@@ -79,6 +83,7 @@ def quantize_embeddings_int8(
     ``zip_with`` expression — the corpus is scanned twice (bounds pass +
     code pass), never shuffled. Deterministic, so the codes themselves are
     oracle-checkable."""
+    df = spread_to_parallelism(df)
     v = _as_double(F.col(vec_col))
     ex = df.select(F.posexplode(v).alias("__pos", "__v"))
     stats = ex.groupBy("__pos").agg(F.min("__v").alias("lo"), F.max("__v").alias("hi"))
@@ -163,7 +168,9 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
     )
-    c = corpus.select(
+    # the dot-product stage is CPU-bound per corpus row; never let a
+    # single-file parquet input serialize it on one core
+    c = spread_to_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
     )
     scored = (
@@ -254,7 +261,7 @@ def cosine_topk_ivf(
     entries = centroid_entries(corpus, id_col, vec_col, n_centroids)
     cents = _centroid_literal(entries)
 
-    c = corpus.select(
+    c = spread_to_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
     ).withColumn("__cn", _norm(F.col("__cv")))
     assigned = c.select(
