@@ -125,3 +125,29 @@ def test_registry_driver_window_contract():
     assert promoted <= recorded, f"rotated out of window: {promoted - recorded}"
     # Deferred queries must still be oracle-backed (check_oracle covers them).
     assert all(s.oracle is None or s.oracle.strip() for s in REGISTRY.values())
+
+
+def test_histogram_matches_numpy(spark, sf_dir):
+    """Equal-width binning parity with numpy.histogram (same convention:
+    max value lands in the last bin, empty bins allowed)."""
+    import numpy as np
+
+    from urban_traffic_data_lake_project_spark.operators.stats import histogram
+    from urban_traffic_data_lake_project_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = histogram(li, ("l_quantity", "l_extendedprice"), bins=40).collect()
+    got = {
+        (r["col_name"], r["bin"]): r["n"] for r in out
+    }
+    pdf = li.select("l_quantity", "l_extendedprice").toPandas()
+    for c in ("l_quantity", "l_extendedprice"):
+        v = pdf[c].dropna().to_numpy(dtype="float64")
+        counts, _ = np.histogram(v, bins=40, range=(v.min(), v.max()))
+        for b, n in enumerate(counts):
+            assert got.get((c, b), 0) == n, (c, b)
+    # bin edges reconstruct the column range
+    lo = min(r["bin_lo"] for r in out if r["col_name"] == "l_quantity")
+    hi = max(r["bin_hi"] for r in out if r["col_name"] == "l_quantity")
+    assert abs(lo - pdf["l_quantity"].min()) < 1e-6
+    assert abs(hi - pdf["l_quantity"].max()) < 1e-6
