@@ -25,13 +25,12 @@ expressions: no Python UDFs anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from urban_traffic_data_lake_project_spark.functions import (
     normalize_text,
     stable_hash64,
-    word_shingles,
 )
 from urban_traffic_data_lake_project_spark.sources.tables import spread_to_parallelism
 

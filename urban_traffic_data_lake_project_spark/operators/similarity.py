@@ -291,11 +291,17 @@ def cosine_topk_ivf(
             _dot(F.col("__qv"), F.col("__cv")) / (_norm(F.col("__qv")) * _norm(F.col("__cv"))),
         )
     )
+    # probing already cuts candidates to ~nprobe/n_centroids of the corpus,
+    # but at corpus scale that is still a large exchange — the same
+    # partition-local prune as exact top-k bounds the rank-window shuffle
+    # to partitions*q*k scalar rows (each (query, neighbor) pair appears
+    # once: corpus vectors are assigned to exactly one centroid)
+    pruned = _partition_local_topk(scored, k)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
