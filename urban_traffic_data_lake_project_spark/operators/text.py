@@ -419,8 +419,13 @@ def bpe_train(
     round is a pair-explode + grouped sum + limit(1) over the |vocab|-row
     table — driver-coordinated like the IVF/FA fits, with the per-round
     argmax the only collected row. The pair explode materializes the
-    split-symbol array before zipping (no CSE inside HOF lambdas)."""
-    cur = bpe_word_table(df, text_col)
+    split-symbol array before zipping (no CSE inside HOF lambdas).
+
+    The word table is PERSISTED before the loop: without it every round's
+    pair-count job would re-execute the corpus explode + aggregation —
+    num_merges full corpus scans instead of one. The replace chain itself
+    re-evaluates per round, but over the cached vocabulary rows."""
+    cur = bpe_word_table(df, text_col).persist()
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
         s = cur.select("freq", F.split("sym", " ").alias("__s"))
