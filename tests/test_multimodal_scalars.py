@@ -269,3 +269,28 @@ def test_ahash_and_hamming_near_dup_pairs(spark):
     # 16x16 block-mean downsample path
     big = np.kron(base, np.ones((2, 2), dtype=np.uint8))
     assert MM.ahash64(big) == h_base
+
+
+def test_resize_real_png_pixels(spark):
+    """resize() actually resamples decodable PNG payloads: the output
+    payload is a valid PNG of the new dimensions whose pixels are the
+    deterministic nearest-neighbor sample of the original."""
+    import numpy as np
+
+    from urban_traffic_data_lake_project_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(5)
+    pix = rng.integers(0, 256, (16, 12)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(MM.png_encode_gray(pix)))], "media_id long, payload binary"
+    )
+    media = MM.ingest_binary(df, "media_id", "payload", "image", "png")
+    media = MM.decode_metadata(media)
+    out = MM.resize(media, max_side=8).collect()[0]
+    assert (out["width"], out["height"]) == (6, 8)  # 16x12 -> 8-long-side
+    dec = MM.png_decode_gray(bytes(out["payload"]))
+    assert dec is not None and dec[:2] == (6, 8)
+    rows = (np.arange(8) * 16) // 8
+    cols = (np.arange(6) * 12) // 6
+    assert (dec[2] == pix[rows][:, cols]).all()
+    assert out["byte_len"] == len(bytes(out["payload"]))

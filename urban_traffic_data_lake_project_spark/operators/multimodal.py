@@ -210,22 +210,57 @@ def extract_features(df: DataFrame, dim: int = _FEATURE_DIM) -> DataFrame:
 
 
 def resize(df: DataFrame, max_side: int = 32) -> DataFrame:
-    """Resize stage plumbing: scale width/height so the longer side equals
+    """Resize stage: scale width/height so the longer side equals
     ``max_side`` (aspect preserved, already-smaller media untouched).
 
-    The pixel transform is stubbed (a real implementation re-encodes the
-    payload via PIL/ffmpeg inside this same batch loop); the metadata
-    arithmetic, batch shape, and schema contract are real."""
+    For decodable grayscale/truecolor PNG payloads the transform is REAL:
+    decode (``png_decode_gray``), deterministic nearest-neighbor resample,
+    re-encode (``png_encode_gray``) — payload, byte_len, and metadata all
+    change consistently. Payloads the codec can't decode (jpeg, mp4,
+    palette PNGs) get the metadata arithmetic only, exactly as before; a
+    PIL/ffmpeg build would handle them in this same batch loop."""
+
+    def nn_resize(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+        h, w = gray.shape
+        rows = (np.arange(out_h) * h) // out_h
+        cols = (np.arange(out_w) * w) // out_w
+        return gray[rows][:, cols]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            w = pdf["width"].astype("float64")
-            h = pdf["height"].astype("float64")
-            scale = (max_side / np.maximum(w, h)).clip(upper=1.0)
-            pdf["width"] = pd.array(np.round(w * scale), dtype="Int32")
-            pdf["height"] = pd.array(np.round(h * scale), dtype="Int32")
-            # real impl: pdf["payload"] = [reencode(p, s) for p, s in ...]
+            widths, heights, payloads, byte_lens = [], [], [], []
+            for p, w0, h0, blen in zip(
+                pdf["payload"], pdf["width"], pdf["height"], pdf["byte_len"]
+            ):
+                dec = png_decode_gray(p)
+                if dec is not None:
+                    w, h, gray = dec
+                    scale = min(max_side / max(w, h), 1.0)
+                    ow, oh = max(int(round(w * scale)), 1), max(int(round(h * scale)), 1)
+                    if (ow, oh) != (w, h):
+                        out = png_encode_gray(nn_resize(gray, oh, ow))
+                        payloads.append(out)
+                        byte_lens.append(len(out))
+                    else:
+                        payloads.append(p)
+                        byte_lens.append(blen)
+                    widths.append(ow)
+                    heights.append(oh)
+                else:  # metadata-only path for formats without a decoder here
+                    if pd.isna(w0) or pd.isna(h0):
+                        widths.append(None if pd.isna(w0) else int(w0))
+                        heights.append(None if pd.isna(h0) else int(h0))
+                    else:
+                        scale = min(max_side / max(int(w0), int(h0), 1), 1.0)
+                        widths.append(int(round(int(w0) * scale)))
+                        heights.append(int(round(int(h0) * scale)))
+                    payloads.append(p)
+                    byte_lens.append(blen)
+            pdf["payload"] = payloads
+            pdf["byte_len"] = byte_lens
+            pdf["width"] = pd.array(widths, dtype="Int32")
+            pdf["height"] = pd.array(heights, dtype="Int32")
             yield pdf
 
     return df.mapInPandas(run, schema=MEDIA_SCHEMA)
