@@ -102,3 +102,59 @@ def test_dedup_on_empty_pairs(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long, jaccard double")
     kept = D.dedup_keep_canonical(df, "doc_id", pairs)
     assert kept.count() == 1
+
+
+def test_histogram_constant_and_null_columns(spark):
+    from urban_traffic_data_lake_project_spark.operators.stats import histogram
+
+    df = spark.createDataFrame(
+        [(1.0, 5.0, None), (1.0, 7.5, None), (1.0, None, None)],
+        "const double, mixed double, allnull double",
+    )
+    out = histogram(df, ("const", "mixed", "allnull"), bins=4).collect()
+    by_col = {}
+    for r in out:
+        by_col.setdefault(r["col_name"], []).append(r)
+    # constant column collapses into bin 0 with the full count
+    assert len(by_col["const"]) == 1
+    assert by_col["const"][0]["bin"] == 0 and by_col["const"][0]["n"] == 3
+    # all-NULL column contributes no rows at all
+    assert "allnull" not in by_col
+    # mixed column: nulls excluded, min lands in bin 0, max in last bin
+    mixed = {r["bin"]: r["n"] for r in by_col["mixed"]}
+    assert mixed == {0: 1, 3: 1}
+
+
+def test_substring_span_dedup_empty_corpus(spark):
+    from urban_traffic_data_lake_project_spark.operators.dedup import (
+        substring_span_dedup,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert substring_span_dedup(empty, "doc_id", "text").count() == 0
+
+
+def test_hamming_pairs_empty_and_identical(spark):
+    from urban_traffic_data_lake_project_spark.operators.dedup import (
+        hamming_near_dup_pairs,
+    )
+
+    empty = spark.createDataFrame([], "media_id long, ahash long")
+    assert hamming_near_dup_pairs(empty, "media_id", "ahash").count() == 0
+    same = spark.createDataFrame(
+        [(1, -42), (2, -42), (3, -42)], "media_id long, ahash long"
+    )
+    pairs = hamming_near_dup_pairs(same, "media_id", "ahash").collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2), (1, 3), (2, 3)}
+    assert all(r["hamming"] == 0 for r in pairs)
+
+
+def test_bpe_empty_and_single_word_corpus(spark):
+    import urban_traffic_data_lake_project_spark.operators.text as T
+
+    single = spark.createDataFrame([(1, "hi")], "doc_id long, text string")
+    merges, _ = T.bpe_train(single, "text", num_merges=5)
+    # 'hi' merges once (h,i) then the vocabulary is exhausted -> early stop
+    assert merges == [("h", "i")]
+    out = T.bpe_token_counts(single, "doc_id", "text", num_merges=5).collect()[0]
+    assert out["n_words"] == 1 and out["n_bpe_tokens"] == 1

@@ -406,6 +406,30 @@ def _stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# stream_dedup_redelivery — stateful exactly-once dedup under re-delivery:
+# the stream unioned with itself models an at-least-once source delivering
+# every event twice; watermarked dropDuplicates must emit each exactly
+# once, so the result equals the plain batch table (the oracle).
+# ---------------------------------------------------------------------------
+def _stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.streaming import windows as sw
+
+    stream = sw.read_events_stream(spark, sf_dir)
+    doubled = stream.union(sw.read_events_stream(spark, sf_dir))
+    deduped = sw.streaming_dedup(doubled, ["event_id"])
+    out = sw.run_available_now(deduped, spark, mode="append")
+    return out.select(
+        "event_id", "user_id", "event_type", F.round("value", ROUND_STAT).alias("value")
+    )
+
+
+_STREAM_DEDUP_SQL = f"""
+SELECT event_id, user_id, event_type, round(value, {ROUND_STAT}) AS value
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
 # join_semi_anti — left-semi / left-anti joins (EXISTS / NOT EXISTS)
 # ---------------------------------------------------------------------------
 def _semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -540,5 +564,10 @@ REGISTRY: dict[str, QuerySpec] = {
         ("streaming", "stateful"),
     ),
     "merge_suffix_day_join": QuerySpec(_suffix_day_join, _SUFFIX_DAY_SQL, "reference merge: day key + suffixes", ("join", "defer")),
+    "stream_dedup_redelivery": QuerySpec(
+        _stream_dedup, _STREAM_DEDUP_SQL,
+        "stateful exactly-once dedup of a twice-delivered stream",
+        ("streaming", "defer"),
+    ),
     "json_extract_events": QuerySpec(_json_extract, _JSON_SQL, "JSON scalar extraction", ("scalar", "defer")),
 }
