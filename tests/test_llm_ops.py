@@ -382,3 +382,48 @@ def test_bpe_counts_match_cleanroom_python(spark):
     # and the learned merges themselves are the classic ones for this corpus
     learned, _ = T.bpe_train(df, "text", num_merges=num_merges)
     assert learned == merges
+
+
+def test_kmeans_centroids_tighten_buckets(spark, sf_dir):
+    """Lloyd rounds must not hurt: mean within-cluster cosine (to the
+    assigned centroid) improves over the untrained seed, and recall vs
+    brute force at the same probe budget is at least as good."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def mean_assigned_sim(entries):
+        lit = S._centroid_literal(entries)
+        v = emb.select(S._as_double(F.col("embedding")).alias("__v")).withColumn(
+            "__n", S._norm(F.col("__v"))
+        )
+        scored = v.select(
+            F.element_at(S.nearest_centroid_ids(F.col("__v"), F.col("__n"), lit, 1), 1).alias("cid"),
+            "__v", "__n",
+        )
+        best = F.array_max(
+            F.transform(
+                lit,
+                lambda ct: S._dot(F.col("__v"), ct["vec"]) / (F.col("__n") * ct["cnorm"]),
+            )
+        )
+        return scored.agg(F.avg(best)).first()[0]
+
+    seed = [
+        {"cid": i, "vec": [float(x) for x in r["vec"]], "cnorm": float(r["cnorm"])}
+        for i, r in enumerate(S.centroid_entries(emb, "vec_id", "embedding", 8))
+    ]
+    trained = S.kmeans_centroids(emb, k=8, iters=2)
+    assert mean_assigned_sim(trained) >= mean_assigned_sim(seed) - 1e-9
+
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in S.cosine_topk(emb, q, k=5).collect()}
+    rec_seed = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk_ivf(emb, q, k=5, n_centroids=8, nprobe=2).collect()
+    }
+    rec_trained = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk_ivf(emb, q, k=5, n_centroids=8, nprobe=2, train_iters=2).collect()
+    }
+    assert len(rec_trained & exact) >= len(rec_seed & exact) - 2  # no collapse

@@ -225,6 +225,60 @@ def _centroid_literal(entries: list) -> Column:
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    round_to: int = 6,
+) -> list:
+    """Spherical k-means IVF training — the production upgrade over the
+    deterministic first-k seed: ``iters`` Lloyd rounds of (assign every
+    vector to its max-cosine centroid via the per-row literal expression —
+    zero corpus shuffle) then (recompute per-cluster element-wise means
+    via ``grouped_vector_mean`` — one shuffle of k*dim partial rows, never
+    vectors). Each round collects only k*dim doubles to the driver.
+
+    Determinism/oracle notes: new centroids are ROUNDED to ``round_to``
+    decimals so cross-engine ulp drift in the (order-sensitive) grouped
+    mean cannot cascade into different assignments next round; empty
+    clusters keep their previous centroid; centroid ids are re-keyed
+    0..k-1. Returns entries consumable by ``_centroid_literal``."""
+    import math
+
+    seed = centroid_entries(corpus, id_col, vec_col, k)
+    entries = [
+        {"cid": i, "vec": [float(x) for x in r["vec"]], "cnorm": float(r["cnorm"])}
+        for i, r in enumerate(seed)
+    ]
+    v = spread_to_parallelism(corpus).select(
+        _as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__n", _norm(F.col("__v")))
+    for _ in range(iters):
+        lit = _centroid_literal(entries)
+        assigned = v.select(
+            F.element_at(
+                nearest_centroid_ids(F.col("__v"), F.col("__n"), lit, 1), 1
+            ).alias("cid"),
+            "__v",
+        )
+        means = grouped_vector_mean(assigned, ["cid"], "__v", out_col="centroid").collect()
+        by_cid = {
+            int(r["cid"]): [round(float(x), round_to) for x in r["centroid"]]
+            for r in means
+        }
+        entries = [
+            {
+                "cid": e["cid"],
+                "vec": by_cid.get(e["cid"], e["vec"]),
+                "cnorm": math.sqrt(sum(x * x for x in by_cid.get(e["cid"], e["vec"]))),
+            }
+            for e in entries
+        ]
+    return entries
+
+
 def nearest_centroid_ids(v: Column, v_norm: Column, cents: Column, top: int) -> Column:
     """Array of the ``top`` nearest centroid ids for one row's vector — a
     pure per-row expression: cosine against the literal centroid array,
@@ -251,14 +305,22 @@ def cosine_topk_ivf(
     k: int = 5,
     n_centroids: int = 16,
     nprobe: int = 4,
+    train_iters: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: IVF with deterministic centroids (the
-    ``n_centroids`` smallest-id corpus vectors). Centroid assignment is a
-    per-row expression against the literal centroid array (zero shuffle of
-    the corpus); each query probes only its ``nprobe`` nearest centroid
-    buckets via a broadcast join. At 100 TB the corpus is scanned once and
-    never re-partitioned for assignment."""
-    entries = centroid_entries(corpus, id_col, vec_col, n_centroids)
+    """Approximate top-k: IVF with deterministic centroids — the
+    ``n_centroids`` smallest-id corpus vectors, optionally refined by
+    ``train_iters`` spherical k-means rounds (``kmeans_centroids``), which
+    tightens buckets and recall at the same probe budget. Centroid
+    assignment is a per-row expression against the literal centroid array
+    (zero shuffle of the corpus); each query probes only its ``nprobe``
+    nearest centroid buckets via a broadcast join. At 100 TB the corpus is
+    scanned once and never re-partitioned for assignment."""
+    if train_iters > 0:
+        entries = kmeans_centroids(
+            corpus, id_col, vec_col, k=n_centroids, iters=train_iters
+        )
+    else:
+        entries = centroid_entries(corpus, id_col, vec_col, n_centroids)
     cents = _centroid_literal(entries)
 
     c = spread_to_parallelism(corpus).select(

@@ -423,6 +423,101 @@ FROM ranked WHERE rank <= 5
 
 
 # ---------------------------------------------------------------------------
+# sim_cosine_topk_ivf_trained — IVF with spherical-k-means-REFINED
+# centroids (operators.similarity.kmeans_centroids). The oracle replays
+# the whole training: per-round assignment (max cosine, ties to smaller
+# cid) and rounded per-dimension cluster means, then the same probe +
+# rank pipeline over the final centroids. Rounding each round's centroids
+# keeps cross-engine float drift from cascading into assignments.
+# ---------------------------------------------------------------------------
+_KM_K = 8
+_KM_ITERS = 2
+_KM_ROUND = 6
+
+
+def _cosine_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = S.cosine_topk_ivf(
+        emb, queries, "vec_id", "embedding",
+        k=5, n_centroids=_KM_K, nprobe=2, train_iters=_KM_ITERS,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", ROUND_STAT).alias("cosine_sim"), "rank"
+    )
+
+
+_SIM_FRAG = (
+    "list_sum(list_transform(range(1, len({v}) + 1), i -> {v}[i] * {c}[i]))"
+    " / (sqrt(list_sum(list_transform({v}, x -> x * x)))"
+    " * sqrt(list_sum(list_transform({c}, x -> x * x))))"
+)
+
+
+def _kmeans_ctes(k: int, iters: int, round_to: int) -> str:
+    """c0..c{iters} training chain mirroring ``kmeans_centroids``."""
+    blocks = [f"""
+ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+  FROM ev ORDER BY vec_id LIMIT {k})"""]
+    for i in range(iters):
+        sim = _SIM_FRAG.format(v="e.v", c="c.cv")
+        blocks.append(f"""
+a{i} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sim} DESC, c.cid) AS rn
+    FROM ev e CROSS JOIN c{i} c)
+  WHERE rn = 1),
+m{i} AS (
+  SELECT cid, j, round(avg(v[j]), {round_to}) AS mj
+  FROM a{i}, LATERAL unnest(range(1, len(v) + 1)) AS t(j)
+  GROUP BY cid, j),
+c{i + 1} AS (
+  SELECT p.cid, coalesce(n.cv, p.cv) AS cv
+  FROM c{i} p LEFT JOIN (
+    SELECT cid, list(mj ORDER BY j) AS cv FROM m{i} GROUP BY cid) n
+  ON n.cid = p.cid)""")
+    return ",".join(blocks)
+
+
+_COSINE_IVF_TRAINED_SQL = f"""
+WITH {_kmeans_ctes(_KM_K, _KM_ITERS, _KM_ROUND)},
+cents AS (SELECT cid AS centroid_id, cv AS ctv FROM c{_KM_ITERS}),
+q AS (SELECT vec_id AS query_id, v AS qv FROM ev WHERE vec_id < 10),
+assign AS (
+  SELECT neighbor_id, cv2 AS cv, centroid_id FROM (
+    SELECT e.vec_id AS neighbor_id, e.v AS cv2, cents.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_SIM_FRAG.format(v='e.v', c='cents.ctv')} DESC,
+                                       cents.centroid_id) AS rn
+    FROM ev e CROSS JOIN cents)
+  WHERE rn = 1),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.query_id, q.qv, cents.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_SIM_FRAG.format(v='q.qv', c='cents.ctv')} DESC,
+                                       cents.centroid_id) AS rn
+    FROM q CROSS JOIN cents)
+  WHERE rn <= 2),
+scored AS (
+  SELECT p.query_id, a.neighbor_id,
+         {_SIM_FRAG.format(v='p.qv', c='a.cv')} AS sim
+  FROM assign a JOIN probes p ON a.centroid_id = p.centroid_id
+  WHERE a.neighbor_id <> p.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, round(sim, {ROUND_STAT}) AS cosine_sim, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
 # text_profile — language ID + quality signals + token counts + fingerprint,
 # one projection pass over the corpus
 # ---------------------------------------------------------------------------
@@ -990,6 +1085,11 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "sim_cosine_topk": QuerySpec(_cosine_topk, _COSINE_TOPK_SQL, "brute-force cosine top-k", ("similarity",)),
     "sim_cosine_topk_ivf": QuerySpec(_cosine_topk_ivf, _COSINE_IVF_SQL, "IVF-bucketed cosine top-k", ("similarity",)),
+    "sim_cosine_topk_ivf_trained": QuerySpec(
+        _cosine_topk_ivf_trained, _COSINE_IVF_TRAINED_SQL,
+        "IVF with spherical-k-means-trained centroids; oracle replays training",
+        ("similarity", "defer"),
+    ),
     "text_profile": QuerySpec(_text_profile, _TEXT_PROFILE_SQL, "lang-ID + quality + tokens + fingerprint", ("text",)),
     "dedup_clusters": QuerySpec(
         _dedup_clusters, _DEDUP_CLUSTERS_SQL,
