@@ -427,3 +427,31 @@ def test_kmeans_centroids_tighten_buckets(spark, sf_dir):
         for r in S.cosine_topk_ivf(emb, q, k=5, n_centroids=8, nprobe=2, train_iters=2).collect()
     }
     assert len(rec_trained & exact) >= len(rec_seed & exact) - 2  # no collapse
+
+
+def test_bigram_logprob_backoff_semantics(spark):
+    fit_texts = [
+        (0, "the cat sat on the mat"),
+        (2, "the dog sat on the rug"),
+    ]
+    score_texts = fit_texts + [(1, "the cat sat on the rug zebra quux")]
+    fit = spark.createDataFrame(fit_texts, "doc_id long, text string")
+    df = spark.createDataFrame(score_texts, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in T.bigram_logprob(df, "doc_id", "text", fit_df=fit).collect()
+    }
+    # fit docs scored on themselves: every bigram seen -> no backoff
+    assert out[0]["oov_frac"] == 0.0 and out[2]["oov_frac"] == 0.0
+    # held-out doc: "rug zebra", "zebra quux" unseen -> backoff fires
+    assert out[1]["oov_frac"] > 0.0
+    # seen-bigram scores are log(c12/c1) <= 0; all finite
+    import math
+
+    for r in out.values():
+        assert r["avg_logp"] is not None and math.isfinite(r["avg_logp"])
+        assert r["n_bigrams"] >= 1
+    # a doc with one token has no bigrams and NULL scores
+    single = spark.createDataFrame([(9, "hello")], "doc_id long, text string")
+    s = T.bigram_logprob(single, "doc_id", "text", fit_df=fit).collect()[0]
+    assert s["n_bigrams"] == 0 and s["avg_logp"] is None

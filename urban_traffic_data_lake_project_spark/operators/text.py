@@ -494,3 +494,85 @@ def bpe_token_counts(
             F.coalesce("n_bpe_tokens", zero).alias("n_bpe_tokens"),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    fit_df: DataFrame | None = None,
+    backoff: float = 0.4,
+) -> DataFrame:
+    """Bigram language-model scoring with stupid backoff — one rung up
+    from ``unigram_logprob`` toward the KenLM-style perplexity filter:
+    every adjacent token pair scores ``ln(C(w1 w2) / C(w1))`` when the
+    bigram was seen in the FIT corpus, else backs off to
+    ``ln(backoff * (C(w2) + 1) / (N + V))`` (add-one inside the backoff so
+    OOV tokens stay finite). Fitting on a held-out split (``fit_df``)
+    keeps the backoff path live — scoring the fit corpus on itself never
+    backs off.
+
+    Returns (id, n_bigrams, avg_logp, oov_frac); docs with < 2 tokens get
+    n_bigrams = 0 and NULL scores.
+
+    Scale shape: fit = two grouped counts over the fit corpus's pair /
+    term explosions (map-side partials, |bigram-vocab| rows, persisted);
+    score = the corpus pair explosion joined back to the two count tables
+    (Zipf head-word skew handled by AQE skew-join split) and one per-doc
+    re-aggregation. No Python anywhere."""
+    fit = spread_to_parallelism(fit_df if fit_df is not None else df)
+
+    def pair_rows(src: DataFrame, *extra):
+        toks = F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda x: x != "")
+        words = src.select(*extra, toks.alias("__t"))
+        npairs = F.greatest(F.size("__t") - 1, F.lit(0))
+        return words.select(
+            *extra,
+            F.explode(
+                F.zip_with(
+                    F.slice("__t", 1, npairs),
+                    F.slice("__t", 2, npairs),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("__p"),
+        ).select(*extra, F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+
+    big = pair_rows(fit).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12")).persist()
+    uni = (
+        fit.select(F.explode(F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda x: x != "")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("__c1"))
+        .persist()
+    )
+    totals = uni.groupBy().agg(
+        F.sum("__c1").alias("__n"), F.count(F.lit(1)).alias("__v")
+    )
+
+    pairs = pair_rows(spread_to_parallelism(df), F.col(id_col))
+    scored = (
+        pairs.join(big, ["w1", "w2"], "left")
+        .join(uni.select(F.col("term").alias("w1"), F.col("__c1").alias("__c1p")), "w1", "left")
+        .join(uni.select(F.col("term").alias("w2"), F.col("__c1").alias("__c1c")), "w2", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    logp = F.when(
+        F.col("__c12").isNotNull(), F.log(F.col("__c12") / F.col("__c1p"))
+    ).otherwise(
+        F.log(backoff * (F.coalesce(F.col("__c1c"), F.lit(0)) + 1) / (F.col("__n") + F.col("__v")))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg(logp).alias("avg_logp"),
+        F.avg(F.when(F.col("__c12").isNull(), 1.0).otherwise(0.0)).alias("oov_frac"),
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", zero).alias("n_bigrams"),
+            F.col("avg_logp"),
+            F.col("oov_frac"),
+        )
+    )

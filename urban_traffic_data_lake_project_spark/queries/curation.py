@@ -539,6 +539,69 @@ GROUP BY t.doc_id
 
 
 # ---------------------------------------------------------------------------
+# text_bigram_logprob — bigram LM with stupid backoff, fit on the even-id
+# HELD-OUT split and scored over the whole corpus (so the backoff path is
+# live: odd docs contain bigrams the fit never saw). One rung up from the
+# unigram scorer toward KenLM-style perplexity filtering.
+# ---------------------------------------------------------------------------
+_BIGRAM_BACKOFF = 0.4
+
+
+def _bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fit = docs.filter(F.col("doc_id") % 2 == 0)
+    out = T.bigram_logprob(docs, "doc_id", "text", fit_df=fit, backoff=_BIGRAM_BACKOFF)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("avg_logp", ROUND_STAT).alias("avg_logp"),
+        F.round("oov_frac", ROUND_STAT).alias("oov_frac"),
+    )
+
+
+_TOKS_SQL = "list_filter(string_split({norm}, ' '), x -> x <> '')"
+
+_BIGRAM_SQL = f"""
+WITH ft AS (
+  SELECT {_TOKS_SQL.format(norm=_NORM.format(c='text'))} AS t
+  FROM documents WHERE doc_id % 2 = 0),
+fpairs AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM ft, LATERAL unnest(range(1, len(t))) AS s(i)),
+big AS (SELECT w1, w2, count(*) AS c12 FROM fpairs GROUP BY 1, 2),
+funi AS (
+  SELECT u AS term, count(*) AS c1 FROM (
+    SELECT unnest(t) AS u FROM ft) GROUP BY 1),
+tot AS (SELECT sum(c1) AS n, count(*) AS v FROM funi),
+dt AS (
+  SELECT doc_id, {_TOKS_SQL.format(norm=_NORM.format(c='text'))} AS t
+  FROM documents),
+dpairs AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM dt, LATERAL unnest(range(1, len(t))) AS s(i)),
+sc AS (
+  SELECT doc_id,
+         CASE WHEN b.c12 IS NOT NULL THEN ln(b.c12 / u1.c1)
+              ELSE ln({_BIGRAM_BACKOFF} * (coalesce(u2.c1, 0) + 1) / (tot.n + tot.v)) END AS lp,
+         CASE WHEN b.c12 IS NULL THEN 1.0 ELSE 0.0 END AS oov
+  FROM dpairs p
+  LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+  LEFT JOIN funi u1 ON u1.term = p.w1
+  LEFT JOIN funi u2 ON u2.term = p.w2
+  CROSS JOIN tot),
+per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         avg(lp) AS avg_logp, avg(oov) AS oov_frac
+  FROM sc GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(per.n_bigrams, 0) AS n_bigrams,
+       round(per.avg_logp, {ROUND_STAT}) AS avg_logp,
+       round(per.oov_frac, {ROUND_STAT}) AS oov_frac
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # sketch_cm_term_freq — count-min frequency estimation over corpus terms:
 # the CM table (4 x 256 cells, built on stable_hash64) is probed with the
 # 20 most frequent exact terms; exact vs estimated counts hash-match the
@@ -742,6 +805,11 @@ REGISTRY: dict[str, QuerySpec] = {
         _unigram_logprob, _UNIGRAM_SQL,
         "self-trained unigram LM scoring (mean token log-probability)",
         ("text", "curation"),
+    ),
+    "text_bigram_logprob": QuerySpec(
+        _bigram_logprob, _BIGRAM_SQL,
+        "bigram LM with stupid backoff, held-out fit (live OOV path)",
+        ("text", "curation", "defer"),
     ),
     "sketch_cm_term_freq": QuerySpec(
         _cm_term_freq, _CM_SQL,
