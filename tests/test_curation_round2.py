@@ -481,3 +481,47 @@ def test_bloom_filter_no_false_negatives_and_merge(spark):
     b2 = bloom_build(members.subtract(members.limit(100)), "v", 4096, 4)
     merged = b1.union(b2).groupBy("word").agg(F.bit_or("word_bits").alias("word_bits"))
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, bloom.collect()))
+
+
+def test_hist_sketch_mergeability_and_accuracy(spark, sf_dir):
+    """Mergeability is EXACT (sketches of disjoint halves merged == direct
+    sketch), and quantile estimates land within one bin width of the true
+    percentile."""
+    from urban_traffic_data_lake_project_spark.operators.sketches import (
+        hist_merge,
+        hist_quantiles,
+        hist_sketch_table,
+    )
+    from urban_traffic_data_lake_project_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    LO, HI, BINS = 0.0, 110_000.0, 256
+    direct = hist_sketch_table(li, ["l_returnflag"], "l_extendedprice", LO, HI, BINS)
+    a = hist_sketch_table(
+        li.filter(F.col("l_orderkey") % 2 == 0), ["l_returnflag"], "l_extendedprice", LO, HI, BINS
+    )
+    b = hist_sketch_table(
+        li.filter(F.col("l_orderkey") % 2 == 1), ["l_returnflag"], "l_extendedprice", LO, HI, BINS
+    )
+    merged = hist_merge(a.unionByName(b), ["l_returnflag"])
+    key = lambda r: (r["l_returnflag"], r["bin"])  # noqa: E731
+    assert {key(r): r["n"] for r in merged.collect()} == {
+        key(r): r["n"] for r in direct.collect()
+    }
+
+    est = hist_quantiles(direct, ["l_returnflag"], [0.5, 0.9], LO, HI, BINS).collect()
+    width = (HI - LO) / BINS
+    truth = {
+        r["l_returnflag"]: (r["p50"], r["p90"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+        )
+        .collect()
+    }
+    for r in est:
+        t50, t90 = truth[r["l_returnflag"]]
+        assert abs(r["q50"] - t50) <= width, (r["l_returnflag"], r["q50"], t50)
+        assert abs(r["q90"] - t90) <= width, (r["l_returnflag"], r["q90"], t90)

@@ -293,3 +293,97 @@ hll AS (
          END AS n_hll
   FROM folded)
 """
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch: fixed-bin histograms. The fourth member of
+# the sketch family (HLL = distinct, count-min = frequency, Bloom =
+# membership, this = quantiles): with bin edges FIXED up front (unlike
+# operators.stats.histogram, whose edges are data-dependent), per-group /
+# per-batch sketches merge EXACTLY by adding counts — the pre-aggregation
+# shape that answers quantile queries over any group subset at 100 TB
+# without touching raw data. Estimation interpolates linearly inside the
+# covering bin (equi-width analogue of t-digest interpolation), so
+# accuracy is bounded by the bin width.
+# ---------------------------------------------------------------------------
+def hist_sketch_table(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> DataFrame:
+    """(group..., bin, n) — mergeable fixed-edge histogram state. Values
+    are clamped into [lo, hi] (the sketch contract: pick bounds from
+    domain knowledge; out-of-range mass lands in the edge bins, which
+    still bounds quantile error to one bin width at the extremes). One
+    shuffle of at most |groups| * bins rows after map-side partials."""
+    v = F.col(value_col).cast("double")
+    idx = F.least(
+        F.greatest(F.floor(((v - lo) * float(bins)) / (hi - lo)), F.lit(0)),
+        F.lit(bins - 1),
+    ).cast("int")
+    return (
+        df.filter(v.isNotNull())
+        .select(*group_cols, idx.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def hist_merge(sketches: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Merge sketches up an aggregation level: counts ADD (exact, not
+    approximate — mergeability is lossless for fixed-edge histograms)."""
+    return sketches.groupBy(*group_cols, "bin").agg(F.sum("n").alias("n"))
+
+
+def hist_quantiles(
+    sketch: DataFrame,
+    group_cols: Sequence[str],
+    qs: Sequence[float],
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch: cumulative counts via a
+    per-group window over the (at most ``bins``-row) sketch, then linear
+    interpolation inside the first bin whose cumulative count reaches
+    q * total. Emits one column per requested quantile (``q50`` for 0.5).
+
+    The window runs over sketch rows, never data rows — at any corpus
+    size this stage touches |groups| * bins rows."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / float(bins)
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy(*group_cols)
+    cum = sketch.select(
+        *group_cols,
+        "bin",
+        "n",
+        F.sum("n").over(w).alias("__cum"),
+        F.sum("n").over(tot).alias("__tot"),
+    )
+    aggs = []
+    for q in qs:
+        target = F.col("__tot") * float(q)
+        # the UNIQUE covering bin: cum - n < target <= cum (later
+        # qualifying bins would interpolate with a negative offset, so
+        # gating on >= alone and taking min() picks wrong values)
+        covering = (F.col("__cum") >= target) & ((F.col("__cum") - F.col("n")) < target)
+        est = F.when(
+            covering,
+            lo
+            + (
+                F.col("bin")
+                + (target - (F.col("__cum") - F.col("n"))) / F.col("n")
+            )
+            * width,
+        )
+        aggs.append(F.min(est).alias(f"q{int(round(q * 100))}"))
+    return cum.groupBy(*group_cols).agg(*aggs)

@@ -602,6 +602,73 @@ FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# sketch_hist_quantiles — the fourth mergeable sketch (quantiles): fixed-
+# edge histograms per returnflag, PLUS the 'ALL' row produced by MERGING
+# the per-group sketches (never re-reading data) — p50/p90/p99 from
+# linear interpolation inside the covering bin. Fixed edges are what make
+# the merge exact; the oracle replicates binning, merge, and
+# interpolation arithmetic.
+# ---------------------------------------------------------------------------
+_HQ_LO, _HQ_HI, _HQ_BINS = 0.0, 110_000.0, 256
+_HQ_QS = (0.5, 0.9, 0.99)
+
+
+def _hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.operators.sketches import (
+        hist_merge,
+        hist_quantiles,
+        hist_sketch_table,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = hist_sketch_table(
+        li, ["l_returnflag"], "l_extendedprice", _HQ_LO, _HQ_HI, _HQ_BINS
+    ).persist()
+    merged = hist_merge(
+        sk.withColumn("l_returnflag", F.lit("ALL")), ["l_returnflag"]
+    )
+    both = sk.unionByName(merged)
+    out = hist_quantiles(both, ["l_returnflag"], _HQ_QS, _HQ_LO, _HQ_HI, _HQ_BINS)
+    return out.select(
+        "l_returnflag",
+        *[F.round(f"q{int(round(q * 100))}", ROUND_STAT).alias(f"q{int(round(q * 100))}") for q in _HQ_QS],
+    )
+
+
+def _hq_est(q: float) -> str:
+    width = f"({_HQ_HI} / {_HQ_BINS})"
+    t = f"tot * {q}"
+    return (
+        f"round(min(CASE WHEN cum >= {t} AND cum - n < {t} "
+        f"THEN {_HQ_LO} + (bin + ({t} - (cum - n)) / n) * {width} END), {ROUND_STAT})"
+    )
+
+
+_HIST_QUANTILES_SQL = f"""
+WITH s AS (
+  SELECT l_returnflag,
+         (least(greatest(floor(((l_extendedprice::DOUBLE - {_HQ_LO}) * {float(_HQ_BINS)})
+                               / ({_HQ_HI} - {_HQ_LO})), 0), {_HQ_BINS - 1}))::INT AS bin,
+         count(*) AS n
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
+sm AS (
+  SELECT l_returnflag, bin, n FROM s
+  UNION ALL
+  SELECT 'ALL' AS l_returnflag, bin, sum(n) AS n FROM s GROUP BY 2),
+c AS (
+  SELECT l_returnflag, bin, n,
+         sum(n) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+         sum(n) OVER (PARTITION BY l_returnflag) AS tot
+  FROM sm)
+SELECT l_returnflag,
+       {_hq_est(0.5)} AS q50,
+       {_hq_est(0.9)} AS q90,
+       {_hq_est(0.99)} AS q99
+FROM c GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
 # sketch_cm_term_freq — count-min frequency estimation over corpus terms:
 # the CM table (4 x 256 cells, built on stable_hash64) is probed with the
 # 20 most frequent exact terms; exact vs estimated counts hash-match the
@@ -815,6 +882,11 @@ REGISTRY: dict[str, QuerySpec] = {
         _cm_term_freq, _CM_SQL,
         "count-min sketch frequency estimates vs exact, top terms",
         ("sketch",),
+    ),
+    "sketch_hist_quantiles": QuerySpec(
+        _hist_quantiles, _HIST_QUANTILES_SQL,
+        "mergeable fixed-edge histogram sketch: per-group + merged quantiles",
+        ("sketch", "defer"),
     ),
     "stream_sketch_hll": QuerySpec(
         _stream_hll, _HLL_ROLLUP_SQL,
