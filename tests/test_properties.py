@@ -117,3 +117,58 @@ def test_resample_to_mix_threshold_invariants(spark, n_a, n_b, w_a):
     binding = "a" if n_a / w["a"] <= n_b / w["b"] else "b"
     n_binding = n_a if binding == "a" else n_b
     assert got[binding] >= n_binding - 1
+
+
+_words = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(tokens=st.lists(_words, min_size=0, max_size=60))
+def test_top_bigram_share_matches_bruteforce(spark, tokens):
+    """The linear array_sort+aggregate max-run plan must equal the naive
+    Counter-based max bigram count on arbitrary token sequences — guards
+    the quadratic-lambda rewrite against off-by-one/tie regressions."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from urban_traffic_data_lake_project_spark.operators.text import (
+        repetition_signals,
+    )
+
+    text = " ".join(tokens)
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(
+        repetition_signals(F.col("text"))["top_bigram_share"].alias("s")
+    ).collect()[0]["s"]
+    if len(tokens) < 2:
+        assert got == 0.0
+    else:
+        counts = Counter(zip(tokens, tokens[1:]))
+        want = 2.0 * max(counts.values()) / len(tokens)
+        assert got == pytest.approx(want, abs=1e-12)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(tokens=st.lists(_words, min_size=1, max_size=120))
+def test_substring_spans_cover_text_exactly(spark, tokens):
+    """Window spans with min_span_tokens=1 partition the normalized token
+    sequence exactly: concatenating spans in order reproduces it."""
+    from urban_traffic_data_lake_project_spark.operators.dedup import (
+        substring_spans,
+    )
+
+    from collections import Counter
+
+    text = " ".join(tokens)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    spans = substring_spans(
+        df, "doc_id", "text", unit="window", window_tokens=7, min_span_tokens=1
+    ).collect()
+    # spans partition the token sequence: counts add up, every span but
+    # (at most) one is exactly window-sized, token multiset is preserved
+    assert sum(r["n_toks"] for r in spans) == len(tokens)
+    assert len(spans) == -(-len(tokens) // 7)  # ceil
+    assert sum(1 for r in spans if r["n_toks"] != 7) <= 1
+    got = Counter(w for r in spans for w in r["span"].split(" "))
+    assert got == Counter(tokens)
