@@ -294,3 +294,83 @@ def test_resize_real_png_pixels(spark):
     cols = (np.arange(6) * 12) // 6
     assert (dec[2] == pix[rows][:, cols]).all()
     assert out["byte_len"] == len(bytes(out["payload"]))
+
+
+# ---------------------------------------------------------------------------
+# WAV PCM16 codec
+# ---------------------------------------------------------------------------
+def test_wav_codec_roundtrip():
+    import numpy as np
+
+    s = np.array([0, 1, -1, 32767, -32768, 12345, -12345], dtype=np.int16)
+    payload = MM.wav_encode_pcm16(s, 8000)
+    dec = MM.wav_decode_pcm16(payload)
+    assert dec is not None
+    rate, out = dec
+    assert rate == 8000
+    assert np.array_equal(out, s)
+    # the encoder embeds an odd-sized LIST chunk: a decoder that forgets
+    # word alignment would mis-walk and fail here
+    assert b"LIST" in payload
+    # header metadata parser agrees on the duration (data bytes / byte rate)
+    meta = MM.parse_media_header(payload)
+    assert meta is not None and meta["duration_ms"] == round(len(s) * 2 * 1000 / 16000)
+
+
+def test_wav_decode_rejects_nonconforming():
+    import numpy as np
+
+    assert MM.wav_decode_pcm16(b"") is None
+    assert MM.wav_decode_pcm16(b"RIFF\x00\x00\x00\x00JUNK") is None
+    # stereo / non-PCM / 8-bit payloads are rejected by the fmt contract
+    good = bytearray(MM.wav_encode_pcm16(np.array([1, 2], dtype=np.int16), 8000))
+    fmt_off = good.find(b"fmt ") + 8
+    bad = bytearray(good)
+    bad[fmt_off + 2] = 2  # channels = 2
+    assert MM.wav_decode_pcm16(bytes(bad)) is None
+    bad = bytearray(good)
+    bad[fmt_off] = 3  # audio format = IEEE float
+    assert MM.wav_decode_pcm16(bytes(bad)) is None
+    bad = bytearray(good)
+    bad[fmt_off + 14] = 8  # bits = 8
+    assert MM.wav_decode_pcm16(bytes(bad)) is None
+
+
+def test_wav_spark_roundtrip_features(spark):
+    import math
+
+    import numpy as np
+
+    clips = spark.createDataFrame(
+        [
+            (1, [100, -100, 100, -100], 8000),   # alternating: 3 zero crossings
+            (2, [0, 0, 0, 0, 0, 0, 0, 0], 4000), # silence: rms 0, zc 0
+            (3, list(range(-5, 6)), 16000),      # ramp THROUGH zero: no s_i*s_{i-1}<0 pair
+        ],
+        "media_id long, s array<int>, rate int",
+    )
+    dec = MM.decode_wav_audio(
+        MM.encode_wav_audio(clips, "media_id", "s", "rate")
+    ).orderBy("media_id")
+    rows = dec.collect()
+    assert [r.media_id for r in rows] == [1, 2, 3]
+    r1, r2, r3 = rows
+    assert r1.zero_cross == 3 and r1.peak == 100
+    assert math.isclose(r1.rms.num / r1.rms.den, 10000.0)
+    assert r2.rms.num == 0 and r2.zero_cross == 0 and r2.duration_ms == 2
+    # the strict product convention (s_i * s_{i-1} < 0) does NOT count a
+    # crossing that lands exactly on a zero sample — same as the oracle
+    assert r3.zero_cross == 0 and r3.n_samples == 11 and r3.sample_rate == 16000
+    assert list(r1.samples) == [100, -100, 100, -100]
+    # non-decodable payloads are dropped, not crashed
+    junk = spark.createDataFrame(
+        [(9, bytearray(b"not a wav"))], "media_id long, payload binary"
+    ).withColumns(
+        {
+            "media_type": F.lit("audio"), "format": F.lit("wav"),
+            "byte_len": F.lit(9).cast("long"),
+            "width": F.lit(None).cast("int"), "height": F.lit(None).cast("int"),
+            "duration_ms": F.lit(None).cast("int"),
+        }
+    )
+    assert MM.decode_wav_audio(junk).count() == 0

@@ -270,6 +270,113 @@ WHERE bit_count(xor(ha.ahash, hb.ahash)) <= {_IMG_MAX_HAMMING}
 
 
 # ---------------------------------------------------------------------------
+# audio_features / audio_frame_energy — REAL WAV PCM16 round trip (the
+# audio analogue of multimodal_pixels). Spark builds deterministic int16
+# clips (md5-mixed samples, 64..127 per doc so durations vary), encodes
+# them as genuine RIFF/WAVE files (fmt + odd-sized LIST chunk + data — the
+# decoder's word-aligned chunk walk is exercised), chunk-walks the bytes
+# back OUT, and emits whole-clip features (RMS energy, peak amplitude,
+# zero-crossing count) from the Arrow pass, plus frame-level energy /
+# silence detection computed Catalyst-side over the decoded sample array.
+# The oracle computes every feature arithmetically from the same sample
+# formula — any codec error (endianness, chunk alignment, sign handling,
+# fmt validation) hash-mismatches immediately.
+# ---------------------------------------------------------------------------
+_AUDIO_RATE = 8_000
+_AUDIO_FRAME = 32
+_SILENCE_RMS = 18_900.0  # ~ uniform-int16 RMS (65536 / sqrt(12)) -> splits frames
+
+
+def _audio_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.sources import spread_to_parallelism
+
+    docs = spread_to_parallelism(load_table(spark, sf_dir, "documents"))
+    n = (F.lit(64) + F.col("doc_id") % 64).cast("int")
+
+    def sv(i):
+        key = F.concat_ws("_", F.col("doc_id").cast("string"), i.cast("string"))
+        return F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("int") - 32768
+
+    samples = F.transform(F.sequence(F.lit(0), n - 1), sv)
+    clips = docs.select(
+        "doc_id", samples.alias("s"), F.lit(_AUDIO_RATE).alias("rate")
+    )
+    media = MM.encode_wav_audio(clips, "doc_id", "s", "rate")
+    return MM.decode_wav_audio(media)
+
+
+def _audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = _audio_clips(spark, sf_dir)
+    rms = F.sqrt(F.col("rms.num") / F.col("rms.den"))
+    return dec.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        F.round(rms, ROUND_STAT).alias("rms"),
+        "peak",
+        "zero_cross",
+    )
+
+
+# the deterministic sample value both engines compute byte-identically
+_AUDIO_SAMPLES_CTE = """
+s AS (
+  SELECT doc_id, i,
+         ('0x' || substr(md5(doc_id::VARCHAR || '_' || i::VARCHAR), 1, 4))::INT - 32768 AS v
+  FROM documents, LATERAL unnest(range(0, 64 + doc_id % 64)) AS t(i))
+"""
+
+_AUDIO_FEATURES_SQL = f"""
+WITH {_AUDIO_SAMPLES_CTE},
+zc AS (
+  SELECT doc_id, i, v,
+         CASE WHEN v * lag(v) OVER (PARTITION BY doc_id ORDER BY i) < 0
+              THEN 1 ELSE 0 END AS z
+  FROM s)
+SELECT doc_id AS media_id,
+       {_AUDIO_RATE} AS sample_rate,
+       count(*)::INT AS n_samples,
+       ((count(*) * 1000) // {_AUDIO_RATE})::INT AS duration_ms,
+       round(sqrt(sum(v * v) / count(*)), {ROUND_STAT}) AS rms,
+       max(abs(v))::INT AS peak,
+       sum(z)::INT AS zero_cross
+FROM zc GROUP BY doc_id
+"""
+
+
+def _audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = _audio_clips(spark, sf_dir)
+    ex = dec.select("media_id", F.posexplode("samples").alias("i", "v"))
+    g = ex.groupBy(
+        "media_id", F.floor(F.col("i") / _AUDIO_FRAME).cast("int").alias("frame_idx")
+    ).agg(
+        F.count(F.lit(1)).cast("int").alias("frame_len"),
+        F.sum(F.col("v").cast("long") * F.col("v")).alias("__sq"),
+    )
+    raw = F.sqrt(F.col("__sq") / F.col("frame_len"))
+    return g.select(
+        "media_id",
+        "frame_idx",
+        "frame_len",
+        F.round(raw, ROUND_STAT).alias("frame_rms"),
+        (raw < _SILENCE_RMS).cast("int").alias("is_silence"),
+    )
+
+
+_AUDIO_FRAME_SQL = f"""
+WITH {_AUDIO_SAMPLES_CTE}
+SELECT doc_id AS media_id,
+       (i // {_AUDIO_FRAME})::INT AS frame_idx,
+       count(*)::INT AS frame_len,
+       round(sqrt(sum(v * v) / count(*)), {ROUND_STAT}) AS frame_rms,
+       (CASE WHEN sqrt(sum(v * v) / count(*)) < {_SILENCE_RMS}
+             THEN 1 ELSE 0 END)::INT AS is_silence
+FROM s GROUP BY doc_id, i // {_AUDIO_FRAME}
+"""
+
+
+# ---------------------------------------------------------------------------
 # multimodal_features — stubbed decode + deterministic fake features
 # (rows-only: the feature bytes come from a Python-side RNG)
 # ---------------------------------------------------------------------------
@@ -350,6 +457,16 @@ REGISTRY: dict[str, QuerySpec] = {
         _image_near_dup, _IMAGE_NEAR_DUP_SQL,
         "image near-dup pairs: 8x8 aHash + Hamming-banded bucket join",
         ("multimodal", "dedup"),
+    ),
+    "audio_features": QuerySpec(
+        _audio_features, _AUDIO_FEATURES_SQL,
+        "real WAV PCM16 codec: encode -> chunk walk -> RMS/peak/zero-cross",
+        ("multimodal", "audio", "defer"),
+    ),
+    "audio_frame_energy": QuerySpec(
+        _audio_frame_energy, _AUDIO_FRAME_SQL,
+        "frame-level audio energy + silence detection over decoded samples",
+        ("multimodal", "audio", "defer"),
     ),
     "multimodal_features": QuerySpec(_mm_features, None, "stub decode + fake features via mapInPandas", ("multimodal",)),
 }
