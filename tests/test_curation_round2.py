@@ -525,3 +525,24 @@ def test_hist_sketch_mergeability_and_accuracy(spark, sf_dir):
         t50, t90 = truth[r["l_returnflag"]]
         assert abs(r["q50"] - t50) <= width, (r["l_returnflag"], r["q50"], t50)
         assert abs(r["q90"] - t90) <= width, (r["l_returnflag"], r["q90"], t90)
+
+
+def test_cluster_balanced_sample_caps_and_keeps_small_clusters(spark, sf_dir):
+    from urban_traffic_data_lake_project_spark.operators.sampling import (
+        cluster_balanced_sample,
+    )
+    from urban_traffic_data_lake_project_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cap = 7
+    out = cluster_balanced_sample(emb, cap=cap).collect()
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, rows in by_cluster.items():
+        n_cluster = rows[0].n_cluster
+        # capped clusters emit exactly cap rows; smaller ones survive whole
+        assert len(rows) == min(cap, n_cluster)
+    # determinism: a re-run draws the identical sample
+    again = cluster_balanced_sample(emb, cap=cap).collect()
+    assert sorted(r.vec_id for r in out) == sorted(r.vec_id for r in again)

@@ -198,3 +198,50 @@ def resample_to_mix(
         .filter(F.pmod(_seeded_hash(id_col, seed), F.lit(resolution)) < F.col("__thr"))
         .drop("__thr")
     )
+
+
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    cap: int = 40,
+    seed: int = 42,
+) -> DataFrame:
+    """Diversity sampling over the embedding space (the SemDeDup-family
+    shape): train spherical-k-means centroids, assign every vector to its
+    max-cosine cluster, then keep at most ``cap`` rows per cluster — a
+    uniform seeded draw within each cluster. Over-represented regions of
+    the space are down-weighted; small clusters survive whole.
+
+    Scale shape: centroid training collects only k*dim doubles per round
+    (``kmeans_centroids``); assignment is a per-row expression against the
+    literal centroid array — ZERO shuffle of the corpus; the per-cluster
+    cap windows over (id, cluster_id) rows only — vectors are projected
+    away before the exchange. Emits (id, cluster_id, n_cluster)."""
+    from urban_traffic_data_lake_project_spark.operators.similarity import (
+        _as_double,
+        _centroid_literal,
+        _norm,
+        kmeans_centroids,
+        nearest_centroid_ids,
+    )
+
+    entries = kmeans_centroids(corpus, id_col, vec_col, k=k, iters=iters)
+    cents = _centroid_literal(entries)
+    v = _as_double(F.col(vec_col))
+    assigned = corpus.select(
+        id_col,
+        F.element_at(nearest_centroid_ids(v, _norm(v), cents, 1), 1).alias(
+            "cluster_id"
+        ),
+    )
+    h = _seeded_hash(id_col, seed)
+    w = Window.partitionBy("cluster_id").orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        assigned.withColumn("n_cluster", F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

@@ -19,6 +19,7 @@ from urban_traffic_data_lake_project_spark.operators.decontam import (
     ngram_overlap_flags,
 )
 from urban_traffic_data_lake_project_spark.operators.sampling import (
+    cluster_balanced_sample,
     pack_shards,
     pack_sequences,
     resample_to_mix,
@@ -39,6 +40,8 @@ from urban_traffic_data_lake_project_spark.operators.sketches import (
 from urban_traffic_data_lake_project_spark.queries.base import ROUND_STAT, QuerySpec
 from urban_traffic_data_lake_project_spark.queries.llm import (
     _BAND_SELECTS,
+    _SIM_FRAG,
+    _kmeans_ctes,
     _JACCARD_THRESHOLD,
     _MH_AGGS,
     _MINHASH_BANDS,
@@ -480,6 +483,130 @@ def _stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# stream_sketch_quantiles — the quantile sketch maintained by a STREAMING
+# aggregation: readStream(orders) -> fixed-edge bin counts (state is
+# |groups| x bins tiny rows — the same bounded-state shape as the
+# streaming HLL), materialized with AvailableNow, then merged ('ALL' row)
+# and interpolated batch-side. The oracle replays binning + merge +
+# interpolation; streaming bin state converges to exactly the batch bins.
+# ---------------------------------------------------------------------------
+_SQ_LO, _SQ_HI, _SQ_BINS = 0.0, 600_000.0, 256
+_SQ_QS = (0.5, 0.9, 0.99)
+
+
+def _stream_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.operators.sketches import (
+        hist_merge,
+        hist_quantiles,
+        hist_sketch_table,
+    )
+    from urban_traffic_data_lake_project_spark.streaming.windows import (
+        read_table_stream,
+        run_available_now,
+    )
+
+    stream = read_table_stream(spark, sf_dir, "orders")
+    sk = run_available_now(
+        hist_sketch_table(
+            stream, ["o_orderpriority"], "o_totalprice", _SQ_LO, _SQ_HI, _SQ_BINS
+        ),
+        spark,
+    )
+    merged = hist_merge(
+        sk.withColumn("o_orderpriority", F.lit("ALL")), ["o_orderpriority"]
+    )
+    both = sk.unionByName(merged)
+    out = hist_quantiles(both, ["o_orderpriority"], _SQ_QS, _SQ_LO, _SQ_HI, _SQ_BINS)
+    return out.select(
+        "o_orderpriority",
+        *[
+            F.round(f"q{int(round(q * 100))}", ROUND_STAT).alias(f"q{int(round(q * 100))}")
+            for q in _SQ_QS
+        ],
+    )
+
+
+def _sq_est(q: float) -> str:
+    width = f"(({_SQ_HI} - {_SQ_LO}) / {_SQ_BINS})"
+    t = f"tot * {q}"
+    return (
+        f"round(min(CASE WHEN cum >= {t} AND cum - n < {t} "
+        f"THEN {_SQ_LO} + (bin + ({t} - (cum - n)) / n) * {width} END), {ROUND_STAT})"
+    )
+
+
+_STREAM_HIST_QUANTILES_SQL = f"""
+WITH s AS (
+  SELECT o_orderpriority,
+         (least(greatest(floor(((o_totalprice::DOUBLE - {_SQ_LO}) * {float(_SQ_BINS)})
+                               / ({_SQ_HI} - {_SQ_LO})), 0), {_SQ_BINS - 1}))::INT AS bin,
+         count(*) AS n
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2),
+sm AS (
+  SELECT o_orderpriority, bin, n FROM s
+  UNION ALL
+  SELECT 'ALL' AS o_orderpriority, bin, sum(n) AS n FROM s GROUP BY 2),
+c AS (
+  SELECT o_orderpriority, bin, n,
+         sum(n) OVER (PARTITION BY o_orderpriority ORDER BY bin) AS cum,
+         sum(n) OVER (PARTITION BY o_orderpriority) AS tot
+  FROM sm)
+SELECT o_orderpriority,
+       {_sq_est(0.5)} AS q50,
+       {_sq_est(0.9)} AS q90,
+       {_sq_est(0.99)} AS q99
+FROM c GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# sample_cluster_balanced — diversity sampling over the embedding space
+# (SemDeDup-family): spherical-k-means clusters, then at most CAP rows per
+# cluster via the seeded uniform draw. The oracle replays the entire
+# k-means training chain (the sim_cosine_topk_ivf_trained CTEs), the
+# max-cosine assignment, and the seeded-hash capping — the drawn sample
+# itself hash-matches.
+# ---------------------------------------------------------------------------
+_CB_K, _CB_ITERS, _CB_CAP, _CB_SEED = 8, 2, 40, 42
+
+
+def _cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cluster_balanced_sample(
+        emb, "vec_id", "embedding", k=_CB_K, iters=_CB_ITERS, cap=_CB_CAP, seed=_CB_SEED
+    )
+    return out.select("vec_id", "cluster_id", "n_cluster")
+
+
+_CB_HASH_SQL = (
+    f"(('0x' || substr(md5('{_CB_SEED}' || '|' || CAST(vec_id AS VARCHAR)), 1, 15))"
+    "::UBIGINT)::BIGINT"
+)
+
+_CLUSTER_BALANCED_SQL = f"""
+WITH {_kmeans_ctes(_CB_K, _CB_ITERS, 6)},
+cents AS (SELECT cid, cv AS ctv FROM c{_CB_ITERS}),
+assign AS (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT e.vec_id, cents.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_SIM_FRAG.format(v='e.v', c='cents.ctv')} DESC,
+                                       cents.cid) AS rn
+    FROM ev e CROSS JOIN cents)
+  WHERE rn = 1),
+sz AS (SELECT cluster_id, count(*) AS n_cluster FROM assign GROUP BY cluster_id),
+ranked AS (
+  SELECT vec_id, cluster_id,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY {_CB_HASH_SQL}, vec_id) AS rn
+  FROM assign)
+SELECT r.vec_id, r.cluster_id, sz.n_cluster
+FROM ranked r JOIN sz USING (cluster_id)
+WHERE r.rn <= {_CB_CAP}
+"""
+
+
+# ---------------------------------------------------------------------------
 # sample_weighted_quality — quality-weighted corpus subsampling: 30 docs
 # per language, selection probability proportional to the composite quality
 # score (A-ES exponential keys from the seeded id hash — reproducible
@@ -893,10 +1020,20 @@ REGISTRY: dict[str, QuerySpec] = {
         "HLL register table maintained by a streaming aggregation, same oracle",
         ("sketch", "streaming"),
     ),
+    "sample_cluster_balanced": QuerySpec(
+        _cluster_balanced, _CLUSTER_BALANCED_SQL,
+        "embedding-space diversity sampling: k-means clusters capped per cluster",
+        ("curation", "sampling", "similarity", "defer"),
+    ),
+    "stream_sketch_quantiles": QuerySpec(
+        _stream_hist_quantiles, _STREAM_HIST_QUANTILES_SQL,
+        "histogram quantile sketch maintained by a streaming aggregation",
+        ("sketch", "streaming", "defer"),
+    ),
     "agg_key_skew_profile": QuerySpec(
         _key_skew, _KEY_SKEW_SQL,
         "join-key skew diagnostic: heaviest keys with row share",
-        ("diagnostics"),
+        ("diagnostics",),
     ),
     "sketch_bloom_screen": QuerySpec(
         _bloom_screen, _BLOOM_SQL,
