@@ -455,3 +455,43 @@ def test_bigram_logprob_backoff_semantics(spark):
     single = spark.createDataFrame([(9, "hello")], "doc_id long, text string")
     s = T.bigram_logprob(single, "doc_id", "text", fit_df=fit).collect()[0]
     assert s["n_bigrams"] == 0 and s["avg_logp"] is None
+
+
+def test_srp_near_dup_subset_of_brute_force_and_finds_true_dups(spark, sf_dir):
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    srp = {
+        (r["id_a"], r["id_b"])
+        for r in D.srp_near_dup_pairs(emb, threshold=0.2).collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_near_dup_pairs(emb, threshold=0.2, brute_force=True).collect()
+    }
+    assert srp <= brute  # banding only prunes candidates, never invents pairs
+    assert srp  # non-trivial share found on random vectors
+
+    # tiny perturbations of the same vector agree on (almost surely) every
+    # signature bit -> every band collides -> the pair MUST be found
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((20, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in v + 1e-6 * rng.standard_normal(16)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in D.srp_near_dup_pairs(df, threshold=0.95).collect()
+    }
+    expected = {(2 * i, 2 * i + 1) for i in range(20)}
+    assert expected <= found, expected - found
+
+
+def test_srp_planes_deterministic_and_bounded():
+    planes = D.srp_planes(4, 8)
+    assert planes == D.srp_planes(4, 8)
+    assert all(-1.0 <= h <= 1.0 for p in planes for h in p)
+    # distinct planes actually differ
+    assert planes[0] != planes[1]

@@ -616,3 +616,88 @@ def dedup_keep_canonical(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFr
     smallest id.)"""
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drops, id_col, "left_anti")
+
+
+def srp_planes(n_planes: int, dim: int) -> list:
+    """Deterministic sign-random-projection hyperplanes: component (j, i)
+    is ``(md5int32('srp{j}_{i}') % 2001 - 1000) / 1000.0`` — uniform in
+    [-1, 1], reproducible from any engine's md5 (the same derivation trick
+    as ``stable_hash64``), so the whole LSH — planes, signatures, bands —
+    is oracle-checkable bit-for-bit."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"srp{j}_{i}".encode()).hexdigest()[:8], 16) % 2001 - 1000)
+            / 1000.0
+            for i in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def srp_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-dup pairs via sign-random-projection LSH — the
+    angle-preserving cousin of the IVF bucketing in
+    ``embedding_near_dup_pairs``: P(bit j agrees) = 1 - angle/pi, so
+    near-parallel vectors collide on whole bands. Signature bit j is
+    ``dot(v, plane_j) >= 0`` (planes are literal arrays — computing them
+    per row would be n_planes * dim md5s per VECTOR; as literals the cost
+    is one fused projection, zero shuffle). Band the ``n_planes`` bits
+    into ``bands`` slices, bucket-join on any identical slice, verify
+    exact cosine >= threshold on candidates only. Returns
+    (id_a, id_b, cosine_sim), id_a < id_b.
+
+    Scale shape: |bands| rows per vector into one equi-join — near-linear
+    like MinHash-LSH banding; vectors travel into the join only for the
+    verify step. Approximate by design: a pair disagreeing somewhere in
+    every band is missed (the standard SRP trade; more bands or fewer
+    bits per band raise recall)."""
+    from urban_traffic_data_lake_project_spark.operators.similarity import (
+        _as_double,
+        _dot,
+        _norm,
+    )
+
+    if n_planes % bands:
+        raise ValueError(f"bands must divide n_planes (got {n_planes}/{bands})")
+    dim = emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    planes = srp_planes(n_planes, dim)
+    v = _as_double(F.col(vec_col))
+    sig = None
+    for j, plane in enumerate(planes):
+        dot_j = _dot(v, F.array(*[F.lit(h) for h in plane]))
+        bit = F.when(dot_j >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    signed = spread_to_parallelism(emb).select(
+        F.col(id_col).alias("__id"), v.alias("__v"), sig.cast("int").alias("__sig")
+    )
+    width = n_planes // bands
+    mask = (1 << width) - 1
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("__sig"), b * width).bitwiseAND(F.lit(mask)).alias("slice"),
+        )
+        for b in range(bands)
+    ]
+    buckets = signed.select(
+        "__id", "__v", F.explode(F.array(*entries)).alias("__b")
+    ).select("__id", "__v", F.col("__b.band").alias("band"), F.col("__b.slice").alias("slice"))
+    a = buckets.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"), "band", "slice")
+    b = buckets.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), "band", "slice")
+    sim = _dot(F.col("__va"), F.col("__vb")) / (_norm(F.col("__va")) * _norm(F.col("__vb")))
+    return (
+        a.join(b, ["band", "slice"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+        .distinct()
+    )

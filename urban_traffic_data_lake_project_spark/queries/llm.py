@@ -816,6 +816,63 @@ FROM scored WHERE sim >= {_EMB_THRESHOLD}
 
 
 # ---------------------------------------------------------------------------
+# dedup_embedding_srp — the same near-dup task via sign-random-projection
+# LSH: 16 deterministic md5-derived hyperplanes -> 16-bit signature ->
+# 4-bit band bucket join -> exact-cosine verify. The oracle recomputes the
+# hyperplanes from the identical md5 formula, so planes, signatures,
+# banding, and the verified pairs all hash-match.
+# ---------------------------------------------------------------------------
+_SRP_PLANES, _SRP_BANDS = 16, 4
+
+
+def _dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.operators.dedup import (
+        srp_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = srp_near_dup_pairs(
+        emb, n_planes=_SRP_PLANES, bands=_SRP_BANDS, threshold=_EMB_THRESHOLD
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine_sim", ROUND_STAT).alias("cosine_sim")
+    )
+
+
+_SRP_COMPONENT = (
+    "((('0x' || substr(md5('srp' || j::VARCHAR || '_' || (i - 1)::VARCHAR), 1, 8))::BIGINT"
+    " % 2001 - 1000) / 1000.0)"
+)
+
+_DEDUP_SRP_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+bits AS (
+  SELECT vec_id, j,
+         CASE WHEN list_sum(list_transform(range(1, len(e) + 1),
+                            i -> e[i] * {_SRP_COMPONENT})) >= 0
+              THEN (1::BIGINT << j) ELSE 0 END AS bit
+  FROM v, LATERAL unnest(range(0, {_SRP_PLANES})) AS t(j)),
+sg AS (SELECT vec_id, sum(bit)::BIGINT AS sig FROM bits GROUP BY vec_id),
+bands AS (
+  SELECT vec_id, b, (sig >> (b * {_SRP_PLANES // _SRP_BANDS})) & {(1 << (_SRP_PLANES // _SRP_BANDS)) - 1} AS slice
+  FROM sg, LATERAL unnest(range(0, {_SRP_BANDS})) AS t(b)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b ON a.b = b.b AND a.slice = b.slice AND a.vec_id < b.vec_id),
+scored AS (
+  SELECT id_a, id_b,
+         list_sum(list_transform(range(1, len(va.e) + 1), i -> va.e[i] * vb.e[i]))
+           / (sqrt(list_sum(list_transform(va.e, x -> x * x)))
+              * sqrt(list_sum(list_transform(vb.e, x -> x * x)))) AS sim
+  FROM cand
+  JOIN v va ON va.vec_id = id_a
+  JOIN v vb ON vb.vec_id = id_b)
+SELECT id_a, id_b, round(sim, {ROUND_STAT}) AS cosine_sim
+FROM scored WHERE sim >= {_EMB_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup_clusters — connected components over the near-dup graph: every doc
 # labeled with the smallest reachable doc_id. Spark: iterative min-label
 # propagation (operators.dedup.dup_clusters); oracle: recursive CTE
@@ -1065,6 +1122,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(_dedup_exact, _DEDUP_EXACT_SQL, "exact dedup via content hash", ("dedup",)),
     "dedup_apply_near": QuerySpec(_dedup_apply, _DEDUP_APPLY_SQL, "corpus after near-dup removal", ("dedup",)),
     "dedup_embedding_cosine": QuerySpec(_dedup_embedding, _DEDUP_EMBEDDING_SQL, "embedding-cosine near-dup pairs", ("dedup", "similarity")),
+    "dedup_embedding_srp": QuerySpec(
+        _dedup_embedding_srp, _DEDUP_SRP_SQL,
+        "embedding near-dup pairs via sign-random-projection LSH banding",
+        ("dedup", "similarity", "defer"),
+    ),
     "text_tfidf": QuerySpec(_text_tfidf, _TFIDF_SQL, "smooth TF-IDF table", ("text",)),
     "text_bpe_tokens": QuerySpec(
         _text_bpe, _TEXT_BPE_SQL,
