@@ -65,6 +65,11 @@ BENCH_QUERIES: tuple[str, ...] = (
     "dedup_substring_spans",
     "core_histogram",
     "image_near_dup",
+    # round-4 continuation: the WAV PCM16 encode->decode->features chain
+    # (second Arrow codec path) and SRP-LSH embedding near-dup (banded
+    # bucket join + exact-cosine verify over ~40k candidate pairs)
+    "audio_features",
+    "dedup_embedding_srp",
 )
 
 

@@ -546,3 +546,50 @@ def test_cluster_balanced_sample_caps_and_keeps_small_clusters(spark, sf_dir):
     # determinism: a re-run draws the identical sample
     again = cluster_balanced_sample(emb, cap=cap).collect()
     assert sorted(r.vec_id for r in out) == sorted(r.vec_id for r in again)
+
+
+def test_strip_markup_semantics(spark):
+    from urban_traffic_data_lake_project_spark.operators.text import strip_markup
+
+    df = spark.createDataFrame(
+        [
+            (1, '<p>hello <b>world</b></p> see https://x.io/a?b=1 now &amp; &#39;q'),
+            (2, "plain text, no markup"),
+            (3, "<div><div>nested</div></div>"),
+        ],
+        "id long, t string",
+    )
+    s = strip_markup(F.col("t"))
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id", s["clean"].alias("c"), s["n_tags"].alias("nt"), s["n_urls"].alias("nu")
+        ).collect()
+    }
+    assert rows[1].c == "hello world see now q" and rows[1].nt == 4 and rows[1].nu == 1
+    assert rows[2].c == "plain text, no markup" and rows[2].nt == 0 and rows[2].nu == 0
+    assert rows[3].c == "nested" and rows[3].nt == 4
+
+
+def test_remove_boilerplate_lines_threshold(spark):
+    from urban_traffic_data_lake_project_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    # 10 docs: 'chrome' in all (100%), 'promo' in 2 (20%), body unique
+    rows = [
+        (i, "chrome\n" + (f"promo\n" if i < 2 else "") + f"body {i}")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = {
+        r.id: r for r in remove_boilerplate_lines(df, "id", "t", max_doc_frac=0.5).collect()
+    }
+    # at 50%: chrome dropped, promo (20%) kept, body kept, order preserved
+    assert out[0].clean_text == "promo\nbody 0" and out[0].n_boiler == 1
+    assert out[5].clean_text == "body 5" and out[5].n_lines == 2
+    strict = {
+        r.id: r for r in remove_boilerplate_lines(df, "id", "t", max_doc_frac=0.15).collect()
+    }
+    # at 15%: promo (2/10 = 20%) also dropped; unique bodies (10%) survive
+    assert strict[1].clean_text == "body 1" and strict[1].n_boiler == 2

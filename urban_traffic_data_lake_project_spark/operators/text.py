@@ -576,3 +576,85 @@ def bigram_logprob(
             F.col("oov_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Markup stripping + corpus-level boilerplate removal — the web-extraction
+# cleaning stages (C4/RefinedWeb-style) that run BEFORE quality scoring on
+# crawled corpora. Both stay pure Catalyst: regexp chains and one
+# line-frequency shuffle; no Python in the hot path.
+# ---------------------------------------------------------------------------
+_TAG_RE = "<[^>]*>"
+_URL_RE = "https?://[^\\s<>]+"
+_ENTITY_RE = "&[a-zA-Z]+;|&#[0-9]+;"
+
+
+def strip_markup(text: Column) -> dict[str, Column]:
+    """``{'clean', 'n_tags', 'n_urls'}`` — remove HTML tags, URLs, and
+    character entities, then collapse whitespace. Counts are taken on the
+    raw text so the caller can keep them as extraction diagnostics. One
+    codegen'd regexp chain per row; patterns are RE2-safe so the identical
+    expressions run on any ANSI engine (oracle parity)."""
+    clean = F.regexp_replace(text, _URL_RE, " ")
+    clean = F.regexp_replace(clean, _TAG_RE, " ")
+    clean = F.regexp_replace(clean, _ENTITY_RE, " ")
+    clean = F.trim(F.regexp_replace(clean, "\\s+", " "))
+    return {
+        "clean": clean,
+        "n_tags": F.regexp_count(text, F.lit(_TAG_RE)),
+        "n_urls": F.regexp_count(text, F.lit(_URL_RE)),
+    }
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_doc_frac: float = 0.10,
+) -> DataFrame:
+    """Drop lines that appear (verbatim) in at least ``max_doc_frac`` of
+    all documents — shared navigation/footer chrome survives per-document
+    dedup because every copy lives in a different doc; this is the
+    corpus-level complement (within-doc repeats are dup_line_frac's job;
+    cross-doc PARAGRAPH dedup is substring_span_dedup's).
+
+    Returns (id, n_lines, n_boiler, clean_text) for every input document
+    (clean_text = '' when everything was chrome).
+
+    Scale shape: explode lines -> one groupBy on the line counting
+    distinct owner docs -> equi-join back -> one groupBy per doc
+    rebuilding the text from the kept (idx, line) pairs. Two hash
+    shuffles of line rows; the doc-count threshold rides along as a
+    broadcast scalar inside the plan — no eager count, no collect."""
+    lines = spread_to_parallelism(df).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
+    )
+    owners = lines.groupBy("line").agg(
+        F.count_distinct(F.col(id_col)).alias("__nd")
+    )
+    total = df.agg(F.count(F.lit(1)).alias("__ndocs"))
+    flagged = (
+        lines.join(owners, "line")
+        .crossJoin(F.broadcast(total))
+        .withColumn("__keep", F.col("__nd") < max_doc_frac * F.col("__ndocs"))
+    )
+    kept_struct = F.when(
+        F.col("__keep"), F.struct(F.col("idx"), F.col("line"))
+    )
+    perdoc = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(~F.col("__keep"), 1).otherwise(0)).alias("n_boiler"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    return df.select(id_col).join(perdoc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

@@ -560,6 +560,108 @@ FROM c GROUP BY o_orderpriority
 
 
 # ---------------------------------------------------------------------------
+# text_strip_markup — web-extraction cleaning: wrap each document in a
+# deterministic HTML shell (tags + href URL + entity), then strip tags /
+# URLs / entities and collapse whitespace (operators.text.strip_markup).
+# The oracle applies the identical RE2-safe regexp chain in the same
+# order, so the cleaned text itself hash-matches.
+# ---------------------------------------------------------------------------
+def _strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit('<div class="post"><p>'), F.col("text"),
+        F.lit('</p></div> <a href="https://example.com/d/'),
+        F.col("doc_id").cast("string"),
+        F.lit('">link</a> &amp; <b>more</b>'),
+    )
+    s = T.strip_markup(raw)
+    return docs.select(
+        "doc_id",
+        s["n_tags"].alias("n_tags"),
+        s["n_urls"].alias("n_urls"),
+        s["clean"].alias("clean_text"),
+        F.length(s["clean"]).alias("n_chars_clean"),
+    )
+
+
+_STRIP_MARKUP_SQL = """
+WITH raw AS (
+  SELECT doc_id,
+         '<div class="post"><p>' || text || '</p></div> <a href="https://example.com/d/'
+           || doc_id::VARCHAR || '">link</a> &amp; <b>more</b>' AS t
+  FROM documents),
+cleaned AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '<[^>]*>')) AS n_tags,
+         len(regexp_extract_all(t, 'https?://[^\\s<>]+')) AS n_urls,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, 'https?://[^\\s<>]+', ' ', 'g'),
+               '<[^>]*>', ' ', 'g'),
+             '&[a-zA-Z]+;|&#[0-9]+;', ' ', 'g'),
+           '\\s+', ' ', 'g')) AS clean_text
+  FROM raw)
+SELECT doc_id, n_tags, n_urls, clean_text, len(clean_text) AS n_chars_clean
+FROM cleaned
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_boilerplate_lines — corpus-level boilerplate removal: lines that
+# appear verbatim in >= 10% of documents (the injected nav header in every
+# doc, the footer in every 7th) are dropped; unique body lines survive.
+# The oracle replays line explosion, the distinct-owner count, the
+# broadcast threshold, and the ordered rebuild.
+# ---------------------------------------------------------------------------
+_BP_HEADER = "nav home about contact"
+_BP_FOOTER = "subscribe to the newsletter footer"
+_BP_FRAC = 0.10
+
+
+def _boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    built = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_BP_HEADER + "\n"),
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("\n" + _BP_FOOTER)).otherwise(
+                F.lit("")
+            ),
+        ).alias("t"),
+    )
+    from urban_traffic_data_lake_project_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    return remove_boilerplate_lines(built, "doc_id", "t", max_doc_frac=_BP_FRAC)
+
+
+_BOILERPLATE_SQL = f"""
+WITH built AS (
+  SELECT doc_id,
+         '{_BP_HEADER}' || chr(10) || text ||
+         CASE WHEN doc_id % 7 = 0 THEN chr(10) || '{_BP_FOOTER}' ELSE '' END AS t
+  FROM documents),
+ln AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM built),
+lines AS (
+  SELECT doc_id, i AS idx, ls[i + 1] AS line
+  FROM ln, LATERAL unnest(range(0, len(ls))) AS u(i)),
+nd AS (SELECT line, count(DISTINCT doc_id) AS ndocs FROM lines GROUP BY line),
+tot AS (SELECT count(*) AS n FROM built),
+fl AS (
+  SELECT l.doc_id, l.idx, l.line, nd.ndocs < {_BP_FRAC} * (SELECT n FROM tot) AS keep
+  FROM lines l JOIN nd USING (line))
+SELECT doc_id,
+       count(*) AS n_lines,
+       sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS n_boiler,
+       coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY idx), '') AS clean_text
+FROM fl GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # sample_cluster_balanced — diversity sampling over the embedding space
 # (SemDeDup-family): spherical-k-means clusters, then at most CAP rows per
 # cluster via the seeded uniform draw. The oracle replays the entire
@@ -1019,6 +1121,16 @@ REGISTRY: dict[str, QuerySpec] = {
         _stream_hll, _HLL_ROLLUP_SQL,
         "HLL register table maintained by a streaming aggregation, same oracle",
         ("sketch", "streaming"),
+    ),
+    "text_strip_markup": QuerySpec(
+        _strip_markup, _STRIP_MARKUP_SQL,
+        "HTML/URL/entity stripping with extraction diagnostics",
+        ("text", "curation", "defer"),
+    ),
+    "text_boilerplate_lines": QuerySpec(
+        _boilerplate_lines, _BOILERPLATE_SQL,
+        "corpus-level boilerplate line removal (>=10% doc-frequency lines)",
+        ("text", "curation", "dedup", "defer"),
     ),
     "sample_cluster_balanced": QuerySpec(
         _cluster_balanced, _CLUSTER_BALANCED_SQL,
