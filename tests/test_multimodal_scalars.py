@@ -374,3 +374,29 @@ def test_wav_spark_roundtrip_features(spark):
         }
     )
     assert MM.decode_wav_audio(junk).count() == 0
+
+
+def test_gif_codec_roundtrip_and_robustness():
+    delays = [5, 0, 123, 65535]
+    payload = MM.gif_encode_frames(delays)
+    assert MM.gif_parse_frames(payload) == delays
+    # the header parser still reads the logical screen size off the bytes
+    meta = MM.parse_media_header(payload)
+    assert meta is not None and (meta["width"], meta["height"]) == (8, 8)
+    # a GIF with a global color table: the walk must skip 3 * 2^(N+1) bytes
+    with_gct = bytearray(payload)
+    with_gct[10] |= 0x80  # GCT flag, size bits 0 -> 6-byte table
+    with_gct[13:13] = bytes(6)
+    assert MM.gif_parse_frames(bytes(with_gct)) == delays
+    # truncated structure (no trailer) and non-GIFs are rejected
+    assert MM.gif_parse_frames(payload[:-1] + b"\x99") is None
+    assert MM.gif_parse_frames(payload[:20]) is None
+    assert MM.gif_parse_frames(b"not a gif") is None
+    # frames without a preceding GCE (GIF87a style) get delay 0
+    bare = (
+        b"GIF87a" + (8).to_bytes(2, "little") + (8).to_bytes(2, "little")
+        + bytes([0, 0, 0])
+        + bytes([0x2C]) + bytes(4) + (8).to_bytes(2, "little") + (8).to_bytes(2, "little")
+        + bytes([0x00, 0x02, 0x01, 0x44, 0x00, 0x3B])
+    )
+    assert MM.gif_parse_frames(bare) == [0]

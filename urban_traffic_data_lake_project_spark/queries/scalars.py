@@ -377,6 +377,41 @@ FROM s GROUP BY doc_id, i // {_AUDIO_FRAME}
 
 
 # ---------------------------------------------------------------------------
+# gif_frame_index — REAL animated-GIF frame walk (the video-timing
+# analogue of the audio codec): Spark builds per-doc delay sequences,
+# encodes structurally valid GIF89a animations (GCE + image descriptor +
+# LZW sub-blocks per frame), walks the block structure back OUT of the
+# bytes, and emits one row per frame with its wire delay and cumulative
+# start offset. The oracle computes the same rows arithmetically — a
+# wrong block walk (sub-block chains, color-table skips, extension
+# labels) changes frame pairing and hash-mismatches.
+# ---------------------------------------------------------------------------
+def _gif_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.sources import spread_to_parallelism
+
+    docs = spread_to_parallelism(load_table(spark, sf_dir, "documents"))
+    n = (F.lit(1) + F.col("doc_id") % 5).cast("int")
+    delays = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda f: (F.lit(4) + F.pmod(F.col("doc_id") + f, F.lit(10))).cast("int"),
+    )
+    anims = docs.select("doc_id", delays.alias("d"))
+    media = MM.encode_gif_animations(anims, "doc_id", "d")
+    return MM.decode_gif_frames(media)
+
+
+_GIF_FRAMES_SQL = """
+WITH f AS (
+  SELECT doc_id, i AS frame_idx, (4 + (doc_id + i) % 10)::INT AS delay_cs
+  FROM documents, LATERAL unnest(range(0, 1 + doc_id % 5)) AS t(i))
+SELECT doc_id AS media_id, frame_idx::INT AS frame_idx, delay_cs,
+       (10 * (sum(delay_cs) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+              - delay_cs))::INT AS offset_ms
+FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
 # multimodal_features — stubbed decode + deterministic fake features
 # (rows-only: the feature bytes come from a Python-side RNG)
 # ---------------------------------------------------------------------------
@@ -467,6 +502,11 @@ REGISTRY: dict[str, QuerySpec] = {
         _audio_frame_energy, _AUDIO_FRAME_SQL,
         "frame-level audio energy + silence detection over decoded samples",
         ("multimodal", "audio", "defer"),
+    ),
+    "gif_frame_index": QuerySpec(
+        _gif_frame_index, _GIF_FRAMES_SQL,
+        "real animated-GIF block walk: per-frame wire delays + offsets",
+        ("multimodal", "video", "defer"),
     ),
     "multimodal_features": QuerySpec(_mm_features, None, "stub decode + fake features via mapInPandas", ("multimodal",)),
 }
