@@ -593,3 +593,19 @@ def test_remove_boilerplate_lines_threshold(spark):
     }
     # at 15%: promo (2/10 = 20%) also dropped; unique bodies (10%) survive
     assert strict[1].clean_text == "body 1" and strict[1].n_boiler == 2
+
+
+def test_inverted_index_postings_consistency(spark, sf_dir):
+    from urban_traffic_data_lake_project_spark.operators.text import inverted_index
+    from urban_traffic_data_lake_project_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    rows = inverted_index(docs, "doc_id", "text", 2, 0.8).collect()
+    assert rows
+    for r in rows:
+        ids = [int(x) for x in r.postings.split(",")]
+        assert len(ids) == r.df            # df == posting length
+        assert ids == sorted(ids)          # sorted
+        assert len(set(ids)) == len(ids)   # distinct
+        assert 2 <= r.df <= 0.8 * n_docs   # both bounds enforced

@@ -108,3 +108,48 @@ def test_range_join_binned_equals_naive_theta_join(spark):
         and abs((l["ts"] - r["view_ts"]).total_seconds()) <= 600
     }
     assert got == naive and naive  # exact agreement incl. boundary (=600s)
+
+
+def test_funnel_step_ordering(spark, sf_dir):
+    """A later step can never precede an earlier one, latencies are
+    positive, and purchase implies click (the funnel is ordered)."""
+    from urban_traffic_data_lake_project_spark.queries.windows import REGISTRY as WR
+
+    rows = WR["win_funnel_steps"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.purchased:
+            assert r.clicked == 1
+            assert r.us_to_purchase > r.us_to_click > 0
+        elif r.clicked:
+            assert r.us_to_click > 0 and r.us_to_purchase is None
+        else:
+            assert r.us_to_click is None and r.us_to_purchase is None
+
+
+def test_ewma_matches_pandas_reference(spark):
+    """The windowed power-of-two EWMA equals pandas ewm(alpha=.5) exactly
+    while the frame covers the full history (rows < frame width)."""
+    import pandas as pd
+    from urban_traffic_data_lake_project_spark.queries.windows import REGISTRY as WR
+    import os, tempfile
+
+    # tiny synthetic events table routed through the query's own loader
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(8),
+            "ts": pd.date_range("2024-01-01", periods=8, freq="1min"),
+            "user_id": [1] * 8,
+            "event_type": ["view"] * 8,
+            "value": [10.0, 20.0, 5.0, 0.0, 40.0, 1.0, 2.0, 80.0],
+            "props": ["{}"] * 8,
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(pdf).write.parquet(os.path.join(d, "events.parquet"))
+        out = (
+            WR["win_ewma"].fn(spark, d).orderBy("event_id").collect()
+        )
+    expected = pdf["value"].ewm(alpha=0.5, adjust=True).mean()
+    for r, e in zip(out, expected):
+        assert abs(r.ewma - e) <= 1e-6, (r.event_id, r.ewma, e)

@@ -658,3 +658,53 @@ def remove_boilerplate_lines(
         F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 2,
+    max_df_frac: float = 0.9,
+) -> DataFrame:
+    """Build an inverted index over normalized terms: one row per term
+    with its document frequency and the sorted posting list (comma-joined
+    doc ids — string-typed so the row is engine-portable). ``max_df_frac``
+    bounds posting-list width RELATIVE to corpus size (the threshold is a
+    broadcast scalar inside the plan, no eager count): terms in more than
+    that fraction of documents are the stopword head retrieval drops
+    anyway, and capping them keeps every output row small at any scale; a
+    full-scale index would shard the surviving lists into positional
+    chunks with the same plan.
+
+    Scale shape: explode terms -> distinct (term, doc) pairs (one
+    shuffle) -> one groupBy per term (map-side partial distinct) — the
+    standard corpus shape; no collects, no driver loops."""
+    terms = (
+        spread_to_parallelism(df)
+        .select(
+            F.col(id_col),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    n_docs = df.groupBy().agg(F.count(F.lit(1)).alias("__ndocs"))
+    g = terms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.col(id_col))),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+    return (
+        g.crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("df") >= min_df)
+            & (F.col("df") <= max_df_frac * F.col("__ndocs"))
+        )
+        .drop("__ndocs")
+    )

@@ -560,6 +560,38 @@ FROM c GROUP BY o_orderpriority
 
 
 # ---------------------------------------------------------------------------
+# text_inverted_index — retrieval-side index build: term -> df + sorted
+# posting list (the structure RAG/dedup-audit tooling queries against the
+# curated corpus). Posting lists are df-capped so rows stay bounded; the
+# oracle rebuilds the identical lists.
+# ---------------------------------------------------------------------------
+_IDX_MIN_DF, _IDX_MAX_FRAC = 2, 0.8
+
+
+def _inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.operators.text import inverted_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    return inverted_index(docs, "doc_id", "text", _IDX_MIN_DF, _IDX_MAX_FRAC)
+
+
+_INVERTED_INDEX_SQL = f"""
+WITH norm AS (SELECT doc_id, {_NORM.format(c='text')} AS nt FROM documents),
+t AS (
+  SELECT DISTINCT doc_id, s.term
+  FROM norm, LATERAL unnest(string_split(nt, ' ')) AS s(term)
+  WHERE s.term <> ''),
+g AS (
+  SELECT term, count(*) AS df,
+         array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+  FROM t GROUP BY term)
+SELECT term, df, postings FROM g
+WHERE df >= {_IDX_MIN_DF}
+  AND df <= {_IDX_MAX_FRAC} * (SELECT count(*) FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
 # text_strip_markup — web-extraction cleaning: wrap each document in a
 # deterministic HTML shell (tags + href URL + entity), then strip tags /
 # URLs / entities and collapse whitespace (operators.text.strip_markup).
@@ -1121,6 +1153,11 @@ REGISTRY: dict[str, QuerySpec] = {
         _stream_hll, _HLL_ROLLUP_SQL,
         "HLL register table maintained by a streaming aggregation, same oracle",
         ("sketch", "streaming"),
+    ),
+    "text_inverted_index": QuerySpec(
+        _inverted_index, _INVERTED_INDEX_SQL,
+        "inverted index build: term df + sorted capped posting lists",
+        ("text", "curation", "defer"),
     ),
     "text_strip_markup": QuerySpec(
         _strip_markup, _STRIP_MARKUP_SQL,

@@ -535,7 +535,138 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
 """
 
 
+# ---------------------------------------------------------------------------
+# win_ewma — exponentially weighted moving average of each user's event
+# values (the time-series smoothing the notebook-era reference would do in
+# pandas `ewm`): a bounded 20-row frame with alpha = 0.5 so every weight
+# is an exact power of two — numerator/denominator are then
+# bit-identical across engines (general pow() is not guaranteed
+# correctly-rounded; halving is). The frame list is collected per row and
+# folded newest-first in BOTH engines, so summation order matches too.
+# ---------------------------------------------------------------------------
+_EWMA_K = 20
+
+
+def _win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_K - 1), 0)
+    )
+    arr = F.reverse(F.collect_list("value").over(w))
+    n = F.size(arr)
+    weighted = F.zip_with(
+        arr,
+        F.sequence(F.lit(0), n - 1),
+        lambda v, i: v * F.pow(F.lit(0.5), i.cast("double")),
+    )
+    num = F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
+    den = F.lit(2.0) * (F.lit(1.0) - F.pow(F.lit(0.5), n.cast("double")))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("value"),
+        n.alias("frame_len"),
+        F.round(num / den, ROUND_STAT).alias("ewma"),
+    )
+
+
+_WIN_EWMA_SQL = f"""
+WITH framed AS (
+  SELECT user_id, event_id, value,
+         list_reverse(list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN {_EWMA_K - 1} PRECEDING AND CURRENT ROW)) AS l
+  FROM events)
+SELECT user_id, event_id, value,
+       len(l) AS frame_len,
+       round(list_sum(list_transform(range(1, len(l) + 1), i -> l[i] * pow(0.5, i - 1)))
+             / (2.0 * (1.0 - pow(0.5, len(l)))), {ROUND_STAT}) AS ewma
+FROM framed
+"""
+
+
+# ---------------------------------------------------------------------------
+# win_funnel_steps — conversion funnel over the event stream: first view,
+# first click within 7 days OF THAT VIEW, first purchase within 7 days of
+# that click, per user, with exact microsecond step latencies. The
+# streaming-era analytics consumption query the reference's notebook
+# could not express.
+# ---------------------------------------------------------------------------
+_FUNNEL_HORIZON = "INTERVAL 7 DAYS"
+
+
+def _win_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr(_FUNNEL_HORIZON))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr(_FUNNEL_HORIZON))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("t_click").isNotNull().cast("int").alias("clicked"),
+            F.col("t_purchase").isNotNull().cast("int").alias("purchased"),
+            (F.unix_micros("t_click") - F.unix_micros("t_view")).alias("us_to_click"),
+            (F.unix_micros("t_purchase") - F.unix_micros("t_view")).alias("us_to_purchase"),
+        )
+    )
+
+
+_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view AND e.ts <= v.t_view + INTERVAL 7 DAY
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click AND e.ts <= c.t_click + INTERVAL 7 DAY
+  GROUP BY e.user_id)
+SELECT v.user_id,
+       CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END AS clicked,
+       CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END AS purchased,
+       epoch_us(c.t_click) - epoch_us(v.t_view) AS us_to_click,
+       epoch_us(p.t_purchase) - epoch_us(v.t_view) AS us_to_purchase
+FROM v LEFT JOIN c ON c.user_id = v.user_id LEFT JOIN p ON p.user_id = v.user_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "win_ewma": QuerySpec(
+        _win_ewma, _WIN_EWMA_SQL,
+        "EWMA smoothing, bounded frame, power-of-two weights", ("window", "defer"),
+    ),
+    "win_funnel_steps": QuerySpec(
+        _win_funnel, _FUNNEL_SQL,
+        "view->click->purchase funnel with exact step latencies", ("window", "join", "defer"),
+    ),
     "agg_group_percentiles": QuerySpec(_group_percentiles, _GROUP_PERCENTILES_SQL, "per-group exact percentiles", ("agg",)),
     "win_distribution": QuerySpec(_win_distribution, _WIN_DISTRIBUTION_SQL, "ntile/percent_rank/cume_dist", ("window",)),
     "stream_tumbling_available_now": QuerySpec(
