@@ -11,6 +11,7 @@ from urban_traffic_data_lake_project_spark.queries import (
     cleaning,
     core,
     curation,
+    lakehouse,
     llm,
     scalars,
     windows,
@@ -20,7 +21,7 @@ from urban_traffic_data_lake_project_spark.queries.base import QuerySpec
 
 def _assemble() -> dict[str, QuerySpec]:
     registry: dict[str, QuerySpec] = {}
-    for m in (core, cleaning, llm, windows, analytics, scalars, curation):
+    for m in (core, cleaning, llm, windows, analytics, scalars, curation, lakehouse):
         overlap = registry.keys() & m.REGISTRY.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -1,0 +1,232 @@
+"""Lakehouse operations queries — the table-management / data-ops surface
+a production deployment of the reference's medallion lake runs daily:
+declarative data-quality expectations, SCD-2 dimension history, and
+incremental (mergeable-partial) aggregate maintenance.
+
+Net-new vs the reference (whose quality checks are implicit in pandas
+cleaning and whose gold tables are full recomputes); all three are
+SQL-expressible and carry full DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from urban_traffic_data_lake_project_spark.queries.base import ROUND_STAT, ROUND_SUM, QuerySpec
+from urban_traffic_data_lake_project_spark.sources import load_table
+
+
+# ---------------------------------------------------------------------------
+# quality_expectations — dbt-test / Great-Expectations-style declarative
+# checks as ONE engine query: referential integrity (anti-join orphan
+# counts), key uniqueness, null budgets, and domain-range assertions,
+# each as a (name, n_checked, n_violations, pass) row.
+#
+# Scale shape: each FK check is a broadcast/shuffle anti-join COUNT (no
+# row materialization); uniqueness and range checks are single aggregate
+# passes; the union is of 1-row aggregates. At 100 TB every check stays
+# an aggregation — nothing collects violating rows (a production run
+# would add a `LIMIT`ed sample sink per failed expectation).
+# ---------------------------------------------------------------------------
+def _quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    fk_orders = orders.join(
+        cust.select("c_custkey"), orders["o_custkey"] == cust["c_custkey"], "left_anti"
+    ).agg(F.count(F.lit(1)).alias("v"))
+    fk_li = li.join(
+        orders.select("o_orderkey"), li["l_orderkey"] == orders["o_orderkey"], "left_anti"
+    ).agg(F.count(F.lit(1)).alias("v"))
+    uniq = orders.agg(
+        (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey"))).alias("v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    nulls = cust.agg(
+        F.sum(F.col("c_acctbal").isNull().cast("long")).alias("v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rng = li.agg(
+        F.sum(((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("long")).alias("v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    disc = li.agg(
+        F.sum(((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).cast("long")).alias("v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    n_orders = orders.agg(F.count(F.lit(1)).alias("n"))
+    n_li = li.agg(F.count(F.lit(1)).alias("n"))
+
+    # FK checks pair a 1-row count with a 1-row orphan count; everything
+    # stays one lazy union of aggregates — nothing executes per check.
+    e1 = (
+        n_orders.crossJoin(fk_orders)
+        .select(
+            F.lit("fk_orders_custkey").alias("expectation"),
+            F.col("n").alias("n_checked"),
+            F.col("v").alias("n_violations"),
+            (F.col("v") == 0).cast("int").alias("pass"),
+        )
+    )
+    e2 = (
+        n_li.crossJoin(fk_li)
+        .select(
+            F.lit("fk_lineitem_orderkey").alias("expectation"),
+            F.col("n").alias("n_checked"),
+            F.col("v").alias("n_violations"),
+            (F.col("v") == 0).cast("int").alias("pass"),
+        )
+    )
+
+    def from_agg(name: str, agg: DataFrame) -> DataFrame:
+        return agg.select(
+            F.lit(name).alias("expectation"),
+            F.col("n").alias("n_checked"),
+            F.col("v").alias("n_violations"),
+            (F.col("v") == 0).cast("int").alias("pass"),
+        )
+
+    out = (
+        e1.unionByName(e2)
+        .unionByName(from_agg("unique_o_orderkey", uniq))
+        .unionByName(from_agg("not_null_c_acctbal", nulls))
+        .unionByName(from_agg("range_l_quantity_1_50", rng))
+        .unionByName(from_agg("range_l_discount_0_01", disc))
+    )
+    return out
+
+
+_QUALITY_SQL = """
+SELECT 'fk_orders_custkey' AS expectation,
+       (SELECT count(*) FROM orders) AS n_checked,
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_violations,
+       CASE WHEN (SELECT count(*) FROM orders o
+                  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) = 0
+            THEN 1 ELSE 0 END AS pass
+UNION ALL
+SELECT 'fk_lineitem_orderkey',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+       CASE WHEN (SELECT count(*) FROM lineitem l
+                  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0
+            THEN 1 ELSE 0 END
+UNION ALL
+SELECT 'unique_o_orderkey', count(*), count(*) - count(DISTINCT o_orderkey),
+       CASE WHEN count(*) - count(DISTINCT o_orderkey) = 0 THEN 1 ELSE 0 END
+FROM orders
+UNION ALL
+SELECT 'not_null_c_acctbal', count(*),
+       sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END),
+       CASE WHEN sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END
+FROM customer
+UNION ALL
+SELECT 'range_l_quantity_1_50', count(*),
+       sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END),
+       CASE WHEN sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) = 0
+            THEN 1 ELSE 0 END
+FROM lineitem
+UNION ALL
+SELECT 'range_l_discount_0_01', count(*),
+       sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END),
+       CASE WHEN sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) = 0
+            THEN 1 ELSE 0 END
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# scd2_user_history — slowly-changing-dimension type 2 built from the
+# event stream: each user event opens a version valid until the next one
+# (valid_to = lead(ts), NULL = current). The warehouse-dimension op the
+# reference's lake has no analogue for. One window over (user, ts) —
+# no self-join.
+# ---------------------------------------------------------------------------
+def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("version"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().cast("int").alias("is_current"),
+        F.round("value", ROUND_SUM).alias("value"),
+    )
+
+
+_SCD2_SQL = """
+SELECT user_id, event_id,
+       row_number() OVER w AS version,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current,
+       round(value, 2) AS value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# agg_incremental_maintenance — incremental materialized-aggregate
+# maintenance: the standing gold aggregate is kept as MERGEABLE PARTIALS
+# (sum, count), a delta batch contributes its own partials, and the
+# refreshed aggregate is partial-merge only — the delta-sized cost that
+# replaces a full-table rescan at 100 TB. avg is derived from the merged
+# partials (never averaged averages). The oracle computes the full-table
+# aggregate directly: merge == recompute, exactly.
+# ---------------------------------------------------------------------------
+def _incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 10 != 0)   # standing table
+    delta = orders.filter(F.col("o_orderkey") % 10 == 0)  # arriving batch
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.sum("o_totalprice").alias("__s"), F.count(F.lit(1)).alias("__n")
+        )
+
+    merged = (
+        partials(base)
+        .unionByName(partials(delta))
+        .groupBy("o_orderpriority")
+        .agg(F.sum("__s").alias("__s"), F.sum("__n").alias("__n"))
+    )
+    return merged.select(
+        "o_orderpriority",
+        F.col("__n").alias("n_orders"),
+        F.round("__s", ROUND_SUM).alias("total_price"),
+        F.round(F.col("__s") / F.col("__n"), ROUND_STAT).alias("avg_price"),
+    )
+
+
+_INCREMENTAL_SQL = f"""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), {ROUND_SUM}) AS total_price,
+       round(sum(o_totalprice) / count(*), {ROUND_STAT}) AS avg_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "quality_expectations": QuerySpec(
+        _quality_expectations, _QUALITY_SQL,
+        "declarative data-quality checks: FK orphans, uniqueness, nulls, ranges",
+        ("lakehouse", "diagnostics", "defer"),
+    ),
+    "scd2_user_history": QuerySpec(
+        _scd2_history, _SCD2_SQL,
+        "SCD-2 dimension history: versioned validity intervals per user",
+        ("lakehouse", "window", "defer"),
+    ),
+    "agg_incremental_maintenance": QuerySpec(
+        _incremental_agg, _INCREMENTAL_SQL,
+        "incremental aggregate maintenance: partial-merge == full recompute",
+        ("lakehouse", "agg", "defer"),
+    ),
+}
