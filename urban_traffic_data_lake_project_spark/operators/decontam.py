@@ -76,3 +76,48 @@ def decontaminate(
     )
     keep_ids = flags.filter(F.col("keep")).select(id_col)
     return train_df.join(keep_ids, id_col, "left_semi")
+
+
+def embedding_overlap_flags(
+    train_emb: DataFrame,
+    eval_emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SEMANTIC decontamination — the companion to the n-gram check for
+    paraphrased/translated benchmark leakage that shares no surface
+    n-grams: a training vector is contaminated when its max cosine
+    against ANY eval vector reaches ``threshold``. Returns
+    (id, max_eval_sim, keep).
+
+    Scale shape: the eval side is tiny (benchmarks, not corpora), so it
+    BROADCASTS into the similarity join; the train side is scanned once
+    and the per-row max re-aggregates on the train id (map-side partial
+    max) — no shuffle of train vectors, mirroring the n-gram recipe. At
+    very large eval sets, swap the broadcast join for the IVF bucketing
+    in ``similarity.cosine_topk_ivf`` — same contract."""
+    from urban_traffic_data_lake_project_spark.operators.similarity import (
+        _as_double,
+        _dot,
+        _norm,
+    )
+
+    t = train_emb.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__tv")
+    ).withColumn("__tn", _norm(F.col("__tv")))
+    e = eval_emb.select(_as_double(F.col(vec_col)).alias("__ev")).withColumn(
+        "__en", _norm(F.col("__ev"))
+    )
+    sim = _dot(F.col("__tv"), F.col("__ev")) / (F.col("__tn") * F.col("__en"))
+    per_train = (
+        t.crossJoin(F.broadcast(e))
+        .select(F.col(id_col), sim.alias("__sim"))
+        .groupBy(id_col)
+        .agg(F.max("__sim").alias("max_eval_sim"))
+    )
+    return per_train.select(
+        F.col(id_col),
+        "max_eval_sim",
+        (F.col("max_eval_sim") < threshold).cast("int").alias("keep"),
+    )

@@ -560,6 +560,45 @@ FROM c GROUP BY o_orderpriority
 
 
 # ---------------------------------------------------------------------------
+# decontam_embedding — SEMANTIC decontamination: train vectors whose max
+# cosine against the (broadcast) eval split reaches the threshold are
+# flagged — catches paraphrased benchmark leakage the n-gram check
+# misses. Oracle replays the cross-similarity max exactly.
+# ---------------------------------------------------------------------------
+_SEM_THRESHOLD = 0.45
+
+
+def _decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.operators.decontam import (
+        embedding_overlap_flags,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 10 == 0)
+    train = emb.filter(F.col("vec_id") % 10 != 0)
+    out = embedding_overlap_flags(train, ev, threshold=_SEM_THRESHOLD)
+    return out.select(
+        "vec_id", F.round("max_eval_sim", ROUND_STAT).alias("max_eval_sim"), "keep"
+    )
+
+
+_DECONTAM_EMB_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+ev AS (SELECT e FROM v WHERE vec_id % 10 = 0),
+tr AS (SELECT vec_id, e FROM v WHERE vec_id % 10 <> 0),
+sims AS (
+  SELECT tr.vec_id,
+         max(list_sum(list_transform(range(1, len(tr.e) + 1), i -> tr.e[i] * ev.e[i]))
+             / (sqrt(list_sum(list_transform(tr.e, x -> x * x)))
+                * sqrt(list_sum(list_transform(ev.e, x -> x * x))))) AS ms
+  FROM tr CROSS JOIN ev GROUP BY tr.vec_id)
+SELECT vec_id, round(ms, {ROUND_STAT}) AS max_eval_sim,
+       CASE WHEN ms < {_SEM_THRESHOLD} THEN 1 ELSE 0 END AS keep
+FROM sims
+"""
+
+
+# ---------------------------------------------------------------------------
 # text_inverted_index — retrieval-side index build: term -> df + sorted
 # posting list (the structure RAG/dedup-audit tooling queries against the
 # curated corpus). Posting lists are df-capped so rows stay bounded; the
@@ -1153,6 +1192,11 @@ REGISTRY: dict[str, QuerySpec] = {
         _stream_hll, _HLL_ROLLUP_SQL,
         "HLL register table maintained by a streaming aggregation, same oracle",
         ("sketch", "streaming"),
+    ),
+    "decontam_embedding": QuerySpec(
+        _decontam_embedding, _DECONTAM_EMB_SQL,
+        "semantic decontamination: max cosine vs broadcast eval split",
+        ("curation", "similarity", "defer"),
     ),
     "text_inverted_index": QuerySpec(
         _inverted_index, _INVERTED_INDEX_SQL,

@@ -1,0 +1,92 @@
+"""Streaming sinks with end-to-end exactly-once semantics on plain
+parquet (no Delta in this container — see SCALING.md's documented
+exclusion): the two production patterns that survive batch retries.
+
+- ``foreach_batch_idempotent``: partition-overwrite keyed on the
+  Structured-Streaming ``batch_id``. A retried epoch rewrites the SAME
+  directory, so duplicates cannot accumulate — idempotence comes from
+  the path layout, not from the sink remembering anything.
+- ``foreach_batch_upsert``: MERGE-style keyed upsert implemented as
+  read-current -> union -> keep-latest-per-key -> write-new-version ->
+  atomically advance a version pointer. The Delta-MERGE equivalent on
+  raw parquet; versions make retries safe (a retried batch rebuilds the
+  same next version from the same inputs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def foreach_batch_idempotent(out_dir: str):
+    """Sink function for ``writeStream.foreachBatch``: write each epoch
+    to ``out_dir/batch_id=N`` with overwrite. Retried epochs (same
+    batch_id) replace their own output — the standard exactly-once
+    recipe for file sinks without a transaction log."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    return sink
+
+
+_POINTER = "_VERSION"
+
+
+def current_version(table_dir: str) -> int:
+    ptr = os.path.join(table_dir, _POINTER)
+    if not os.path.exists(ptr):
+        return -1
+    with open(ptr) as f:
+        return json.load(f)["version"]
+
+
+def read_versioned(spark, table_dir: str) -> DataFrame | None:
+    v = current_version(table_dir)
+    if v < 0:
+        return None
+    return spark.read.parquet(os.path.join(table_dir, f"v={v}"))
+
+
+def foreach_batch_upsert(table_dir: str, keys: list[str], order_col: str):
+    """MERGE-style upsert sink on raw parquet: per epoch, read the
+    current version, union the batch, keep the latest row per key
+    (``order_col`` DESC, deterministic), write version v+1, then advance
+    the pointer file. Readers always see a complete version; a retried
+    epoch rebuilds the same next version from the same inputs, so the
+    table never double-applies a batch.
+
+    At scale the read-union-rewrite is the no-transaction-log trade
+    (Delta/Iceberg replace it with a metadata commit); partitioning the
+    versioned table by a key prefix bounds each epoch's rewrite to the
+    touched partitions."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cur = read_versioned(spark, table_dir)
+        unioned = batch_df if cur is None else cur.unionByName(batch_df)
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(order_col).desc(), *[F.col(k) for k in keys]
+        )
+        latest = (
+            unioned.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        next_v = current_version(table_dir) + 1
+        latest.write.mode("overwrite").parquet(
+            os.path.join(table_dir, f"v={next_v}")
+        )
+        os.makedirs(table_dir, exist_ok=True)
+        tmp = os.path.join(table_dir, _POINTER + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump({"version": next_v, "batch_id": batch_id}, f)
+        os.replace(tmp, os.path.join(table_dir, _POINTER))  # atomic advance
+
+    return sink
