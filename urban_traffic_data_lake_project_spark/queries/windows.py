@@ -658,7 +658,99 @@ FROM v LEFT JOIN c ON c.user_id = v.user_id LEFT JOIN p ON p.user_id = v.user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# stream_static_enrich — the stream-static join pattern: the event stream
+# enriched against a STATIC dimension (per-user lifetime aggregates from
+# orders-as-customer-profile; here, the user's event-type vocabulary
+# size) via a broadcastable batch side, then a streaming per-key count.
+# Static side re-resolves per micro-batch in production (picking up dim
+# updates); with AvailableNow it is the same oracle as the batch join.
+# ---------------------------------------------------------------------------
+def _stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.streaming.windows import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("n_types"))
+    )
+    stream = read_events_stream(spark, sf_dir)
+    enriched = stream.join(F.broadcast(dim), "user_id")
+    agg = enriched.groupBy("user_id", "n_types").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), ROUND_SUM).alias("total_value"),
+    )
+    return run_available_now(agg, spark).select(
+        "user_id", "n_types", "n_events", "total_value"
+    )
+
+
+_STREAM_STATIC_SQL = """
+WITH dim AS (
+  SELECT user_id, count(DISTINCT event_type) AS n_types FROM events GROUP BY user_id)
+SELECT e.user_id, d.n_types,
+       count(*) AS n_events,
+       round(sum(e.value), 2) AS total_value
+FROM events e JOIN dim d ON d.user_id = e.user_id
+GROUP BY e.user_id, d.n_types
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_anomaly_zscore — per-user anomaly flags: an event is anomalous
+# when its value deviates from ITS USER's mean by more than 2 population
+# standard deviations. Stats come from one grouped aggregate joined back
+# (never a per-row window over the full history), the production shape
+# for scoring against profile tables.
+# ---------------------------------------------------------------------------
+def _anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("user_id").agg(
+        F.avg("value").alias("__mu"),
+        F.stddev_pop("value").alias("__sd"),
+        F.count(F.lit(1)).alias("n_user_events"),
+    )
+    z = (F.col("value") - F.col("__mu")) / F.col("__sd")
+    return (
+        ev.join(stats, "user_id")
+        .filter(F.col("__sd") > 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", ROUND_SUM).alias("value"),
+            "n_user_events",
+            F.round(z, ROUND_STAT).alias("zscore"),
+            (F.abs(z) > 2).cast("int").alias("is_anomaly"),
+        )
+    )
+
+
+_ANOMALY_SQL = f"""
+WITH stats AS (
+  SELECT user_id, avg(value) AS mu, stddev_pop(value) AS sd,
+         count(*) AS n_user_events
+  FROM events GROUP BY user_id)
+SELECT e.event_id, e.user_id, round(e.value, 2) AS value,
+       s.n_user_events,
+       round((e.value - s.mu) / s.sd, {ROUND_STAT}) AS zscore,
+       CASE WHEN abs((e.value - s.mu) / s.sd) > 2 THEN 1 ELSE 0 END AS is_anomaly
+FROM events e JOIN stats s ON s.user_id = e.user_id
+WHERE s.sd > 0
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "stream_static_enrich": QuerySpec(
+        _stream_static_enrich, _STREAM_STATIC_SQL,
+        "stream-static broadcast enrichment + streaming per-key agg", ("streaming", "join", "defer"),
+    ),
+    "events_anomaly_zscore": QuerySpec(
+        _anomaly_zscore, _ANOMALY_SQL,
+        "per-user z-score anomaly flags from grouped profile stats", ("agg", "diagnostics", "defer"),
+    ),
     "win_ewma": QuerySpec(
         _win_ewma, _WIN_EWMA_SQL,
         "EWMA smoothing, bounded frame, power-of-two weights", ("window", "defer"),
