@@ -137,3 +137,35 @@ def test_pack_sequences_single_shard_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "hashpartitioning(shard_id" in plan
     assert "Join" not in plan
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
+    """Runtime partition pruning: the fact side is partitioned on the join
+    key, and the ONLY selective predicate lives on a NON-join dim column —
+    so any partition pruning on the fact scan must come from Spark's
+    dynamic-partition-pruning subquery, not from static filter inference.
+    This is the mechanism that turns star-schema date-dim filters into
+    fact-partition skips at 100 TB."""
+    from urban_traffic_data_lake_project_spark.sources.writers import write_partitioned
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    fact_path = str(tmp_path / "fact")
+    write_partitioned(li, fact_path, ["ship_month"])
+    dim_path = str(tmp_path / "dim")
+    (
+        li.select("ship_month")
+        .distinct()
+        .withColumn("is_peak", (F.col("ship_month") >= "1997-11").cast("int"))
+        .write.parquet(dim_path)
+    )
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("is_peak") == 1)
+    j = fact.join(dim, "ship_month").agg(F.sum("l_quantity").alias("s"))
+    j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "dynamicpruningexpression" in pf
+    # and no static month predicate was inferred onto the fact scan
+    assert "1997-11" not in pf
