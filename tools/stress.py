@@ -1,0 +1,174 @@
+"""Scale stress harness — runs the heaviest operator families on
+synthetically generated inputs 1-3 orders of magnitude past sf0.1 (data
+built with spark.range + hash expressions, directly in executors: no
+driver materialization, no files) and prints rows/sec per case.
+
+This measures SCALING, not correctness (the oracle gate owns that): each
+case's wall time should grow ~linearly with rows while the plan shape
+(shuffles, broadcasts) stays fixed. Results are recorded in SCALING.md.
+
+Usage: python tools/stress.py [--scale 1.0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from urban_traffic_data_lake_project_spark.session import get_spark  # noqa: E402
+
+
+def synth_events(spark, n: int):
+    """n synthetic events: ~150k users, 5 types, timestamps over 30 days."""
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            F.lit(1704067200_000000) + (F.xxhash64("id") % (30 * 86400)) * 1_000_000
+        ).alias("ts"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(150_000)).alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in ("view", "click", "purchase", "error", "signup")]),
+            (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(5)) + 1).cast("int"),
+        ).alias("event_type"),
+        (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(10_000)) / 100.0).alias("value"),
+    )
+
+
+def synth_docs(spark, n: int, words: int = 60):
+    """n synthetic documents of ~`words` tokens from a 1000-word vocab,
+    with every 10th doc a near-duplicate of its predecessor (one token
+    changed) so LSH has real work."""
+    base = F.expr("id - (id % 10) * cast(id % 10 = 1 as int)")  # pair 10k+1 with 10k
+    tok = lambda i: F.concat(  # noqa: E731
+        F.lit("w"),
+        F.pmod(F.xxhash64(base, F.lit(i)), F.lit(1000)).cast("string"),
+    )
+    toks = F.array(*[tok(i) for i in range(words)])
+    # perturb one token on the near-dup copies
+    toks = F.when(
+        F.expr("id % 10 = 1"), F.concat(F.slice(toks, 1, words - 1), F.array(F.lit("zzz")))
+    ).otherwise(toks)
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"), F.array_join(toks, " ").alias("text")
+    )
+
+
+def synth_vectors(spark, n: int, dim: int = 32):
+    comp = lambda i: (F.pmod(F.xxhash64("id", F.lit(i)), F.lit(2001)) - 1000) / 1000.0  # noqa: E731
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[comp(i) for i in range(dim)]).alias("embedding"),
+    )
+
+
+def run_case(name: str, n: int, build):
+    t0 = time.time()
+    cnt = build().write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    print(
+        json.dumps(
+            {"case": name, "rows_in": n, "sec": round(dt, 2), "rows_per_sec": int(n / dt)}
+        ),
+        flush=True,
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=float, default=1.0)
+    args = ap.parse_args()
+    s = args.scale
+
+    spark = get_spark("stress")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # 1. exact dedup at 50M rows (one digest shuffle)
+    n = int(50_000_000 * s)
+
+    def exact_dedup():
+        from urban_traffic_data_lake_project_spark.operators.dedup import exact_dedup
+
+        df = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.pmod(F.xxhash64("id"), F.lit(n // 2)).cast("string").alias("text"),
+        )
+        return exact_dedup(df, "doc_id", "text")
+
+    run_case("exact_dedup", n, exact_dedup)
+
+    # 2. grouped aggregate at 100M rows (map-side partials, 5k groups)
+    n2 = int(100_000_000 * s)
+
+    def grouped_agg():
+        df = synth_events(spark, n2)
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sv"),
+            F.avg("value").alias("av"),
+        )
+
+    run_case("grouped_agg", n2, grouped_agg)
+
+    # 3. session windows at 20M events
+    n3 = int(20_000_000 * s)
+
+    def sessions():
+        df = synth_events(spark, n3)
+        return df.groupBy(
+            "user_id", F.session_window("ts", "10 minutes")
+        ).agg(F.count(F.lit(1)).alias("n"))
+
+    run_case("session_window", n3, sessions)
+
+    # 4. MinHash-LSH near-dedup at 200k docs (true near-dups present)
+    n4 = int(200_000 * s)
+
+    def lsh():
+        from urban_traffic_data_lake_project_spark.operators.dedup import (
+            minhash_lsh_dedup_pairs,
+        )
+
+        return minhash_lsh_dedup_pairs(synth_docs(spark, n4), "doc_id", "text")
+
+    run_case("minhash_lsh", n4, lsh)
+
+    # 5. IVF cosine top-k over 1M vectors, 50 queries
+    n5 = int(1_000_000 * s)
+
+    def ivf():
+        from urban_traffic_data_lake_project_spark.operators.similarity import (
+            cosine_topk_ivf,
+        )
+
+        corpus = synth_vectors(spark, n5)
+        queries = corpus.filter(F.col("vec_id") < 50)
+        return cosine_topk_ivf(corpus, queries, k=5, n_centroids=32, nprobe=4)
+
+    run_case("ivf_topk", n5, ivf)
+
+    # 6. histogram quantile sketch at 100M values
+    n6 = int(100_000_000 * s)
+
+    def hist():
+        from urban_traffic_data_lake_project_spark.operators.sketches import (
+            hist_merge,
+            hist_quantiles,
+            hist_sketch_table,
+        )
+
+        df = synth_events(spark, n6)
+        sk = hist_sketch_table(df, ["event_type"], "value", 0.0, 100.0, 256)
+        return hist_quantiles(sk, ["event_type"], (0.5, 0.99), 0.0, 100.0, 256)
+
+    run_case("hist_sketch", n6, hist)
+
+
+if __name__ == "__main__":
+    main()
