@@ -393,21 +393,15 @@ def test_kmeans_centroids_tighten_buckets(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
 
     def mean_assigned_sim(entries):
-        lit = S._centroid_literal(entries)
         v = emb.select(S._as_double(F.col("embedding")).alias("__v")).withColumn(
             "__n", S._norm(F.col("__v"))
         )
-        scored = v.select(
-            F.element_at(S.nearest_centroid_ids(F.col("__v"), F.col("__n"), lit, 1), 1).alias("cid"),
-            "__v", "__n",
-        )
-        best = F.array_max(
-            F.transform(
-                lit,
-                lambda ct: S._dot(F.col("__v"), ct["vec"]) / (F.col("__n") * ct["cnorm"]),
-            )
-        )
-        return scored.agg(F.avg(best)).first()[0]
+        sims = [
+            S._dot_literal(F.col("__v"), e["vec"]) / (F.col("__n") * float(e["cnorm"]))
+            for e in entries
+        ]
+        best = F.greatest(*sims) if len(sims) > 1 else sims[0]
+        return v.agg(F.avg(best)).first()[0]
 
     seed = [
         {"cid": i, "vec": [float(x) for x in r["vec"]], "cnorm": float(r["cnorm"])}

@@ -494,7 +494,6 @@ def embedding_near_dup_pairs(
         _dot,
         _norm,
         centroid_entries,
-        _centroid_literal,
         nearest_centroid_ids,
     )
 
@@ -510,7 +509,7 @@ def embedding_near_dup_pairs(
             .select("id_a", "id_b", "cosine_sim")
         )
 
-    cents = _centroid_literal(centroid_entries(emb, id_col, vec_col, n_centroids))
+    entries = centroid_entries(emb, id_col, vec_col, n_centroids)
     v = spread_to_parallelism(emb).select(
         F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
     ).withColumn("__n", _norm(F.col("__v")))
@@ -518,7 +517,7 @@ def embedding_near_dup_pairs(
         "__id",
         "__v",
         F.explode(
-            nearest_centroid_ids(F.col("__v"), F.col("__n"), cents, n_assign)
+            nearest_centroid_ids(F.col("__v"), F.col("__n"), entries, n_assign)
         ).alias("__cid"),
     )
     a = buckets.select(
@@ -663,6 +662,7 @@ def srp_near_dup_pairs(
     from urban_traffic_data_lake_project_spark.operators.similarity import (
         _as_double,
         _dot,
+        _dot_literal,
         _norm,
     )
 
@@ -673,7 +673,7 @@ def srp_near_dup_pairs(
     v = _as_double(F.col(vec_col))
     sig = None
     for j, plane in enumerate(planes):
-        dot_j = _dot(v, F.array(*[F.lit(h) for h in plane]))
+        dot_j = _dot_literal(v, plane)
         bit = F.when(dot_j >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
     signed = spread_to_parallelism(emb).select(

@@ -222,18 +222,16 @@ def cluster_balanced_sample(
     away before the exchange. Emits (id, cluster_id, n_cluster)."""
     from urban_traffic_data_lake_project_spark.operators.similarity import (
         _as_double,
-        _centroid_literal,
         _norm,
         kmeans_centroids,
         nearest_centroid_ids,
     )
 
     entries = kmeans_centroids(corpus, id_col, vec_col, k=k, iters=iters)
-    cents = _centroid_literal(entries)
     v = _as_double(F.col(vec_col))
     assigned = corpus.select(
         id_col,
-        F.element_at(nearest_centroid_ids(v, _norm(v), cents, 1), 1).alias(
+        F.element_at(nearest_centroid_ids(v, _norm(v), entries, 1), 1).alias(
             "cluster_id"
         ),
     )
