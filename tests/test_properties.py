@@ -172,3 +172,71 @@ def test_substring_spans_cover_text_exactly(spark, tokens):
     assert sum(1 for r in spans if r["n_toks"] != 7) <= 1
     got = Counter(w for r in spans for w in r["span"].split(" "))
     assert got == Counter(tokens)
+
+
+# ---------------------------------------------------------------------------
+# Codec round trips (pure Python, no Spark session needed — fast hypothesis)
+# ---------------------------------------------------------------------------
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=400
+    ),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_property(samples, rate):
+    import numpy as np
+
+    from urban_traffic_data_lake_project_spark.operators import multimodal as MM
+
+    s = np.array(samples, dtype=np.int16)
+    dec = MM.wav_decode_pcm16(MM.wav_encode_pcm16(s, rate))
+    assert dec is not None
+    out_rate, out = dec
+    assert out_rate == rate and np.array_equal(out, s)
+
+
+@given(
+    delays=st.lists(st.integers(min_value=0, max_value=65535), min_size=0, max_size=40)
+)
+@settings(max_examples=60, deadline=None)
+def test_gif_roundtrip_property(delays):
+    from urban_traffic_data_lake_project_spark.operators import multimodal as MM
+
+    assert MM.gif_parse_frames(MM.gif_encode_frames(delays)) == delays
+
+
+@given(
+    pixels=st.lists(st.integers(min_value=0, max_value=255), min_size=1, max_size=256),
+    width=st.integers(min_value=1, max_value=16),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(pixels, width):
+    import numpy as np
+
+    from urban_traffic_data_lake_project_spark.operators import multimodal as MM
+
+    h = max(1, len(pixels) // width)
+    flat = (pixels * (h * width // len(pixels) + 1))[: h * width]
+    img = np.array(flat, dtype=np.uint8).reshape(h, width)
+    dec = MM.png_decode_gray(MM.png_encode_gray(img))
+    assert dec is not None
+    w2, h2, out = dec
+    assert (w2, h2) == (width, h) and np.array_equal(out, img)
+
+
+@given(
+    payload=st.binary(min_size=0, max_size=300),
+)
+@settings(max_examples=120, deadline=None)
+def test_decoders_never_crash_on_garbage(payload):
+    """Every byte-level decoder must reject (return None) or parse —
+    never raise — on arbitrary input, including truncated magic bytes."""
+    from urban_traffic_data_lake_project_spark.operators import multimodal as MM
+
+    for fn in (MM.wav_decode_pcm16, MM.gif_parse_frames, MM.png_decode_gray):
+        fn(payload)
+        # also with real magic prefixes grafted onto garbage
+        for magic in (b"RIFF", b"GIF89a", b"\x89PNG\r\n\x1a\n", b"RIFF1234WAVE"):
+            fn(magic + payload)
+    MM.parse_media_header(payload)
