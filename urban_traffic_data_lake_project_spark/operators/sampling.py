@@ -228,12 +228,17 @@ def cluster_balanced_sample(
     )
 
     entries = kmeans_centroids(corpus, id_col, vec_col, k=k, iters=iters)
-    v = _as_double(F.col(vec_col))
-    assigned = corpus.select(
+    # materialize the double vector as a column FIRST: the unrolled dots
+    # reference it element-wise many times, and referencing the raw cast
+    # transform would inline one copy per term (no CSE across expressions)
+    base = corpus.select(
+        id_col, _as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__n", _norm(F.col("__v")))
+    assigned = base.select(
         id_col,
-        F.element_at(nearest_centroid_ids(v, _norm(v), entries, 1), 1).alias(
-            "cluster_id"
-        ),
+        F.element_at(
+            nearest_centroid_ids(F.col("__v"), F.col("__n"), entries, 1), 1
+        ).alias("cluster_id"),
     )
     h = _seeded_hash(id_col, seed)
     w = Window.partitionBy("cluster_id").orderBy(h.asc(), F.col(id_col).asc())
