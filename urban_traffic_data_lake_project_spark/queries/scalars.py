@@ -412,6 +412,97 @@ FROM f
 
 
 # ---------------------------------------------------------------------------
+# udf_surface / agg_mad_pandas_udaf / udtf_keyword_context — the §2.11
+# user-extensible function surface, every member under the oracle gate:
+# scalar pandas_udf (token entropy), plain F.udf (integer checksum — the
+# row-at-a-time path itself verified), grouped-agg pandas_udf (a true
+# UDAF: median absolute deviation), and a Python UDTF (keyword-context
+# span extraction, one row in -> 0..n out) invoked through SQL LATERAL.
+# ---------------------------------------------------------------------------
+_NORM_SQL = "trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
+
+
+def _udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.operators.udfs import (
+        knuth_checksum,
+        token_entropy,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(token_entropy(F.col("text")), ROUND_STAT).alias("entropy"),
+        knuth_checksum(F.col("doc_id")).alias("checksum"),
+    )
+
+
+_UDF_SURFACE_SQL = f"""
+WITH norm AS (SELECT doc_id, {_NORM_SQL.format(c='text')} AS nt FROM documents),
+toks AS (
+  SELECT doc_id, t.term FROM norm, LATERAL unnest(string_split(nt, ' ')) AS t(term)
+  WHERE t.term <> ''),
+cnt AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
+tot AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+e AS (
+  SELECT c.doc_id, -sum((c.c::DOUBLE / t.n) * ln(c.c::DOUBLE / t.n)) AS ent
+  FROM cnt c JOIN tot t USING (doc_id) GROUP BY c.doc_id)
+SELECT d.doc_id,
+       round(coalesce(e.ent, 0.0), {ROUND_STAT}) AS entropy,
+       (d.doc_id * 2654435761) % 2147483648 AS checksum
+FROM documents d LEFT JOIN e USING (doc_id)
+"""
+
+
+def _mad_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.operators.udfs import mad_grouped_agg
+
+    mad = mad_grouped_agg()
+    orders = load_table(spark, sf_dir, "orders")
+    # a grouped-agg pandas UDF cannot mix with JVM aggregates in one agg
+    # (INVALID_PANDAS_UDF_PLACEMENT) — counts come from their own tiny agg
+    g = orders.groupBy("o_orderpriority").agg(mad(F.col("o_totalprice")).alias("__mad"))
+    n = orders.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    return g.join(n, "o_orderpriority").select(
+        "o_orderpriority", F.round("__mad", ROUND_STAT).alias("mad_price"), "n"
+    )
+
+
+_MAD_UDAF_SQL = f"""
+WITH m AS (SELECT o_orderpriority, median(o_totalprice) AS med FROM orders GROUP BY 1)
+SELECT o.o_orderpriority,
+       round(median(abs(o.o_totalprice - m.med)), {ROUND_STAT}) AS mad_price,
+       count(*) AS n
+FROM orders o JOIN m USING (o_orderpriority) GROUP BY 1
+"""
+
+
+_UDTF_KEYWORD = "table"
+
+
+def _udtf_keyword_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.operators.udfs import KeywordContext
+
+    spark.udtf.register("keyword_context", KeywordContext)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, s.pos, s.context
+        FROM __docs_udtf d, LATERAL keyword_context(d.text, '{_UDTF_KEYWORD}') s
+        """
+    )
+
+
+_UDTF_SQL = f"""
+WITH norm AS (SELECT doc_id, {_NORM_SQL.format(c='text')} AS nt FROM documents),
+t AS (SELECT doc_id, string_split(nt, ' ') AS w FROM norm)
+SELECT doc_id, (i - 1)::INT AS pos,
+       array_to_string(w[greatest(i - 2, 1):least(i + 2, len(w))], ' ') AS context
+FROM t, LATERAL unnest(range(1, len(w) + 1)) AS r(i)
+WHERE w[i] = '{_UDTF_KEYWORD}'
+"""
+
+
+# ---------------------------------------------------------------------------
 # multimodal_features — stubbed decode + deterministic fake features
 # (rows-only: the feature bytes come from a Python-side RNG)
 # ---------------------------------------------------------------------------
@@ -502,6 +593,21 @@ REGISTRY: dict[str, QuerySpec] = {
         _audio_frame_energy, _AUDIO_FRAME_SQL,
         "frame-level audio energy + silence detection over decoded samples",
         ("multimodal", "audio", "defer"),
+    ),
+    "udf_surface": QuerySpec(
+        _udf_surface, _UDF_SURFACE_SQL,
+        "scalar pandas_udf (token entropy) + plain F.udf (checksum)",
+        ("udf", "defer"),
+    ),
+    "agg_mad_pandas_udaf": QuerySpec(
+        _mad_udaf, _MAD_UDAF_SQL,
+        "grouped-agg pandas_udf UDAF: median absolute deviation",
+        ("udf", "agg", "defer"),
+    ),
+    "udtf_keyword_context": QuerySpec(
+        _udtf_keyword_context, _UDTF_SQL,
+        "Python UDTF via SQL LATERAL: keyword-context span extraction",
+        ("udf", "text", "defer"),
     ),
     "gif_frame_index": QuerySpec(
         _gif_frame_index, _GIF_FRAMES_SQL,
