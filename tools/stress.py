@@ -158,7 +158,6 @@ def main() -> None:
 
     def hist():
         from urban_traffic_data_lake_project_spark.operators.sketches import (
-            hist_merge,
             hist_quantiles,
             hist_sketch_table,
         )
