@@ -86,44 +86,41 @@ def test_describe_table_matches_pandas_describe(spark):
 
 def test_registry_driver_window_contract():
     """The driver's correctness gate records ~50 entries in registration
-    order. Round-3 rotation: the 26 queries deferred in rounds 1-2 (the
-    curation/sketch/streaming surface) now occupy the recorded window so
-    they gain driver-grade proof; 30 queries with green rows in BOTH
-    CORRECTNESS_r01.json and CORRECTNESS_r02.json moved to the "defer"
-    tier (still verified every round by tools/check_oracle.py). A
-    regression here silently drops core queries out of the recorded
+    order. Round-4 rotation: the window (queries.RECORD_WINDOW) carries
+    every oracle query NEVER driver-recorded in rounds 1-3 — the whole
+    round-4 surface — plus per-family sentinels recorded green in earlier
+    rounds. A regression here silently drops queries out of the recorded
     window."""
-    from urban_traffic_data_lake_project_spark.queries import REGISTRY
+    import json
+    import os
 
-    tiers = []
-    for spec in REGISTRY.values():
-        if spec.oracle is None:
-            tiers.append(2)
-        elif "defer" in spec.tags:
-            tiers.append(1)
-        else:
-            tiers.append(0)
-    assert tiers == sorted(tiers), "registry must be ordered core -> defer -> rows-only"
-    assert tiers.count(0) <= 50, f"core oracle tier must fit the 50-entry window, got {tiers.count(0)}"
-    # Every query deferred in r01/r02 must now sit inside the recorded window.
-    promoted = {
-        "agg_grouped_ols", "dedup_clusters", "sample_stratified",
-        "sample_split_shards", "text_chunks", "sim_lang_centroids",
-        "curation_pipeline", "merge_range_join", "stream_interval_join",
-        "join_salted_skew", "stream_stateful_user_stats",
-        "decontam_eval_overlap", "sketch_hll_distinct",
-        "curation_pack_sequences", "sample_domain_mix", "text_redact_pii",
-        "dedup_incremental", "sim_embedding_quantize", "sketch_hll_rollup",
-        "sample_weighted_quality", "stream_redact_pii",
-        "text_unigram_logprob", "sketch_cm_term_freq", "stream_sketch_hll",
-        "agg_key_skew_profile", "sketch_bloom_screen",
+    from urban_traffic_data_lake_project_spark.queries import RECORD_WINDOW, REGISTRY
+
+    assert len(RECORD_WINDOW) <= 50, "window must fit the driver's ~50-entry recording"
+    assert len(set(RECORD_WINDOW)) == len(RECORD_WINDOW)
+    # window entries are exactly the first len(RECORD_WINDOW) registry keys
+    names = list(REGISTRY)
+    assert tuple(names[: len(RECORD_WINDOW)]) == RECORD_WINDOW
+    # every window entry is oracle-backed
+    for n in RECORD_WINDOW:
+        assert REGISTRY[n].oracle is not None, n
+    # every oracle query with no driver-recorded row in r1-r3 is in the window
+    ever = set()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for r in (1, 2, 3):
+        p = os.path.join(root, f"CORRECTNESS_r0{r}.json")
+        if os.path.exists(p):
+            d = json.load(open(p))
+            qs = d.get("queries") or d.get("results") or d
+            ever |= set(qs if isinstance(qs, dict) else [q.get("name") for q in qs])
+    never = {
+        n for n, spec in REGISTRY.items() if spec.oracle is not None and n not in ever
     }
-    recorded = {
-        n for n, s in REGISTRY.items()
-        if s.oracle is not None and "defer" not in s.tags
-    }
-    assert promoted <= recorded, f"rotated out of window: {promoted - recorded}"
-    # Deferred queries must still be oracle-backed (check_oracle covers them).
+    assert never <= set(RECORD_WINDOW), f"never-recorded but outside window: {never - set(RECORD_WINDOW)}"
+    # rows-only specs sort last, after all oracle-backed queries
+    tiers = [0 if s.oracle is not None else 1 for s in REGISTRY.values()]
+    assert tiers == sorted(tiers)
+    # Every oracle string is non-empty (check_oracle covers the overflow).
     assert all(s.oracle is None or s.oracle.strip() for s in REGISTRY.values())
 
 

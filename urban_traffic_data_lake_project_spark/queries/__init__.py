@@ -18,6 +18,70 @@ from urban_traffic_data_lake_project_spark.queries import (
 )
 from urban_traffic_data_lake_project_spark.queries.base import QuerySpec
 
+# The driver's correctness gate records the FIRST ~50 oracle entries in
+# registration order. Round-4 rotation policy: the window carries (a)
+# every oracle query that has NEVER had a driver-recorded row in rounds
+# 1-3 — all of the round-4 surface — plus (b) core sentinels, one per
+# operator family, that were recorded green in earlier rounds (regression
+# canaries). Everything else is driver-recorded in a prior CORRECTNESS
+# file and stays verified every round by tools/check_oracle.py and the
+# per-module pytest oracle parametrizations. "defer" tags on QuerySpecs
+# remain as per-query provenance notes; ordering comes from this list.
+RECORD_WINDOW: tuple[str, ...] = (
+    # never driver-recorded (rounds 1-3) — the round-4 surface
+    "core_histogram",
+    "dedup_substring_spans",
+    "multimodal_pixels",
+    "image_near_dup",
+    "dedup_embedding_srp",
+    "text_bpe_tokens",
+    "sim_cosine_topk_ivf_trained",
+    "stream_static_enrich",
+    "events_anomaly_zscore",
+    "win_ewma",
+    "win_funnel_steps",
+    "stream_dedup_redelivery",
+    "audio_features",
+    "audio_frame_energy",
+    "udf_surface",
+    "agg_mad_pandas_udaf",
+    "udtf_keyword_context",
+    "gif_frame_index",
+    "text_bigram_logprob",
+    "sketch_hist_quantiles",
+    "decontam_embedding",
+    "text_inverted_index",
+    "text_strip_markup",
+    "text_boilerplate_lines",
+    "sample_cluster_balanced",
+    "stream_sketch_quantiles",
+    "quality_expectations",
+    "scd2_user_history",
+    "agg_incremental_maintenance",
+    # sentinels — recorded green in r1-r3, one per family
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "sim_cosine_topk",
+    "sim_cosine_topk_ivf",
+    "text_profile",
+    "curation_pipeline",
+    "agg_group_percentiles",
+    "win_distribution",
+    "stream_tumbling_available_now",
+    "win_session_events",
+    "merge_asof_join",
+    "merge_range_join",
+    "stream_interval_join",
+    "join_salted_skew",
+    "stream_stateful_user_stats",
+    "mc_scenario_expectations",
+    "decontam_eval_overlap",
+    "sketch_hll_distinct",
+    "text_redact_pii",
+    "sample_stratified",
+)
+
 
 def _assemble() -> dict[str, QuerySpec]:
     registry: dict[str, QuerySpec] = {}
@@ -26,20 +90,21 @@ def _assemble() -> dict[str, QuerySpec]:
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         registry.update(m.REGISTRY)
-    # Oracle-backed queries FIRST (stable within each group): the driver's
-    # correctness gate records a bounded number of entries in registration
-    # order, so every hash-checkable query must land inside that window.
-    # "defer"-tagged oracle queries sort after the core oracle set (they
-    # overflow the window but stay verifiable by the local oracle replica);
-    # rows-only (stochastic/ML) specs go last.
-    def _key(kv: tuple[str, QuerySpec]) -> int:
-        if kv[1].oracle is None:
-            return 2
-        return 1 if "defer" in kv[1].tags else 0
+    missing = [n for n in RECORD_WINDOW if n not in registry]
+    if missing:
+        raise ValueError(f"RECORD_WINDOW names not in registry: {missing}")
+    window_index = {n: i for i, n in enumerate(RECORD_WINDOW)}
+
+    # Window queries FIRST (stable order), then remaining oracle-backed
+    # queries (locally verified), then rows-only (stochastic/ML) specs.
+    def _key(kv: tuple[str, QuerySpec]):
+        if kv[0] in window_index:
+            return (0, window_index[kv[0]])
+        return (2, 0) if kv[1].oracle is None else (1, 0)
 
     return dict(sorted(registry.items(), key=_key))
 
 
 REGISTRY: dict[str, QuerySpec] = _assemble()
 
-__all__ = ["REGISTRY", "QuerySpec"]
+__all__ = ["RECORD_WINDOW", "REGISTRY", "QuerySpec"]
