@@ -489,3 +489,25 @@ def test_srp_planes_deterministic_and_bounded():
     assert all(-1.0 <= h <= 1.0 for p in planes for h in p)
     # distinct planes actually differ
     assert planes[0] != planes[1]
+
+
+def test_srp_wide_signature_finds_true_dups(spark):
+    """The 64-plane / 16-bit-band parameterization (the corpus-scale
+    setting — bucket occupancy must track log2(n)) still recovers true
+    near-duplicates, and the 64-bit signature's sign bit (bit 63, stored
+    via two's complement) round-trips through the banding."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((15, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in v + 1e-6 * rng.standard_normal(16)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in D.srp_near_dup_pairs(df, n_planes=64, bands=4, threshold=0.95).collect()
+    }
+    expected = {(2 * i, 2 * i + 1) for i in range(15)}
+    assert expected <= found, expected - found

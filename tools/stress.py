@@ -168,6 +168,68 @@ def main() -> None:
 
     run_case("hist_sketch", n6, hist)
 
+    # 7. SRP-LSH embedding near-dup at 1M vectors. Band width MUST track
+    # corpus size (expected bucket occupancy n / 2^bits_per_band): 64
+    # planes / 4 bands = 16-bit bands -> ~15 vectors per bucket at 1M.
+    # The registry query's 16/4 parameterization is for the sf corpora;
+    # this case caught the quadratic blowup when bands stay coarse.
+    n7 = int(1_000_000 * s)
+
+    def srp():
+        from urban_traffic_data_lake_project_spark.operators.dedup import (
+            srp_near_dup_pairs,
+        )
+
+        return srp_near_dup_pairs(
+            synth_vectors(spark, n7), n_planes=64, bands=4, threshold=0.9
+        )
+
+    run_case("srp_near_dup", n7, srp)
+
+    # 8. WAV PCM16 codec round trip at 300k clips (Arrow-heavy path:
+    # encode -> chunk walk -> whole-clip features)
+    n8 = int(300_000 * s)
+
+    def wav():
+        from urban_traffic_data_lake_project_spark.operators.multimodal import (
+            decode_wav_audio,
+            encode_wav_audio,
+        )
+
+        clips = spark.range(n8).select(
+            F.col("id").alias("media_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: (F.pmod(F.xxhash64("id", i), F.lit(65536)) - 32768).cast("int"),
+            ).alias("samples"),
+            F.lit(8000).alias("rate"),
+        )
+        dec = decode_wav_audio(encode_wav_audio(clips, "media_id", "samples", "rate"))
+        return dec.select("media_id", "rms", "peak", "zero_cross")
+
+    run_case("wav_codec", n8, wav)
+
+    # 9. boilerplate line removal at 2M docs (3 lines each; the header is
+    # corpus-wide chrome, bodies are unique)
+    n9 = int(2_000_000 * s)
+
+    def boiler():
+        from urban_traffic_data_lake_project_spark.operators.text import (
+            remove_boilerplate_lines,
+        )
+
+        docs = spark.range(n9).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("nav home about\n"),
+                F.lit("body "), F.xxhash64("id").cast("string"),
+                F.when(F.expr("id % 7 = 0"), F.lit("\nsubscribe footer")).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return remove_boilerplate_lines(docs, "doc_id", "text", 0.05)
+
+    run_case("boilerplate_lines", n9, boiler)
+
 
 if __name__ == "__main__":
     main()

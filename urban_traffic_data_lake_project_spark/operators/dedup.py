@@ -655,10 +655,15 @@ def srp_near_dup_pairs(
     (id_a, id_b, cosine_sim), id_a < id_b.
 
     Scale shape: |bands| rows per vector into one equi-join — near-linear
-    like MinHash-LSH banding; vectors travel into the join only for the
-    verify step. Approximate by design: a pair disagreeing somewhere in
-    every band is missed (the standard SRP trade; more bands or fewer
-    bits per band raise recall)."""
+    like MinHash-LSH banding PROVIDED band width tracks corpus size:
+    expected bucket occupancy is n / 2^(n_planes/bands), so band width
+    must be ~log2(n) bits or candidate pairs grow quadratically (measured
+    by tools/stress.py: 16-bit signatures that are fine at 5k vectors
+    blow up at 20k+; 64 planes / 4 bands keeps 1M vectors near-linear
+    with ~90% recall at cosine 0.95). Vectors travel into the join only
+    for the verify step. Approximate by design: a pair disagreeing
+    somewhere in every band is missed (the standard SRP trade; more
+    bands or fewer bits per band raise recall)."""
     from urban_traffic_data_lake_project_spark.operators.similarity import (
         _as_double,
         _dot,
@@ -680,9 +685,13 @@ def srp_near_dup_pairs(
     sig = None
     for j, plane in enumerate(planes):
         dot_j = _dot(F.col("__v"), F.array(*[F.lit(h) for h in plane]))
-        bit = F.when(dot_j >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        # bit 63 is the sign bit of a 64-bit signature: adding -2^63 sets
+        # it in two's complement (1 << 63 overflows a signed literal)
+        bitval = -(1 << 63) if j == 63 else (1 << j)
+        bit = F.when(dot_j >= 0, F.lit(bitval)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
-    signed = base.select("__id", "__v", sig.cast("int").alias("__sig"))
+    sig_type = "int" if n_planes <= 31 else "long"
+    signed = base.select("__id", "__v", sig.cast(sig_type).alias("__sig"))
     width = n_planes // bands
     mask = (1 << width) - 1
     entries = [
