@@ -158,3 +158,65 @@ def test_bpe_empty_and_single_word_corpus(spark):
     assert merges == [("h", "i")]
     out = T.bpe_token_counts(single, "doc_id", "text", num_merges=5).collect()[0]
     assert out["n_words"] == 1 and out["n_bpe_tokens"] == 1
+
+
+def test_cluster_balanced_sample_fewer_vectors_than_clusters(spark):
+    from urban_traffic_data_lake_project_spark.operators.sampling import (
+        cluster_balanced_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i + 1), float(2 * i + 1), 0.5]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    out = cluster_balanced_sample(df, k=8, iters=1, cap=3).collect()
+    # every vector survives (each cluster under cap); ids all present
+    assert sorted(r.vec_id for r in out) == [0, 1, 2, 3, 4]
+
+
+def test_boilerplate_lines_degenerate_corpora(spark):
+    from urban_traffic_data_lake_project_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    empty = spark.createDataFrame([], "id long, t string")
+    assert remove_boilerplate_lines(empty, "id", "t").count() == 0
+    # single doc: its one line is 100% of docs -> dropped at any threshold < 1
+    one = spark.createDataFrame([(1, "only line")], "id long, t string")
+    r = remove_boilerplate_lines(one, "id", "t", max_doc_frac=0.5).collect()[0]
+    assert r.clean_text == "" and r.n_boiler == 1 and r.n_lines == 1
+
+
+def test_strip_markup_null_and_empty(spark):
+    from urban_traffic_data_lake_project_spark.operators.text import strip_markup
+
+    df = spark.createDataFrame([(1, None), (2, "")], "id long, t string")
+    s = strip_markup(F.col("t"))
+    rows = {r.id: r for r in df.select("id", s["clean"].alias("c"), s["n_tags"].alias("n")).collect()}
+    assert rows[1].c is None and rows[1].n is None  # NULL propagates
+    assert rows[2].c == "" and rows[2].n == 0
+
+
+def test_inverted_index_empty_corpus(spark):
+    from urban_traffic_data_lake_project_spark.operators.text import inverted_index
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert inverted_index(empty, "doc_id", "text").count() == 0
+
+
+def test_wav_codec_zero_sample_clip():
+    import numpy as np
+
+    from urban_traffic_data_lake_project_spark.operators import multimodal as MM
+
+    payload = MM.wav_encode_pcm16(np.array([], dtype=np.int16), 8000)
+    dec = MM.wav_decode_pcm16(payload)
+    assert dec is not None
+    rate, s = dec
+    assert rate == 8000 and len(s) == 0
+
+
+def test_gif_zero_frames():
+    from urban_traffic_data_lake_project_spark.operators import multimodal as MM
+
+    assert MM.gif_parse_frames(MM.gif_encode_frames([])) == []
