@@ -153,3 +153,40 @@ def test_ewma_matches_pandas_reference(spark):
     expected = pdf["value"].ewm(alpha=0.5, adjust=True).mean()
     for r, e in zip(out, expected):
         assert abs(r.ewma - e) <= 1e-6, (r.event_id, r.ewma, e)
+
+
+def test_asof_directions_match_pandas_merge_asof(spark):
+    """All three directions agree with pandas.merge_asof on a fixture
+    with unmatched edges, equal timestamps, and multiple keys."""
+    import pandas as pd
+    from urban_traffic_data_lake_project_spark.operators.merge import asof_join
+
+    left_pd = pd.DataFrame(
+        {
+            "k": ["a"] * 4 + ["b"] * 3,
+            "t": [1, 5, 10, 20, 2, 7, 7],
+            "lid": list(range(7)),
+        }
+    )
+    right_pd = pd.DataFrame(
+        {
+            "k": ["a"] * 3 + ["b"] * 2,
+            "t": [2, 5, 12, 7, 30],
+            "val": [10.0, 20.0, 30.0, 40.0, 50.0],
+        }
+    )
+    left = spark.createDataFrame(left_pd)
+    right = spark.createDataFrame(right_pd)
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            r.lid: r.val_x
+            for r in asof_join(
+                left, right, ["k"], "t", "t", ["val"], suffix="_x", direction=direction
+            ).collect()
+        }
+        exp_df = pd.merge_asof(
+            left_pd.sort_values("t"), right_pd.sort_values("t"),
+            on="t", by="k", direction=direction,
+        )
+        exp = {int(r.lid): (None if pd.isna(r.val) else float(r.val)) for _, r in exp_df.iterrows()}
+        assert got == exp, (direction, got, exp)

@@ -49,16 +49,26 @@ def asof_join(
     right_cols: Sequence[str],
     suffix: str = "_asof",
     strict: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, attach the most recent right
-    row with ``right[right_on] <= left[left_on]`` within the same ``by`` key
-    (``<`` when ``strict``). Right payload columns come back as
-    ``{col}{suffix}``; unmatched left rows get NULLs.
+    """As-of join, all three pandas ``merge_asof`` directions: for each
+    left row attach, within the same ``by`` key,
 
-    Union-and-window formulation — scales linearly, no range explosion.
-    """
+    - ``backward``: the most recent right row with ``t_r <= t_l``
+      (``<`` when ``strict``);
+    - ``forward``: the earliest right row with ``t_r >= t_l``;
+    - ``nearest``: whichever of the two has the smaller |t_l - t_r|
+      (exact ties resolve backward, pandas-style).
+
+    Right payload columns come back as ``{col}{suffix}``; unmatched left
+    rows get NULLs. Union-and-window formulation — one shuffle+sort per
+    side like a sort-merge join; scales linearly, no range explosion
+    (``nearest`` runs the window in both orders: two sorts, still no
+    candidate blow-up)."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest (got {direction!r})")
     lcols = left.columns
-    payload = F.struct(*[F.col(c) for c in right_cols])
+    payload = F.struct(*[F.col(c) for c in right_cols], F.col(right_on).alias("__rt"))
     r = right.select(
         *[F.col(c) for c in by],
         F.col(right_on).alias("__t"),
@@ -73,19 +83,38 @@ def asof_join(
         F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
         *[F.col(c).alias(f"__l_{c}") for c in lcols],
     )
-    # At equal timestamps the right row sorts first (side 0) so it is
-    # visible to the left row — unless strict, where left sorts first.
-    order = [F.col("__t").asc(), F.col("__side").asc() if not strict else F.col("__side").desc()]
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, -1 if strict else 0)
-    )
-    matched = (
-        l.unionByName(r)
-        .withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
-        .filter(F.col("__side") == 1)
-    )
+    both = l.unionByName(r)
+
+    def one_side(df: DataFrame, forward: bool, col_name: str) -> DataFrame:
+        # At equal timestamps the right row sorts first (side 0 for
+        # backward, reversed for forward) so it is visible to the left
+        # row — unless strict, where the left row sorts out of reach.
+        if not forward:
+            order = [F.col("__t").asc(), F.col("__side").asc() if not strict else F.col("__side").desc()]
+        else:
+            order = [F.col("__t").desc(), F.col("__side").asc() if not strict else F.col("__side").desc()]
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, -1 if strict else 0)
+        )
+        return df.withColumn(col_name, F.last("__payload", ignorenulls=True).over(w))
+
+    if direction == "backward":
+        matched = one_side(both, False, "__match")
+    elif direction == "forward":
+        matched = one_side(both, True, "__match")
+    else:  # nearest: both windows, pick the smaller absolute gap
+        two = one_side(one_side(both, False, "__back"), True, "__fwd")
+        gap_b = F.abs(F.col("__t").cast("double") - F.col("__back.__rt").cast("double"))
+        gap_f = F.abs(F.col("__fwd.__rt").cast("double") - F.col("__t").cast("double"))
+        pick_back = F.col("__fwd").isNull() | (
+            F.col("__back").isNotNull() & (gap_b <= gap_f)
+        )
+        matched = two.withColumn(
+            "__match", F.when(pick_back, F.col("__back")).otherwise(F.col("__fwd"))
+        )
+    matched = matched.filter(F.col("__side") == 1)
     out_cols = [F.col(f"__l_{c}").alias(c) for c in lcols]
     out_cols += [F.col(f"__match.{c}").alias(f"{c}{suffix}") for c in right_cols]
     return matched.select(*out_cols)

@@ -742,7 +742,68 @@ WHERE s.sd > 0
 """
 
 
+# ---------------------------------------------------------------------------
+# merge_asof_directions — the full pandas-merge_asof direction family on
+# one fixture: for every click event, the backward / forward / nearest
+# 'view' value for that user. The oracle resolves each direction with
+# correlated ORDER BY ... LIMIT 1 subqueries and replays the
+# ties-resolve-backward rule on exact-microsecond gaps.
+# ---------------------------------------------------------------------------
+def _asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = clicks
+    for direction in ("backward", "forward", "nearest"):
+        j = M.asof_join(
+            out, views, ["user_id"], "ts", "ts", ["value"],
+            suffix=f"_{direction}", direction=direction,
+        )
+        out = j
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value_backward", ROUND_SUM).alias("back_val"),
+        F.round("value_forward", ROUND_SUM).alias("fwd_val"),
+        F.round("value_nearest", ROUND_SUM).alias("near_val"),
+    )
+
+
+_ASOF_DIRECTIONS_SQL = """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+x AS (
+  SELECT c.event_id, c.user_id,
+         (SELECT v.value FROM events v WHERE v.event_type = 'view'
+          AND v.user_id = c.user_id AND v.ts <= c.ts
+          ORDER BY v.ts DESC LIMIT 1) AS back_val,
+         (SELECT v.ts FROM events v WHERE v.event_type = 'view'
+          AND v.user_id = c.user_id AND v.ts <= c.ts
+          ORDER BY v.ts DESC LIMIT 1) AS back_ts,
+         (SELECT v.value FROM events v WHERE v.event_type = 'view'
+          AND v.user_id = c.user_id AND v.ts >= c.ts
+          ORDER BY v.ts ASC LIMIT 1) AS fwd_val,
+         (SELECT v.ts FROM events v WHERE v.event_type = 'view'
+          AND v.user_id = c.user_id AND v.ts >= c.ts
+          ORDER BY v.ts ASC LIMIT 1) AS fwd_ts,
+         c.ts
+  FROM c)
+SELECT event_id, user_id,
+       round(back_val, 2) AS back_val,
+       round(fwd_val, 2) AS fwd_val,
+       round(CASE WHEN fwd_ts IS NULL THEN back_val
+                  WHEN back_ts IS NULL THEN fwd_val
+                  WHEN (ts - back_ts) <= (fwd_ts - ts) THEN back_val
+                  ELSE fwd_val END, 2) AS near_val
+FROM x
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "merge_asof_directions": QuerySpec(
+        _asof_directions, _ASOF_DIRECTIONS_SQL,
+        "as-of join, all three directions (backward/forward/nearest)",
+        ("join", "defer"),
+    ),
     "stream_static_enrich": QuerySpec(
         _stream_static_enrich, _STREAM_STATIC_SQL,
         "stream-static broadcast enrichment + streaming per-key agg", ("streaming", "join", "defer"),
