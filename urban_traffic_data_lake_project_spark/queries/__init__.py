@@ -58,6 +58,7 @@ RECORD_WINDOW: tuple[str, ...] = (
     "quality_expectations",
     "scd2_user_history",
     "agg_incremental_maintenance",
+    "merge_asof_directions",
     # sentinels — recorded green in r1-r3, one per family
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -79,7 +80,6 @@ RECORD_WINDOW: tuple[str, ...] = (
     "decontam_eval_overlap",
     "sketch_hll_distinct",
     "text_redact_pii",
-    "sample_stratified",
 )
 
 
