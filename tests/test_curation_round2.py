@@ -27,7 +27,9 @@ from urban_traffic_data_lake_project_spark.queries import curation as qc
 from urban_traffic_data_lake_project_spark.sources import load_table
 
 
-@pytest.mark.parametrize("name", sorted(qc.REGISTRY))
+@pytest.mark.parametrize(
+    "name", [n for n, spec in sorted(qc.REGISTRY.items()) if spec.oracle]
+)
 def test_curation_query_matches_oracle(oracle, name):
     oracle(name)
 
@@ -609,3 +611,25 @@ def test_inverted_index_postings_consistency(spark, sf_dir):
         assert ids == sorted(ids)          # sorted
         assert len(set(ids)) == len(ids)   # distinct
         assert 2 <= r.df <= 0.8 * n_docs   # both bounds enforced
+
+
+def test_compression_ratio_orders_repetitive_below_prose(spark):
+    from urban_traffic_data_lake_project_spark.operators.text import compression_ratio
+    import random
+
+    random.seed(5)
+    prose_words = [f"w{random.randrange(100000)}" for _ in range(400)]
+    rows = [
+        (1, "spam spam " * 200),                 # highly repetitive
+        (2, " ".join(prose_words)),               # high-entropy prose-ish
+        (3, ""),                                  # empty -> NULL ratio
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in compression_ratio(df, "doc_id", "text").collect()}
+    assert out[1].compression_ratio < 0.2 < out[2].compression_ratio
+    assert out[3].compression_ratio is None and out[3].n_bytes == 0
+    # bytes accounting is exact
+    assert out[1].n_bytes == len("spam spam " * 200)
+    # deterministic across runs
+    again = {r.doc_id: r.compression_ratio for r in compression_ratio(df, "doc_id", "text").collect()}
+    assert again[1] == out[1].compression_ratio

@@ -708,3 +708,49 @@ def inverted_index(
         )
         .drop("__ndocs")
     )
+
+
+def compression_ratio(df: DataFrame, id_col: str, text_col: str, level: int = 6) -> DataFrame:
+    """Gopher-style compressibility signal: deflate each document and
+    report compressed/raw byte ratio — boilerplate-heavy or repetitive
+    text compresses far better than natural prose, catching what
+    token-level repetition ratios miss (long-range repeats). zlib has no
+    ANSI-SQL form, so this is a rows-only operator validated by property
+    tests (monotonicity on engineered fixtures) rather than the oracle.
+
+    Arrow-batched mapInPandas; embarrassingly parallel per-byte CPU, so
+    callers spread under-partitioned inputs first (same rule as the
+    codecs). Returns (id, n_bytes, n_compressed, compression_ratio)."""
+    import zlib
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("__id", LongType()),
+            StructField("n_bytes", LongType()),
+            StructField("n_compressed", LongType()),
+            StructField("compression_ratio", DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, nb, nc, ratio = [], [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                raw = (t or "").encode("utf-8")
+                comp = zlib.compress(raw, level)
+                ids.append(i)
+                nb.append(len(raw))
+                nc.append(len(comp))
+                ratio.append(len(comp) / len(raw) if raw else None)
+            yield pd.DataFrame(
+                {"__id": ids, "n_bytes": nb, "n_compressed": nc, "compression_ratio": ratio}
+            )
+
+    out = spread_to_parallelism(df).select(F.col(id_col), F.col(text_col)).mapInPandas(
+        run, schema=schema
+    )
+    return out.withColumnRenamed("__id", id_col)

@@ -560,6 +560,20 @@ FROM c GROUP BY o_orderpriority
 
 
 # ---------------------------------------------------------------------------
+# text_compression_ratio — Gopher-style compressibility signal (deflate
+# ratio per document). zlib has no ANSI-SQL form -> rows-only check;
+# property tests pin the monotonicity (repetitive text compresses more).
+# ---------------------------------------------------------------------------
+def _compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = T.compression_ratio(docs, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_bytes", "n_compressed",
+        F.round("compression_ratio", ROUND_STAT).alias("compression_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # decontam_embedding — SEMANTIC decontamination: train vectors whose max
 # cosine against the (broadcast) eval split reaches the threshold are
 # flagged — catches paraphrased benchmark leakage the n-gram check
@@ -1192,6 +1206,11 @@ REGISTRY: dict[str, QuerySpec] = {
         _stream_hll, _HLL_ROLLUP_SQL,
         "HLL register table maintained by a streaming aggregation, same oracle",
         ("sketch", "streaming"),
+    ),
+    "text_compression_ratio": QuerySpec(
+        _compression_ratio, None,
+        "deflate compressibility signal per document (rows-only)",
+        ("text", "curation"),
     ),
     "decontam_embedding": QuerySpec(
         _decontam_embedding, _DECONTAM_EMB_SQL,
