@@ -93,3 +93,77 @@ def test_upsert_sink_through_real_stream(spark, sf_dir, tmp_path):
     u = got.first()
     mx = batch.filter(F.col("user_id") == u.user_id).agg(F.max("ts")).first()[0]
     assert u.ts == mx
+
+
+def test_checkpoint_recovery_processes_only_new_files(spark, sf_dir, tmp_path):
+    """Exactly-once across RESTARTS: a second AvailableNow run sharing the
+    first run's checkpoint must process only files that arrived in
+    between — nothing is reprocessed, nothing is lost."""
+    import os
+
+    from urban_traffic_data_lake_project_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "incoming")
+    first = events.filter(F.col("event_id") % 2 == 0)
+    second = events.filter(F.col("event_id") % 2 == 1)
+    first.coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.foreachBatch(foreach_batch_idempotent(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n_first = spark.read.parquet(out).count()
+    assert n_first == first.count()
+
+    # new file arrives; a fresh query resumes from the same checkpoint
+    second.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    total = spark.read.parquet(out)
+    assert total.count() == events.count()
+    # the second epoch contains ONLY the new file's rows (no reprocessing)
+    batches = sorted(
+        d for d in os.listdir(out) if d.startswith("batch_id=")
+    )
+    assert len(batches) == 2
+    b1 = spark.read.parquet(os.path.join(out, batches[1]))
+    assert b1.count() == second.count()
+    assert b1.filter(F.col("event_id") % 2 == 0).count() == 0
+
+
+def test_observe_metrics_on_batch_query(spark, sf_dir):
+    """df.observe(): named metrics ride the query itself (one pass — no
+    second scan for row counts / sums), the operational-telemetry surface
+    a production pipeline wires into listeners."""
+    from pyspark.sql import Observation
+
+    from urban_traffic_data_lake_project_spark.sources import load_table
+
+    obs = Observation("ingest_metrics")
+    li = load_table(spark, sf_dir, "lineitem").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("total_qty"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+    result = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    per_flag = {r.l_returnflag: r.n for r in result.collect()}
+    got = obs.get
+    assert got["n_rows"] == sum(per_flag.values())
+    direct = load_table(spark, sf_dir, "lineitem").agg(
+        F.sum("l_quantity").alias("s"), F.max("l_shipdate").alias("m")
+    ).first()
+    assert abs(got["total_qty"] - direct.s) < 1e-6
+    assert got["max_ship"] == direct.m
