@@ -196,3 +196,26 @@ def test_write_zordered_files_cluster_both_dimensions(spark, tmp_path):
     assert sum(spans(spath, "x")) / 16 < 0.2
     assert sum(spans(spath, "y")) / 16 > 0.9
     assert spark.read.parquet(zpath).count() == 20000
+
+
+def test_parquet_schema_evolution_merge(spark, sf_dir, tmp_path):
+    """Schema evolution on the lake path: files written before a column
+    existed still read alongside new files (mergeSchema), old rows
+    surfacing NULL for the added column — the append-only evolution rule
+    a medallion silver layer needs."""
+    from pyspark.sql import functions as F
+
+    from urban_traffic_data_lake_project_spark.sources import load_table
+
+    path = str(tmp_path / "evolving")
+    v1 = load_table(spark, sf_dir, "region")
+    v1.write.mode("append").parquet(path)
+    v2 = v1.withColumn("ingest_tag", F.lit("batch2"))
+    v2.write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert "ingest_tag" in merged.columns
+    n = v1.count()
+    assert merged.count() == 2 * n
+    assert merged.filter(F.col("ingest_tag").isNull()).count() == n
+    assert merged.filter(F.col("ingest_tag") == "batch2").count() == n
