@@ -633,3 +633,30 @@ def test_compression_ratio_orders_repetitive_below_prose(spark):
     # deterministic across runs
     again = {r.doc_id: r.compression_ratio for r in compression_ratio(df, "doc_id", "text").collect()}
     assert again[1] == out[1].compression_ratio
+
+
+def test_bm25_ranking_properties(spark):
+    """BM25 on an engineered corpus: a doc hitting all query terms outranks
+    partial hits; higher tf raises the score only sub-linearly (saturation);
+    docs with no query terms are absent; k truncates."""
+    from urban_traffic_data_lake_project_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma filler filler filler"),          # all 3 terms
+            (1, "alpha alpha alpha alpha filler filler"),          # one term, high tf
+            (2, "alpha filler filler filler filler filler"),       # one term, tf=1
+            (3, "filler filler filler filler filler filler"),      # no terms
+            (4, "beta gamma filler filler filler filler"),         # two terms
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, "doc_id", "text", ("alpha", "beta", "gamma"), k=3).collect()
+    assert [r["doc_id"] for r in out][0] == 0          # full coverage wins
+    assert len(out) == 3                               # k truncation
+    by_id = {r["doc_id"]: r for r in bm25_topk(docs, "doc_id", "text", ("alpha", "beta", "gamma"), k=10).collect()}
+    assert 3 not in by_id                              # no-term doc filtered out
+    assert by_id[0]["n_terms_hit"] == 3 and by_id[4]["n_terms_hit"] == 2
+    # tf saturation: 4x the tf must score higher than tf=1 but < 4x higher
+    s1, s4 = by_id[2]["bm25"], by_id[1]["bm25"]
+    assert s1 < s4 < 4 * s1

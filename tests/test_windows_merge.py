@@ -190,3 +190,67 @@ def test_asof_directions_match_pandas_merge_asof(spark):
         )
         exp = {int(r.lid): (None if pd.isna(r.val) else float(r.val)) for _, r in exp_df.iterrows()}
         assert got == exp, (direction, got, exp)
+
+
+def test_interval_overlap_join_equals_naive_and_dedups(spark):
+    """Binned interval-overlap join == naive theta join, including
+    touching endpoints, and a pair sharing MANY bins appears exactly
+    once (the first-shared-bin dedup predicate)."""
+    import datetime as dt
+
+    from urban_traffic_data_lake_project_spark.operators.merge import interval_overlap_join
+
+    base = dt.datetime(2024, 1, 1)
+
+    def t(s):
+        return base + dt.timedelta(seconds=s)
+
+    # left: (user, start, end, id) — includes a 5000s interval spanning
+    # ~9 bins of 600s, singleton (start == end), and a far-away one
+    left = spark.createDataFrame(
+        [(1, t(0), t(5000), 0), (1, t(100), t(100), 1), (2, t(0), t(50), 2), (3, t(10), t(20), 3)],
+        "user_id long, s timestamp, e timestamp, l_id long",
+    )
+    right = spark.createDataFrame(
+        [(1, t(900), t(4000), 0),   # nested inside l0 across many bins
+         (1, t(5000), t(6000), 1),  # touches l0 exactly at 5000
+         (1, t(50), t(99), 2),      # ends 1s before l1 starts -> no overlap with l1
+         (2, t(51), t(60), 3),      # starts 1s after l2 ends -> no overlap
+         (9, t(0), t(10), 4)],
+        "user_id long, s2 timestamp, e2 timestamp, r_id long",
+    )
+    out = interval_overlap_join(
+        left, right, ["user_id"], "s", "e", "s2", "e2", bin_seconds=600
+    ).collect()
+    got = sorted((r["l_id"], r["r_id"]) for r in out)
+    naive = sorted(
+        (lr["l_id"], rr["r_id"])
+        for lr in left.collect()
+        for rr in right.collect()
+        if lr["user_id"] == rr["user_id"]
+        and lr["s"] <= rr["e2"] and rr["s2"] <= lr["e"]
+    )
+    assert got == naive == [(0, 0), (0, 1), (0, 2)]  # each exactly once
+
+
+def test_time_range_window_is_value_defined(spark):
+    """RANGE frame includes peers: simultaneous events see each other
+    regardless of row order."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    e = spark.createDataFrame(
+        [(1, base, 1.0), (1, base, 2.0),                      # exact tie
+         (1, base + dt.timedelta(seconds=3600), 4.0),          # on the 1h boundary
+         (1, base + dt.timedelta(seconds=3601), 8.0)],         # just outside for row 0/1
+        "user_id long, ts timestamp, value double",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.unix_timestamp("ts")).rangeBetween(-3600, 0)
+    rows = {
+        (r["value"], r["n"]) for r in e.select("value", F.count(F.lit(1)).over(w).alias("n")).collect()
+    }
+    # ties both see n=2; boundary event (3600s later) still includes them (inclusive frame)
+    assert rows == {(1.0, 2), (2.0, 2), (4.0, 3), (8.0, 2)}

@@ -218,3 +218,55 @@ def day_key_merge(
     right = right.withColumn(rk, F.to_date(F.col(right_ts)))
     joined = suffix_join(left, right, on=[*extra_keys, "__day"], how=how, lsuffix=lsuffix, rsuffix=rsuffix)
     return joined.drop("__day")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_seconds: int,
+) -> DataFrame:
+    """Interval-overlap join: pair rows of the same ``by`` key whose CLOSED
+    intervals ``[l_start, l_end]`` and ``[r_start, r_end]`` intersect.
+
+    The generalization of ``range_join_binned`` from points-vs-window to
+    interval-vs-interval (session-vs-incident, outage-vs-job overlap — the
+    shapes a point range join cannot express). Same scale discipline: the
+    naive ``s1 <= e2 AND s2 <= e1`` theta join plans as a per-key nested
+    loop; here BOTH sides explode to the ``bin_seconds``-wide epochs their
+    interval covers (cost: rows x (len/bin + 1), so pick ``bin_seconds``
+    near the typical interval length), equi-join on (by, bin) — a plain
+    hash join — then apply the exact predicate. A pair sharing several
+    bins would duplicate; it is kept ONLY in the later of the two start
+    bins (a deterministic property of the pair), so no distinct shuffle
+    is spent on dedup.
+    """
+    for df_name, df, cols in (("left", left, (l_start, l_end)), ("right", right, (r_start, r_end))):
+        dt = dict(df.dtypes)
+        for c in cols:
+            if dt.get(c) == "timestamp_ntz":
+                df = df.withColumn(c, F.col(c).cast("timestamp"))
+        if df_name == "left":
+            left = df
+        else:
+            right = df
+
+    def bins(s: str, e: str):
+        sb = F.floor(F.unix_timestamp(F.col(s)) / bin_seconds)
+        eb = F.floor(F.unix_timestamp(F.col(e)) / bin_seconds)
+        return sb, F.explode(F.sequence(sb, eb))
+
+    lsb, lbins = bins(l_start, l_end)
+    rsb, rbins = bins(r_start, r_end)
+    l = left.withColumn("__lsb", lsb).withColumn("__bin", lbins)
+    r = right.withColumn("__rsb", rsb).withColumn("__bin", rbins)
+    joined = l.join(r, [*by, "__bin"], "inner")
+    overlap = (F.unix_micros(F.col(l_start)) <= F.unix_micros(F.col(r_end))) & (
+        F.unix_micros(F.col(r_start)) <= F.unix_micros(F.col(l_end))
+    )
+    first_shared = F.col("__bin") == F.greatest(F.col("__lsb"), F.col("__rsb"))
+    return joined.filter(overlap & first_shared).drop("__bin", "__lsb", "__rsb")

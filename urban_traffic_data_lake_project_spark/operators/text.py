@@ -754,3 +754,76 @@ def compression_ratio(df: DataFrame, id_col: str, text_col: str, level: int = 6)
         run, schema=schema
     )
     return out.withColumnRenamed("__id", id_col)
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 retrieval: score every document against a bag of query terms
+    and return the top-``k`` (Robertson/Sparck-Jones idf with the +1
+    Lucene floor, standard tf saturation + length normalization).
+
+    Scale shape: doc length is a per-row expression (``size`` of the
+    normalized token array — NO token explosion for the length pass);
+    the explosion is filtered to the handful of query terms *before* the
+    ``(doc, term)`` tf aggregation, so the only corpus-sized shuffle
+    carries rows for matching docs only. Corpus stats (N, avgdl) ride in
+    as a broadcast one-row frame; per-term df is a second tiny broadcast.
+    The final top-k is an ``orderBy().limit()`` —
+    TakeOrderedAndProject, partition-local heads, never a full sort.
+    """
+    terms_arr = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda x: x != ""
+    )
+    docs = spread_to_parallelism(df).select(
+        F.col(id_col), terms_arr.alias("__terms")
+    ).withColumn("__dl", F.size("__terms"))
+
+    stats = docs.groupBy().agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+
+    tf = (
+        docs.select(
+            F.col(id_col), "__dl", F.explode("__terms").alias("term")
+        )
+        .filter(F.col("term").isin(*query_terms))
+        .groupBy(id_col, "__dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    term_df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+
+    scored = (
+        tf.join(F.broadcast(term_df), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n_docs") - F.col("df_t") + F.lit(0.5))
+                / (F.col("df_t") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "__s",
+            F.col("__idf")
+            * F.col("tf") * F.lit(k1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
+            ),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.round(F.sum("__s"), 6).alias("bm25"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    return per_doc.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(k)

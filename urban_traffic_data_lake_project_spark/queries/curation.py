@@ -1131,7 +1131,59 @@ FROM ranked WHERE rank <= {_SKEW_TOPN}
 """
 
 
+# ---------------------------------------------------------------------------
+# text_bm25_topk — BM25 retrieval over the corpus the inverted index was
+# built for: score every document against a fixed bag of query terms and
+# return the top-k. Doc length is a per-row expression (no explosion);
+# only query-term hits reach the tf shuffle; the final cut is a
+# TakeOrderedAndProject. Oracle replays idf/tf/length-norm exactly.
+# ---------------------------------------------------------------------------
+_BM25_TERMS: tuple[str, ...] = ("vector", "window", "merge")
+_BM25_K, _BM25_K1, _BM25_B = 10, 1.2, 0.75
+
+
+def _bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bm25_topk(
+        docs, "doc_id", "text", _BM25_TERMS, k=_BM25_K, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+_BM25_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split({_NORM.format(c='text')}, ' '), x -> x <> '') AS w
+  FROM documents),
+d2 AS (SELECT doc_id, w, len(w) AS dl FROM d),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d2),
+tf AS (
+  SELECT doc_id, dl, t.term, count(*) AS tf
+  FROM d2, LATERAL unnest(w) AS t(term)
+  WHERE t.term IN ('{"','".join(_BM25_TERMS)}')
+  GROUP BY doc_id, dl, t.term),
+tdf AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - tdf.df_t + 0.5) / (tdf.df_t + 0.5))
+           * tf.tf * {_BM25_K1 + 1.0}
+           / (tf.tf + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * tf.dl / s.avgdl))
+           AS sc
+  FROM tf JOIN tdf USING (term) CROSS JOIN stats s),
+perdoc AS (
+  SELECT doc_id, round(sum(sc), {ROUND_STAT}) AS bm25,
+         count(*) AS n_terms_hit
+  FROM scored GROUP BY doc_id)
+SELECT doc_id, bm25, n_terms_hit
+FROM perdoc ORDER BY bm25 DESC, doc_id LIMIT {_BM25_K}
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "text_bm25_topk": QuerySpec(
+        _bm25_topk, _BM25_SQL,
+        "BM25 top-k retrieval against a fixed query-term bag",
+        ("text", "curation", "similarity", "defer"),
+    ),
     "decontam_eval_overlap": QuerySpec(
         _decontam_overlap, _DECONTAM_SQL,
         "eval-set n-gram decontamination flags over the train split",

@@ -798,7 +798,123 @@ FROM x
 """
 
 
+# ---------------------------------------------------------------------------
+# win_time_range_rolling — trailing 1-hour per-user rolling aggregate as a
+# true time-RANGE window frame (value-defined, peers included), NOT a
+# row-count frame: every event sees the count/sum of its user's events in
+# the preceding hour. Spark needs numeric RANGE ordering, so the frame
+# orders by epoch seconds; DuckDB uses the native INTERVAL RANGE frame.
+# Both define the frame by VALUE, so tie order never changes the result.
+# ---------------------------------------------------------------------------
+def _win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), ROUND_SUM).alias("sum_last_hour"),
+    )
+
+
+_WIN_TIME_RANGE_SQL = f"""
+SELECT event_id, user_id, ts,
+       count(*) OVER w AS n_last_hour,
+       round(sum(value) OVER w, {ROUND_SUM}) AS sum_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# merge_interval_overlap — interval-vs-interval overlap join (the shape a
+# point range join cannot express): per-user view SESSIONS (10-min gap,
+# variable length) overlapped with per-click INCIDENT windows (ts ± 2 h)
+# via operators.merge.interval_overlap_join — binned equi-join, never a
+# per-key nested loop. Output carries the exact overlap in microseconds
+# (integer on both engines, no float rounding in the hash).
+# ---------------------------------------------------------------------------
+def _interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    sessions = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.session_window("ts", "10 minutes").alias("__w"))
+        .agg(
+            F.min("ts").alias("s_start"),
+            F.max("ts").alias("s_end"),
+            F.count(F.lit(1)).alias("n_views"),
+        )
+        .drop("__w")
+    )
+    incidents = e.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 2 HOURS")).alias("c_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("c_end"),
+    )
+    j = M.interval_overlap_join(
+        sessions, incidents, ["user_id"],
+        "s_start", "s_end", "c_start", "c_end", bin_seconds=3600,
+    )
+    overlap_us = F.unix_micros(F.least("s_end", "c_end")) - F.unix_micros(
+        F.greatest("s_start", "c_start")
+    )
+    return j.select(
+        "user_id", "event_id", "s_start", "n_views",
+        overlap_us.alias("overlap_us"),
+    )
+
+
+_INTERVAL_OVERLAP_SQL = """
+WITH v AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events WHERE event_type = 'view'),
+marked AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 10 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM v),
+numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked),
+sessions AS (
+  SELECT user_id, min(ts) AS s_start, max(ts) AS s_end, count(*) AS n_views
+  FROM numbered GROUP BY user_id, sid),
+incidents AS (
+  SELECT event_id, user_id,
+         ts - INTERVAL 2 HOUR AS c_start,
+         ts + INTERVAL 2 HOUR AS c_end
+  FROM events WHERE event_type = 'click')
+SELECT s.user_id, i.event_id, s.s_start, s.n_views,
+       date_diff('microsecond',
+                 greatest(s.s_start, i.c_start),
+                 least(s.s_end, i.c_end)) AS overlap_us
+FROM sessions s JOIN incidents i
+  ON s.user_id = i.user_id
+ AND s.s_start <= i.c_end AND i.c_start <= s.s_end
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "win_time_range_rolling": QuerySpec(
+        _win_time_range, _WIN_TIME_RANGE_SQL,
+        "trailing 1h per-user rolling aggregate, value-defined RANGE frame",
+        ("window", "defer"),
+    ),
+    "merge_interval_overlap": QuerySpec(
+        _interval_overlap, _INTERVAL_OVERLAP_SQL,
+        "interval-vs-interval overlap join (sessions x incident windows), binned",
+        ("join", "window", "defer"),
+    ),
     "merge_asof_directions": QuerySpec(
         _asof_directions, _ASOF_DIRECTIONS_SQL,
         "as-of join, all three directions (backward/forward/nearest)",
