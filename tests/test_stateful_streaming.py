@@ -50,3 +50,87 @@ def test_running_user_stats_accumulates_across_batches(spark):
     # user 1 was updated in both micro-batches -> two emissions
     assert (out["user_id"] == 1).sum() == 2
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bounded_recent_stats_evicts_across_batches(spark):
+    """The replay buffer keeps only the newest `keep` events per user even
+    when they arrive across micro-batches (old ones evict), and recency
+    ties on ts break by event_id."""
+    d = tempfile.mkdtemp(prefix="recent_")
+    base = dt.datetime(2024, 1, 1, 12, 0)
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    batches = [
+        [(i, base + dt.timedelta(minutes=i), 1, float(i)) for i in range(4)],
+        # newer events push out 0 and 1; event 10 ties event 11 on ts
+        [(10, base + dt.timedelta(minutes=9), 1, 100.0),
+         (11, base + dt.timedelta(minutes=9), 1, 200.0)],
+    ]
+    for i, rows in enumerate(batches):
+        mode = "overwrite" if i == 0 else "append"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(mode).parquet(f"{d}/src")
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(f"{d}/src").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/src")
+    )
+    q = (
+        st.bounded_recent_stats(stream, keep=3)
+        .writeStream.format("memory")
+        .queryName("recent_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("recent_sink").toPandas().sort_values("last_ts")
+    shutil.rmtree(d, ignore_errors=True)
+
+    final = out.iloc[-1]
+    # buffer after batch 2 = events (11, 10, 3) -> values 200, 100, 3
+    assert final["n_recent"] == 3
+    assert abs(final["avg_recent_value"] - (200.0 + 100.0 + 3.0) / 3) < 1e-9
+    assert final["last_ts"] == base + dt.timedelta(minutes=9)
+    assert final["span_us"] == 6 * 60 * 1_000_000  # minute 9 - minute 3
+
+
+def test_tws_variant_plan_builds_and_runs_when_dependency_present(spark):
+    """transformWithStateInPandas plan CONSTRUCTION must always work; the
+    full run needs google.protobuf (absent in this container), so the
+    execution half gates on tws.is_available()."""
+    import pytest
+
+    from urban_traffic_data_lake_project_spark.streaming import tws
+
+    d = tempfile.mkdtemp(prefix="tws_")
+    base = dt.datetime(2024, 1, 1, 12, 0)
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    spark.createDataFrame(
+        [(i, base + dt.timedelta(minutes=i), 1, float(i)) for i in range(4)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/src")
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(f"{d}/src").schema
+    ).parquet(f"{d}/src")
+    plan = tws.recent_events_stats(stream, keep=3)
+    assert plan.isStreaming
+    assert [f.name for f in plan.schema.fields] == [
+        "user_id", "n_recent", "avg_recent_value", "last_ts", "span_us"
+    ]
+
+    if not tws.is_available():
+        shutil.rmtree(d, ignore_errors=True)
+        pytest.skip("google.protobuf not installed; state-v2 runtime unavailable")
+
+    q = (
+        plan.writeStream.format("memory")
+        .queryName("tws_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("tws_sink").toPandas()
+    shutil.rmtree(d, ignore_errors=True)
+    assert out.iloc[-1]["n_recent"] == 3

@@ -333,6 +333,55 @@ FROM events GROUP BY user_id
 
 
 # ---------------------------------------------------------------------------
+# stream_bounded_recent_stats — a BOUNDED per-user replay buffer: stats
+# over each user's 5 most recent events (by ts, event_id), the
+# count-bounded frame neither windowed aggregation (time-bounded) nor
+# plain running state (unbounded) expresses. The state-v2 implementation
+# (streaming/tws.py: transformWithStateInPandas + ListState) is the
+# production shape but needs google.protobuf, absent in this container —
+# so the REGISTERED query runs the applyInPandasWithState fallback
+# (streaming/stateful.py::bounded_recent_stats), which maintains the
+# identical buffer in GroupState. Same semantics, same oracle:
+# row_number over (ts DESC, event_id DESC) <= 5 per user.
+# tests/test_stateful_streaming.py runs the tws.py variant whenever the
+# protobuf dependency is importable and asserts plan construction always.
+# ---------------------------------------------------------------------------
+_TWS_KEEP = 5
+
+
+def _stream_bounded_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.streaming import stateful as st
+    from urban_traffic_data_lake_project_spark.streaming import windows as sw
+
+    stream = sw.read_events_stream(spark, sf_dir)
+    out = sw.run_available_now(
+        st.bounded_recent_stats(stream, keep=_TWS_KEEP), spark, mode="update"
+    )
+    return out.select(
+        "user_id",
+        "n_recent",
+        F.round("avg_recent_value", ROUND_STAT).alias("avg_recent_value"),
+        "last_ts",
+        "span_us",
+    )
+
+
+_STREAM_BOUNDED_RECENT_SQL = f"""
+WITH r AS (
+  SELECT user_id, ts, value, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, count(*) AS n_recent,
+       round(avg(value), {ROUND_STAT}) AS avg_recent_value,
+       max(ts) AS last_ts,
+       date_diff('microsecond', min(ts), max(ts)) AS span_us
+FROM r WHERE rn <= {_TWS_KEEP}
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # json_extract_events — JSON scalar functions on events.props
 # ---------------------------------------------------------------------------
 def _json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -962,6 +1011,11 @@ REGISTRY: dict[str, QuerySpec] = {
         _stream_stateful, _STREAM_STATEFUL_SQL,
         "applyInPandasWithState running stats vs batch oracle",
         ("streaming", "stateful"),
+    ),
+    "stream_bounded_recent_stats": QuerySpec(
+        _stream_bounded_recent, _STREAM_BOUNDED_RECENT_SQL,
+        "bounded per-user replay buffer (last-5 stats) in group state",
+        ("streaming", "stateful", "defer"),
     ),
     "merge_suffix_day_join": QuerySpec(_suffix_day_join, _SUFFIX_DAY_SQL, "reference merge: day key + suffixes", ("join", "defer")),
     "stream_dedup_redelivery": QuerySpec(

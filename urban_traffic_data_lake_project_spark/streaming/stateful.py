@@ -18,6 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -72,6 +73,82 @@ def running_user_stats(stream: DataFrame) -> DataFrame:
             _update,
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounded replay buffer — the GroupState implementation of the operator
+# streaming/tws.py expresses on the state-v2 API (ListState). Kept in the
+# v1 API too because transformWithStateInPandas needs google.protobuf for
+# its state-server protocol, which this container lacks; semantics are
+# identical (the query registry runs whichever is available — this one).
+# ---------------------------------------------------------------------------
+RECENT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_recent", LongType()),
+        StructField("avg_recent_value", DoubleType()),
+        StructField("last_ts", TimestampType()),
+        StructField("span_us", LongType()),
+    ]
+)
+
+# the buffer rides in the state tuple as three parallel arrays
+RECENT_STATE_SCHEMA = StructType(
+    [
+        StructField("ts_us", ArrayType(LongType())),
+        StructField("event_id", ArrayType(LongType())),
+        StructField("value", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _make_recent_update(keep: int):
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            ts_us, eids, vals = state.get
+            buf = list(zip(ts_us, eids, vals))
+        else:
+            buf = []
+        for pdf in pdfs:
+            for ts, eid, val in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
+                buf.append(
+                    (int(pd.Timestamp(ts).value // 1_000), int(eid), float(val))
+                )
+        # recency = (ts, event_id) DESC; event_id breaks exact-ts ties so
+        # replays are deterministic
+        buf.sort(key=lambda t: (-t[0], -t[1]))
+        buf = buf[:keep]
+        state.update(([t[0] for t in buf], [t[1] for t in buf], [t[2] for t in buf]))
+        vals = [t[2] for t in buf]
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_recent": [len(buf)],
+                "avg_recent_value": [sum(vals) / len(vals) if vals else None],
+                "last_ts": [pd.Timestamp(buf[0][0] * 1_000) if buf else None],
+                "span_us": [buf[0][0] - buf[-1][0] if buf else None],
+            }
+        )
+
+    return update
+
+
+def bounded_recent_stats(stream: DataFrame, keep: int = 5) -> DataFrame:
+    """Per-user stats over the ``keep`` most recent events — a bounded
+    replay buffer maintained in group state across micro-batches. State
+    is O(keys x keep); old events fall out by construction, no watermark
+    needed."""
+    return (
+        stream.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_recent_update(keep),
+            outputStructType=RECENT_OUTPUT_SCHEMA,
+            stateStructType=RECENT_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
