@@ -370,3 +370,185 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-side ANN compression: split each
+# d-dim vector into m subvectors, quantize each against a per-subspace
+# codebook of k centroids, store m small codes instead of d floats
+# (64 floats -> 8 bytes at m=8/k<=256). Query-time ADC (asymmetric
+# distance computation) scores compressed vectors against EXACT query
+# subvectors through a per-query lookup table.
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+) -> list:
+    """Deterministic PQ codebooks: the ``k`` lowest-id vectors' subvectors
+    seed each subspace (same rule as the IVF centroid seed — replayable by
+    the SQL oracle; production would Lloyd-refine per subspace exactly as
+    ``kmeans_centroids`` does for IVF). Collects k vectors to the driver
+    (orderBy+limit = TakeOrderedAndProject, bounded).
+
+    Returns ``cb[j][c]`` = centroid ``c`` of subspace ``j`` (python lists
+    of doubles, length d/m each)."""
+    rows = (
+        corpus.orderBy(id_col)
+        .limit(k)
+        .select(_as_double(F.col(vec_col)).alias("__v"))
+        .collect()
+    )
+    vecs = [list(r["__v"]) for r in rows]
+    d = len(vecs[0])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    return [[v[j * sub : (j + 1) * sub] for v in vecs] for j in range(m)]
+
+
+def _sub_dist(vec: Column, offset: int, centroid: list) -> Column:
+    """Squared L2 distance between ``vec[offset:offset+len(centroid)]``
+    and a literal centroid, as a LEFT-ASSOCIATIVE chained sum — the same
+    evaluation order the oracle's sequential list_sum uses, so both
+    engines produce bit-identical doubles."""
+    total = None
+    for i, c in enumerate(centroid):
+        term = (vec[offset + i] - F.lit(float(c))) ** 2
+        total = term if total is None else total + term
+    return total
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list,
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Attach a PQ code array (one int per subspace) to every row. The
+    nearest-centroid argmin per subspace is an unrolled per-row literal
+    expression (array_min over (dist, c) structs — ties to the smaller
+    code): NO join, NO shuffle, the whole encode rides in the corpus
+    scan's projection exactly like ``nearest_centroid_ids`` does for IVF."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    out = df.withColumn("__v", _as_double(F.col(vec_col)))
+    code_exprs = []
+    for j in range(m):
+        cands = F.array(
+            *[
+                F.struct(
+                    _sub_dist(F.col("__v"), j * sub, codebooks[j][c]).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c in range(len(codebooks[j]))
+            ]
+        )
+        code_exprs.append(F.array_min(cands)["c"])
+    return out.withColumn(codes_col, F.array(*code_exprs)).drop("__v")
+
+
+def pq_reconstruction_mse(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list,
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Per-vector quantization distortion: mean over dimensions of the
+    squared gap between the vector and its codebook reconstruction.
+    Pure projection over the encoded frame (no shuffle)."""
+    m, sub = len(codebooks), len(codebooks[0][0])
+    d = m * sub
+    v = _as_double(F.col(vec_col))
+    total = None
+    for j in range(m):
+        # distance to the ASSIGNED centroid, selected by the code value
+        per_c = F.array(
+            *[_sub_dist(v, j * sub, codebooks[j][c]) for c in range(len(codebooks[j]))]
+        )
+        term = F.element_at(per_c, F.col(codes_col)[j] + 1)
+        total = term if total is None else total + term
+    return df.select(
+        F.col(id_col),
+        F.concat_ws(",", F.transform(F.col(codes_col), lambda x: x.cast("string"))).alias(
+            "code_str"
+        ),
+        F.round(total / F.lit(float(d)), 6).alias("mse"),
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list,
+    k_top: int = 5,
+) -> DataFrame:
+    """ADC top-k: score every (query, corpus) pair as the sum over
+    subspaces of ||q_sub - centroid[code]||^2, where the per-(query,
+    subspace, centroid) distances form a LUT computed ONCE on the driver
+    from the collected (bounded) query set. The corpus side therefore
+    never touches raw query vectors — each corpus row evaluates m
+    ``element_at(literal_array, code)`` lookups, the PQ promise that
+    makes compressed scans cheap. Ranking is per-query partition-local
+    top-k first (bounded pre-prune), then the global rank window sees
+    only the pruned candidates."""
+    m, sub = len(codebooks), len(codebooks[0][0])
+    q_rows = (
+        queries.orderBy(id_col)
+        .select(F.col(id_col).alias("__qid"), _as_double(F.col(vec_col)).alias("__qv"))
+        .collect()
+    )
+    enc = pq_encode(corpus, id_col, vec_col, codebooks, codes_col="__codes")
+
+    def lut_entry(qv: list, j: int, c: int) -> float:
+        total = 0.0
+        base = j * sub
+        for i, cv in enumerate(codebooks[j][c]):
+            total += (qv[base + i] - float(cv)) ** 2
+        return total
+
+    per_query = []
+    for r in q_rows:
+        qv = list(r["__qv"])
+        dist = None
+        for j in range(m):
+            lut = F.array(
+                *[F.lit(lut_entry(qv, j, c)) for c in range(len(codebooks[j]))]
+            )
+            term = F.element_at(lut, F.col("__codes")[j] + 1)
+            dist = term if dist is None else dist + term
+        per_query.append(
+            F.struct(F.lit(int(r["__qid"])).alias("query_id"), dist.alias("d"))
+        )
+    # _partition_local_topk's contract is (query_id, neighbor_id,
+    # cosine_sim DESC); negated distance satisfies it (same tie rule)
+    scored = enc.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.explode(F.array(*per_query)).alias("__s"),
+    ).select(
+        "__s.query_id",
+        "neighbor_id",
+        (-F.round("__s.d", 6)).alias("cosine_sim"),
+    )
+    pruned = _partition_local_topk(scored, k_top)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("corpus_id"),
+            (-F.col("cosine_sim")).alias("adc_dist"),
+            "rank",
+        )
+    )

@@ -1118,6 +1118,91 @@ FROM sized, LATERAL unnest(range(0, nc)) AS t(i)
 """
 
 
+# ---------------------------------------------------------------------------
+# sim_pq_encode / sim_pq_topk — product quantization: compress 64-dim
+# float vectors to _PQ_M codes against deterministic per-subspace
+# codebooks (the _PQ_K lowest-id vectors' subvectors — the same seed rule
+# the IVF oracle replays), then ADC top-k over the compressed corpus via
+# a driver-computed lookup table. The oracle derives the codebook FROM
+# THE DATA (no literals), replays the per-subspace argmin (ties to the
+# smaller code via struct-min), and recomputes the assigned-centroid
+# distances.
+# ---------------------------------------------------------------------------
+_PQ_M, _PQ_K, _PQ_TOPK = 8, 16, 5
+_PQ_SUB = 8  # 64-dim embeddings / _PQ_M
+
+
+def _pq_cb(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb, S.pq_codebooks(emb, "vec_id", "embedding", m=_PQ_M, k=_PQ_K)
+
+
+def _pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, cb = _pq_cb(spark, sf_dir)
+    enc = S.pq_encode(emb, "vec_id", "embedding", cb)
+    return S.pq_reconstruction_mse(enc, "vec_id", "embedding", cb)
+
+
+def _pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, cb = _pq_cb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.pq_adc_topk(emb, queries, "vec_id", "embedding", cb, k_top=_PQ_TOPK)
+
+
+# shared oracle CTEs: double-cast vectors, per-subspace codebook slices,
+# and the per-(vector, subspace) assignment with its distance
+_PQ_BASE_CTES = f"""
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+seed AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, e
+  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {_PQ_K})),
+cb AS (
+  SELECT t.j, seed.c,
+         seed.e[t.j * {_PQ_SUB} + 1 : t.j * {_PQ_SUB} + {_PQ_SUB}] AS cent
+  FROM seed, range(0, {_PQ_M}) t(j)),
+assigned AS (
+  SELECT v.vec_id, cb.j,
+         min({{'d': list_sum(list_transform(range(1, {_PQ_SUB} + 1),
+                i -> (v.e[cb.j * {_PQ_SUB} + i] - cb.cent[i]) ^ 2)),
+              'c': cb.c}}) AS best
+  FROM v CROSS JOIN cb
+  GROUP BY v.vec_id, cb.j)
+"""
+
+_PQ_ENCODE_SQL = f"""
+WITH {_PQ_BASE_CTES},
+per_vec AS (
+  SELECT vec_id,
+         list(best.c ORDER BY j) AS codes,
+         sum(best.d) AS total
+  FROM assigned GROUP BY vec_id)
+SELECT vec_id,
+       array_to_string(codes, ',') AS code_str,
+       round(total / {_PQ_M * _PQ_SUB}, {ROUND_STAT}) AS mse
+FROM per_vec
+"""
+
+_PQ_TOPK_SQL = f"""
+WITH {_PQ_BASE_CTES},
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+pair AS (
+  SELECT q.query_id, a.vec_id AS corpus_id,
+         sum(list_sum(list_transform(range(1, {_PQ_SUB} + 1),
+             i -> (q.qe[a.j * {_PQ_SUB} + i] - cb.cent[i]) ^ 2))) AS d
+  FROM assigned a
+  JOIN cb ON cb.j = a.j AND cb.c = a.best.c
+  CROSS JOIN q
+  GROUP BY q.query_id, a.vec_id),
+ranked AS (
+  SELECT query_id, corpus_id, round(d, {ROUND_STAT}) AS adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(d, {ROUND_STAT}), corpus_id) AS rank
+  FROM pair)
+SELECT query_id, corpus_id, adc_dist, rank
+FROM ranked WHERE rank <= {_PQ_TOPK}
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(_dedup_exact, _DEDUP_EXACT_SQL, "exact dedup via content hash", ("dedup",)),
     "dedup_apply_near": QuerySpec(_dedup_apply, _DEDUP_APPLY_SQL, "corpus after near-dup removal", ("dedup",)),
@@ -1146,6 +1231,16 @@ REGISTRY: dict[str, QuerySpec] = {
         ("dedup",),
     ),
     "sim_cosine_topk": QuerySpec(_cosine_topk, _COSINE_TOPK_SQL, "brute-force cosine top-k", ("similarity",)),
+    "sim_pq_encode": QuerySpec(
+        _pq_encode, _PQ_ENCODE_SQL,
+        "product-quantization encode + per-vector reconstruction distortion",
+        ("similarity", "defer"),
+    ),
+    "sim_pq_topk": QuerySpec(
+        _pq_topk, _PQ_TOPK_SQL,
+        "PQ asymmetric-distance top-k over compressed codes (driver LUT)",
+        ("similarity", "defer"),
+    ),
     "sim_cosine_topk_ivf": QuerySpec(_cosine_topk_ivf, _COSINE_IVF_SQL, "IVF-bucketed cosine top-k", ("similarity",)),
     "sim_cosine_topk_ivf_trained": QuerySpec(
         _cosine_topk_ivf_trained, _COSINE_IVF_TRAINED_SQL,
