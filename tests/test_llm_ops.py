@@ -511,3 +511,32 @@ def test_srp_wide_signature_finds_true_dups(spark):
     }
     expected = {(2 * i, 2 * i + 1) for i in range(15)}
     assert expected <= found, expected - found
+
+
+def test_pq_seed_vectors_quantize_losslessly(spark, sf_dir):
+    """Codebook seed vectors ARE centroids, so they encode with zero
+    distortion; ADC then retrieves each seed query as its own rank-1
+    neighbor at distance 0. Codes stay within [0, k)."""
+    from urban_traffic_data_lake_project_spark.operators import similarity as S
+    from urban_traffic_data_lake_project_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = S.pq_codebooks(emb, "vec_id", "embedding", m=8, k=16)
+    assert len(cb) == 8 and len(cb[0]) == 16 and len(cb[0][0]) == 8
+
+    enc = S.pq_encode(emb, "vec_id", "embedding", cb)
+    mse = {r["vec_id"]: r["mse"] for r in
+           S.pq_reconstruction_mse(enc, "vec_id", "embedding", cb).collect()}
+    seeds = sorted(mse)[:16]
+    assert all(mse[i] == 0.0 for i in seeds)
+    assert any(v > 0 for k_, v in mse.items() if k_ not in seeds)
+
+    codes = enc.select("codes").collect()
+    assert all(0 <= c < 16 for r in codes for c in r["codes"])
+
+    queries = emb.filter("vec_id < 10")
+    top = S.pq_adc_topk(emb, queries, "vec_id", "embedding", cb, k_top=3).collect()
+    rank1 = {r["query_id"]: r for r in top if r["rank"] == 1}
+    assert set(rank1) == set(range(10))
+    for qid, r in rank1.items():
+        assert r["corpus_id"] == qid and r["adc_dist"] == 0.0
