@@ -254,3 +254,65 @@ def test_time_range_window_is_value_defined(spark):
     }
     # ties both see n=2; boundary event (3600s later) still includes them (inclusive frame)
     assert rows == {(1.0, 2), (2.0, 2), (4.0, 3), (8.0, 2)}
+
+
+def test_fuzzy_join_blocked_equals_naive(spark):
+    """q-gram blocked fuzzy join == cartesian Levenshtein filter for
+    strings above the completeness bound, including distance-0 (exact)
+    and exactly-max_dist pairs; below-bound shorties are documented to
+    possibly miss, so the fixture stays above it."""
+    from urban_traffic_data_lake_project_spark.operators.merge import fuzzy_join_blocked
+
+    left = spark.createDataFrame(
+        [(1, "red widget"), (2, "redwidget"), (3, "blue bolt"), (4, "green gear")],
+        "lid long, lname string",
+    )
+    right = spark.createDataFrame(
+        [("red widget",), ("blue boltz",), ("purple cog",)], "rname string"
+    )
+    got = sorted(
+        (r["lid"], r["rname"], r["dist"])
+        for r in fuzzy_join_blocked(left, right, "lname", "rname", max_dist=1).collect()
+    )
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    naive = sorted(
+        (lr["lid"], rr["rname"], lev(lr["lname"], rr["rname"]))
+        for lr, rr in itertools.product(left.collect(), right.collect())
+        if lev(lr["lname"], rr["rname"]) <= 1
+    )
+    assert got == naive
+    assert (1, "red widget", 0) in got and (2, "red widget", 1) in got
+    assert (3, "blue boltz", 1) in got
+
+
+def test_merge_upsert_actions_and_null_payloads(spark):
+    """All three MERGE actions fire; a NULL payload column in the target
+    does not get misread as 'row absent' (explicit presence markers)."""
+    from urban_traffic_data_lake_project_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, 10, None), (2, 20, 2.0), (3, 30, 3.0)], "k long, n long, v double"
+    )
+    source = spark.createDataFrame(
+        [(1, 1, 1.5), (4, 40, 4.0)], "k long, n long, v double"
+    )
+    out = {
+        r["k"]: r
+        for r in merge_upsert(
+            target, source, ["k"], combine={"n": lambda t, s: t + s}
+        ).collect()
+    }
+    assert out[1]["merge_action"] == "update" and out[1]["n"] == 11
+    assert out[1]["v"] == 1.5           # last-writer-wins default
+    assert out[2]["merge_action"] == "keep" and out[2]["n"] == 20
+    assert out[3]["merge_action"] == "keep"
+    assert out[4]["merge_action"] == "insert" and out[4]["n"] == 40

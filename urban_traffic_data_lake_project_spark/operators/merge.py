@@ -270,3 +270,89 @@ def interval_overlap_join(
     )
     first_shared = F.col("__bin") == F.greatest(F.col("__lsb"), F.col("__rsb"))
     return joined.filter(overlap & first_shared).drop("__bin", "__lsb", "__rsb")
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    combine: dict | None = None,
+) -> DataFrame:
+    """Relational MERGE/upsert: rows keyed in both frames are UPDATED
+    (per-column ``combine`` expressions see both sides), source-only keys
+    are INSERTED, target-only keys pass through — plus a ``merge_action``
+    column ('update' / 'insert' / 'keep') for CDC auditing.
+
+    ``combine`` maps column name -> fn(target_col, source_col) -> Column;
+    columns without an entry take the source value when present
+    (classic last-writer-wins). The plan is ONE full outer join on the
+    keys — the same shape Delta/Iceberg MERGE INTO compiles to — so at
+    scale it is a single co-partitioned shuffle, and bucketed/partitioned
+    targets join shuffle-free on their layout."""
+    tcols = [c for c in target.columns if c not in keys]
+    scols = [c for c in source.columns if c not in keys]
+    # explicit presence markers — payload columns may be legitimately NULL
+    t = target.select(
+        *keys, F.lit(1).alias("__t_present"), *[F.col(c).alias(f"__t_{c}") for c in tcols]
+    )
+    s = source.select(
+        *keys, F.lit(1).alias("__s_present"), *[F.col(c).alias(f"__s_{c}") for c in scols]
+    )
+    j = t.join(s, list(keys), "full_outer")
+    in_t = F.col("__t_present").isNotNull()
+    in_s = F.col("__s_present").isNotNull()
+    combine = combine or {}
+    out_cols: list = [F.col(k) for k in keys]
+    for c in sorted({*tcols, *scols}):
+        tc = F.col(f"__t_{c}") if c in tcols else F.lit(None)
+        sc = F.col(f"__s_{c}") if c in scols else F.lit(None)
+        if c in combine:
+            expr = F.when(in_t & in_s, combine[c](tc, sc)).otherwise(
+                F.coalesce(sc, tc)
+            )
+        else:
+            expr = F.coalesce(sc, tc)
+        out_cols.append(expr.alias(c))
+    action = (
+        F.when(in_t & in_s, F.lit("update"))
+        .when(in_s, F.lit("insert"))
+        .otherwise(F.lit("keep"))
+    )
+    return j.select(*out_cols, action.alias("merge_action"))
+
+
+def fuzzy_join_blocked(
+    left: DataFrame,
+    right: DataFrame,
+    l_col: str,
+    r_col: str,
+    max_dist: int = 1,
+    ngram: int = 3,
+) -> DataFrame:
+    """Edit-distance (Levenshtein) join with q-gram blocking — record
+    linkage for dirty keys. The naive form is a cartesian filter; here
+    candidates are generated by exploding each side's distinct character
+    ``ngram``-grams and equi-joining on the gram (the same
+    shingle-candidate shape as dedup_ngram_jaccard), then the exact
+    ``levenshtein() <= max_dist`` predicate runs on candidates only.
+    Complete for strings longer than ``ngram * (max_dist + 1) - 1``
+    chars (an edit destroys at most ``ngram`` grams; shorter strings
+    cannot guarantee a surviving shared gram — callers pad or
+    exact-match those). Pairs sharing several grams are dropped to one
+    row by the pair-level distinct before the (expensive) distance
+    evaluation."""
+
+    def grams(c: Column) -> Column:
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(c) - (ngram - 1)),
+                lambda i: c.substr(i, F.lit(ngram)),
+            )
+        )
+
+    lg = left.withColumn("__g", F.explode(grams(F.col(l_col))))
+    rg = right.withColumn("__g", F.explode(grams(F.col(r_col))))
+    cand = lg.join(rg, "__g").drop("__g").distinct()
+    return cand.withColumn("dist", F.levenshtein(F.col(l_col), F.col(r_col))).filter(
+        F.col("dist") <= max_dist
+    )

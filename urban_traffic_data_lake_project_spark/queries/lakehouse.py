@@ -213,7 +213,78 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# lakehouse_merge_upsert — MERGE INTO semantics relationally: a per-user
+# profile snapshot built from the first 20 days of events receives the
+# last-10-day delta batch through operators.merge.merge_upsert — matched
+# keys UPDATE by combining both sides (counts add, sums add, last_ts
+# takes the max), delta-only keys INSERT, untouched keys KEEP — with a
+# merge_action audit column. One full-outer join on the key, the plan
+# Delta/Iceberg MERGE INTO compiles to.
+# ---------------------------------------------------------------------------
+_MERGE_CUTOFF = "2024-01-21"
+
+
+def _merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.operators.merge import merge_upsert
+
+    e = load_table(spark, sf_dir, "events")
+
+    def profile(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.max("ts").alias("last_ts"),
+        )
+
+    target = profile(e.filter(F.col("ts") < F.lit(_MERGE_CUTOFF).cast("timestamp")))
+    source = profile(e.filter(F.col("ts") >= F.lit(_MERGE_CUTOFF).cast("timestamp")))
+    merged = merge_upsert(
+        target,
+        source,
+        ["user_id"],
+        combine={
+            "n_events": lambda t, s: t + s,
+            "sum_value": lambda t, s: t + s,
+            "last_ts": lambda t, s: F.greatest(t, s),
+        },
+    )
+    return merged.select(
+        "user_id",
+        "n_events",
+        F.round("sum_value", ROUND_SUM).alias("sum_value"),
+        "last_ts",
+        "merge_action",
+    )
+
+
+_MERGE_UPSERT_SQL = f"""
+WITH t AS (
+  SELECT user_id, count(*) AS n, sum(value) AS s, max(ts) AS m
+  FROM events WHERE ts < TIMESTAMP '{_MERGE_CUTOFF}' GROUP BY user_id),
+d AS (
+  SELECT user_id, count(*) AS n, sum(value) AS s, max(ts) AS m
+  FROM events WHERE ts >= TIMESTAMP '{_MERGE_CUTOFF}' GROUP BY user_id)
+SELECT coalesce(t.user_id, d.user_id) AS user_id,
+       CASE WHEN t.user_id IS NOT NULL AND d.user_id IS NOT NULL THEN t.n + d.n
+            ELSE coalesce(d.n, t.n) END AS n_events,
+       round(CASE WHEN t.user_id IS NOT NULL AND d.user_id IS NOT NULL THEN t.s + d.s
+                  ELSE coalesce(d.s, t.s) END, {ROUND_SUM}) AS sum_value,
+       CASE WHEN t.user_id IS NOT NULL AND d.user_id IS NOT NULL THEN greatest(t.m, d.m)
+            ELSE coalesce(d.m, t.m) END AS last_ts,
+       CASE WHEN t.user_id IS NOT NULL AND d.user_id IS NOT NULL THEN 'update'
+            WHEN d.user_id IS NOT NULL THEN 'insert'
+            ELSE 'keep' END AS merge_action
+FROM t FULL OUTER JOIN d ON t.user_id = d.user_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "lakehouse_merge_upsert": QuerySpec(
+        _merge_upsert, _MERGE_UPSERT_SQL,
+        "MERGE INTO semantics: full-outer upsert with combine rules + audit column",
+        ("lakehouse", "join", "defer"),
+    ),
     "quality_expectations": QuerySpec(
         _quality_expectations, _QUALITY_SQL,
         "declarative data-quality checks: FK orphans, uniqueness, nulls, ranges",

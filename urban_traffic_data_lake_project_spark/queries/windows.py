@@ -953,7 +953,131 @@ FROM sessions s JOIN incidents i
 """
 
 
+# ---------------------------------------------------------------------------
+# join_fuzzy_blocked — record linkage on dirty keys: part names corrupted
+# deterministically (4th character dropped) are matched back to the clean
+# name catalog by Levenshtein distance <= 1, with q-gram blocking
+# (operators.merge.fuzzy_join_blocked) generating candidates instead of a
+# cartesian filter. Best match per dirty row resolves (distance, name)
+# ascending. All part names are 7-12 chars, above the 3-gram/1-edit
+# completeness bound, so blocking loses nothing.
+# ---------------------------------------------------------------------------
+def _fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    dirty = p.select(
+        "p_partkey",
+        F.concat(
+            F.col("p_name").substr(1, 3), F.col("p_name").substr(F.lit(5), F.length("p_name"))
+        ).alias("dirty_name"),
+    )
+    clean = p.select("p_name").distinct()
+    pairs = M.fuzzy_join_blocked(dirty, clean, "dirty_name", "p_name", max_dist=1)
+    best = pairs.groupBy("p_partkey", "dirty_name").agg(
+        F.min(F.struct(F.col("dist"), F.col("p_name"))).alias("__b")
+    )
+    return best.select(
+        "p_partkey",
+        "dirty_name",
+        F.col("__b.p_name").alias("match_name"),
+        F.col("__b.dist").alias("dist"),
+    )
+
+
+_FUZZY_JOIN_SQL = """
+WITH dirty AS (
+  SELECT p_partkey, substr(p_name, 1, 3) || substr(p_name, 5) AS dirty_name
+  FROM part),
+clean AS (SELECT DISTINCT p_name FROM part),
+dg AS (
+  SELECT p_partkey, dirty_name, g
+  FROM dirty, LATERAL unnest(list_distinct(list_transform(
+         range(1, len(dirty_name) - 1), i -> substr(dirty_name, i, 3)))) t(g)),
+cg AS (
+  SELECT p_name, g
+  FROM clean, LATERAL unnest(list_distinct(list_transform(
+         range(1, len(p_name) - 1), i -> substr(p_name, i, 3)))) t(g)),
+cand AS (
+  SELECT DISTINCT dg.p_partkey, dg.dirty_name, cg.p_name
+  FROM dg JOIN cg USING (g)),
+m AS (
+  SELECT p_partkey, dirty_name, p_name, levenshtein(dirty_name, p_name) AS d
+  FROM cand),
+best AS (
+  SELECT p_partkey, dirty_name, min({'d': d, 'name': p_name}) AS b
+  FROM m WHERE d <= 1 GROUP BY p_partkey, dirty_name)
+SELECT p_partkey, dirty_name, b.name AS match_name, b.d AS dist FROM best
+"""
+
+
+# ---------------------------------------------------------------------------
+# win_resample_ffill — time-series regularization: each user's irregular
+# events resampled to an hourly grid from their first (hour-truncated) to
+# last event, forward-filling the most recent observation (the as-of
+# operator over a generated grid — the gap-fill shape feature pipelines
+# need before windowed models). Observations are deduped to one row per
+# (user, ts) by max event_id first, so the fill is deterministic.
+# ---------------------------------------------------------------------------
+def _resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy("user_id", "ts").agg(F.max_by("value", "event_id").alias("value"))
+    bounds = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("__mn"), F.max("ts").alias("__mx")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("__mn"), F.col("__mx"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("grid_ts"),
+    )
+    filled = M.asof_join(
+        grid, obs, ["user_id"], "grid_ts", "ts", ["value", "ts"]
+    )
+    stale = (
+        F.unix_micros("grid_ts") - F.unix_micros("ts_asof") > 3_600_000_000
+    ).cast("int")
+    return filled.select(
+        "user_id",
+        "grid_ts",
+        F.round("value_asof", ROUND_SUM).alias("last_value"),
+        F.col("ts_asof").alias("last_obs_ts"),
+        stale.alias("is_stale"),
+    )
+
+
+_RESAMPLE_SQL = f"""
+WITH obs AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS value
+  FROM events GROUP BY user_id, ts),
+b AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS mn, max(ts) AS mx
+  FROM events GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS grid_ts
+  FROM b),
+filled AS (
+  SELECT g.user_id, g.grid_ts,
+         (SELECT o.value FROM obs o WHERE o.user_id = g.user_id
+          AND o.ts <= g.grid_ts ORDER BY o.ts DESC LIMIT 1) AS last_value,
+         (SELECT o.ts FROM obs o WHERE o.user_id = g.user_id
+          AND o.ts <= g.grid_ts ORDER BY o.ts DESC LIMIT 1) AS last_obs_ts
+  FROM grid g)
+SELECT user_id, grid_ts, round(last_value, {ROUND_SUM}) AS last_value, last_obs_ts,
+       (date_diff('microsecond', last_obs_ts, grid_ts) > 3600000000)::INT AS is_stale
+FROM filled
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "join_fuzzy_blocked": QuerySpec(
+        _fuzzy_join, _FUZZY_JOIN_SQL,
+        "Levenshtein record linkage with q-gram blocking, best-match resolve",
+        ("join", "dedup", "defer"),
+    ),
+    "win_resample_ffill": QuerySpec(
+        _resample_ffill, _RESAMPLE_SQL,
+        "hourly grid resample with forward-fill (as-of over generated grid)",
+        ("window", "join", "defer"),
+    ),
     "win_time_range_rolling": QuerySpec(
         _win_time_range, _WIN_TIME_RANGE_SQL,
         "trailing 1h per-user rolling aggregate, value-defined RANGE frame",
