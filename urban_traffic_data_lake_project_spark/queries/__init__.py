@@ -28,6 +28,16 @@ from urban_traffic_data_lake_project_spark.queries.base import QuerySpec
 # per-module pytest oracle parametrizations. "defer" tags on QuerySpecs
 # remain as per-query provenance notes; ordering comes from this list.
 RECORD_WINDOW: tuple[str, ...] = (
+    # never driver-recorded — the round-4 continuation surface
+    "text_bm25_topk",
+    "win_time_range_rolling",
+    "merge_interval_overlap",
+    "stream_bounded_recent_stats",
+    "sim_pq_encode",
+    "sim_pq_topk",
+    "join_fuzzy_blocked",
+    "win_resample_ffill",
+    "lakehouse_merge_upsert",
     # never driver-recorded (rounds 1-3) — the round-4 surface
     "core_histogram",
     "dedup_substring_spans",
@@ -59,24 +69,18 @@ RECORD_WINDOW: tuple[str, ...] = (
     "scd2_user_history",
     "agg_incremental_maintenance",
     "merge_asof_directions",
-    # sentinels — recorded green in r1-r3, one per family
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "sim_cosine_topk",
-    "sim_cosine_topk_ivf",
+    # sentinels — recorded green in earlier rounds; the r3-red trio
+    # (tumbling / range-join / interval-join) stays to prove the NTZ fix,
+    # the rest keep one canary per family (everything dropped from the
+    # window was r3-driver-recorded green and stays locally verified)
     "text_profile",
     "curation_pipeline",
-    "agg_group_percentiles",
-    "win_distribution",
-    "stream_tumbling_available_now",
-    "win_session_events",
     "merge_asof_join",
     "merge_range_join",
     "stream_interval_join",
+    "stream_tumbling_available_now",
     "join_salted_skew",
     "stream_stateful_user_stats",
-    "mc_scenario_expectations",
     "decontam_eval_overlap",
     "sketch_hll_distinct",
     "text_redact_pii",
