@@ -660,3 +660,85 @@ def test_bm25_ranking_properties(spark):
     # tf saturation: 4x the tf must score higher than tf=1 but < 4x higher
     s1, s4 = by_id[2]["bm25"], by_id[1]["bm25"]
     assert s1 < s4 < 4 * s1
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch
+# ---------------------------------------------------------------------------
+def test_kmv_exact_below_k(spark):
+    """Fewer than k distinct values -> the sketch holds the whole hash set
+    and the estimate is exactly the distinct count."""
+    from urban_traffic_data_lake_project_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch_table,
+    )
+
+    df = spark.range(1000).select(
+        F.lit("g").alias("g"), (F.col("id") % 37).cast("string").alias("v")
+    )
+    sk = kmv_sketch_table(df, ["g"], "v", k=256)
+    assert sk.count() == 37
+    est = kmv_estimate(sk, ["g"], k=256).collect()[0]["n_kmv"]
+    assert est == 37.0
+
+
+def test_kmv_estimate_within_expected_error(spark):
+    # k=256 -> relative standard error ~1/sqrt(k-2) ~ 6.3%; assert 4 sigma
+    from urban_traffic_data_lake_project_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch_table,
+    )
+
+    n = 5000
+    df = spark.range(n).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    est = kmv_estimate(kmv_sketch_table(df, ["g"], "v", k=256), ["g"], k=256)
+    assert abs(est.collect()[0]["n_kmv"] - n) / n < 0.26
+
+
+def test_kmv_merge_equals_single_pass(spark):
+    """Per-batch sketches merged == the sketch of the unioned batches —
+    the property that lets daily sketch tables stand in for history."""
+    from urban_traffic_data_lake_project_spark.operators.sketches import (
+        kmv_merge,
+        kmv_sketch_table,
+    )
+
+    df = spark.range(4000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") % 900).cast("string").alias("v"),
+        (F.col("id") % 4).alias("batch"),
+    )
+    k = 64
+    whole = kmv_sketch_table(df, ["g"], "v", k=k)
+    parts = [
+        kmv_sketch_table(df.where(F.col("batch") == i), ["g"], "v", k=k)
+        for i in range(4)
+    ]
+    merged = kmv_merge(parts[0].unionAll(parts[1]).unionAll(parts[2]).unionAll(parts[3]), ["g"], k=k)
+    a = {(r["g"], r["h"]) for r in whole.collect()}
+    b = {(r["g"], r["h"]) for r in merged.collect()}
+    assert a == b
+
+
+def test_kmv_set_estimates_disjoint_and_identical(spark):
+    """Edge semantics: disjoint sets -> intersection estimate 0; identical
+    sets -> difference estimate 0 and union == either side's estimate."""
+    from urban_traffic_data_lake_project_spark.operators.sketches import (
+        kmv_set_estimates,
+        kmv_sketch_table,
+    )
+
+    k = 128
+    left = spark.range(0, 2000).select(F.concat(F.lit("L"), F.col("id")).alias("v"))
+    right = spark.range(2000, 4000).select(F.concat(F.lit("R"), F.col("id")).alias("v"))
+    sa = kmv_sketch_table(left, [], "v", k=k)
+    sb = kmv_sketch_table(right, [], "v", k=k)
+    row = kmv_set_estimates(sa, sb, k=k).collect()[0]
+    assert row["inter_kmv"] == 0.0
+    assert abs(row["union_kmv"] - 4000) / 4000 < 0.4
+
+    same = kmv_set_estimates(sa, sa, k=k).collect()[0]
+    assert same["aonly_kmv"] == 0.0
+    assert abs(same["union_kmv"] - 2000) / 2000 < 0.4

@@ -387,3 +387,152 @@ def hist_quantiles(
         )
         aggs.append(F.min(est).alias(f"q{int(round(q * 100))}"))
     return cum.groupBy(*group_cols).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch: the k smallest distinct hash values of a set. The
+# fifth member of the sketch family, and the one HLL cannot replace: KMV
+# sketches support SET OPERATIONS — union, intersection, and difference
+# estimates between sketches built independently (per-day, per-source,
+# per-split), which is how a curation pipeline answers "how many documents
+# do these two crawls share?" without ever co-scanning them. (HLL unions
+# by register max but has no intersection; inclusion-exclusion on HLL
+# estimates compounds error.)
+#
+# Built on stable_hash64 like the other sketches, so every retained hash,
+# theta, and estimate has a bit-identical ANSI-SQL formulation (ORDER BY
+# hash LIMIT k per group) and the approximation itself is oracle-checked.
+#
+# Scale: the global k-minimum set per group is a subset of the union of
+# per-partition k-minimum sets, so a partition-local Arrow prune caps the
+# shuffle at partitions * groups * k rows regardless of input cardinality
+# (the same lossless two-phase shape as similarity._partition_local_topk);
+# the Python path sees only (group, bigint-hash) columns, never values.
+# ---------------------------------------------------------------------------
+_KMV_POW = float(1 << _HASH_BITS)  # hash values are uniform in [0, 2^60)
+
+
+def _partition_local_kmins(
+    proj: DataFrame, group_cols: Sequence[str], k: int
+) -> DataFrame:
+    """Within each partition keep only the k smallest DISTINCT hashes per
+    group — lossless for the global per-group k-min set. Batches stream
+    through with O(groups * k) partition memory."""
+    import pandas as pd
+
+    gc = list(group_cols)
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop_duplicates(subset=[*gc, "h"]).sort_values(
+            [*gc, "h"], kind="mergesort"
+        )
+        return pdf.groupby(gc, sort=False).head(k) if gc else pdf.head(k)
+
+    def per_partition(batches):
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            cur = prune(pdf)
+            best = cur if best is None else prune(pd.concat([best, cur]))
+        if best is not None:
+            yield best
+
+    return proj.mapInPandas(per_partition, proj.schema)
+
+
+def kmv_sketch_table(
+    df: DataFrame, group_cols: Sequence[str], value_col: str, k: int = 256
+) -> DataFrame:
+    """(group..., h) — the k smallest distinct ``stable_hash64`` values of
+    ``value_col`` per group. This IS the mergeable sketch state: persist it
+    per batch/day, then ``kmv_merge`` / ``kmv_estimate`` /
+    ``kmv_set_estimates`` over any subset without touching raw data."""
+    from pyspark.sql import Window
+
+    proj = df.select(
+        *group_cols, stable_hash64(F.col(value_col).cast("string")).alias("h")
+    )
+    pruned = _partition_local_kmins(proj, group_cols, k)
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        pruned.distinct()
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def kmv_merge(
+    sketches: DataFrame, group_cols: Sequence[str], k: int = 256
+) -> DataFrame:
+    """Union-merge sketch tables (same k): distinct hashes, re-take the k
+    smallest per group. Exactly the sketch of the unioned inputs — no
+    accuracy lost by sketching fine and merging up (tested)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        sketches.distinct()
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, group_cols: Sequence[str], k: int = 256
+) -> DataFrame:
+    """(group..., n_kmv): distinct-count estimate per group. With fewer
+    than k hashes retained the sketch holds the ENTIRE distinct hash set
+    and the count is exact; otherwise the classic unbiased KMV estimator
+    (k-1) / theta, theta = kth smallest hash / 2^60 (Bar-Yossef et al.
+    2002; Beyer et al. 2007)."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n"), F.max("h").alias("__kth")
+    )
+    est = F.when(F.col("__n") < k, F.col("__n").cast("double")).otherwise(
+        F.lit(float(k - 1)) / (F.col("__kth") / F.lit(_KMV_POW))
+    )
+    return agg.select(*group_cols, est.alias("n_kmv"))
+
+
+def kmv_set_estimates(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
+    """Theta-sketch set algebra over two ungrouped sketch tables (column
+    ``h``): one row with distinct-count estimates for A∪B, A∩B, and A\\B.
+
+    theta = min of the two per-sketch thetas (1.0 when a side retained
+    fewer than k hashes, i.e. is exact); each side's retained set is cut
+    back to hashes strictly below theta, making the two samples drawn at
+    the SAME inclusion probability — then |S| / theta estimates each
+    region's cardinality (Dasgupta et al., the Theta-Sketch Framework).
+    Every stage is a DataFrame op over <= 2k rows; nothing collects."""
+    na_ma = a.agg(F.count(F.lit(1)).alias("__na"), F.max("h").alias("__ma"))
+    nb_mb = b.agg(F.count(F.lit(1)).alias("__nb"), F.max("h").alias("__mb"))
+    theta = (
+        na_ma.crossJoin(nb_mb)
+        .select(
+            F.least(
+                F.when(F.col("__na") < k, F.lit(1.0)).otherwise(
+                    F.col("__ma") / F.lit(_KMV_POW)
+                ),
+                F.when(F.col("__nb") < k, F.lit(1.0)).otherwise(
+                    F.col("__mb") / F.lit(_KMV_POW)
+                ),
+            ).alias("theta")
+        )
+    )
+    tagged = a.select("h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")).unionAll(
+        b.select("h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    )
+    merged = tagged.groupBy("h").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    below = merged.crossJoin(F.broadcast(theta)).where(
+        F.col("h") / F.lit(_KMV_POW) < F.col("theta")
+    )
+    return below.groupBy("theta").agg(
+        (F.count(F.lit(1)) / F.col("theta")).alias("union_kmv"),
+        (F.sum(F.col("in_a") * F.col("in_b")) / F.col("theta")).alias("inter_kmv"),
+        (F.sum(F.col("in_a") * (1 - F.col("in_b"))) / F.col("theta")).alias(
+            "aonly_kmv"
+        ),
+    ).drop("theta")

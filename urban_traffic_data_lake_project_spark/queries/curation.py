@@ -36,6 +36,8 @@ from urban_traffic_data_lake_project_spark.operators.sketches import (
     hll_register_table,
     hll_rollup,
     hll_sql,
+    kmv_set_estimates,
+    kmv_sketch_table,
 )
 from urban_traffic_data_lake_project_spark.queries.base import ROUND_STAT, QuerySpec
 from urban_traffic_data_lake_project_spark.queries.llm import (
@@ -1178,7 +1180,102 @@ FROM perdoc ORDER BY bm25 DESC, doc_id LIMIT {_BM25_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# sketch_kmv_setops — theta/KMV sketch set algebra: how many customers do
+# the URGENT and HIGH order populations share? Two KMV sketches built
+# independently (the per-crawl / per-day shape), then union / intersection
+# / difference ESTIMATES from the sketches alone, next to the exact
+# answers. The estimates themselves are oracle-checked bit-for-bit (same
+# stable_hash64, same k smallest, same theta arithmetic) — the capability
+# HLL lacks entirely (no sketch intersection).
+# ---------------------------------------------------------------------------
+_KMV_K = 256
+_KMV_POW_SQL = "1152921504606846976.0"  # 2^60 as the hash-domain width
+_KMV_A, _KMV_B = "1-URGENT", "2-HIGH"
+
+
+def _sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = kmv_sketch_table(
+        orders.where(F.col("o_orderpriority") == _KMV_A), [], "o_custkey", k=_KMV_K
+    )
+    b = kmv_sketch_table(
+        orders.where(F.col("o_orderpriority") == _KMV_B), [], "o_custkey", k=_KMV_K
+    )
+    est = kmv_set_estimates(a, b, k=_KMV_K)
+    ia = (F.col("o_orderpriority") == _KMV_A).cast("int")
+    ib = (F.col("o_orderpriority") == _KMV_B).cast("int")
+    exact = (
+        orders.where(F.col("o_orderpriority").isin(_KMV_A, _KMV_B))
+        .groupBy("o_custkey")
+        .agg(F.max(ia).alias("ia"), F.max(ib).alias("ib"))
+        .agg(
+            F.count(F.lit(1)).alias("union_exact"),
+            F.sum(F.col("ia") * F.col("ib")).alias("inter_exact"),
+            F.sum(F.col("ia") * (1 - F.col("ib"))).alias("aonly_exact"),
+        )
+    )
+    return est.crossJoin(exact).select(
+        F.round("union_kmv", 4).alias("union_kmv"),
+        "union_exact",
+        F.round("inter_kmv", 4).alias("inter_kmv"),
+        "inter_exact",
+        F.round("aonly_kmv", 4).alias("aonly_kmv"),
+        "aonly_exact",
+    )
+
+
+_KMV_HASH_SQL = "(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::UBIGINT)::BIGINT"
+
+_KMV_SETOPS_SQL = f"""
+WITH ka AS (
+  SELECT DISTINCT {_KMV_HASH_SQL} AS h FROM orders
+  WHERE o_orderpriority = '{_KMV_A}' ORDER BY h LIMIT {_KMV_K}),
+kb AS (
+  SELECT DISTINCT {_KMV_HASH_SQL} AS h FROM orders
+  WHERE o_orderpriority = '{_KMV_B}' ORDER BY h LIMIT {_KMV_K}),
+th AS (
+  SELECT least(
+    CASE WHEN (SELECT count(*) FROM ka) < {_KMV_K} THEN 1.0
+         ELSE (SELECT max(h) FROM ka) / {_KMV_POW_SQL} END,
+    CASE WHEN (SELECT count(*) FROM kb) < {_KMV_K} THEN 1.0
+         ELSE (SELECT max(h) FROM kb) / {_KMV_POW_SQL} END) AS theta),
+merged AS (
+  SELECT h, max(in_a) AS in_a, max(in_b) AS in_b
+  FROM (SELECT h, 1 AS in_a, 0 AS in_b FROM ka
+        UNION ALL
+        SELECT h, 0 AS in_a, 1 AS in_b FROM kb)
+  GROUP BY h),
+est AS (
+  SELECT count(*) / t.theta AS union_kmv,
+         sum(m.in_a * m.in_b) / t.theta AS inter_kmv,
+         sum(m.in_a * (1 - m.in_b)) / t.theta AS aonly_kmv
+  FROM merged m, th t
+  WHERE m.h / {_KMV_POW_SQL} < t.theta
+  GROUP BY t.theta),
+exact AS (
+  SELECT count(*)::BIGINT AS union_exact,
+         sum(ia * ib)::BIGINT AS inter_exact,
+         sum(ia * (1 - ib))::BIGINT AS aonly_exact
+  FROM (SELECT o_custkey,
+               max(CASE WHEN o_orderpriority = '{_KMV_A}' THEN 1 ELSE 0 END) AS ia,
+               max(CASE WHEN o_orderpriority = '{_KMV_B}' THEN 1 ELSE 0 END) AS ib
+        FROM orders
+        WHERE o_orderpriority IN ('{_KMV_A}', '{_KMV_B}')
+        GROUP BY o_custkey))
+SELECT round(union_kmv, 4) AS union_kmv, union_exact,
+       round(inter_kmv, 4) AS inter_kmv, inter_exact,
+       round(aonly_kmv, 4) AS aonly_kmv, aonly_exact
+FROM est, exact
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "sketch_kmv_setops": QuerySpec(
+        _sketch_kmv_setops, _KMV_SETOPS_SQL,
+        "KMV/theta sketch set algebra: union/intersection/difference estimates vs exact",
+        ("sketch", "curation"),
+    ),
     "text_bm25_topk": QuerySpec(
         _bm25_topk, _BM25_SQL,
         "BM25 top-k retrieval against a fixed query-term bag",
