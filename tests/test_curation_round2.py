@@ -742,3 +742,32 @@ def test_kmv_set_estimates_disjoint_and_identical(spark):
     same = kmv_set_estimates(sa, sa, k=k).collect()[0]
     assert same["aonly_kmv"] == 0.0
     assert abs(same["union_kmv"] - 2000) / 2000 < 0.4
+
+
+def test_cm_heavy_hitters_equals_direct_exact(spark):
+    """The CM screen must be invisible in the result: same heavy set and
+    counts as a plain exact groupBy + threshold (no false negatives by
+    the CM overestimate-only property; false positives die at the exact
+    re-check), and n_cm >= n_exact for every survivor."""
+    from urban_traffic_data_lake_project_spark.operators.sketches import (
+        cm_heavy_hitters,
+    )
+
+    # skewed: value 'hot-i' for i<5 appears ~200x, the tail once each
+    df = spark.range(2000).select(
+        F.when(F.col("id") < 1000, F.concat(F.lit("hot-"), F.col("id") % 5))
+        .otherwise(F.concat(F.lit("cold-"), F.col("id")))
+        .alias("v")
+    )
+    got = {
+        r["v"]: (r["n_cm"], r["n_exact"])
+        for r in cm_heavy_hitters(df, "v", min_frac=0.05, depth=4, width=64).collect()
+    }
+    direct = {
+        r["v"]: r["n"]
+        for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("n")).where(F.col("n") >= 100).collect()
+    }
+    assert set(got) == set(direct)
+    for v, (n_cm, n_exact) in got.items():
+        assert n_exact == direct[v]
+        assert n_cm >= n_exact

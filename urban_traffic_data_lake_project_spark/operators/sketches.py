@@ -536,3 +536,61 @@ def kmv_set_estimates(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
             "aonly_kmv"
         ),
     ).drop("theta")
+
+
+def cm_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    min_frac: float,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Every value whose true occurrence count is >= ``min_frac`` of all
+    rows — found WITHOUT a full-cardinality groupBy. The 100 TB problem
+    with exact heavy hitters is that ``groupBy(value).count()`` shuffles
+    one row per DISTINCT value; this screens first:
+
+    1. build the count-min sketch (depth x width cells — tiny, bounded by
+       construction) and broadcast it;
+    2. screen every occurrence map-side with ``depth`` broadcast joins
+       (est = min over rows of the hashed cell). CM never underestimates,
+       so the surviving set is a SUPERSET of the true heavy hitters —
+       no false negatives, only collision-mass false positives;
+    3. exact-count ONLY the surviving occurrences (the shuffle now
+       carries heavy values + a bounded false-positive tail) and apply
+       the threshold to the exact counts.
+
+    Returns (value, n_cm, n_exact), truth-filtered. The total-row count
+    rides the plan as a broadcast one-row aggregate — no eager count."""
+    total = df.agg(F.count(F.lit(1)).alias("__tot"))
+    # one sketch build, reused by all ``depth`` broadcast screens (persist
+    # is lazy and the table is <= depth*width rows — without it each
+    # broadcast exchange would recompute the full input scan)
+    cells = cm_sketch_table(df, value_col, depth, width).persist()
+    out = df.select(value_col).crossJoin(F.broadcast(total))
+    for j in range(depth):
+        cells_j = F.broadcast(
+            cells.where(F.col("row") == j)
+            .select(F.col("bucket").alias(f"__b{j}"), F.col("n").alias(f"__n{j}"))
+        )
+        out = out.withColumn(
+            f"__b{j}",
+            F.pmod(
+                stable_hash64(F.col(value_col).cast("string"), salt=f"cm{j}|"),
+                F.lit(width),
+            ),
+        ).join(cells_j, f"__b{j}", "left")
+    est = F.least(*[F.coalesce(F.col(f"__n{j}"), F.lit(0)) for j in range(depth)])
+    screened = out.withColumn("__n_cm", est).where(
+        F.col("__n_cm") >= F.col("__tot") * F.lit(min_frac)
+    )
+    return (
+        screened.groupBy(value_col)
+        .agg(
+            F.min("__n_cm").alias("n_cm"),
+            F.count(F.lit(1)).alias("n_exact"),
+            F.min("__tot").alias("__tot"),
+        )
+        .where(F.col("n_exact") >= F.col("__tot") * F.lit(min_frac))
+        .drop("__tot")
+    )

@@ -30,6 +30,7 @@ from urban_traffic_data_lake_project_spark.operators.sketches import (
     bloom_build,
     bloom_probe,
     cm_estimate,
+    cm_heavy_hitters,
     cm_sketch_table,
     hll_distinct,
     hll_estimate,
@@ -1270,7 +1271,69 @@ FROM est, exact
 """
 
 
+# ---------------------------------------------------------------------------
+# sketch_cm_heavy_hitters — exact corpus heavy hitters via a count-min
+# screen: terms covering >= _HH_FRAC of all token occurrences, found
+# without shuffling the full distinct-term table. The CM estimate never
+# underestimates, so the map-side screen passes a superset of the true
+# heavy hitters; only surviving occurrences reach the exact groupBy.
+# Both the screen estimates (n_cm) and the exact counts are in the
+# result, so the sketch arithmetic itself is oracle-checked.
+# ---------------------------------------------------------------------------
+_HH_FRAC = 0.005
+_HH_DEPTH, _HH_WIDTH = 4, 1024
+
+
+def _cm_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.where(F.trim(F.col("text")) != "").select(
+        F.explode(
+            F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != "")
+        ).alias("term")
+    )
+    return cm_heavy_hitters(
+        toks, "term", min_frac=_HH_FRAC, depth=_HH_DEPTH, width=_HH_WIDTH
+    )
+
+
+def _hh_bucket_sql(j: str | int) -> str:
+    return (
+        f"((('0x' || substr(md5('cm' || {j} || '|' || term), 1, 15))::UBIGINT"
+        f" % {_HH_WIDTH})::BIGINT)"
+    )
+
+
+_CM_HH_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''),
+tok AS (SELECT term FROM toks WHERE term <> ''),
+tot AS (SELECT count(*) AS n FROM tok),
+cells AS (
+  SELECT r.j, {_hh_bucket_sql('r.j')} AS bucket, count(*) AS n
+  FROM tok, (SELECT unnest(range(0, {_HH_DEPTH})) AS j) r
+  GROUP BY r.j, bucket),
+probes AS (
+  SELECT t.term, r.j, {_hh_bucket_sql('r.j')} AS bucket
+  FROM (SELECT DISTINCT term FROM tok) t,
+       (SELECT unnest(range(0, {_HH_DEPTH})) AS j) r),
+est AS (
+  SELECT p.term, min(c.n) AS n_cm
+  FROM probes p JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+  GROUP BY p.term),
+exact AS (SELECT term, count(*) AS n_exact FROM tok GROUP BY term)
+SELECT e.term, s.n_cm, e.n_exact
+FROM exact e JOIN est s ON s.term = e.term, tot
+WHERE s.n_cm >= {_HH_FRAC} * tot.n AND e.n_exact >= {_HH_FRAC} * tot.n
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "sketch_cm_heavy_hitters": QuerySpec(
+        _cm_heavy_hitters_q, _CM_HH_SQL,
+        "exact heavy-hitter terms via broadcast count-min screen + verify",
+        ("sketch", "curation", "text"),
+    ),
     "sketch_kmv_setops": QuerySpec(
         _sketch_kmv_setops, _KMV_SETOPS_SQL,
         "KMV/theta sketch set algebra: union/intersection/difference estimates vs exact",
