@@ -540,3 +540,64 @@ def test_pq_seed_vectors_quantize_losslessly(spark, sf_dir):
     assert set(rank1) == set(range(10))
     for qid, r in rank1.items():
         assert r["corpus_id"] == qid and r["adc_dist"] == 0.0
+
+
+def test_containment_detects_embedded_quote(spark):
+    """A short document fully quoted inside a long host: containment
+    short->host is 1.0 while Jaccard stays below any dedup threshold —
+    the asymmetry that motivates the directed operator."""
+    from urban_traffic_data_lake_project_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    host = (
+        "opening paragraph with completely unrelated prose about markets "
+        + quote
+        + " and a long closing section that keeps going with more filler "
+        "words entirely of its own so the union is much larger than the quote"
+    )
+    df = spark.createDataFrame([(1, quote), (2, host)], ["doc_id", "text"])
+    cont = {
+        (r["id_src"], r["id_dst"]): r["containment"]
+        for r in containment_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    assert cont[(1, 2)] == 1.0
+    assert (2, 1) not in cont  # host is NOT contained in the quote
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5)
+    assert jac.count() == 0
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    """Every mined negative must carry a different label than its query,
+    and per query the negatives are the top-k by similarity among the
+    off-label corpus (checked against a brute-force recompute)."""
+    import numpy as np
+
+    from urban_traffic_data_lake_project_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, [float(x) for x in rng.randn(8)], int(i % 3)) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = hard_negatives(df, df.filter(F.col("vec_id") < 3), k=4).collect()
+    labels = {r[0]: (np.array(r[1]), r[2]) for r in rows}
+    by_q: dict[int, list] = {}
+    for r in out:
+        assert labels[r["neighbor_id"]][1] != labels[r["query_id"]][1]
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for qid, got in by_q.items():
+        qv, ql = labels[qid]
+        sims = sorted(
+            (
+                (-float(np.dot(qv, v) / (np.linalg.norm(qv) * np.linalg.norm(v))), nid)
+                for nid, (v, lbl) in labels.items()
+                if nid != qid and lbl != ql
+            )
+        )[:4]
+        expect = [nid for _, nid in sims]
+        assert [nid for _, nid in sorted(got)] == expect

@@ -100,6 +100,38 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.6
+) -> DataFrame:
+    """DIRECTED containment |A ∩ B| / |A| over word n-gram shingle sets —
+    the quote / sub-document detector. Jaccard divides by the union, so a
+    short document wholly embedded in a long one scores near zero; its
+    containment in the host is 1.0. Production cleaning runs both: Jaccard
+    for near-identical pages, containment for wrapped or quoted reuse.
+
+    Returns (id_src, id_dst, containment) for ordered pairs with
+    containment(src -> dst) >= threshold. Same shingle-key cogroup shape
+    (and cost bound) as ``ngram_jaccard_pairs``: only pairs that actually
+    share a shingle are generated."""
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_src"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_dst"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_src") != F.col("id_dst"))
+        .groupBy("id_src", "id_dst")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    src_sz = sizes.select(F.col(id_col).alias("id_src"), F.col("n_sh").alias("n_src"))
+    return (
+        inter.join(src_sz, "id_src")
+        .withColumn("containment", F.col("n_common") / F.col("n_src"))
+        .filter(F.col("containment") >= threshold)
+        .select("id_src", "id_dst", "containment")
+    )
+
+
 # Affine MinHash family over the Mersenne prime 2^31 - 1: one md5-derived
 # base hash per shingle, then mh_i = min((a_i * h + b_i) mod P). a_i < P and
 # h mod P < 2^31 keep every product under 2^62 — no BIGINT overflow, and the

@@ -191,6 +191,52 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the k most
+    similar corpus vectors with a DIFFERENT label — the pairs that teach a
+    contrastive/embedding model the most (easy negatives are already far;
+    same-label neighbors are positives, not negatives).
+
+    Same two-phase exact shape as ``cosine_topk`` — broadcast queries,
+    JVM-side dot products, partition-local prune, then a rank window over
+    only the survivor rows — with the label inequality pushed into the
+    broadcast-join condition so off-label rows never reach the scorer."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("__ql"),
+        _as_double(F.col(vec_col)).alias("__qv"),
+    )
+    c = spread_to_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("__cl"),
+        _as_double(F.col(vec_col)).alias("__cv"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("neighbor_id") != F.col("query_id"))
+        & (F.col("__cl") != F.col("__ql")),
+    ).withColumn(
+        "cosine_sim",
+        _dot(F.col("__qv"), F.col("__cv")) / (_norm(F.col("__qv")) * _norm(F.col("__cv"))),
+    )
+    pruned = _partition_local_topk(scored, k)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def centroid_entries(
     corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int
 ) -> list:

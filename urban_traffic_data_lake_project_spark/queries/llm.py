@@ -94,6 +94,93 @@ FROM jac WHERE jaccard >= {_JACCARD_THRESHOLD}
 
 
 # ---------------------------------------------------------------------------
+# text_zipf_fit — corpus-statistics diagnostic: OLS fit of ln(freq) on
+# ln(rank) over the top terms. Natural corpora follow Zipf's law with
+# slope ~ -1; machine-generated or template-heavy corpora deviate, which
+# makes the fitted slope + R^2 a cheap corpus-health signal a curation
+# pipeline tracks per snapshot. The rank table is bounded up front
+# (orderBy+limit = TakeOrderedAndProject), so the window and the OLS run
+# over at most _ZIPF_TOP rows regardless of corpus size; the only
+# full-data stage is the grouped term count (map-side partials).
+# ---------------------------------------------------------------------------
+_ZIPF_TOP = 500
+
+
+def _zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.where(F.trim(F.col("text")) != "").select(
+        F.explode(
+            F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != "")
+        ).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("term")).limit(_ZIPF_TOP)
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    ranked = top.withColumn("rank", F.row_number().over(w)).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    slope = F.covar_pop("x", "y") / F.var_pop("x")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(slope, 4).alias("slope"),
+        F.round(F.avg("y") - slope * F.avg("x"), 4).alias("intercept"),
+        F.round(F.pow(F.corr("x", "y"), 2), 4).alias("r2"),
+    )
+
+
+_ZIPF_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''),
+tok AS (SELECT term FROM toks WHERE term <> ''),
+counts AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+top AS (SELECT term, n FROM counts ORDER BY n DESC, term LIMIT {_ZIPF_TOP}),
+ranked AS (
+  SELECT ln(row_number() OVER (ORDER BY n DESC, term)) AS x, ln(n) AS y
+  FROM top)
+SELECT count(*)::BIGINT AS n_terms,
+       round(covar_pop(x, y) / var_pop(x), 4) AS slope,
+       round(avg(y) - (covar_pop(x, y) / var_pop(x)) * avg(x), 4) AS intercept,
+       round(pow(corr(x, y), 2), 4) AS r2
+FROM ranked
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_containment — directed shingle containment |A∩B|/|A| (quote /
+# sub-document detection; reference has no counterpart — net-new LLM op).
+# ---------------------------------------------------------------------------
+_CONTAIN_THRESHOLD = 0.6
+
+
+def _dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=_CONTAIN_THRESHOLD
+    )
+    return pairs.select(
+        "id_src", "id_dst", F.round("containment", ROUND_STAT).alias("containment")
+    )
+
+
+_DEDUP_CONTAIN_SQL = f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_src, b.doc_id AS id_dst, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2)
+SELECT id_src, id_dst,
+       round(n_common::DOUBLE / s.n_sh, {ROUND_STAT}) AS containment
+FROM inter JOIN sizes s ON s.doc_id = id_src
+WHERE n_common::DOUBLE / s.n_sh >= {_CONTAIN_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup_minhash_lsh — MinHash signatures -> LSH bands -> verified pairs.
 #
 # Two gate configs over the same operator (banding is the recall knob; the
@@ -356,6 +443,41 @@ scored AS (
            / (sqrt(list_sum(list_transform(qv, x -> x * x)))
               * sqrt(list_sum(list_transform(cv, x -> x * x)))) AS sim
   FROM q, c WHERE neighbor_id <> query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, round(sim, {ROUND_STAT}) AS cosine_sim, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# sim_hard_negatives — contrastive hard-negative mining: nearest
+# DIFFERENT-label corpus vectors per query (net-new training-data op;
+# the pairs a contrastive objective learns most from).
+# ---------------------------------------------------------------------------
+def _hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = S.hard_negatives(emb, queries, "vec_id", "embedding", "label", k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", ROUND_STAT).alias("cosine_sim"), "rank"
+    )
+
+
+_HARD_NEG_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS ql, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 10),
+c AS (
+  SELECT vec_id AS neighbor_id, label AS cl, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i]))
+           / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+              * sqrt(list_sum(list_transform(cv, x -> x * x)))) AS sim
+  FROM q, c WHERE neighbor_id <> query_id AND cl <> ql),
 ranked AS (
   SELECT query_id, neighbor_id, sim,
          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
@@ -1219,6 +1341,16 @@ REGISTRY: dict[str, QuerySpec] = {
         ("text", "defer"),
     ),
     "dedup_ngram_jaccard": QuerySpec(_dedup_jaccard, _DEDUP_JACCARD_SQL, "exact n-gram Jaccard pairs", ("dedup",)),
+    "text_zipf_fit": QuerySpec(
+        _zipf_fit, _ZIPF_SQL,
+        "Zipf rank-frequency OLS fit over top terms (corpus-health signal)",
+        ("text", "diagnostics"),
+    ),
+    "dedup_containment": QuerySpec(
+        _dedup_containment, _DEDUP_CONTAIN_SQL,
+        "directed shingle containment pairs (quote/sub-document detection)",
+        ("dedup", "text"),
+    ),
     "dedup_minhash_lsh": QuerySpec(_dedup_minhash_cfg(_MINHASH_BANDS), _DEDUP_MINHASH_SQL, "MinHash-LSH verified near-dup pairs", ("dedup",)),
     "dedup_minhash_lsh_hi_recall": QuerySpec(
         _dedup_minhash_cfg(_HI_RECALL_BANDS), _DEDUP_MINHASH_HI_SQL,
@@ -1231,6 +1363,11 @@ REGISTRY: dict[str, QuerySpec] = {
         ("dedup",),
     ),
     "sim_cosine_topk": QuerySpec(_cosine_topk, _COSINE_TOPK_SQL, "brute-force cosine top-k", ("similarity",)),
+    "sim_hard_negatives": QuerySpec(
+        _hard_negatives, _HARD_NEG_SQL,
+        "contrastive hard negatives: nearest different-label vectors per query",
+        ("similarity", "curation"),
+    ),
     "sim_pq_encode": QuerySpec(
         _pq_encode, _PQ_ENCODE_SQL,
         "product-quantization encode + per-vector reconstruction distortion",
