@@ -157,3 +157,78 @@ def test_stream_stream_interval_join_equals_batch_range_join(spark, sf_dir):
     )
     g, x = _normalize(got), _normalize(expected)
     assert g.equals(x), (g.shape, x.shape)
+
+
+def test_dedup_within_watermark_collapses_shifted_redelivery(spark):
+    """The property plain dropDuplicates over (key, ts) misses: a
+    re-delivery stamped with a FRESH timestamp still collapses, because
+    only the key participates in the state lookup."""
+    import tempfile as tf
+
+    d = tf.mkdtemp(prefix="stream_dedup_wm_")
+    base = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        (1, base, "u1", 1.0),
+        (1, base + dt.timedelta(minutes=5), "u1", 1.0),  # shifted re-delivery
+        (2, base, "u2", 2.0),
+    ]
+    schema = "event_id long, ts timestamp, user_id string, value double"
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(f"{d}/f")
+    stream = spark.readStream.schema(schema).parquet(f"{d}/f")
+
+    plain = sw.run_available_now(
+        sw.streaming_dedup(stream, ["event_id"]), spark, mode="append"
+    )
+    assert plain.count() == 3  # (key, ts) dedup misses the shifted copy
+
+    within = sw.run_available_now(
+        sw.streaming_dedup_within_watermark(stream, ["event_id"]), spark, mode="append"
+    )
+    assert within.count() == 2
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_outer_interval_join_emits_unmatched_after_flush(spark):
+    """Left-outer stream-stream join on a finite replay: the sentinel-
+    flushed reader advances the watermark past the data so the unmatched
+    click emits a NULL right side; without the flush it stays buffered."""
+    import os as _os
+    import tempfile as tf
+
+    d = tf.mkdtemp(prefix="stream_outer_")
+    base = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        (1, base, 7, "click", 1.0, None),                          # matched
+        (2, base + dt.timedelta(seconds=60), 7, "view", 2.0, None),
+        (3, base + dt.timedelta(hours=1), 8, "click", 3.0, None),  # unmatched
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        f"{d}/events.parquet"
+    )
+    # collapse the multi-file spark write into the single file the flushed
+    # reader stages
+    part = [
+        f for f in _os.listdir(f"{d}/events.parquet") if f.endswith(".parquet")
+    ]
+    assert part
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{d}/events.parquet")
+    pq.write_table(tbl, f"{d}/events_single.parquet")
+    shutil.rmtree(f"{d}/events.parquet")
+    _os.rename(f"{d}/events_single.parquet", f"{d}/events.parquet")
+
+    stream = sw.read_events_stream_flushed(spark, d)
+    clicks = stream.filter(F.col("event_type") == "click")
+    views = stream.filter(F.col("event_type") == "view")
+    out = sw.run_available_now(
+        sw.stream_stream_interval_join(clicks, views, "user_id", 600, how="left_outer"),
+        spark,
+    ).filter(F.col("user_id") >= 0)
+    got = {(r["l_id"], r["r_id"]) for r in out.collect()}
+    assert got == {(1, 2), (3, None)}
+    shutil.rmtree(d, ignore_errors=True)

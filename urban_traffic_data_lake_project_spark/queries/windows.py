@@ -271,6 +271,40 @@ FROM clicks c JOIN views v
 
 
 # ---------------------------------------------------------------------------
+# stream_interval_join_outer — the LEFT OUTER stream-stream join: clicks
+# with no view within ±600s emit once the watermark passes their horizon.
+# A finite replay can only flush those rows if the watermark advances past
+# the last real event, so the input is the sentinel-flushed stream
+# (read_events_stream_flushed); sentinels are dropped by user_id >= 0.
+# Oracle: the batch LEFT JOIN with the same interval condition.
+# ---------------------------------------------------------------------------
+def _stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.streaming import windows as sw
+
+    stream = sw.read_events_stream_flushed(spark, sf_dir)
+    clicks = stream.filter(F.col("event_type") == "click")
+    views = stream.filter(F.col("event_type") == "view")
+    out = sw.run_available_now(
+        sw.stream_stream_interval_join(clicks, views, "user_id", 600, how="left_outer"),
+        spark,
+    )
+    return out.filter(F.col("user_id") >= 0)
+
+
+_STREAM_INTERVAL_OUTER_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts AS l_ts, event_id AS l_id FROM events WHERE event_type = 'click'),
+views AS (
+  SELECT user_id, ts AS r_ts, event_id AS r_id, value AS r_value
+  FROM events WHERE event_type = 'view')
+SELECT c.user_id, c.l_id, v.r_id, c.l_ts, v.r_ts, v.r_value
+FROM clicks c LEFT JOIN views v
+  ON c.user_id = v.user_id
+ AND abs(date_diff('microsecond', v.r_ts, c.l_ts)) <= 600000000
+"""
+
+
+# ---------------------------------------------------------------------------
 # join_salted_skew — the salted join under the gate on an engineered hot
 # key (~30% of lineitem collapses onto one key): salting must produce
 # IDENTICAL results to the plain join (the oracle IS the plain join), while
@@ -473,6 +507,30 @@ def _stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STREAM_DEDUP_SQL = f"""
+SELECT event_id, user_id, event_type, round(value, {ROUND_STAT}) AS value
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# stream_dedup_within_watermark — exactly-once dedup with bounded state
+# and NO timestamp in the key (dropDuplicatesWithinWatermark): the shape
+# for at-least-once sources whose re-deliveries carry fresh timestamps.
+# Same twice-delivered input and batch oracle as stream_dedup_redelivery.
+# ---------------------------------------------------------------------------
+def _stream_dedup_within_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.streaming import windows as sw
+
+    stream = sw.read_events_stream(spark, sf_dir)
+    doubled = stream.union(sw.read_events_stream(spark, sf_dir))
+    deduped = sw.streaming_dedup_within_watermark(doubled, ["event_id"])
+    out = sw.run_available_now(deduped, spark, mode="append")
+    return out.select(
+        "event_id", "user_id", "event_type", F.round("value", ROUND_STAT).alias("value")
+    )
+
+
+_STREAM_DEDUP_WM_SQL = f"""
 SELECT event_id, user_id, event_type, round(value, {ROUND_STAT}) AS value
 FROM events
 """
@@ -1146,6 +1204,16 @@ REGISTRY: dict[str, QuerySpec] = {
         _stream_dedup, _STREAM_DEDUP_SQL,
         "stateful exactly-once dedup of a twice-delivered stream",
         ("streaming", "defer"),
+    ),
+    "stream_interval_join_outer": QuerySpec(
+        _stream_interval_join_outer, _STREAM_INTERVAL_OUTER_SQL,
+        "left-outer stream-stream interval join (watermark-flushed finite replay)",
+        ("streaming", "join"),
+    ),
+    "stream_dedup_within_watermark": QuerySpec(
+        _stream_dedup_within_wm, _STREAM_DEDUP_WM_SQL,
+        "dropDuplicatesWithinWatermark exactly-once dedup, bounded state",
+        ("streaming",),
     ),
     "json_extract_events": QuerySpec(_json_extract, _JSON_SQL, "JSON scalar extraction", ("scalar", "defer")),
 }

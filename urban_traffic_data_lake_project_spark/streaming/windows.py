@@ -98,6 +98,7 @@ def stream_stream_interval_join(
     by: str,
     window_seconds: int = 600,
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join with an event-time interval condition:
     pair left rows with right rows of the same ``by`` key whose timestamp
@@ -118,7 +119,10 @@ def stream_stream_interval_join(
         & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {window_seconds} SECONDS"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {window_seconds} SECONDS"))
     )
-    return l.join(r, cond, "inner").select(
+    # left_outer additionally emits unmatched left rows (NULL right side)
+    # once the watermark passes l_ts + window — the state-eviction point;
+    # the interval condition is what makes the outer form legal at all.
+    return l.join(r, cond, how).select(
         F.col("__k").alias("user_id"), "l_id", "r_id", "l_ts", "r_ts", "r_value"
     )
 
@@ -155,3 +159,95 @@ def run_available_now(
 def _has_aggregation(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().logical().toString()
     return "Aggregate" in plan
+
+
+def streaming_dedup_within_watermark(
+    stream: DataFrame, keys: list[str], watermark: str = "1 hour"
+) -> DataFrame:
+    """Exactly-once dedup with BOUNDED state and no timestamp in the key:
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per key only
+    until the watermark passes, so re-deliveries within the delay collapse
+    while state stays O(keys in the horizon) — the production shape for
+    at-least-once sources, where ``dropDuplicates`` over (key, ts) would
+    miss re-deliveries stamped with a fresh timestamp. First sight emits
+    immediately (append mode), so no end-of-stream flush is needed."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def read_events_stream_flushed(
+    spark: SparkSession, sf_dir: str, horizon_hours: int = 4
+) -> DataFrame:
+    """The events file stream plus one far-future SENTINEL row per
+    event_type (user_id = -1), staged so the sentinels arrive in a later
+    microbatch and drive the watermark past every real row. Append-mode
+    operators whose output waits on the watermark — stream-stream OUTER
+    joins, final event-time windows — can then flush under AvailableNow.
+
+    A real deployment never needs this: its stream doesn't end, so the
+    watermark keeps advancing with live traffic. It is the harness that
+    gives a FINITE replay the same property. Downstream must drop rows
+    with user_id < 0."""
+    import tempfile
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "events.parquet")
+    staged = tempfile.mkdtemp(prefix="spark_graft_flush_")
+    data_path = os.path.join(staged, "000_events.parquet")
+
+    # restage at TIMESTAMP(MICROS): the source may carry nanos (either as
+    # legacy raw INT64 or Parquet NANOS), which Spark's batch inference
+    # and the streaming reader can map to DIFFERENT types; a single
+    # explicit precision keeps the two staged files and the stream schema
+    # agreeing. Micros is Spark's native resolution (same div-1000 the
+    # batch loader applies to nano longs).
+    tbl = pq.read_table(src)
+    i = tbl.schema.get_field_index("ts")
+    f = tbl.schema.field(i)
+    if pa.types.is_timestamp(f.type) and f.type.unit != "us":
+        t = pa.timestamp("us", f.type.tz)
+        tbl = tbl.set_column(i, pa.field("ts", t), tbl.column("ts").cast(t))
+    elif pa.types.is_integer(f.type):
+        # epoch-nanos as a raw long (legacy generation)
+        t = pa.timestamp("us")
+        ns = pa.compute.divide(tbl.column("ts"), 1000)
+        tbl = tbl.set_column(i, pa.field("ts", t), ns.cast(t))
+    pq.write_table(tbl, data_path)
+    max_ts = pa.compute.max(tbl.column("ts").combine_chunks()).as_py()
+    names = tbl.schema.names
+    sentinels = []
+    for i, etype in enumerate(("click", "view")):
+        row = {}
+        for name in names:
+            if name == "event_id":
+                row[name] = -1 - i
+            elif name == "ts":
+                # separated by > any join window so sentinels never pair
+                row[name] = max_ts + __import__("datetime").timedelta(
+                    hours=horizon_hours + i
+                )
+            elif name == "user_id":
+                row[name] = -1 - i
+            elif name == "event_type":
+                row[name] = etype
+            else:
+                row[name] = None
+        sentinels.append(row)
+    sent_tbl = pa.Table.from_pylist(sentinels, schema=tbl.schema)
+    sent_path = os.path.join(staged, "999_sentinel.parquet")
+    pq.write_table(sent_tbl, sent_path)
+    # FileStreamSource orders by modification time; make the ordering
+    # unambiguous so maxFilesPerTrigger=1 puts the sentinel batch last
+    now = _time.time()
+    os.utime(data_path, (now - 60, now - 60))
+    os.utime(sent_path, (now, now))
+
+    schema = spark.read.parquet(data_path).schema
+    df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    return normalize_event_ts(df, "ts")
