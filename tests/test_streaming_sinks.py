@@ -167,3 +167,42 @@ def test_observe_metrics_on_batch_query(spark, sf_dir):
     ).first()
     assert abs(got["total_qty"] - direct.s) < 1e-6
     assert got["max_ship"] == direct.m
+
+
+def test_time_travel_reads_historical_versions(spark):
+    """After three upsert epochs, every prior version stays readable and
+    reflects exactly the state as of that epoch; uncommitted orphan
+    directories (crashed writer) are invisible to list/read."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from urban_traffic_data_lake_project_spark.streaming.sinks import (
+        foreach_batch_upsert,
+        list_versions,
+        read_version,
+    )
+
+    d = tempfile.mkdtemp(prefix="tt_test_")
+    sink = foreach_batch_upsert(d, ["k"], "o")
+    sink(spark.createDataFrame([("a", 1, 10)], "k string, o int, x int"), 0)
+    sink(spark.createDataFrame([("a", 2, 20), ("b", 1, 5)], "k string, o int, x int"), 1)
+    sink(spark.createDataFrame([("b", 2, 7)], "k string, o int, x int"), 2)
+
+    assert list_versions(d) == [0, 1, 2]
+    v0 = {(r["k"], r["x"]) for r in read_version(spark, d, 0).collect()}
+    v1 = {(r["k"], r["x"]) for r in read_version(spark, d, 1).collect()}
+    v2 = {(r["k"], r["x"]) for r in read_version(spark, d, 2).collect()}
+    assert v0 == {("a", 10)}
+    assert v1 == {("a", 20), ("b", 5)}
+    assert v2 == {("a", 20), ("b", 7)}
+
+    # orphan beyond the pointer must be ignored
+    os.makedirs(os.path.join(d, "v=9"), exist_ok=True)
+    assert list_versions(d) == [0, 1, 2]
+    try:
+        read_version(spark, d, 9)
+        raise AssertionError("expected ValueError for uncommitted version")
+    except ValueError:
+        pass

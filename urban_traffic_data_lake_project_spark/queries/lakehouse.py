@@ -279,7 +279,88 @@ FROM t FULL OUTER JOIN d ON t.user_id = d.user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# lakehouse_time_travel — VERSION AS OF over the raw-parquet versioned
+# table: three chronological upsert epochs (10-day event slices, keep-
+# latest-profile-per-user), then every historical version is read back
+# and summarized. A user's profile at version v is their profile from
+# the LAST epoch <= v in which they appeared — exactly what the oracle
+# replays with a batch-rank window. Proves versions stay queryable after
+# the pointer advances (the audit/debug/reproducibility read path).
+# ---------------------------------------------------------------------------
+_TT_CUTS = ("2024-01-11", "2024-01-21")
+
+
+def _time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from urban_traffic_data_lake_project_spark.streaming.sinks import (
+        foreach_batch_upsert,
+        list_versions,
+        read_version,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    c1 = F.lit(_TT_CUTS[0]).cast("timestamp")
+    c2 = F.lit(_TT_CUTS[1]).cast("timestamp")
+    slices = [
+        e.filter(F.col("ts") < c1),
+        e.filter((F.col("ts") >= c1) & (F.col("ts") < c2)),
+        e.filter(F.col("ts") >= c2),
+    ]
+    table_dir = tempfile.mkdtemp(prefix="spark_graft_timetravel_")
+    sink = foreach_batch_upsert(table_dir, ["user_id"], "last_ts")
+    for bid, sl in enumerate(slices):
+        profile = sl.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        sink(profile, bid)
+
+    summaries = [
+        read_version(spark, table_dir, v).agg(
+            F.lit(v).cast("bigint").alias("version"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_events").alias("tot_events"),
+            F.round(F.sum("sum_value"), ROUND_SUM).alias("tot_value"),
+        )
+        for v in list_versions(table_dir)
+    ]
+    out = summaries[0]
+    for m in summaries[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+_TIME_TRAVEL_SQL = f"""
+WITH p AS (
+  SELECT user_id,
+         CASE WHEN ts < TIMESTAMP '{_TT_CUTS[0]}' THEN 0
+              WHEN ts < TIMESTAMP '{_TT_CUTS[1]}' THEN 1
+              ELSE 2 END AS b,
+         count(*) AS n_events, sum(value) AS sum_value
+  FROM events GROUP BY 1, 2),
+vs AS (SELECT unnest(range(0, 3)) AS version),
+latest AS (
+  SELECT v.version, p.user_id, p.n_events, p.sum_value,
+         row_number() OVER (PARTITION BY v.version, p.user_id
+                            ORDER BY p.b DESC) AS rn
+  FROM vs v JOIN p ON p.b <= v.version)
+SELECT version, count(*)::BIGINT AS n_users,
+       sum(n_events)::BIGINT AS tot_events,
+       round(sum(sum_value), {ROUND_SUM}) AS tot_value
+FROM latest WHERE rn = 1
+GROUP BY version
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "lakehouse_time_travel": QuerySpec(
+        _time_travel, _TIME_TRAVEL_SQL,
+        "VERSION AS OF reads over the versioned upsert table (3 epochs)",
+        ("lakehouse",),
+    ),
     "lakehouse_merge_upsert": QuerySpec(
         _merge_upsert, _MERGE_UPSERT_SQL,
         "MERGE INTO semantics: full-outer upsert with combine rules + audit column",

@@ -54,6 +54,33 @@ def read_versioned(spark, table_dir: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(table_dir, f"v={v}"))
 
 
+def list_versions(table_dir: str) -> list[int]:
+    """All committed versions of a versioned table, ascending. Only
+    versions at or below the pointer count — a crashed writer may leave
+    an orphaned v=N+1 directory that was never committed."""
+    cur = current_version(table_dir)
+    if cur < 0:
+        return []
+    out = []
+    for name in os.listdir(table_dir):
+        if name.startswith("v="):
+            v = int(name[2:])
+            if v <= cur:
+                out.append(v)
+    return sorted(out)
+
+
+def read_version(spark, table_dir: str, version: int) -> DataFrame:
+    """Time travel: read the table AS OF ``version``. Every upsert epoch
+    leaves its full version directory behind (the pointer only advances),
+    so any historical state remains queryable until versions are vacuumed
+    — the raw-parquet analogue of Delta's VERSION AS OF."""
+    versions = list_versions(table_dir)
+    if version not in versions:
+        raise ValueError(f"version {version} not in {versions} at {table_dir}")
+    return spark.read.parquet(os.path.join(table_dir, f"v={version}"))
+
+
 def foreach_batch_upsert(table_dir: str, keys: list[str], order_col: str):
     """MERGE-style upsert sink on raw parquet: per epoch, read the
     current version, union the batch, keep the latest row per key
