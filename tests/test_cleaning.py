@@ -97,3 +97,25 @@ def test_coerce_numeric_nulls_garbage(spark):
     out = C.coerce_numeric(df, ["v"]).collect()
     vals = [r["v"] for r in out]
     assert vals.count(None) == 3 and 1.5 in vals
+
+
+def test_k_anonymize_enforces_floor(spark):
+    from pyspark.sql import functions as F
+
+    from urban_traffic_data_lake_project_spark.operators.cleaning import k_anonymize
+
+    rows = [("US", "A"), ("US", "A"), ("US", "A"), ("DE", "B"), ("FR", "C")]
+    df = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(rows)], ["id", "country", "seg"]
+    )
+    out = k_anonymize(df, ["country", "seg"], k=3)
+    kept = out.where(~F.col("suppressed"))
+    # the (US, A) group of 3 survives intact; singletons are suppressed
+    assert kept.count() == 3
+    assert {r["country"] for r in kept.collect()} == {"US"}
+    supp = out.where(F.col("suppressed")).collect()
+    assert len(supp) == 2
+    assert all(r["country"] is None and r["seg"] is None for r in supp)
+    # invariant: every surviving combination appears >= k times
+    sizes = kept.groupBy("country", "seg").count().collect()
+    assert all(r["count"] >= 3 for r in sizes)

@@ -206,3 +206,32 @@ def test_time_travel_reads_historical_versions(spark):
         raise AssertionError("expected ValueError for uncommitted version")
     except ValueError:
         pass
+
+
+def test_version_diff_classifies_insert_update_delete(spark):
+    """CDC classification across synthetic versions, including the delete
+    path the append-only upsert query can't produce."""
+    import json
+    import os
+    import tempfile
+
+    from urban_traffic_data_lake_project_spark.streaming.sinks import version_diff
+
+    d = tempfile.mkdtemp(prefix="cdc_test_")
+    v0 = spark.createDataFrame(
+        [("a", 1, None), ("b", 2, "x"), ("c", 3, "y")], "k string, x int, s string"
+    )
+    v1 = spark.createDataFrame(
+        [("a", 1, None), ("b", 9, "x"), ("d", 4, None)], "k string, x int, s string"
+    )
+    v0.write.parquet(os.path.join(d, "v=0"))
+    v1.write.parquet(os.path.join(d, "v=1"))
+    with open(os.path.join(d, "_VERSION"), "w") as f:
+        json.dump({"version": 1, "batch_id": 1}, f)
+
+    got = {
+        r["k"]: r["change_type"]
+        for r in version_diff(spark, d, 0, 1, ["k"]).collect()
+    }
+    # a unchanged (null-safe compare) -> absent; b updated; c deleted; d inserted
+    assert got == {"b": "update", "c": "delete", "d": "insert"}

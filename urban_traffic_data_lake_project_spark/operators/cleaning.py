@@ -171,3 +171,27 @@ def variance_filter(df: DataFrame, cols: Sequence[str], min_std: float = 0.01) -
         return []
     row = df.agg(*[F.stddev_samp(c).alias(c) for c in cols]).first()
     return [c for c in cols if row[c] is not None and row[c] > min_std]
+
+
+def k_anonymize(
+    df: DataFrame, quasi_cols: Sequence[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity suppression over quasi-identifier columns: rows whose
+    quasi-identifier combination occurs fewer than ``k`` times get those
+    columns NULLed (suppressed) and are flagged ``suppressed`` — after
+    which every remaining non-null combination appears >= k times, the
+    re-identification floor privacy reviews ask for before a corpus with
+    demographic-ish columns ships.
+
+    One window count over the quasi-key partitioning (map-side partials
+    don't apply to windows, but the exchange is by the same key a
+    per-group count would use); everything else is a projection."""
+    w = Window.partitionBy(*quasi_cols)
+    n = F.count(F.lit(1)).over(w)
+    at_risk = n < k
+    out = df.withColumn("suppressed", at_risk)
+    for c in quasi_cols:
+        out = out.withColumn(
+            c, F.when(F.col("suppressed"), F.lit(None)).otherwise(F.col(c))
+        )
+    return out

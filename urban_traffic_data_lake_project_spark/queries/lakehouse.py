@@ -291,13 +291,13 @@ FROM t FULL OUTER JOIN d ON t.user_id = d.user_id
 _TT_CUTS = ("2024-01-11", "2024-01-21")
 
 
-def _time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _build_versioned_profiles(spark: SparkSession, sf_dir: str) -> str:
+    """Apply the three 10-day event-slice epochs through the upsert sink
+    into a fresh temp table dir; returns the dir (versions 0..2)."""
     import tempfile
 
     from urban_traffic_data_lake_project_spark.streaming.sinks import (
         foreach_batch_upsert,
-        list_versions,
-        read_version,
     )
 
     e = load_table(spark, sf_dir, "events")
@@ -317,7 +317,16 @@ def _time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("last_ts"),
         )
         sink(profile, bid)
+    return table_dir
 
+
+def _time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.streaming.sinks import (
+        list_versions,
+        read_version,
+    )
+
+    table_dir = _build_versioned_profiles(spark, sf_dir)
     summaries = [
         read_version(spark, table_dir, v).agg(
             F.lit(v).cast("bigint").alias("version"),
@@ -355,7 +364,133 @@ GROUP BY version
 """
 
 
+# ---------------------------------------------------------------------------
+# lakehouse_cdc_diff — change data capture between committed versions:
+# per step, how many keys were inserted vs updated (upserts never
+# delete; the delete path is unit-tested on synthetic frames). The
+# downstream-sync read pattern: consumers pull version deltas instead of
+# re-scanning the table.
+# ---------------------------------------------------------------------------
+def _cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.streaming.sinks import version_diff
+
+    table_dir = _build_versioned_profiles(spark, sf_dir)
+    parts = []
+    for v_from, v_to in ((0, 1), (1, 2)):
+        parts.append(
+            version_diff(spark, table_dir, v_from, v_to, ["user_id"])
+            .groupBy("change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(f"v{v_from}->v{v_to}").alias("step"), "change_type", "n")
+        )
+    return parts[0].unionByName(parts[1])
+
+
+_CDC_DIFF_SQL = f"""
+WITH p AS (
+  SELECT user_id,
+         CASE WHEN ts < TIMESTAMP '{_TT_CUTS[0]}' THEN 0
+              WHEN ts < TIMESTAMP '{_TT_CUTS[1]}' THEN 1
+              ELSE 2 END AS b,
+         count(*) AS n_events, sum(value) AS sum_value, max(ts) AS last_ts
+  FROM events GROUP BY 1, 2),
+vs AS (SELECT unnest(range(0, 3)) AS version),
+states AS (
+  SELECT version, user_id, n_events, sum_value, last_ts
+  FROM (SELECT v.version, p.user_id, p.n_events, p.sum_value, p.last_ts,
+               row_number() OVER (PARTITION BY v.version, p.user_id
+                                  ORDER BY p.b DESC) AS rn
+        FROM vs v JOIN p ON p.b <= v.version)
+  WHERE rn = 1),
+d AS (
+  SELECT 'v0->v1' AS step,
+         CASE WHEN o.user_id IS NULL THEN 'insert'
+              WHEN n.user_id IS NULL THEN 'delete'
+              WHEN o.n_events IS DISTINCT FROM n.n_events
+                OR o.sum_value IS DISTINCT FROM n.sum_value
+                OR o.last_ts IS DISTINCT FROM n.last_ts THEN 'update'
+              ELSE 'none' END AS change_type
+  FROM (SELECT * FROM states WHERE version = 0) o
+  FULL JOIN (SELECT * FROM states WHERE version = 1) n ON o.user_id = n.user_id
+  UNION ALL
+  SELECT 'v1->v2' AS step,
+         CASE WHEN o.user_id IS NULL THEN 'insert'
+              WHEN n.user_id IS NULL THEN 'delete'
+              WHEN o.n_events IS DISTINCT FROM n.n_events
+                OR o.sum_value IS DISTINCT FROM n.sum_value
+                OR o.last_ts IS DISTINCT FROM n.last_ts THEN 'update'
+              ELSE 'none' END AS change_type
+  FROM (SELECT * FROM states WHERE version = 1) o
+  FULL JOIN (SELECT * FROM states WHERE version = 2) n ON o.user_id = n.user_id)
+SELECT step, change_type, count(*)::BIGINT AS n
+FROM d WHERE change_type <> 'none'
+GROUP BY step, change_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# privacy_k_anonymity — suppression to a k-anonymity floor over the
+# customer quasi-identifiers (nation, market segment): after NULLing the
+# quasi-columns of rows in groups smaller than k, every remaining
+# combination appears >= k times. Summary row proves the invariant.
+# ---------------------------------------------------------------------------
+_KANON_K = 8
+_KANON_QUASI = ("c_nationkey", "c_mktsegment")
+
+
+def _k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.operators.cleaning import k_anonymize
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", *_KANON_QUASI
+    )
+    anon = k_anonymize(cust, list(_KANON_QUASI), k=_KANON_K)
+    counts = anon.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("suppressed").cast("bigint")).alias("n_suppressed"),
+    )
+    before = (
+        cust.groupBy(*_KANON_QUASI)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.count(F.lit(1)).alias("n_groups_before"))
+    )
+    after = (
+        anon.where(~F.col("suppressed"))
+        .groupBy(*_KANON_QUASI)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(
+            F.count(F.lit(1)).alias("n_groups_after"),
+            F.coalesce(F.min("__n"), F.lit(0)).alias("min_group_after"),
+        )
+    )
+    return counts.crossJoin(before).crossJoin(after)
+
+
+_KANON_SQL = f"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS n
+  FROM customer GROUP BY 1, 2)
+SELECT (SELECT count(*) FROM customer)::BIGINT AS n_rows,
+       (SELECT coalesce(sum(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END), 0)
+        FROM g)::BIGINT AS n_suppressed,
+       (SELECT count(*) FROM g)::BIGINT AS n_groups_before,
+       (SELECT count(*) FROM g WHERE n >= {_KANON_K})::BIGINT AS n_groups_after,
+       (SELECT coalesce(min(n), 0) FROM g WHERE n >= {_KANON_K})::BIGINT
+         AS min_group_after
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "privacy_k_anonymity": QuerySpec(
+        _k_anonymity, _KANON_SQL,
+        "k-anonymity suppression over quasi-identifiers with invariant summary",
+        ("lakehouse", "diagnostics", "cleaning"),
+    ),
+    "lakehouse_cdc_diff": QuerySpec(
+        _cdc_diff, _CDC_DIFF_SQL,
+        "CDC between table versions: insert/update counts per epoch step",
+        ("lakehouse",),
+    ),
     "lakehouse_time_travel": QuerySpec(
         _time_travel, _TIME_TRAVEL_SQL,
         "VERSION AS OF reads over the versioned upsert table (3 epochs)",

@@ -81,6 +81,58 @@ def read_version(spark, table_dir: str, version: int) -> DataFrame:
     return spark.read.parquet(os.path.join(table_dir, f"v={version}"))
 
 
+def version_diff(
+    spark, table_dir: str, v_from: int, v_to: int, keys: list[str]
+) -> DataFrame:
+    """Change-data-capture between two committed versions: one row per
+    changed key with change_type insert / update / delete. Full-outer
+    join on the keys; a key present in both versions is an update iff any
+    non-key column differs (null-safe per-column compare — both sides
+    were written by this engine, so equal states are bit-identical).
+    The downstream-sync primitive time travel enables: consumers pull
+    the delta between the version they last saw and the pointer instead
+    of re-reading the table."""
+    old = read_version(spark, table_dir, v_from)
+    new = read_version(spark, table_dir, v_to)
+    value_cols = [c for c in new.columns if c not in keys]
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        *[F.col(c).alias(f"__ov_{c}") for c in value_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in keys],
+        *[F.col(c).alias(f"__nv_{c}") for c in value_cols],
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col(f"__ok_{keys[0]}").isNotNull()
+    in_new = F.col(f"__nk_{keys[0]}").isNotNull()
+    differs = None
+    for c in value_cols:
+        d = ~F.col(f"__ov_{c}").eqNullSafe(F.col(f"__nv_{c}"))
+        differs = d if differs is None else (differs | d)
+    change = (
+        F.when(~in_old, F.lit("insert"))
+        .when(~in_new, F.lit("delete"))
+        .when(differs, F.lit("update"))
+        .otherwise(F.lit("none"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type") != "none")
+        .select(
+            *[
+                F.coalesce(F.col(f"__nk_{k}"), F.col(f"__ok_{k}")).alias(k)
+                for k in keys
+            ],
+            "change_type",
+        )
+    )
+
+
 def foreach_batch_upsert(table_dir: str, keys: list[str], order_col: str):
     """MERGE-style upsert sink on raw parquet: per epoch, read the
     current version, union the batch, keep the latest row per key
