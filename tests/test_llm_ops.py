@@ -601,3 +601,25 @@ def test_hard_negatives_excludes_same_label(spark):
         )[:4]
         expect = [nid for _, nid in sims]
         assert [nid for _, nid in sorted(got)] == expect
+
+
+def test_leakage_safe_split_never_straddles_pairs(spark):
+    """Transitively connected docs (1-3, 2-3 chain) share one split side;
+    doc-id-hash splitting would have separated them."""
+    from urban_traffic_data_lake_project_spark.operators.dedup import (
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 3), (2, 3), (5, 6)], ["id_a", "id_b"]
+    )
+    out = leakage_safe_split(docs, "doc_id", pairs, eval_permille=500)
+    rows = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in out.collect()}
+    assert rows[1][0] == rows[2][0] == rows[3][0] == 1
+    assert rows[1][1] == rows[2][1] == rows[3][1]
+    assert rows[5][0] == rows[6][0] == 5
+    assert rows[5][1] == rows[6][1]
+    assert len(rows) == 7

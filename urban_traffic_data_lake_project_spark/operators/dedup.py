@@ -746,3 +746,34 @@ def srp_near_dup_pairs(
         .filter(F.col("cosine_sim") >= threshold)
         .distinct()
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    eval_permille: int = 100,
+    seed: str = "42",
+) -> DataFrame:
+    """Train/eval split that near-duplicates can NEVER straddle: documents
+    are first clustered over the near-dup pair graph (``dup_clusters``),
+    then the split decision hashes the CLUSTER id, not the document id —
+    every member of a cluster lands on the same side. Splitting by doc id
+    leaks: an eval document's near-copy trains the model on the answer,
+    which is exactly the contamination decontam screens hunt afterwards.
+    Cheaper to never create it.
+
+    Returns (id, cluster_id, split). Same seeded-hash threshold rule as
+    ``train_eval_split`` (permille of the hash space) so the two splits
+    are directly comparable."""
+    from urban_traffic_data_lake_project_spark.functions import stable_hash64
+
+    clusters = dup_clusters(df, id_col, pairs)
+    h = stable_hash64(F.col("cluster_id").cast("string"), salt=f"{seed}|")
+    return clusters.select(
+        id_col,
+        "cluster_id",
+        F.when(h % 1000 < eval_permille, F.lit("eval"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

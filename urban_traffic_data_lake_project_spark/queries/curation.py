@@ -828,6 +828,44 @@ WHERE rn <= {_WSAMPLE_K}
 
 
 # ---------------------------------------------------------------------------
+# curation_source_quality — per-source quality rollup: the triage board a
+# crawl pipeline reviews before admitting a source into the mix. Mean and
+# floor of the composite quality score per source plus the share of
+# below-threshold documents, and a keep/review verdict.
+# ---------------------------------------------------------------------------
+_SRCQ_LOW = 0.5
+
+
+def _source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select("source", T.quality_score(F.col("text")).alias("quality"))
+    avg_q = F.avg("quality")
+    low_share = F.avg((F.col("quality") < _SRCQ_LOW).cast("double"))
+    return q.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(avg_q, ROUND_STAT).alias("avg_quality"),
+        F.round(F.min("quality"), ROUND_STAT).alias("min_quality"),
+        F.round(low_share, ROUND_STAT).alias("low_share"),
+        F.when((avg_q >= _SRCQ_LOW) & (low_share < 0.5), F.lit("keep"))
+        .otherwise(F.lit("review"))
+        .alias("verdict"),
+    )
+
+
+_SOURCE_QUALITY_SQL = f"""
+WITH q AS ({_quality_cte_sql(extra=", source")})
+SELECT source, count(*)::BIGINT AS n_docs,
+       round(avg(quality), {ROUND_STAT}) AS avg_quality,
+       round(min(quality), {ROUND_STAT}) AS min_quality,
+       round(avg(CASE WHEN quality < {_SRCQ_LOW} THEN 1.0 ELSE 0.0 END), {ROUND_STAT}) AS low_share,
+       CASE WHEN avg(quality) >= {_SRCQ_LOW}
+                 AND avg(CASE WHEN quality < {_SRCQ_LOW} THEN 1.0 ELSE 0.0 END) < 0.5
+            THEN 'keep' ELSE 'review' END AS verdict
+FROM q GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # text_unigram_logprob — self-trained unigram LM scoring: each doc's mean
 # token log-probability under the corpus's own term distribution (the
 # cheap form of perplexity-based quality filtering).
@@ -1333,6 +1371,11 @@ REGISTRY: dict[str, QuerySpec] = {
         _cm_heavy_hitters_q, _CM_HH_SQL,
         "exact heavy-hitter terms via broadcast count-min screen + verify",
         ("sketch", "curation", "text"),
+    ),
+    "curation_source_quality": QuerySpec(
+        _source_quality, _SOURCE_QUALITY_SQL,
+        "per-source quality rollup with keep/review verdict",
+        ("curation", "text", "diagnostics"),
     ),
     "sketch_kmv_setops": QuerySpec(
         _sketch_kmv_setops, _KMV_SETOPS_SQL,

@@ -1027,6 +1027,41 @@ FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# sample_leakage_safe_split — train/eval split hashed on the near-dup
+# CLUSTER id: a document and its near-copies always land on the same
+# side, so the split cannot create the contamination decontam hunts.
+# ---------------------------------------------------------------------------
+def _leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=_MINHASH_K,
+        bands=_MINHASH_BANDS, threshold=_JACCARD_THRESHOLD,
+    )
+    return D.leakage_safe_split(docs, "doc_id", pairs, eval_permille=100)
+
+
+_LEAKAGE_SPLIT_SQL = f"""
+WITH RECURSIVE
+pairs AS (SELECT id_a, id_b FROM ({_minhash_sql(_MINHASH_BANDS)})),
+e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+best AS (SELECT src AS doc_id, min(dst) AS min_reach FROM reach GROUP BY src),
+clustered AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(b.min_reach, d.doc_id)) AS cluster_id
+  FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id)
+SELECT doc_id, cluster_id,
+       CASE WHEN (('0x' || substr(md5('42' || '|' || CAST(cluster_id AS VARCHAR)), 1, 15))::UBIGINT)::BIGINT % 1000 < 100
+            THEN 'eval' ELSE 'train' END AS split
+FROM clustered
+"""
+
+
+# ---------------------------------------------------------------------------
 # text_tfidf — smooth TF-IDF table over the corpus
 # ---------------------------------------------------------------------------
 def _text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1385,6 +1420,11 @@ REGISTRY: dict[str, QuerySpec] = {
         ("similarity", "defer"),
     ),
     "text_profile": QuerySpec(_text_profile, _TEXT_PROFILE_SQL, "lang-ID + quality + tokens + fingerprint", ("text",)),
+    "sample_leakage_safe_split": QuerySpec(
+        _leakage_safe_split, _LEAKAGE_SPLIT_SQL,
+        "train/eval split hashed on near-dup cluster id (leakage-safe)",
+        ("sampling", "dedup", "curation"),
+    ),
     "dedup_clusters": QuerySpec(
         _dedup_clusters, _DEDUP_CLUSTERS_SQL,
         "connected-component dup clusters (min-label propagation)",
