@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from urban_traffic_data_lake_project_spark.operators import bootstrap as B
 from urban_traffic_data_lake_project_spark.operators import factor_analysis as FA
 from urban_traffic_data_lake_project_spark.operators import monte_carlo as MC
-from urban_traffic_data_lake_project_spark.queries.base import QuerySpec
+from urban_traffic_data_lake_project_spark.queries.base import ROUND_STAT, QuerySpec
 from urban_traffic_data_lake_project_spark.sources import load_table
 
 _MEASURE = "l_extendedprice"  # the 'traffic volume' analog on the star schema
@@ -106,7 +106,114 @@ def _fa_scores_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
 
 
+# ---------------------------------------------------------------------------
+# events_cohort_retention — classic cohort analysis: users grouped by
+# first-activity day, per-day-offset distinct-active counts and retention
+# rate against the cohort size. Two grouped aggregations plus one
+# hash join on user_id; the retention matrix itself is cohorts x offsets
+# rows — tiny at any corpus size.
+# ---------------------------------------------------------------------------
+_COHORT_MAX_OFFSET = 7
+
+
+def _cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    acts = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    j = (
+        acts.join(firsts, "user_id")
+        .withColumn("offset", F.datediff("day", "cohort_day"))
+        .where(F.col("offset") <= _COHORT_MAX_OFFSET)
+    )
+    sizes = firsts.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_size"))
+    ret = j.groupBy("cohort_day", "offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    # dates serialize as strings on both engines (date-vs-Timestamp
+    # pandas normalization would otherwise disagree)
+    return ret.join(sizes, "cohort_day").select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "offset",
+        "n_active",
+        F.round(F.col("n_active") / F.col("cohort_size"), ROUND_STAT).alias("retention"),
+    )
+
+
+_COHORT_SQL = f"""
+WITH firsts AS (
+  SELECT user_id, min(ts::DATE) AS cohort_day FROM events GROUP BY 1),
+acts AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+sizes AS (SELECT cohort_day, count(*) AS cohort_size FROM firsts GROUP BY 1),
+j AS (
+  SELECT f.cohort_day, date_diff('day', f.cohort_day, a.day) AS "offset", a.user_id
+  FROM acts a JOIN firsts f ON f.user_id = a.user_id
+  WHERE date_diff('day', f.cohort_day, a.day) <= {_COHORT_MAX_OFFSET}),
+ret AS (
+  SELECT cohort_day, "offset", count(DISTINCT user_id) AS n_active
+  FROM j GROUP BY 1, 2)
+SELECT strftime(r.cohort_day, '%Y-%m-%d') AS cohort_day, r."offset" AS offset, r.n_active,
+       round(r.n_active::DOUBLE / s.cohort_size, {ROUND_STAT}) AS retention
+FROM ret r JOIN sizes s ON s.cohort_day = r.cohort_day
+"""
+
+
+# ---------------------------------------------------------------------------
+# profile_functional_deps — data-discovery profiling: does determinant ->
+# dependent hold? A dependency holds iff no determinant group sees more
+# than one distinct dependent value. One grouped countDistinct per
+# candidate pair (bounded list), unioned into a verdict table — the
+# schema-inference step a lakehouse catalog runs on landing data.
+# ---------------------------------------------------------------------------
+_FD_CANDIDATES = (
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+)
+
+
+def _functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = []
+    for table, det, dep in _FD_CANDIDATES:
+        df = load_table(spark, sf_dir, table)
+        g = df.groupBy(det).agg(F.countDistinct(dep).alias("__nd"))
+        parts.append(
+            g.agg(
+                F.lit(table).alias("table_name"),
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                F.count(F.lit(1)).alias("n_groups"),
+                F.sum((F.col("__nd") > 1).cast("bigint")).alias("n_violating"),
+                (F.sum((F.col("__nd") > 1).cast("bigint")) == 0).alias("holds"),
+            )
+        )
+    out = parts[0]
+    for m in parts[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+_FD_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{table}' AS table_name, '{det}' AS determinant, '{dep}' AS dependent,
+       count(*)::BIGINT AS n_groups,
+       coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0)::BIGINT AS n_violating,
+       coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) = 0 AS holds
+FROM (SELECT {det}, count(DISTINCT {dep}) AS nd FROM {table} GROUP BY {det})"""
+    for table, det, dep in _FD_CANDIDATES
+)
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "events_cohort_retention": QuerySpec(
+        _cohort_retention, _COHORT_SQL,
+        "cohort analysis: per first-day cohort, distinct-active retention by day offset",
+        ("analytics", "agg"),
+    ),
+    "profile_functional_deps": QuerySpec(
+        _functional_deps, _FD_SQL,
+        "functional-dependency discovery over candidate column pairs",
+        ("diagnostics", "agg"),
+    ),
     "mc_scenario_expectations": QuerySpec(_mc_expectations, _MC_EXPECTATIONS_SQL, "M2 deterministic scenario core", ("analytics",)),
     "mc_scenarios": QuerySpec(_mc_scenarios, None, "M2 Monte Carlo scenario simulation", ("analytics", "stochastic")),
     "bootstrap_ci": QuerySpec(_bootstrap, None, "M3 Poisson bootstrap CIs", ("analytics", "stochastic")),
