@@ -206,3 +206,37 @@ def test_grouped_bootstrap_query_runs(spark, sf_dir):
     assert langs == {"en", "es", "fr", "de", "zh"}
     assert all(r["column_name"] == "n_chars" for r in out)
     assert all(r["ci_lower_95"] < r["mean_estimate"] < r["ci_upper_95"] for r in out)
+
+
+def test_psi_detects_injected_shift(spark):
+    """A location shift between periods must push PSI past the drifted
+    threshold, while identical periods stay ~0."""
+    import datetime as dt
+
+    from urban_traffic_data_lake_project_spark.queries.analytics import _drift_psi  # noqa: F401
+    # operator-level check through a synthetic frame and the same PSI math
+    from pyspark.sql import functions as F
+
+    ref_t = dt.datetime(2024, 1, 5)
+    cur_t = dt.datetime(2024, 1, 25)
+    rows = []
+    for i in range(500):
+        rows.append((i, ref_t, 1, "a", float(i % 10), None))            # ref: 0..9
+        rows.append((10_000 + i, cur_t, 1, "a", float(i % 10 + 6), None))  # cur: 6..15
+        rows.append((20_000 + i, ref_t, 1, "b", float(i % 10), None))
+        rows.append((30_000 + i, cur_t, 1, "b", float(i % 10), None))   # b unchanged
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="psi_test_")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{d}/tmp")
+    part = [f for f in os.listdir(f"{d}/tmp") if f.endswith(".parquet")][0]
+    os.rename(f"{d}/tmp/{part}", f"{d}/events.parquet")
+
+    out = {r["event_type"]: (r["psi"], r["verdict"]) for r in _drift_psi(spark, d).collect()}
+    assert out["a"][1] == "drifted"
+    assert out["b"][0] < 0.01 and out["b"][1] == "stable"

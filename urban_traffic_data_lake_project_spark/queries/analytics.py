@@ -10,7 +10,7 @@ oracles, and pytest validates the stochastic outputs distributionally
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from urban_traffic_data_lake_project_spark.operators import bootstrap as B
@@ -203,7 +203,127 @@ FROM (SELECT {det}, count(DISTINCT {dep}) AS nd FROM {table} GROUP BY {det})"""
 )
 
 
+# ---------------------------------------------------------------------------
+# events_drift_psi — distribution-drift monitoring: population stability
+# index of the event value distribution, first half of the month
+# (reference) vs second half (current), per event_type. Fixed 10-bin
+# histogram over the global min/max; Laplace-smoothed shares so empty
+# bins contribute finitely. The standard production drift gate:
+# psi < 0.1 stable, < 0.25 moderate, else drifted.
+# Scale: two grouped counts over (type, period, bin) — map-side partials,
+# sketch-sized shuffle; the PSI fold runs over types*bins rows.
+# ---------------------------------------------------------------------------
+_PSI_BINS = 10
+_PSI_CUT = "2024-01-16"
+
+
+def _drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    stats = ev.agg(
+        F.min("value").alias("__lo"), F.max("value").alias("__hi")
+    )
+    binned = ev.crossJoin(F.broadcast(stats)).select(
+        "event_type",
+        F.when(F.col("ts") < F.lit(_PSI_CUT).cast("timestamp"), F.lit("ref"))
+        .otherwise(F.lit("cur"))
+        .alias("period"),
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("__lo"))
+                / ((F.col("__hi") - F.col("__lo")) / _PSI_BINS)
+            ).cast("int"),
+            F.lit(_PSI_BINS - 1),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "period", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # full (type, bin) frame so empty bins still contribute (smoothed)
+    frame = (
+        binned.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(_PSI_BINS).select(F.col("id").cast("int").alias("bin")))
+    )
+    wide = (
+        frame.join(
+            counts.where(F.col("period") == "ref").select(
+                "event_type", "bin", F.col("n").alias("n_ref")
+            ),
+            ["event_type", "bin"],
+            "left",
+        )
+        .join(
+            counts.where(F.col("period") == "cur").select(
+                "event_type", "bin", F.col("n").alias("n_cur")
+            ),
+            ["event_type", "bin"],
+            "left",
+        )
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = Window.partitionBy("event_type")
+    p_ref = (F.col("n_ref") + 0.5) / (F.sum("n_ref").over(tot) + 0.5 * _PSI_BINS)
+    p_cur = (F.col("n_cur") + 0.5) / (F.sum("n_cur").over(tot) + 0.5 * _PSI_BINS)
+    terms = wide.select(
+        "event_type", ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("__t")
+    )
+    psi = F.sum("__t")
+    return terms.groupBy("event_type").agg(
+        F.round(psi, ROUND_STAT).alias("psi"),
+        F.when(psi < 0.1, F.lit("stable"))
+        .when(psi < 0.25, F.lit("moderate"))
+        .otherwise(F.lit("drifted"))
+        .alias("verdict"),
+    )
+
+
+_PSI_SQL = f"""
+WITH ev AS (SELECT * FROM events WHERE value IS NOT NULL),
+st AS (SELECT min(value) AS lo, max(value) AS hi FROM ev),
+binned AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '{_PSI_CUT}' THEN 'ref' ELSE 'cur' END AS period,
+         least(floor((value - st.lo) / ((st.hi - st.lo) / {_PSI_BINS}))::INTEGER,
+               {_PSI_BINS - 1}) AS bin
+  FROM ev, st),
+counts AS (
+  SELECT event_type, period, bin, count(*) AS n
+  FROM binned GROUP BY 1, 2, 3),
+frame AS (
+  SELECT t.event_type, b.bin
+  FROM (SELECT DISTINCT event_type FROM binned) t,
+       (SELECT unnest(range(0, {_PSI_BINS}))::INTEGER AS bin) b),
+wide AS (
+  SELECT f.event_type, f.bin,
+         coalesce(r.n, 0) AS n_ref, coalesce(c.n, 0) AS n_cur
+  FROM frame f
+  LEFT JOIN counts r ON r.event_type = f.event_type AND r.bin = f.bin AND r.period = 'ref'
+  LEFT JOIN counts c ON c.event_type = f.event_type AND c.bin = f.bin AND c.period = 'cur'),
+shares AS (
+  SELECT event_type,
+         (n_ref + 0.5) / (sum(n_ref) OVER (PARTITION BY event_type) + 0.5 * {_PSI_BINS}) AS p_ref,
+         (n_cur + 0.5) / (sum(n_cur) OVER (PARTITION BY event_type) + 0.5 * {_PSI_BINS}) AS p_cur
+  FROM wide)
+SELECT event_type,
+       round(sum((p_cur - p_ref) * ln(p_cur / p_ref)), {ROUND_STAT}) AS psi,
+       CASE WHEN sum((p_cur - p_ref) * ln(p_cur / p_ref)) < 0.1 THEN 'stable'
+            WHEN sum((p_cur - p_ref) * ln(p_cur / p_ref)) < 0.25 THEN 'moderate'
+            ELSE 'drifted' END AS verdict
+FROM shares GROUP BY event_type
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "events_drift_psi": QuerySpec(
+        _drift_psi, _PSI_SQL,
+        "population stability index per event_type (ref vs current half-month)",
+        ("analytics", "diagnostics"),
+    ),
     "events_cohort_retention": QuerySpec(
         _cohort_retention, _COHORT_SQL,
         "cohort analysis: per first-day cohort, distinct-active retention by day offset",

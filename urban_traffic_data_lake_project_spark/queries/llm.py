@@ -1062,6 +1062,52 @@ FROM clustered
 
 
 # ---------------------------------------------------------------------------
+# sim_ivf_recall — the ANN quality dial: recall@k of the IVF path against
+# the exact top-k, per query. The diagnostic that justifies (or vetoes)
+# switching a workload from exact to approximate retrieval; both sides
+# reuse the production operators, the oracle composes both SQL bodies.
+# ---------------------------------------------------------------------------
+def _ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = S.cosine_topk(emb, queries, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = S.cosine_topk_ivf(
+        emb, queries, "vec_id", "embedding", k=5, n_centroids=16, nprobe=4
+    ).select("query_id", "neighbor_id")
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        F.round(
+            F.coalesce("n_hits", F.lit(0)) / F.col("n_exact"), ROUND_STAT
+        ).alias("recall"),
+    )
+
+
+_IVF_RECALL_SQL = f"""
+WITH ex AS ({{exact}}),
+ap AS ({{approx}}),
+base AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY 1),
+hits AS (
+  SELECT ex.query_id, count(*) AS n_hits
+  FROM ex JOIN ap ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
+  GROUP BY 1)
+SELECT b.query_id, b.n_exact::BIGINT AS n_exact,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       round(coalesce(h.n_hits, 0)::DOUBLE / b.n_exact, {ROUND_STAT}) AS recall
+FROM base b LEFT JOIN hits h ON h.query_id = b.query_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # text_tfidf — smooth TF-IDF table over the corpus
 # ---------------------------------------------------------------------------
 def _text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1398,6 +1444,12 @@ REGISTRY: dict[str, QuerySpec] = {
         ("dedup",),
     ),
     "sim_cosine_topk": QuerySpec(_cosine_topk, _COSINE_TOPK_SQL, "brute-force cosine top-k", ("similarity",)),
+    "sim_ivf_recall": QuerySpec(
+        _ivf_recall,
+        _IVF_RECALL_SQL.format(exact=_COSINE_TOPK_SQL, approx=_COSINE_IVF_SQL),
+        "recall@5 of IVF retrieval vs the exact top-k, per query",
+        ("similarity", "diagnostics"),
+    ),
     "sim_hard_negatives": QuerySpec(
         _hard_negatives, _HARD_NEG_SQL,
         "contrastive hard negatives: nearest different-label vectors per query",
