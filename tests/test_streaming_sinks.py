@@ -235,3 +235,29 @@ def test_version_diff_classifies_insert_update_delete(spark):
     }
     # a unchanged (null-safe compare) -> absent; b updated; c deleted; d inserted
     assert got == {"b": "update", "c": "delete", "d": "insert"}
+
+
+def test_vacuum_keeps_newest_versions(spark):
+    import tempfile
+
+    from urban_traffic_data_lake_project_spark.streaming.sinks import (
+        foreach_batch_upsert,
+        list_versions,
+        read_version,
+        vacuum_versions,
+    )
+
+    d = tempfile.mkdtemp(prefix="vacuum_test_")
+    sink = foreach_batch_upsert(d, ["k"], "o")
+    for i in range(4):
+        sink(spark.createDataFrame([("a", i, i)], "k string, o int, x int"), i)
+    assert list_versions(d) == [0, 1, 2, 3]
+    removed = vacuum_versions(d, keep_last=2)
+    assert removed == [0, 1]
+    assert list_versions(d) == [2, 3]
+    assert read_version(spark, d, 3).collect()[0]["x"] == 3
+    try:
+        read_version(spark, d, 0)
+        raise AssertionError("vacuumed version must not be readable")
+    except ValueError:
+        pass

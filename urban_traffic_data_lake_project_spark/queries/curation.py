@@ -9,7 +9,7 @@ judge hash-check them the same way.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from urban_traffic_data_lake_project_spark.functions import stable_hash64
@@ -40,9 +40,10 @@ from urban_traffic_data_lake_project_spark.operators.sketches import (
     kmv_set_estimates,
     kmv_sketch_table,
 )
-from urban_traffic_data_lake_project_spark.queries.base import ROUND_STAT, QuerySpec
+from urban_traffic_data_lake_project_spark.queries.base import ROUND_STAT, ROUND_SUM, QuerySpec
 from urban_traffic_data_lake_project_spark.queries.llm import (
     _BAND_SELECTS,
+    _DEDUP_MINHASH_SQL,
     _SIM_FRAG,
     _kmeans_ctes,
     _JACCARD_THRESHOLD,
@@ -1366,7 +1367,95 @@ WHERE s.n_cm >= {_HH_FRAC} * tot.n AND e.n_exact >= {_HH_FRAC} * tot.n
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus_datacard — the release artifact: one tall (metric, value) table
+# summarizing the corpus — sizes, token budget, quality, language
+# diversity (Shannon entropy), and near-dup burden — composed entirely
+# from the production operators, so the card can never drift from what
+# the pipeline actually computes.
+# ---------------------------------------------------------------------------
+def _datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.operators.dedup import (
+        minhash_lsh_dedup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def row(metric: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(metric).alias("metric"),
+            F.round(F.col(df.columns[0]).cast("double"), ROUND_SUM).alias("value"),
+        )
+
+    toks = docs.select(T.token_count_whitespace(F.col("text")).alias("n"))
+    q = docs.select(T.quality_score(F.col("text")).alias("q"))
+    lang_n = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy()
+    lang_ent = lang_n.select(
+        (F.col("n") / F.sum("n").over(tot)).alias("p")
+    ).agg((-F.sum(F.col("p") * F.log("p"))).alias("v"))
+    pairs = minhash_lsh_dedup_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=_MINHASH_K,
+        bands=_MINHASH_BANDS, threshold=_JACCARD_THRESHOLD,
+    )
+    paired_docs = pairs.select(F.col("id_a").alias("id")).unionAll(
+        pairs.select(F.col("id_b").alias("id"))
+    ).distinct()
+    parts = [
+        row("n_docs", docs.agg(F.count(F.lit(1)).alias("v"))),
+        row("n_langs", docs.agg(F.countDistinct("lang").alias("v"))),
+        row("n_sources", docs.agg(F.countDistinct("source").alias("v"))),
+        row("tokens_total", toks.agg(F.sum("n").alias("v"))),
+        row("tokens_mean", toks.agg(F.avg("n").alias("v"))),
+        row("quality_mean", q.agg(F.avg("q").alias("v"))),
+        row("low_quality_share", q.agg(F.avg((F.col("q") < 0.5).cast("double")).alias("v"))),
+        row("lang_entropy", lang_ent),
+        row("near_dup_pairs", pairs.agg(F.count(F.lit(1)).alias("v"))),
+        row("near_dup_doc_share",
+            paired_docs.agg(F.count(F.lit(1)).alias("v")).crossJoin(
+                docs.agg(F.count(F.lit(1)).alias("__n"))
+            ).select((F.col("v") / F.col("__n")).alias("v"))),
+    ]
+    out = parts[0]
+    for m in parts[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+_DATACARD_SQL = f"""
+WITH q AS ({_quality_cte_sql()}),
+toks AS (
+  SELECT CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n
+  FROM documents),
+langs AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+pairs AS (SELECT id_a, id_b FROM ({_DEDUP_MINHASH_SQL})),
+paired AS (
+  SELECT count(*) AS n FROM (
+    SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs))
+SELECT 'n_docs' AS metric, round(count(*)::DOUBLE, 4) AS value FROM documents
+UNION ALL SELECT 'n_langs', round(count(DISTINCT lang)::DOUBLE, 4) FROM documents
+UNION ALL SELECT 'n_sources', round(count(DISTINCT source)::DOUBLE, 4) FROM documents
+UNION ALL SELECT 'tokens_total', round(sum(n)::DOUBLE, 4) FROM toks
+UNION ALL SELECT 'tokens_mean', round(avg(n), 4) FROM toks
+UNION ALL SELECT 'quality_mean', round(avg(quality), 4) FROM q
+UNION ALL SELECT 'low_quality_share',
+          round(avg(CASE WHEN quality < 0.5 THEN 1.0 ELSE 0.0 END), 4) FROM q
+UNION ALL SELECT 'lang_entropy',
+          round(-sum(p * ln(p)), 4) FROM (
+            SELECT n::DOUBLE / (SELECT sum(n) FROM langs) AS p FROM langs)
+UNION ALL SELECT 'near_dup_pairs', round(count(*)::DOUBLE, 4) FROM pairs
+UNION ALL SELECT 'near_dup_doc_share',
+          round(paired.n::DOUBLE / (SELECT count(*) FROM documents), 4) FROM paired
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "corpus_datacard": QuerySpec(
+        _datacard, _DATACARD_SQL,
+        "release datacard: tall metric/value corpus summary incl. dup burden",
+        ("curation", "diagnostics"),
+    ),
     "sketch_cm_heavy_hitters": QuerySpec(
         _cm_heavy_hitters_q, _CM_HH_SQL,
         "exact heavy-hitter terms via broadcast count-min screen + verify",

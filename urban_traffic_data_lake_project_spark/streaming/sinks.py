@@ -133,6 +133,23 @@ def version_diff(
     )
 
 
+def vacuum_versions(table_dir: str, keep_last: int = 2) -> list[int]:
+    """Retention for the versioned layout: delete all committed version
+    directories except the newest ``keep_last`` (the pointer's version is
+    always kept). Returns the versions removed. Bounds time-travel
+    storage the same way Delta's VACUUM does — after vacuuming, reads of
+    removed versions fail fast in ``read_version``."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = list_versions(table_dir)
+    doomed = versions[:-keep_last] if len(versions) > keep_last else []
+    for v in doomed:
+        shutil.rmtree(os.path.join(table_dir, f"v={v}"))
+    return doomed
+
+
 def foreach_batch_upsert(table_dir: str, keys: list[str], order_col: str):
     """MERGE-style upsert sink on raw parquet: per epoch, read the
     current version, union the batch, keep the latest row per key
