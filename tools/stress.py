@@ -83,8 +83,18 @@ def run_case(name: str, n: int, build):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=float, default=1.0)
+    ap.add_argument("--only", type=str, default="", help="comma list of case names")
     args = ap.parse_args()
     s = args.scale
+    only = {x for x in args.only.split(",") if x}
+
+    global run_case
+    base_run = run_case
+
+    def run_case(name, n, build):  # noqa: F811 — selective wrapper
+        if only and name not in only:
+            return
+        base_run(name, n, build)
 
     spark = get_spark("stress")
     spark.sparkContext.setLogLevel("ERROR")
@@ -229,6 +239,45 @@ def main() -> None:
         return remove_boilerplate_lines(docs, "doc_id", "text", 0.05)
 
     run_case("boilerplate_lines", n9, boiler)
+
+    # 10. KMV sketch at 50M rows / 25M distinct — the partition-local
+    # k-min prune must keep the post-Python exchange at partitions*k rows
+    n10 = int(50_000_000 * s)
+
+    def kmv():
+        from urban_traffic_data_lake_project_spark.operators.sketches import (
+            kmv_estimate,
+            kmv_sketch_table,
+        )
+
+        df = spark.range(n10).select(
+            F.pmod(F.xxhash64("id"), F.lit(max(n10 // 2, 1))).cast("string").alias("v")
+        )
+        return kmv_estimate(kmv_sketch_table(df, [], "v", k=256), [], k=256)
+
+    run_case("kmv_sketch", n10, kmv)
+
+    # 11. CM heavy hitters at 50M rows, zipf-ish: 20 hot values over a
+    # 1M-value tail — screen is broadcast joins; exact groupBy sees only
+    # survivors
+    n11 = int(50_000_000 * s)
+
+    def heavy():
+        from urban_traffic_data_lake_project_spark.operators.sketches import (
+            cm_heavy_hitters,
+        )
+
+        df = spark.range(n11).select(
+            F.when(
+                F.expr("id % 2 = 0"), F.pmod(F.xxhash64("id"), F.lit(20))
+            )
+            .otherwise(F.pmod(F.xxhash64("id", F.lit(7)), F.lit(1_000_000)) + 100)
+            .cast("string")
+            .alias("v")
+        )
+        return cm_heavy_hitters(df, "v", min_frac=0.01, depth=4, width=1024)
+
+    run_case("cm_heavy_hitters", n11, heavy)
 
 
 if __name__ == "__main__":
