@@ -219,3 +219,23 @@ def test_parquet_schema_evolution_merge(spark, sf_dir, tmp_path):
     assert merged.count() == 2 * n
     assert merged.filter(F.col("ingest_tag").isNull()).count() == n
     assert merged.filter(F.col("ingest_tag") == "batch2").count() == n
+
+
+def test_python_datasource_partition_parallel(spark):
+    """The custom source's partitions() ranges must tile [0, rows) exactly
+    once — verified by distinct-count and id coverage — and respect the
+    requested partition count in the scan."""
+    from urban_traffic_data_lake_project_spark.sources.pyds import (
+        SyntheticTrafficDataSource,
+    )
+
+    spark.dataSource.register(SyntheticTrafficDataSource)
+    df = (
+        spark.read.format("synthetic_traffic")
+        .option("rows", 101)
+        .option("partitions", 7)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 7
+    ids = sorted(r["reading_id"] for r in df.collect())
+    assert ids == list(range(101))

@@ -582,7 +582,58 @@ FROM solved
 """
 
 
+# ---------------------------------------------------------------------------
+# source_python_datasource — the Spark 4 Python DataSource V2 under the
+# gate: a distributed hash-deterministic generator source (each
+# InputPartition emits its id-range executor-side) aggregated per
+# sensor. Because the generator is md5-derived, the oracle reproduces
+# the SOURCE ITSELF from range() + the same hash arithmetic — the
+# plumbing and the data are both verified.
+# ---------------------------------------------------------------------------
+_PYDS_ROWS = 2000
+
+
+def _python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.sources.pyds import (
+        SyntheticTrafficDataSource,
+    )
+
+    spark.dataSource.register(SyntheticTrafficDataSource)
+    df = (
+        spark.read.format("synthetic_traffic")
+        .option("rows", _PYDS_ROWS)
+        .option("partitions", 8)
+        .load()
+    )
+    return df.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("speed_kmh"), 4).alias("avg_speed"),
+        F.sum("vehicle_count").alias("total_vehicles"),
+    )
+
+
+_PYDS_HASH = "(('0x' || substr(md5('{salt}' || i), 1, 15))::UBIGINT)::BIGINT"
+
+_PYDS_SQL = f"""
+WITH gen AS (
+  SELECT i::BIGINT AS reading_id,
+         (i % 50)::INTEGER AS sensor_id,
+         ({_PYDS_HASH.format(salt='sp|')} % 1200) / 10.0 AS speed_kmh,
+         ({_PYDS_HASH.format(salt='vc|')} % 300)::INTEGER AS vehicle_count
+  FROM (SELECT unnest(range(0, {_PYDS_ROWS})) AS i))
+SELECT sensor_id, count(*)::BIGINT AS n,
+       round(avg(speed_kmh), 4) AS avg_speed,
+       sum(vehicle_count)::BIGINT AS total_vehicles
+FROM gen GROUP BY sensor_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "source_python_datasource": QuerySpec(
+        _python_datasource, _PYDS_SQL,
+        "Spark 4 Python DataSource V2: distributed deterministic generator source",
+        ("scan", "source"),
+    ),
     "agg_regression": QuerySpec(_regression, _REGRESSION_SQL, "per-group regression aggregates", ("agg", "defer")),
     "join_null_safe": QuerySpec(_null_safe_join, _NULL_SAFE_SQL, "null-safe equality join", ("join", "defer")),
     "core_pricing_summary": QuerySpec(_pricing_summary, _PRICING_SQL, "TPC-H Q1-shaped grouped aggregate", ("agg", "scan", "defer")),

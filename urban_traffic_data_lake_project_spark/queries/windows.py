@@ -537,6 +537,38 @@ FROM events
 
 
 # ---------------------------------------------------------------------------
+# variant_extract_events — Spark 4 VariantType over events.props: the
+# open-schema path for semi-structured columns. parse_json builds the
+# binary variant once; variant_get extracts typed fields WITHOUT a
+# schema declaration — at 100 TB this replaces per-query regex/JSON
+# string re-parsing with a decoded binary that predicate pushdown and
+# shredding can exploit as the format matures.
+# ---------------------------------------------------------------------------
+def _variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json(F.col("props")).alias("__v")
+    ).withColumn("k", F.expr("variant_get(__v, '$.k', 'int')"))
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("k").isNotNull()).cast("bigint")).alias("n_with_k"),
+        F.round(F.avg("k"), ROUND_STAT).alias("avg_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+_VARIANT_SQL = f"""
+WITH v AS (
+  SELECT event_type, json_extract(props, '$.k')::INTEGER AS k FROM events)
+SELECT event_type, count(*)::BIGINT AS n,
+       sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_with_k,
+       round(avg(k), {ROUND_STAT}) AS avg_k,
+       max(k) AS max_k
+FROM v GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # join_semi_anti — left-semi / left-anti joins (EXISTS / NOT EXISTS)
 # ---------------------------------------------------------------------------
 def _semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1216,4 +1248,9 @@ REGISTRY: dict[str, QuerySpec] = {
         ("streaming",),
     ),
     "json_extract_events": QuerySpec(_json_extract, _JSON_SQL, "JSON scalar extraction", ("scalar", "defer")),
+    "variant_extract_events": QuerySpec(
+        _variant_extract, _VARIANT_SQL,
+        "Spark 4 VariantType: parse_json + typed variant_get aggregation",
+        ("scalar", "semi-structured"),
+    ),
 }
