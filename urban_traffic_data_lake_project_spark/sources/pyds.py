@@ -19,7 +19,12 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _SCHEMA = (
     "reading_id bigint, sensor_id int, speed_kmh double, vehicle_count int"
@@ -45,6 +50,9 @@ class SyntheticTrafficDataSource(DataSource):
     def reader(self, schema) -> "SyntheticTrafficReader":
         return SyntheticTrafficReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "SyntheticTrafficStreamReader":
+        return SyntheticTrafficStreamReader(self.options)
+
 
 class SyntheticTrafficReader(DataSourceReader):
     def __init__(self, options) -> None:
@@ -67,3 +75,35 @@ class SyntheticTrafficReader(DataSourceReader):
                 (_h("sp|", i) % 1200) / 10.0,
                 _h("vc|", i) % 300,
             )
+
+
+class SyntheticTrafficStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form of the same deterministic generator: offsets are
+    row ids, each microbatch emits the next ``batch_rows`` ids until
+    ``rows`` is exhausted. Because batch boundaries only partition the
+    SAME deterministic id->row mapping, an AvailableNow replay of the
+    stream equals the batch read exactly — the equivalence the streaming
+    tests assert for every other source here."""
+
+    def __init__(self, options) -> None:
+        self.rows = int(options.get("rows", 1000))
+        self.batch_rows = int(options.get("batch_rows", 250))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    @staticmethod
+    def _rows_for(lo: int, hi: int) -> list:
+        # a LIST, not a generator: the rows are pickled to executors
+        return [
+            (i, i % 50, (_h("sp|", i) % 1200) / 10.0, _h("vc|", i) % 300)
+            for i in range(lo, hi)
+        ]
+
+    def read(self, start: dict):
+        lo = start["next"]
+        hi = min(lo + self.batch_rows, self.rows)
+        return self._rows_for(lo, hi), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows_for(start["next"], end["next"])
