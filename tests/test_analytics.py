@@ -240,3 +240,26 @@ def test_psi_detects_injected_shift(spark):
     out = {r["event_type"]: (r["psi"], r["verdict"]) for r in _drift_psi(spark, d).collect()}
     assert out["a"][1] == "drifted"
     assert out["b"][0] < 0.01 and out["b"][1] == "stable"
+
+
+def test_logistic_irls_recovers_known_coefficients(spark):
+    """Data generated from a known logistic model: the IRLS fit must land
+    near the true coefficients (MLE consistency on 20k rows)."""
+    import numpy as np
+
+    from urban_traffic_data_lake_project_spark.operators.stats import logistic_irls
+    from pyspark.sql import functions as F
+
+    true = np.array([-1.0, 2.0, -3.0])
+    rng = np.random.RandomState(11)
+    n = 20000
+    x1 = rng.uniform(-1, 1, n)
+    x2 = rng.uniform(-1, 1, n)
+    p = 1.0 / (1.0 + np.exp(-(true[0] + true[1] * x1 + true[2] * x2)))
+    y = (rng.uniform(size=n) < p).astype(float)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(y, x1, x2)],
+        "y double, x1 double, x2 double",
+    )
+    beta = np.array(logistic_irls(df, "y", ["x1", "x2"], iters=8))
+    assert np.all(np.abs(beta - true) < 0.15), beta

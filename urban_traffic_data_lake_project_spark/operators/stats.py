@@ -440,3 +440,51 @@ def histogram(df: DataFrame, cols: Sequence[str], bins: int = 40) -> DataFrame:
             "n",
         )
     )
+
+
+def logistic_irls(
+    df: DataFrame,
+    y_col: str,
+    x_cols: Sequence[str],
+    iters: int = 4,
+) -> list[float]:
+    """Distributed logistic regression by iteratively reweighted least
+    squares: each round is ONE codegen aggregation pass computing the
+    normal-equation sums X'WX (upper triangle) and X'Wz with the current
+    coefficients inlined as literals; the (p+1)x(p+1) solve happens on
+    the driver (numpy) on a constant-size matrix. Round count, not data
+    size, bounds the driver work — the same fit/driver-solve shape as
+    ``kmeans_centroids`` and the FA EM loop, which is what a GLM looks
+    like at 10^12 rows (Spark MLlib's LogisticRegression runs the same
+    aggregate-then-step loop through L-BFGS).
+
+    Starts at beta = 0 (mu = 0.5, w = 0.25 — always well-conditioned).
+    Returns [intercept, beta_x1, ...]."""
+    import numpy as np
+
+    k = len(x_cols) + 1
+    beta = [0.0] * k
+
+    def feats():
+        return [F.lit(1.0)] + [F.col(c).cast("double") for c in x_cols]
+
+    for _ in range(iters):
+        fs = feats()
+        eta = sum((F.lit(b) * f for b, f in zip(beta, fs)), F.lit(0.0))
+        mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        w = mu * (F.lit(1.0) - mu)
+        z = eta + (F.col(y_col).cast("double") - mu) / w
+        aggs = []
+        for i in range(k):
+            for j in range(i, k):
+                aggs.append(F.sum(w * fs[i] * fs[j]).alias(f"s{i}{j}"))
+        for i in range(k):
+            aggs.append(F.sum(w * fs[i] * z).alias(f"r{i}"))
+        row = df.agg(*aggs).first()
+        A = np.empty((k, k))
+        for i in range(k):
+            for j in range(i, k):
+                A[i, j] = A[j, i] = row[f"s{i}{j}"]
+        rhs = np.array([row[f"r{i}"] for i in range(k)])
+        beta = [float(b) for b in np.linalg.solve(A, rhs)]
+    return beta

@@ -318,7 +318,102 @@ FROM shares GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# ml_logistic_irls — distributed GLM under the gate: P(purchase) from
+# scaled value and hour-of-day via IRLS (one aggregation pass per round,
+# driver solves a 3x3 system). The oracle replays every round with
+# Cramer's rule in a CTE chain, so the fitted coefficients themselves
+# hash-match — the iterative-fit verification pattern kmeans set.
+# ---------------------------------------------------------------------------
+_IRLS_ITERS = 4
+
+
+def _logistic_events(df: DataFrame) -> DataFrame:
+    return df.where(F.col("value").isNotNull()).select(
+        (F.col("event_type") == "purchase").cast("double").alias("y"),
+        (F.col("value") / 1000.0).alias("x1"),
+        (F.hour("ts") / 24.0).alias("x2"),
+    )
+
+
+def _logistic_irls_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.operators.stats import logistic_irls
+
+    data = _logistic_events(load_table(spark, sf_dir, "events"))
+    beta = logistic_irls(data, "y", ["x1", "x2"], iters=_IRLS_ITERS)
+    b = [F.lit(x) for x in beta]
+    eta = b[0] + b[1] * F.col("x1") + b[2] * F.col("x2")
+    # goodness of fit in the SAME pass style: one aggregation
+    return data.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(b[0], 4).alias("b0"),
+        F.round(b[1], 4).alias("b1"),
+        F.round(b[2], 4).alias("b2"),
+        F.round(
+            F.sum(F.col("y") * eta - F.log(F.lit(1.0) + F.exp(eta))), 4
+        ).alias("loglik"),
+    )
+
+
+def _irls_round_sql(prev: str, out: str) -> str:
+    """One IRLS round: aggregate sums with coefficients from CTE ``prev``,
+    solve the 3x3 normal equations by Cramer's rule into CTE ``out``."""
+    det = (
+        "(s00*(s11*s22 - s12*s12) - s01*(s01*s22 - s12*s02)"
+        " + s02*(s01*s12 - s11*s02))"
+    )
+    d0 = (
+        "(r0*(s11*s22 - s12*s12) - s01*(r1*s22 - s12*r2)"
+        " + s02*(r1*s12 - s11*r2))"
+    )
+    d1 = (
+        "(s00*(r1*s22 - s12*r2) - r0*(s01*s22 - s12*s02)"
+        " + s02*(s01*r2 - r1*s02))"
+    )
+    d2 = (
+        "(s00*(s11*r2 - r1*s12) - s01*(s01*r2 - r1*s02)"
+        " + r0*(s01*s12 - s11*s02))"
+    )
+    return f"""{out}_sums AS (
+  SELECT sum(w) AS s00, sum(w*x1) AS s01, sum(w*x2) AS s02,
+         sum(w*x1*x1) AS s11, sum(w*x1*x2) AS s12, sum(w*x2*x2) AS s22,
+         sum(w*z) AS r0, sum(w*x1*z) AS r1, sum(w*x2*z) AS r2
+  FROM (
+    SELECT x1, x2, mu*(1-mu) AS w,
+           eta + (y - mu) / (mu*(1-mu)) AS z
+    FROM (
+      SELECT d.y, d.x1, d.x2,
+             p.b0 + p.b1*d.x1 + p.b2*d.x2 AS eta,
+             1.0 / (1.0 + exp(-(p.b0 + p.b1*d.x1 + p.b2*d.x2))) AS mu
+      FROM data d, {prev} p))),
+{out} AS (
+  SELECT {d0} / {det} AS b0, {d1} / {det} AS b1, {d2} / {det} AS b2
+  FROM {out}_sums)"""
+
+
+_IRLS_SQL = f"""
+WITH data AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y,
+         value / 1000.0 AS x1,
+         date_part('hour', ts) / 24.0 AS x2
+  FROM events WHERE value IS NOT NULL),
+it0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+{",".join(_irls_round_sql(f"it{i}", f"it{i + 1}") for i in range(_IRLS_ITERS))}
+SELECT count(*)::BIGINT AS n,
+       round(p.b0, 4) AS b0, round(p.b1, 4) AS b1, round(p.b2, 4) AS b2,
+       round(sum(d.y * (p.b0 + p.b1*d.x1 + p.b2*d.x2)
+                 - ln(1.0 + exp(p.b0 + p.b1*d.x1 + p.b2*d.x2))), 4) AS loglik
+FROM data d, it{_IRLS_ITERS} p
+GROUP BY p.b0, p.b1, p.b2
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "ml_logistic_irls": QuerySpec(
+        _logistic_irls_q, _IRLS_SQL,
+        "distributed logistic regression (IRLS), oracle replays every round",
+        ("analytics", "ml", "agg"),
+    ),
     "events_drift_psi": QuerySpec(
         _drift_psi, _PSI_SQL,
         "population stability index per event_type (ref vs current half-month)",
