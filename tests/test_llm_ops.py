@@ -623,3 +623,23 @@ def test_leakage_safe_split_never_straddles_pairs(spark):
     assert rows[5][0] == rows[6][0] == 5
     assert rows[5][1] == rows[6][1]
     assert len(rows) == 7
+
+
+def test_naive_bayes_separable_vocab_is_perfect(spark):
+    """Two labels with disjoint vocabularies must classify perfectly;
+    the confusion matrix is diagonal."""
+    from urban_traffic_data_lake_project_spark.operators.text import (
+        naive_bayes_lang_confusion,
+    )
+
+    rows = []
+    for i in range(200):
+        if i % 2 == 0:
+            rows.append((i, "aaa bbb ccc aaa bbb", "en"))
+        else:
+            rows.append((i, "xxx yyy zzz xxx yyy", "fr"))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = naive_bayes_lang_confusion(df, "doc_id", "text", "lang", eval_permille=400)
+    conf = {(r["true_label"], r["pred_label"]): r["n"] for r in out.collect()}
+    assert all(t == p for (t, p) in conf)
+    assert sum(conf.values()) > 50  # a real held-out set was scored

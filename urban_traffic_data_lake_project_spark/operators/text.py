@@ -827,3 +827,107 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n_terms_hit"),
     )
     return per_doc.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(k)
+
+
+def naive_bayes_lang_confusion(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    eval_permille: int = 300,
+    round_to: int = 6,
+) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained and evaluated
+    inside one lazy plan: seeded-hash split, token-count fit with Laplace
+    smoothing, log-likelihood scoring of the held-out docs, and the
+    confusion matrix (true_label, pred_label, n) as output — the
+    fasttext-shaped lang-id baseline with zero Python in the loop.
+
+    Scale shape: fit = one grouped count over (label, token) plus a
+    per-label total (map-side partials); scoring joins the test tokens
+    against the broadcastable (token, label, logp) table and folds with
+    one grouped sum. Argmax runs on scores ROUNDED to ``round_to`` so
+    cross-engine float-sum noise (1e-12) cannot flip near-ties — ties
+    break to the smaller label."""
+    from urban_traffic_data_lake_project_spark.functions import stable_hash64
+
+    toks = (
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col),
+            F.col(label_col).alias("__true"),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda x: x != "",
+                )
+            ).alias("__tok"),
+        )
+        .withColumn(
+            "__split",
+            F.when(
+                stable_hash64(F.col(id_col).cast("string"), salt="nb|") % 1000
+                < eval_permille,
+                F.lit("test"),
+            ).otherwise(F.lit("train")),
+        )
+    )
+    train = toks.where(F.col("__split") == "train")
+    test = toks.where(F.col("__split") == "test")
+
+    counts = train.groupBy("__true", "__tok").agg(F.count(F.lit(1)).alias("__c"))
+    totals = train.groupBy("__true").agg(F.count(F.lit(1)).alias("__n"))
+    vocab = train.agg(F.countDistinct("__tok").alias("__v"))
+    # per-label token log-probs and the per-label unseen default
+    logp = (
+        counts.join(totals, "__true")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("__true").alias("__lbl"),
+            "__tok",
+            F.log((F.col("__c") + 1.0) / (F.col("__n") + F.col("__v"))).alias("__lp"),
+        )
+    )
+    defaults = totals.crossJoin(F.broadcast(vocab)).select(
+        F.col("__true").alias("__lbl"),
+        F.log(1.0 / (F.col("__n") + F.col("__v"))).alias("__dlp"),
+    )
+    # document priors from train doc counts per label
+    train_docs = train.select(id_col, "__true").distinct()
+    priors_n = train_docs.groupBy("__true").agg(F.count(F.lit(1)).alias("__d"))
+    priors = priors_n.crossJoin(
+        F.broadcast(priors_n.agg(F.sum("__d").alias("__dt")))
+    ).select(
+        F.col("__true").alias("__lbl"),
+        F.log(F.col("__d") / F.col("__dt")).alias("__prior"),
+    )
+
+    labels = totals.select(F.col("__true").alias("__lbl"))
+    scored = (
+        test.crossJoin(F.broadcast(labels))
+        .join(F.broadcast(logp), ["__lbl", "__tok"], "left")
+        .join(F.broadcast(defaults), "__lbl")
+        .groupBy(id_col, "__true", "__lbl")
+        .agg(F.sum(F.coalesce("__lp", "__dlp")).alias("__s"))
+        .join(F.broadcast(priors), "__lbl")
+        .select(
+            id_col,
+            "__true",
+            "__lbl",
+            F.round(F.col("__s") + F.col("__prior"), round_to).alias("__score"),
+        )
+    )
+    # argmax with ties to the smaller label: min over (-score, label)
+    pred = scored.groupBy(id_col, "__true").agg(
+        F.min(
+            F.struct((-F.col("__score")).alias("ns"), F.col("__lbl").alias("lbl"))
+        ).alias("__best")
+    )
+    return (
+        pred.select(
+            F.col("__true").alias("true_label"),
+            F.col("__best.lbl").alias("pred_label"),
+        )
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1108,6 +1108,61 @@ FROM base b LEFT JOIN hits h ON h.query_id = b.query_id
 
 
 # ---------------------------------------------------------------------------
+# ml_naive_bayes_lang — multinomial Naive Bayes lang-id trained and
+# evaluated in ONE lazy plan (seeded split, Laplace-smoothed token fit,
+# held-out scoring, confusion matrix). Deterministic counting ML with
+# zero Python in the loop; argmax on 6dp-rounded scores so cross-engine
+# float-sum noise cannot flip near-ties.
+# ---------------------------------------------------------------------------
+def _naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.naive_bayes_lang_confusion(docs, "doc_id", "text", "lang")
+
+
+_NB_HASH = "(('0x' || substr(md5('nb|' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT)::BIGINT"
+
+_NB_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang AS tl, tok,
+         CASE WHEN {_NB_HASH} % 1000 < 300 THEN 'test' ELSE 'train' END AS split
+  FROM (SELECT doc_id, lang,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        FROM documents WHERE trim(text) <> '')
+  WHERE tok <> ''),
+train AS (SELECT * FROM toks WHERE split = 'train'),
+test AS (SELECT * FROM toks WHERE split = 'test'),
+counts AS (SELECT tl, tok, count(*) AS c FROM train GROUP BY 1, 2),
+totals AS (SELECT tl, count(*) AS n FROM train GROUP BY 1),
+vocab AS (SELECT count(DISTINCT tok) AS v FROM train),
+logp AS (
+  SELECT c.tl AS lbl, c.tok, ln((c.c + 1.0) / (t.n + vb.v)) AS lp
+  FROM counts c JOIN totals t ON t.tl = c.tl, vocab vb),
+defaults AS (
+  SELECT t.tl AS lbl, ln(1.0 / (t.n + vb.v)) AS dlp FROM totals t, vocab vb),
+tdocs AS (SELECT DISTINCT doc_id, tl FROM train),
+priors AS (
+  SELECT tl AS lbl, ln(count(*)::DOUBLE / (SELECT count(*) FROM tdocs)) AS prior
+  FROM tdocs GROUP BY tl),
+labels AS (SELECT tl AS lbl FROM totals),
+sums AS (
+  SELECT te.doc_id, te.tl AS true_l, l.lbl, sum(coalesce(lp.lp, d.dlp)) AS s
+  FROM test te CROSS JOIN labels l
+  LEFT JOIN logp lp ON lp.lbl = l.lbl AND lp.tok = te.tok
+  JOIN defaults d ON d.lbl = l.lbl
+  GROUP BY 1, 2, 3),
+scored AS (
+  SELECT doc_id, true_l, s.lbl, round(s.s + p.prior, 6) AS score
+  FROM sums s JOIN priors p ON p.lbl = s.lbl),
+best AS (
+  SELECT doc_id, true_l, lbl,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lbl) AS rn
+  FROM scored)
+SELECT true_l AS true_label, lbl AS pred_label, count(*)::BIGINT AS n
+FROM best WHERE rn = 1 GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # text_tfidf — smooth TF-IDF table over the corpus
 # ---------------------------------------------------------------------------
 def _text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1422,6 +1477,11 @@ REGISTRY: dict[str, QuerySpec] = {
         ("text", "defer"),
     ),
     "dedup_ngram_jaccard": QuerySpec(_dedup_jaccard, _DEDUP_JACCARD_SQL, "exact n-gram Jaccard pairs", ("dedup",)),
+    "ml_naive_bayes_lang": QuerySpec(
+        _naive_bayes_lang, _NB_SQL,
+        "Naive Bayes lang-id: split/fit/score/confusion in one lazy plan",
+        ("text", "ml", "curation"),
+    ),
     "text_zipf_fit": QuerySpec(
         _zipf_fit, _ZIPF_SQL,
         "Zipf rank-frequency OLS fit over top terms (corpus-health signal)",
