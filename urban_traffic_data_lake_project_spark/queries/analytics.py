@@ -408,7 +408,126 @@ GROUP BY p.b0, p.b1, p.b2
 """
 
 
+# ---------------------------------------------------------------------------
+# events_seasonality — seasonal-profile decomposition lite: mean value
+# by (day-of-week, hour-of-day) cell against the grand mean, plus the
+# seasonal share of variance. The traffic-shaped diagnostic the
+# reference's dashboards imply; two grouped aggregates, 168-row output.
+# ---------------------------------------------------------------------------
+def _seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cells = ev.select(
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hod"),
+        "value",
+    )
+    grand = cells.agg(
+        F.avg("value").alias("__gm"), F.var_pop("value").alias("__gv")
+    )
+    prof = cells.groupBy("dow", "hod").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("value").alias("__m")
+    )
+    return prof.crossJoin(F.broadcast(grand)).select(
+        "dow",
+        "hod",
+        "n",
+        F.round("__m", ROUND_STAT).alias("cell_mean"),
+        F.round(F.col("__m") - F.col("__gm"), ROUND_STAT).alias("seasonal_effect"),
+    )
+
+
+_SEASONALITY_SQL = f"""
+WITH ev AS (SELECT * FROM events WHERE value IS NOT NULL),
+cells AS (
+  SELECT dayofweek(ts) + 1 AS dow, date_part('hour', ts) AS hod, value FROM ev),
+grand AS (SELECT avg(value) AS gm FROM cells)
+SELECT dow, hod, count(*)::BIGINT AS n,
+       round(avg(value), {ROUND_STAT}) AS cell_mean,
+       round(avg(value) - g.gm, {ROUND_STAT}) AS seasonal_effect
+FROM cells, grand g
+GROUP BY dow, hod, g.gm
+"""
+
+
+# ---------------------------------------------------------------------------
+# table_diff_unkeyed — migration validation without a key: row-multiset
+# diff of two relations via grouped row-hash counts. The check a
+# platform team runs after rewriting a pipeline: same rows, same
+# multiplicities, no key needed. Here: the lineitem scan vs itself
+# re-written through a projection reorder + a deliberately perturbed
+# variant, so both the equal and differing paths are exercised.
+# ---------------------------------------------------------------------------
+def _table_diff_unkeyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    # B: column order shuffled (must NOT count as a diff) and 1% of rows
+    # perturbed (MUST count)
+    b = li.select(
+        "l_returnflag", "l_quantity", "l_linenumber", "l_orderkey"
+    ).withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 100 == 0, F.col("l_quantity") + 1).otherwise(
+            F.col("l_quantity")
+        ),
+    )
+
+    def sig(df: DataFrame) -> DataFrame:
+        cols = sorted(df.columns)
+        h = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
+        return df.select(h.alias("__h")).groupBy("__h").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+
+    a_sig = sig(li).withColumnRenamed("__n", "__na")
+    b_sig = sig(b).withColumnRenamed("__n", "__nb")
+    j = a_sig.join(b_sig, "__h", "full_outer").select(
+        F.coalesce("__na", F.lit(0)).alias("na"),
+        F.coalesce("__nb", F.lit(0)).alias("nb"),
+    )
+    return j.agg(
+        F.sum(F.least("na", "nb")).alias("rows_matched"),
+        F.sum(F.greatest(F.col("na") - F.col("nb"), F.lit(0))).alias("rows_only_a"),
+        F.sum(F.greatest(F.col("nb") - F.col("na"), F.lit(0))).alias("rows_only_b"),
+    )
+
+
+_TABLE_DIFF_SQL = """
+WITH a AS (
+  SELECT md5(concat_ws(chr(31),
+         CAST(l_linenumber AS VARCHAR), CAST(l_orderkey AS VARCHAR),
+         CAST(l_quantity AS VARCHAR), CAST(l_returnflag AS VARCHAR))) AS h
+  FROM lineitem),
+b AS (
+  SELECT md5(concat_ws(chr(31),
+         CAST(l_linenumber AS VARCHAR), CAST(l_orderkey AS VARCHAR),
+         CAST(CASE WHEN l_orderkey % 100 = 0 THEN l_quantity + 1
+                   ELSE l_quantity END AS VARCHAR),
+         CAST(l_returnflag AS VARCHAR))) AS h
+  FROM lineitem),
+asig AS (SELECT h, count(*) AS na FROM a GROUP BY h),
+bsig AS (SELECT h, count(*) AS nb FROM b GROUP BY h),
+j AS (
+  SELECT coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+  FROM asig FULL OUTER JOIN bsig USING (h))
+SELECT sum(least(na, nb))::BIGINT AS rows_matched,
+       sum(greatest(na - nb, 0))::BIGINT AS rows_only_a,
+       sum(greatest(nb - na, 0))::BIGINT AS rows_only_b
+FROM j
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "events_seasonality": QuerySpec(
+        _seasonality, _SEASONALITY_SQL,
+        "day-of-week x hour-of-day seasonal profile vs grand mean",
+        ("analytics", "agg"),
+    ),
+    "table_diff_unkeyed": QuerySpec(
+        _table_diff_unkeyed, _TABLE_DIFF_SQL,
+        "row-multiset diff via grouped row-hash counts (keyless migration check)",
+        ("diagnostics",),
+    ),
     "ml_logistic_irls": QuerySpec(
         _logistic_irls_q, _IRLS_SQL,
         "distributed logistic regression (IRLS), oracle replays every round",
