@@ -169,3 +169,50 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
     assert "dynamicpruningexpression" in pf
     # and no static month predicate was inferred onto the fact scan
     assert "1997-11" not in pf
+
+
+def test_heavy_hitter_screen_is_all_broadcast(spark, sf_dir):
+    """The CM screen must reach every occurrence via broadcast joins —
+    a SortMergeJoin before the final grouped count would mean the screen
+    itself shuffles the corpus, defeating its purpose."""
+    df = REGISTRY["sketch_cm_heavy_hitters"].fn(spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("+- == Initial Plan ==")[0]
+    assert plan.count("BroadcastHashJoin") >= 4  # one per sketch row + total
+    assert "SortMergeJoin" not in plan
+
+
+def test_hard_negatives_rank_is_group_limited(spark, sf_dir):
+    """WindowGroupLimit must appear on BOTH sides of the rank exchange
+    (partial + final), bounding it to partitions*q*k survivor rows."""
+    df = REGISTRY["sim_hard_negatives"].fn(spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("+- == Initial Plan ==")[0]
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "MapInPandas" in plan  # the Arrow prune is still below
+
+
+def test_kmv_global_stage_runs_on_pruned_rows(spark, sf_dir):
+    """The KMV rank window must consume the partition-local k-min prune
+    output (MapInPandas), never raw corpus rows."""
+    from urban_traffic_data_lake_project_spark.operators.sketches import (
+        kmv_sketch_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    sk = kmv_sketch_table(orders, [], "o_custkey", k=64)
+    sk.collect()
+    plan = plan_of(sk).split("+- == Initial Plan ==")[0]
+    assert "MapInPandas" in plan
+    below_window = plan.split("windowspecdefinition", 1)[1]
+    assert "MapInPandas" in below_window
+
+
+def test_variant_extract_stays_single_pass(spark, sf_dir):
+    """parse_json + variant_get + grouped agg: exactly one aggregation
+    exchange, no extra scans of events."""
+    df = REGISTRY["variant_extract_events"].fn(spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("+- == Initial Plan ==")[0]
+    assert plan.count("FileScan parquet") == 1
+    assert "variant_get" in plan
