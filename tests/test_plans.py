@@ -216,3 +216,30 @@ def test_variant_extract_stays_single_pass(spark, sf_dir):
     plan = plan_of(df).split("+- == Initial Plan ==")[0]
     assert plan.count("FileScan parquet") == 1
     assert "variant_get" in plan
+
+
+def test_bucketed_gate_join_has_no_exchange(spark, sf_dir):
+    """The gate's bucketed join must co-locate once the dimension is too
+    big to broadcast: with broadcasting disabled the join runs sort-merge
+    with NO exchange below it (bucket layout replaces the shuffle). At
+    tiny SF AQE broadcasts instead — equally shuffle-free — so the test
+    pins the sort-merge path explicitly."""
+    REGISTRY["join_bucketed_colocated"].fn(spark, sf_dir).collect()  # tables
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        import hashlib
+
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        o = spark.table(f"bq_orders_{tag}")
+        li = spark.table(f"bq_lineitem_{tag}")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        j.collect()
+        plan = plan_of(j).split("+- == Initial Plan ==")[0]
+        assert "SortMergeJoin" in plan
+        join_subtree = plan.split("SortMergeJoin", 1)[1].split("HashAggregate")[0]
+        assert "Exchange" not in join_subtree
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -517,7 +517,67 @@ FROM j
 """
 
 
+# ---------------------------------------------------------------------------
+# events_cooccurrence_lift — market-basket association between event
+# types at user granularity: for each type pair, co-occurrence count and
+# LIFT (observed co-rate over the independence expectation). One
+# distinct projection + a self-join on user + two tiny joins; output is
+# type-pairs-sized at any scale.
+# ---------------------------------------------------------------------------
+def _cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = ev.agg(F.countDistinct("user_id").alias("__nu"))  # rides the plan
+    type_n = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    na = type_n.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a"))
+    nb = type_n.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.col("n_both") * F.col("__nu").cast("double")
+                / (F.col("n_a") * F.col("n_b")),
+                ROUND_STAT,
+            ).alias("lift"),
+        )
+    )
+
+
+_COOCCUR_SQL = f"""
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+nu AS (SELECT count(DISTINCT user_id) AS n FROM events),
+tn AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT p.type_a, p.type_b, p.n_both,
+       round(p.n_both * nu.n::DOUBLE / (ta.n_t * tb.n_t), {ROUND_STAT}) AS lift
+FROM pairs p
+JOIN tn ta ON ta.event_type = p.type_a
+JOIN tn tb ON tb.event_type = p.type_b, nu
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "events_cooccurrence_lift": QuerySpec(
+        _cooccurrence_lift, _COOCCUR_SQL,
+        "event-type association: co-occurrence counts and lift per type pair",
+        ("analytics", "agg"),
+    ),
     "events_seasonality": QuerySpec(
         _seasonality, _SEASONALITY_SQL,
         "day-of-week x hour-of-day seasonal profile vs grand mean",

@@ -628,7 +628,74 @@ FROM gen GROUP BY sensor_id
 """
 
 
+# ---------------------------------------------------------------------------
+# join_bucketed_colocated — the recurring-join layout under the gate:
+# orders and lineitem bucketed on the join key into the warehouse, then
+# joined WITHOUT an exchange (bucket co-location replaces the shuffle —
+# the plan shows SortMergeJoin with no Exchange below it). The oracle is
+# the plain join: layout must never change results.
+# ---------------------------------------------------------------------------
+_BUCKETED_WRITTEN: set[str] = set()
+
+
+def _bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from urban_traffic_data_lake_project_spark.sources.writers import write_bucketed
+
+    # table names carry the sf_dir fingerprint: a process that queries two
+    # scale factors must never read the other's bucketed tables
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t_orders, t_li = f"bq_orders_{tag}", f"bq_lineitem_{tag}"
+    if tag not in _BUCKETED_WRITTEN:
+        # a previous PROCESS may have left the managed-table location on
+        # disk without this session's catalog knowing the table — clear
+        # the orphaned directory or saveAsTable refuses the name
+        import os
+        import shutil
+
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        for t in (t_orders, t_li):
+            if not spark.catalog.tableExists(t):
+                shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+        if not (spark.catalog.tableExists(t_orders) and spark.catalog.tableExists(t_li)):
+            orders = load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority"
+            )
+            li = load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_quantity", "l_extendedprice"
+            )
+            write_bucketed(orders, t_orders, ["o_orderkey"], n_buckets=8)
+            write_bucketed(li, t_li, ["l_orderkey"], n_buckets=8)
+        _BUCKETED_WRITTEN.add(tag)
+    o = spark.table(t_orders)
+    l = spark.table(t_li)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        )
+    )
+
+
+_BUCKETED_JOIN_SQL = """
+SELECT o.o_orderpriority, count(*)::BIGINT AS n_items,
+       round(sum(l.l_quantity), 4) AS sum_qty,
+       round(sum(l.l_extendedprice), 4) AS sum_price
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "join_bucketed_colocated": QuerySpec(
+        _bucketed_join, _BUCKETED_JOIN_SQL,
+        "bucketed co-located join (no exchange) == plain join",
+        ("join", "layout"),
+    ),
     "source_python_datasource": QuerySpec(
         _python_datasource, _PYDS_SQL,
         "Spark 4 Python DataSource V2: distributed deterministic generator source",
