@@ -690,7 +690,51 @@ GROUP BY o.o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# core_equidepth_histogram — equal-COUNT binning (ntile) next to the
+# equal-width histogram: per decile of l_extendedprice, the boundary
+# values and count. Equi-depth bins are the zone-map/range-partition
+# planning primitive (equal-width bins starve under skew). Total order
+# fixed by (value, orderkey, linenumber) so ties place identically in
+# both engines. The global ntile sort is the EXACT form (fine to ~10^8
+# rows); at 10^12 the same boundaries come from the mergeable quantile
+# sketch (sketch_hist_quantiles) or repartitionByRange's sampling —
+# this query is the exactness reference those approximate.
+# ---------------------------------------------------------------------------
+def _equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    binned = li.withColumn("decile", F.ntile(10).over(w))
+    return binned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("l_extendedprice"), 4).alias("lo"),
+        F.round(F.max("l_extendedprice"), 4).alias("hi"),
+    )
+
+
+_EQUIDEPTH_SQL = """
+WITH binned AS (
+  SELECT l_extendedprice,
+         ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+           AS decile
+  FROM lineitem)
+SELECT decile, count(*)::BIGINT AS n,
+       round(min(l_extendedprice), 4) AS lo,
+       round(max(l_extendedprice), 4) AS hi
+FROM binned GROUP BY decile
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "core_equidepth_histogram": QuerySpec(
+        _equidepth_histogram, _EQUIDEPTH_SQL,
+        "equi-depth decile histogram (range-partition planning primitive)",
+        ("agg", "diagnostics"),
+    ),
     "join_bucketed_colocated": QuerySpec(
         _bucketed_join, _BUCKETED_JOIN_SQL,
         "bucketed co-located join (no exchange) == plain join",

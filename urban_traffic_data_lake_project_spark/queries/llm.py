@@ -1163,6 +1163,45 @@ FROM best WHERE rn = 1 GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# dedup_cluster_sizes — the corpus duplication profile: how many near-dup
+# clusters exist at each size (size 1 = unique docs). The shape a
+# curation report leads with; two grouped counts over the cluster table.
+# ---------------------------------------------------------------------------
+def _dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=_MINHASH_K,
+        bands=_MINHASH_BANDS, threshold=_JACCARD_THRESHOLD,
+    )
+    clusters = D.dup_clusters(docs, "doc_id", pairs)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
+_CLUSTER_SIZES_SQL = f"""
+WITH RECURSIVE
+pairs AS (SELECT id_a, id_b FROM ({_minhash_sql(_MINHASH_BANDS)})),
+e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+best AS (SELECT src AS doc_id, min(dst) AS min_reach FROM reach GROUP BY src),
+clustered AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(b.min_reach, d.doc_id)) AS cluster_id
+  FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id),
+sizes AS (SELECT cluster_id, count(*) AS size FROM clustered GROUP BY 1)
+SELECT size, count(*)::BIGINT AS n_clusters FROM sizes GROUP BY size
+"""
+
+
+# ---------------------------------------------------------------------------
 # text_tfidf — smooth TF-IDF table over the corpus
 # ---------------------------------------------------------------------------
 def _text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1536,6 +1575,11 @@ REGISTRY: dict[str, QuerySpec] = {
         _leakage_safe_split, _LEAKAGE_SPLIT_SQL,
         "train/eval split hashed on near-dup cluster id (leakage-safe)",
         ("sampling", "dedup", "curation"),
+    ),
+    "dedup_cluster_sizes": QuerySpec(
+        _dedup_cluster_sizes, _CLUSTER_SIZES_SQL,
+        "duplication profile: near-dup cluster size histogram",
+        ("dedup", "diagnostics"),
     ),
     "dedup_clusters": QuerySpec(
         _dedup_clusters, _DEDUP_CLUSTERS_SQL,
