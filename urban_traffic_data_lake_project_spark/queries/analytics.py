@@ -572,7 +572,101 @@ JOIN tn tb ON tb.event_type = p.type_b, nu
 """
 
 
+# ---------------------------------------------------------------------------
+# events_markov_transitions — first-order behavior model: P(next event
+# type | current) per ordered user timeline. The session-modeling
+# diagnostic (and the generator for synthetic user traffic): one keyed
+# window lag + two grouped counts; output is |types|^2 rows.
+# ---------------------------------------------------------------------------
+def _markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+    )
+    counts = steps.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), ROUND_STAT).alias("p"),
+    )
+
+
+_MARKOV_SQL = f"""
+WITH steps AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM steps WHERE to_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, n,
+       round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), {ROUND_STAT}) AS p
+FROM counts
+"""
+
+
+# ---------------------------------------------------------------------------
+# analytics_rfm_segments — recency/frequency/monetary segmentation of
+# customers from their orders: per dimension a quartile score over a
+# fixed total order, then segment population counts. The classic
+# warehouse marketing rollup; output is <= 64 segment rows.
+# ---------------------------------------------------------------------------
+def _rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    r = Window.orderBy(F.col("last_order").desc(), F.col("o_custkey"))
+    f = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    m = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+    scored = per_cust.select(
+        "o_custkey",
+        F.ntile(4).over(r).alias("r_score"),
+        F.ntile(4).over(f).alias("f_score"),
+        F.ntile(4).over(m).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+_RFM_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order,
+         count(*) AS frequency, sum(o_totalprice) AS monetary
+  FROM orders GROUP BY o_custkey),
+scored AS (
+  SELECT o_custkey,
+         ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+         ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+         ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+  FROM per_cust)
+SELECT r_score, f_score, m_score, count(*)::BIGINT AS n_customers
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "events_markov_transitions": QuerySpec(
+        _markov_transitions, _MARKOV_SQL,
+        "first-order event-type transition matrix per user timeline",
+        ("analytics", "window"),
+    ),
+    "analytics_rfm_segments": QuerySpec(
+        _rfm_segments, _RFM_SQL,
+        "RFM quartile segmentation of customers with population counts",
+        ("analytics", "window", "agg"),
+    ),
     "events_cooccurrence_lift": QuerySpec(
         _cooccurrence_lift, _COOCCUR_SQL,
         "event-type association: co-occurrence counts and lift per type pair",
