@@ -240,3 +240,61 @@ def test_decoders_never_crash_on_garbage(payload):
         for magic in (b"RIFF", b"GIF89a", b"\x89PNG\r\n\x1a\n", b"RIFF1234WAVE"):
             fn(magic + payload)
     MM.parse_media_header(payload)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    values=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=400),
+    n_batches=st.integers(min_value=2, max_value=5),
+    k=st.sampled_from([8, 32]),
+)
+def test_kmv_merge_associativity_property(spark, values, n_batches, k):
+    """Sketch(union of arbitrary batches) == merge(per-batch sketches),
+    for any batch assignment — the exactness that makes per-day sketch
+    tables a drop-in for history."""
+    from urban_traffic_data_lake_project_spark.operators.sketches import (
+        kmv_merge,
+        kmv_sketch_table,
+    )
+
+    rows = [(i % n_batches, str(v)) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "b int, v string")
+    whole = {r["h"] for r in kmv_sketch_table(df, [], "v", k=k).collect()}
+    parts = None
+    for i in range(n_batches):
+        sk = kmv_sketch_table(df.where(f"b = {i}"), [], "v", k=k)
+        parts = sk if parts is None else parts.unionAll(sk)
+    merged = {r["h"] for r in kmv_merge(parts, [], k=k).collect()}
+    assert whole == merged
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=4, max_size=12),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_containment_bounds_and_jaccard_relation(spark, docs):
+    """0 < containment <= 1 for emitted pairs, and containment(src->dst)
+    >= jaccard(src, dst) always (the union can only be bigger than src)."""
+    from urban_traffic_data_lake_project_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = {
+        (r["id_src"], r["id_dst"]): r["containment"]
+        for r in containment_pairs(df, "doc_id", "text", n=2, threshold=0.0).collect()
+    }
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", n=2, threshold=0.0).collect()
+    }
+    for (a, b), c in cont.items():
+        assert 0.0 < c <= 1.0
+        j = jac.get((min(a, b), max(a, b)), 0.0)
+        assert c >= j - 1e-12
