@@ -670,21 +670,28 @@ def _bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _BUCKETED_WRITTEN.add(tag)
     o = spark.table(t_orders)
     l = spark.table(t_li)
+    # DECIMAL sums: at sf0.1 the price total (~6.4e9) accumulates enough
+    # float-sum noise to flip a 4dp rounding between engines; prices have
+    # exact 2-decimal semantics, so sum them exactly
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
         )
     )
 
 
 _BUCKETED_JOIN_SQL = """
 SELECT o.o_orderpriority, count(*)::BIGINT AS n_items,
-       round(sum(l.l_quantity), 4) AS sum_qty,
-       round(sum(l.l_extendedprice), 4) AS sum_price
+       sum(l.l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+       sum(l.l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_price
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority
 """

@@ -942,15 +942,18 @@ FROM x
 # true time-RANGE window frame (value-defined, peers included), NOT a
 # row-count frame: every event sees the count/sum of its user's events in
 # the preceding hour. Spark needs numeric RANGE ordering, so the frame
-# orders by epoch seconds; DuckDB uses the native INTERVAL RANGE frame.
-# Both define the frame by VALUE, so tie order never changes the result.
+# orders by epoch MICROSECONDS (full timestamp resolution — epoch seconds
+# would truncate and shift the frame boundary for sub-second-apart
+# events, visible once the data is dense enough); DuckDB uses the native
+# INTERVAL RANGE frame at the same resolution. Both define the frame by
+# VALUE, so tie order never changes the result.
 # ---------------------------------------------------------------------------
 def _win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, 0)
     )
     return e.select(
         "event_id",
