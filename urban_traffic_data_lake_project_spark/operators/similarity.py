@@ -237,6 +237,47 @@ def hard_negatives(
     )
 
 
+def l2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k by squared L2 distance — the ground truth for the
+    ADC/PQ diagnostics, which rank in L2 (cosine_topk's ground truth
+    doesn't apply across metrics). Same two-phase shape as cosine_topk;
+    self-matches are KEPT (distance 0, rank 1) to mirror PQ's corpus
+    semantics. The prune reuses the cosine path by feeding it the
+    negated distance (it keeps per-partition maxima)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+    )
+    c = spread_to_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("__cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = c.crossJoin(F.broadcast(q)).withColumn("cosine_sim", -dist)
+    pruned = _partition_local_topk(scored, k)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (-F.col("cosine_sim")).alias("l2_sq"),
+            "rank",
+        )
+    )
+
+
 def centroid_entries(
     corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int
 ) -> list:

@@ -1446,6 +1446,33 @@ def _pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_adc_topk(emb, queries, "vec_id", "embedding", cb, k_top=_PQ_TOPK)
 
 
+def _pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of PQ/ADC retrieval against the exact L2 top-k — the
+    compression-quality dial next to sim_ivf_recall's bucketing dial."""
+    emb, cb = _pq_cb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = S.pq_adc_topk(
+        emb, queries, "vec_id", "embedding", cb, k_top=_PQ_TOPK
+    ).select("query_id", F.col("corpus_id").alias("neighbor_id"))
+    exact = S.l2_topk(emb, queries, "vec_id", "embedding", k=_PQ_TOPK).select(
+        "query_id", "neighbor_id"
+    )
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        F.round(
+            F.coalesce("n_hits", F.lit(0)) / F.col("n_exact"), ROUND_STAT
+        ).alias("recall"),
+    )
+
+
 # shared oracle CTEs: double-cast vectors, per-subspace codebook slices,
 # and the per-(vector, subspace) assignment with its distance
 _PQ_BASE_CTES = f"""
@@ -1497,6 +1524,46 @@ ranked AS (
   FROM pair)
 SELECT query_id, corpus_id, adc_dist, rank
 FROM ranked WHERE rank <= {_PQ_TOPK}
+"""
+
+_PQ_RECALL_SQL = f"""
+WITH {_PQ_BASE_CTES},
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+pair AS (
+  SELECT q.query_id, a.vec_id AS corpus_id,
+         sum(list_sum(list_transform(range(1, {_PQ_SUB} + 1),
+             i -> (q.qe[a.j * {_PQ_SUB} + i] - cb.cent[i]) ^ 2))) AS d
+  FROM assigned a
+  JOIN cb ON cb.j = a.j AND cb.c = a.best.c
+  CROSS JOIN q
+  GROUP BY q.query_id, a.vec_id),
+ap AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT query_id, corpus_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(d, {ROUND_STAT}), corpus_id) AS rank
+    FROM pair)
+  WHERE rank <= {_PQ_TOPK}),
+ex_pair AS (
+  SELECT q.query_id, c.vec_id AS corpus_id,
+         list_sum(list_transform(range(1, len(q.qe) + 1),
+             i -> (q.qe[i] - c.e[i]) ^ 2)) AS d
+  FROM v c CROSS JOIN q),
+ex AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT query_id, corpus_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY d, corpus_id) AS rank
+    FROM ex_pair)
+  WHERE rank <= {_PQ_TOPK}),
+base AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY 1),
+hits AS (
+  SELECT ex.query_id, count(*) AS n_hits
+  FROM ex JOIN ap ON ap.query_id = ex.query_id AND ap.corpus_id = ex.corpus_id
+  GROUP BY 1)
+SELECT b.query_id, b.n_exact::BIGINT AS n_exact,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       round(coalesce(h.n_hits, 0)::DOUBLE / b.n_exact, {ROUND_STAT}) AS recall
+FROM base b LEFT JOIN hits h ON h.query_id = b.query_id
 """
 
 
@@ -1558,6 +1625,11 @@ REGISTRY: dict[str, QuerySpec] = {
         _pq_encode, _PQ_ENCODE_SQL,
         "product-quantization encode + per-vector reconstruction distortion",
         ("similarity", "defer"),
+    ),
+    "sim_pq_recall": QuerySpec(
+        _pq_recall, _PQ_RECALL_SQL,
+        "recall@5 of PQ/ADC retrieval vs the exact L2 top-k",
+        ("similarity", "diagnostics"),
     ),
     "sim_pq_topk": QuerySpec(
         _pq_topk, _PQ_TOPK_SQL,
