@@ -70,10 +70,14 @@ RECORD_WINDOW: tuple[str, ...] = (
     "agg_incremental_maintenance",
     "merge_asof_directions",
     # round-4 in-session surface — never driver-recorded; six
-    # representative entries fit the 50-slot window, the rest (zipf, psi,
-    # cohort, fd, ivf-recall, cdc, within-watermark dedup, leakage split,
-    # source quality, heavy hitters, datacard) are locally verified via
-    # tools/check_oracle.py at two SFs and rotate into round 5
+    # representative entries fit the 50-slot window. The overflow (heavy
+    # hitters, zipf, psi, cohort, seasonality, fd-profile, ivf+pq recall,
+    # cdc, within-watermark dedup, leakage split, source quality,
+    # datacard, logistic IRLS, naive bayes, markov, rfm, lift, bucketed
+    # join, equi-depth histogram, cluster sizes, python-datasource,
+    # variant, keyless diff) is locally verified by tools/check_oracle.py
+    # — full-registry green at sf0.01 AND sf0.1 — and rotates into the
+    # round-5 window
     "sketch_kmv_setops",
     "dedup_containment",
     "sim_hard_negatives",
