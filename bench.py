@@ -70,6 +70,12 @@ BENCH_QUERIES: tuple[str, ...] = (
     # bucket join + exact-cosine verify over ~40k candidate pairs)
     "audio_features",
     "dedup_embedding_srp",
+    # round-4 session: KMV set algebra (Arrow k-min prune + tiny set
+    # stage), the broadcast CM heavy-hitter screen over the token stream,
+    # and the 4-round IRLS GLM (aggregate-per-round driver loop)
+    "sketch_kmv_setops",
+    "sketch_cm_heavy_hitters",
+    "ml_logistic_irls",
 )
 
 
