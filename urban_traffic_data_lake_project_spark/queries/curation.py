@@ -1450,7 +1450,75 @@ UNION ALL SELECT 'near_dup_doc_share',
 """
 
 
+# ---------------------------------------------------------------------------
+# sketch_kmv_rollup — the persist-daily-sketches story under the gate:
+# per (priority, week) KMV sketches built independently, merged UP to
+# per-priority, estimated — while the ORACLE computes the DIRECT
+# per-priority sketch. They must agree exactly (the k-min set of a union
+# is recoverable from per-part k-min sets), which is what lets a daily
+# sketch table replace history rescans.
+# ---------------------------------------------------------------------------
+_KMV_RU_K = 128
+
+
+def _kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_merge,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "__wk", F.weekofyear("o_orderdate")
+    )
+    fine = kmv_sketch_table(
+        orders, ["o_orderpriority", "__wk"], "o_custkey", k=_KMV_RU_K
+    )
+    merged = kmv_merge(fine.drop("__wk"), ["o_orderpriority"], k=_KMV_RU_K)
+    est = kmv_estimate(merged, ["o_orderpriority"], k=_KMV_RU_K)
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    return exact.join(est, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_exact",
+        F.round("n_kmv", 4).alias("n_kmv"),
+        F.round(
+            F.abs(F.col("n_kmv") - F.col("n_exact")) / F.col("n_exact"), ROUND_STAT
+        ).alias("rel_err"),
+    )
+
+
+_KMV_ROLLUP_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT o_orderpriority, {_KMV_HASH_SQL} AS h FROM orders),
+km AS (
+  SELECT o_orderpriority, h FROM (
+    SELECT o_orderpriority, h,
+           row_number() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+    FROM h)
+  WHERE rn <= {_KMV_RU_K}),
+est AS (
+  SELECT o_orderpriority, count(*) AS n, max(h) AS kth FROM km GROUP BY 1),
+ex AS (
+  SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_exact
+  FROM orders GROUP BY 1)
+SELECT e.o_orderpriority, e.n_exact::BIGINT AS n_exact,
+       round(CASE WHEN s.n < {_KMV_RU_K} THEN s.n::DOUBLE
+                  ELSE {float(_KMV_RU_K - 1)} / (s.kth / {_KMV_POW_SQL}) END,
+             4) AS n_kmv,
+       round(abs(CASE WHEN s.n < {_KMV_RU_K} THEN s.n::DOUBLE
+                      ELSE {float(_KMV_RU_K - 1)} / (s.kth / {_KMV_POW_SQL}) END
+                 - e.n_exact) / e.n_exact, {ROUND_STAT}) AS rel_err
+FROM ex e JOIN est s ON s.o_orderpriority = e.o_orderpriority
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "sketch_kmv_rollup": QuerySpec(
+        _kmv_rollup, _KMV_ROLLUP_SQL,
+        "per-week KMV sketches merged to per-priority == direct sketch (rollup)",
+        ("sketch", "curation"),
+    ),
     "corpus_datacard": QuerySpec(
         _datacard, _DATACARD_SQL,
         "release datacard: tall metric/value corpus summary incl. dup burden",
