@@ -28,11 +28,16 @@ from urban_traffic_data_lake_project_spark.session import get_spark  # noqa: E40
 from urban_traffic_data_lake_project_spark.sources import TESTDATA_TABLES  # noqa: E402
 
 
-def _norm_cell(v) -> str:
+def _norm_cell(v, strict: bool = False) -> str:
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "\\N"
     if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
+        # Default mode folds integral floats to ints — tolerant, like a
+        # normalizer that coerces dtypes. Strict mode keeps the float
+        # repr, so an int64-vs-float64 dtype drift between Spark and the
+        # oracle ("0" vs "0.0") FAILS here even when values agree —
+        # mirroring the least forgiving normalizer a driver could use.
+        if not strict and v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(v)
     if isinstance(v, pd.Timestamp):
@@ -40,12 +45,22 @@ def _norm_cell(v) -> str:
     return str(v)
 
 
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
+def normalize(df: pd.DataFrame, strict: bool = False) -> pd.DataFrame:
     """Sort columns by name, normalize values to strings, sort rows."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        df[c] = df[c].map(_norm_cell)
+        df[c] = df[c].map(lambda v: _norm_cell(v, strict))
     return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def kind_sig(df: pd.DataFrame) -> dict[str, str]:
+    """Column -> pandas dtype kind ('i' int, 'f' float, 'O' object, ...).
+
+    Strict mode compares these across engines: a HUGEINT column that
+    pandas turned into float64 shows up as 'f' vs Spark's 'i' even when
+    every value is integral.
+    """
+    return {c: df[c].dtype.kind for c in sorted(df.columns)}
 
 
 def frame_hash(df: pd.DataFrame) -> str:
@@ -59,6 +74,20 @@ def frame_hash(df: pd.DataFrame) -> str:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument(
+        "--strict",
+        action="store_true",
+        help="no integral-float folding + dtype-kind parity — catches "
+        "int-vs-float drift (e.g. DuckDB HUGEINT -> pandas float64) that "
+        "a driver-side normalizer may not forgive",
+    )
+    ap.add_argument(
+        "--dump-diff",
+        metavar="DIR",
+        default=None,
+        help="on mismatch, write the normalized row diff to "
+        "DIR/ORACLE_DIFF_<query>.txt so the failing CELL is named",
+    )
     ap.add_argument("names", nargs="*", help="query names (default: all)")
     args = ap.parse_args()
 
@@ -92,12 +121,22 @@ def main() -> int:
             print(f"FAIL  {name:35s} duckdb error: {e}")
             failures.append(name)
             continue
-        ns, no = normalize(sdf), normalize(odf)
+        ns, no = normalize(sdf, args.strict), normalize(odf, args.strict)
         ok_cols = list(ns.columns) == list(no.columns)
         ok_rows = len(ns) == len(no)
+        ok_kind = True
+        kind_note = ""
+        if args.strict and ok_cols:
+            ks, ko = kind_sig(sdf), kind_sig(odf)
+            bad = {c: (ks[c], ko[c]) for c in ks if ks[c] != ko[c]}
+            if bad:
+                ok_kind = False
+                kind_note = " kinds " + ",".join(
+                    f"{c}:{s}!={o}" for c, (s, o) in bad.items()
+                )
         ok_hash = ok_cols and ok_rows and frame_hash(ns) == frame_hash(no)
-        status = "PASS" if (ok_cols and ok_rows and ok_hash) else "FAIL"
-        print(f"{status}  {name:35s} rows={len(ns):7d}/{len(no):7d} cols={'=' if ok_cols else 'X'} hash={'=' if ok_hash else 'X'} {spark_t:5.1f}s")
+        status = "PASS" if (ok_cols and ok_rows and ok_hash and ok_kind) else "FAIL"
+        print(f"{status}  {name:35s} rows={len(ns):7d}/{len(no):7d} cols={'=' if ok_cols else 'X'} hash={'=' if ok_hash else 'X'} {spark_t:5.1f}s{kind_note}")
         if status == "FAIL":
             failures.append(name)
             if not ok_cols:
@@ -107,6 +146,15 @@ def main() -> int:
                 merged = ns.merge(no, how="outer", indicator=True)
                 diff = merged[merged["_merge"] != "both"]
                 print(diff.head(8).to_string())
+                if args.dump_diff:
+                    os.makedirs(args.dump_diff, exist_ok=True)
+                    path = os.path.join(args.dump_diff, f"ORACLE_DIFF_{name}.txt")
+                    with open(path, "w") as fh:
+                        fh.write(f"# {name} @ {args.sf_dir} strict={args.strict}\n")
+                        fh.write(f"# left_only = spark, right_only = oracle\n")
+                        fh.write(diff.head(200).to_string())
+                        fh.write("\n")
+                    print(f"      diff -> {path}")
     print(f"\n{len(names) - len(failures)}/{len(names)} queries match the oracle")
     return 1 if failures else 0
 

@@ -625,7 +625,15 @@ def remove_boilerplate_lines(
     distinct owner docs -> equi-join back -> one groupBy per doc
     rebuilding the text from the kept (idx, line) pairs. Two hash
     shuffles of line rows; the doc-count threshold rides along as a
-    broadcast scalar inside the plan — no eager count, no collect."""
+    broadcast scalar inside the plan — no eager count, no collect.
+
+    The threshold compare is integer-exact (``__nd * den < num *
+    __ndocs`` with ``num/den`` the rational form of ``max_doc_frac``)
+    so no engine's float rounding of ``frac * n`` is load-bearing —
+    the same doc is flagged on any ANSI engine."""
+    from fractions import Fraction
+
+    frac = Fraction(max_doc_frac).limit_denominator(10**6)
     lines = spread_to_parallelism(df).select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
@@ -637,7 +645,11 @@ def remove_boilerplate_lines(
     flagged = (
         lines.join(owners, "line")
         .crossJoin(F.broadcast(total))
-        .withColumn("__keep", F.col("__nd") < max_doc_frac * F.col("__ndocs"))
+        .withColumn(
+            "__keep",
+            F.col("__nd") * F.lit(frac.denominator)
+            < F.lit(frac.numerator) * F.col("__ndocs"),
+        )
     )
     kept_struct = F.when(
         F.col("__keep"), F.struct(F.col("idx"), F.col("line"))

@@ -727,6 +727,19 @@ def _boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_boilerplate_lines(built, "doc_id", "t", max_doc_frac=_BP_FRAC)
 
 
+# Env-hardened oracle (round 5): the r4 driver row was hash-red with rows
+# and schema green, i.e. a cell VALUE differed only in the driver env.
+# Three suspect surfaces removed so no engine/version behavior is
+# load-bearing: (a) integer-exact threshold (ndocs * den < num * total —
+# no float `0.1 * n`), matching the Fraction form in
+# operators/text.py::remove_boilerplate_lines; (b) n_boiler cast to
+# BIGINT (DuckDB sum(int) yields HUGEINT, which pandas-converts to
+# float64 — "0.0" vs Spark's "0" under any normalizer that keeps float
+# repr); (c) clean_text rebuilt order-free via list_sort over (idx,line)
+# structs instead of `string_agg ... ORDER BY`.
+_BP_NUM, _BP_DEN = 1, 10  # == _BP_FRAC as an exact rational
+assert _BP_NUM / _BP_DEN == _BP_FRAC
+
 _BOILERPLATE_SQL = f"""
 WITH built AS (
   SELECT doc_id,
@@ -740,12 +753,15 @@ lines AS (
 nd AS (SELECT line, count(DISTINCT doc_id) AS ndocs FROM lines GROUP BY line),
 tot AS (SELECT count(*) AS n FROM built),
 fl AS (
-  SELECT l.doc_id, l.idx, l.line, nd.ndocs < {_BP_FRAC} * (SELECT n FROM tot) AS keep
+  SELECT l.doc_id, l.idx, l.line,
+         nd.ndocs * {_BP_DEN} < {_BP_NUM} * (SELECT n FROM tot) AS keep
   FROM lines l JOIN nd USING (line))
 SELECT doc_id,
        count(*) AS n_lines,
-       sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS n_boiler,
-       coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY idx), '') AS clean_text
+       (sum(CASE WHEN NOT keep THEN 1 ELSE 0 END))::BIGINT AS n_boiler,
+       coalesce(array_to_string(list_transform(
+         list_sort(list({{'idx': idx, 'line': line}}) FILTER (WHERE keep)),
+         s -> s.line), chr(10)), '') AS clean_text
 FROM fl GROUP BY doc_id
 """
 

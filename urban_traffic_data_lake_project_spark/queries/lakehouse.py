@@ -98,6 +98,16 @@ def _quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# Env-hardened oracle (round 5): the r4 driver row was hash-red with rows
+# and schema green — a cell value differed only in the driver env. For a
+# 6-row integer table that means dtype drift, not logic: DuckDB
+# sum(<int>) returns HUGEINT, and a UNION column mixing BIGINT count()
+# rows with HUGEINT sum() rows is HUGEINT throughout — which pandas
+# converts to float64 ("0.0" vs Spark's long "0" under any normalizer
+# that keeps float repr). Every sum is now ::BIGINT so the n_violations
+# column is int64 end-to-end; the range literal is an exact DOUBLE cast
+# so no decimal-vs-double parse difference across DuckDB versions is
+# load-bearing either.
 _QUALITY_SQL = """
 SELECT 'fk_orders_custkey' AS expectation,
        (SELECT count(*) FROM orders) AS n_checked,
@@ -120,19 +130,21 @@ SELECT 'unique_o_orderkey', count(*), count(*) - count(DISTINCT o_orderkey),
 FROM orders
 UNION ALL
 SELECT 'not_null_c_acctbal', count(*),
-       sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END),
+       (sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END))::BIGINT,
        CASE WHEN sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END
 FROM customer
 UNION ALL
 SELECT 'range_l_quantity_1_50', count(*),
-       sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END),
+       (sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END))::BIGINT,
        CASE WHEN sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) = 0
             THEN 1 ELSE 0 END
 FROM lineitem
 UNION ALL
 SELECT 'range_l_discount_0_01', count(*),
-       sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END),
-       CASE WHEN sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) = 0
+       (sum(CASE WHEN l_discount < CAST(0 AS DOUBLE)
+                   OR l_discount > CAST(0.1 AS DOUBLE) THEN 1 ELSE 0 END))::BIGINT,
+       CASE WHEN sum(CASE WHEN l_discount < CAST(0 AS DOUBLE)
+                      OR l_discount > CAST(0.1 AS DOUBLE) THEN 1 ELSE 0 END) = 0
             THEN 1 ELSE 0 END
 FROM lineitem
 """
