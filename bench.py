@@ -76,6 +76,10 @@ BENCH_QUERIES: tuple[str, ...] = (
     "sketch_kmv_setops",
     "sketch_cm_heavy_hitters",
     "ml_logistic_irls",
+    # round-5: corpus boilerplate removal (two line-row shuffles + the
+    # order-free list_sort rebuild that replaced string_agg ORDER BY —
+    # the r4 driver-red query, now env-hardened)
+    "text_boilerplate_lines",
 )
 
 

@@ -513,6 +513,62 @@ def test_srp_wide_signature_finds_true_dups(spark):
     assert expected <= found, expected - found
 
 
+def test_srp_choose_bands_scales_width_with_density_and_size():
+    """The band chooser widens slices as random collision mass grows: a
+    small corpus keeps narrow bands (max recall); a large or
+    dup-dense one gets wider slices so expected extra candidates stay
+    linear. Identical-signature mass is excluded from the tunable part
+    (it is irreducible — same-sig rows collide at every width)."""
+    # the budget is linear in n, so even a small all-distinct corpus
+    # settles on a moderate width (w=8 keeps 64*99*100/2^w under 8n)
+    assert D.srp_choose_bands(100, 100, 64) == 8
+    # 1M distinct signatures: random mass n^2 = 1e12 needs
+    # bands * 1e12 / 2^w <= 8e6 -> the chooser must leave w=16 behind
+    bands_1m = D.srp_choose_bands(1_000_000, 1_000_000, 64)
+    assert bands_1m <= 64 // 20 + 1  # width >= ~17 bits
+    # all-identical signatures (pathological dup density): the squared
+    # mass equals n^2, nothing is tunable, chooser keeps max recall
+    assert D.srp_choose_bands(1_000_000, 1_000_000_000_000, 64) == 64
+    # monotone: more rows never narrows the bands
+    prev = 65
+    for n in (10**3, 10**4, 10**5, 10**6, 10**7):
+        b = D.srp_choose_bands(n, n, 64)
+        assert b <= prev
+        prev = b
+
+
+def test_srp_auto_bands_matches_explicit_parameterization(spark):
+    """bands="auto" must return exactly the pairs of an explicit call
+    with the width it chose — the tuner is a planning decision, never a
+    semantic one — and still recover every true near-duplicate."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal((15, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in v + 1e-6 * rng.standard_normal(16)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    auto = {
+        (r["id_a"], r["id_b"])
+        for r in D.srp_near_dup_pairs(
+            df, n_planes=64, bands="auto", threshold=0.95
+        ).collect()
+    }
+    # 30 rows, ~30 distinct signatures: chooser keeps the narrowest width
+    explicit = {
+        (r["id_a"], r["id_b"])
+        for r in D.srp_near_dup_pairs(
+            df, n_planes=64, bands=D.srp_choose_bands(30, 30, 64), threshold=0.95
+        ).collect()
+    }
+    assert auto == explicit
+    expected = {(2 * i, 2 * i + 1) for i in range(15)}
+    assert expected <= auto, expected - auto
+
+
 def test_pq_seed_vectors_quantize_losslessly(spark, sf_dir):
     """Codebook seed vectors ARE centroids, so they encode with zero
     distortion; ADC then retrieves each seed query as its own rank-1

@@ -228,9 +228,11 @@ def test_bucketed_gate_join_has_no_exchange(spark, sf_dir):
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        import hashlib
+        from urban_traffic_data_lake_project_spark.queries.core import (
+            bucketed_table_tag,
+        )
 
-        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        tag = bucketed_table_tag(sf_dir)
         o = spark.table(f"bq_orders_{tag}")
         li = spark.table(f"bq_lineitem_{tag}")
         j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(

@@ -99,8 +99,6 @@ def test_tws_variant_plan_builds_and_runs_when_dependency_present(spark):
     """transformWithStateInPandas plan CONSTRUCTION must always work; the
     full run needs google.protobuf (absent in this container), so the
     execution half gates on tws.is_available()."""
-    import pytest
-
     from urban_traffic_data_lake_project_spark.streaming import tws
 
     d = tempfile.mkdtemp(prefix="tws_")
@@ -120,8 +118,15 @@ def test_tws_variant_plan_builds_and_runs_when_dependency_present(spark):
     ]
 
     if not tws.is_available():
+        # state-v2 stream START needs protobuf, but the PROCESSOR is pure
+        # Python — drive handleInputRows directly through a fake handle
+        # with the same micro-batches the GroupState test uses and assert
+        # the same final emission. That pins fallback parity (the registry
+        # serves stateful.bounded_recent_stats when tws is unavailable)
+        # instead of skipping.
         shutil.rmtree(d, ignore_errors=True)
-        pytest.skip("google.protobuf not installed; state-v2 runtime unavailable")
+        _assert_processor_matches_groupstate_semantics()
+        return
 
     q = (
         plan.writeStream.format("memory")
@@ -134,3 +139,69 @@ def test_tws_variant_plan_builds_and_runs_when_dependency_present(spark):
     out = spark.table("tws_sink").toPandas()
     shutil.rmtree(d, ignore_errors=True)
     assert out.iloc[-1]["n_recent"] == 3
+
+
+class _FakeListState:
+    """Minimal ListState: enough surface for RecentEventsProcessor."""
+
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return list(self._v)
+
+    def put(self, rows):
+        self._v = list(rows)
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getListState(self, name, schema):
+        return self.states.setdefault(name, _FakeListState())
+
+
+def _assert_processor_matches_groupstate_semantics():
+    """Replay the exact micro-batches of
+    test_bounded_recent_stats_evicts_across_batches through
+    RecentEventsProcessor.handleInputRows (pure Python — no protobuf) and
+    assert the final emission equals what the GroupState implementation
+    produced for the same input: buffer (11, 10, 3) -> values 200, 100, 3."""
+    import pandas as pd
+
+    from urban_traffic_data_lake_project_spark.streaming.tws import (
+        RecentEventsProcessor,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0)
+    batches = [
+        pd.DataFrame(
+            {
+                "event_id": [0, 1, 2, 3],
+                "ts": [base + dt.timedelta(minutes=i) for i in range(4)],
+                "value": [0.0, 1.0, 2.0, 3.0],
+            }
+        ),
+        pd.DataFrame(
+            {
+                "event_id": [10, 11],
+                "ts": [base + dt.timedelta(minutes=9)] * 2,
+                "value": [100.0, 200.0],
+            }
+        ),
+    ]
+    proc = RecentEventsProcessor(keep=3)
+    proc.init(_FakeHandle())
+    final = None
+    for pdf in batches:
+        for out in proc.handleInputRows((1,), [pdf], None):
+            final = out.iloc[0]
+
+    assert final["n_recent"] == 3
+    assert abs(final["avg_recent_value"] - (200.0 + 100.0 + 3.0) / 3) < 1e-9
+    assert final["last_ts"] == pd.Timestamp(base + dt.timedelta(minutes=9))
+    assert final["span_us"] == 6 * 60 * 1_000_000

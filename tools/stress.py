@@ -180,9 +180,11 @@ def main() -> None:
 
     # 7. SRP-LSH embedding near-dup at 1M vectors. Band width MUST track
     # corpus size (expected bucket occupancy n / 2^bits_per_band): 64
-    # planes / 4 bands = 16-bit bands -> ~15 vectors per bucket at 1M.
-    # The registry query's 16/4 parameterization is for the sf corpora;
-    # this case caught the quadratic blowup when bands stay coarse.
+    # planes / 4 bands = 16-bit bands -> ~15 vectors per bucket at 1M,
+    # which made this case verify-bound (~27M candidates, 96.5 s in r4).
+    # bands="auto" sizes the bands from one signature-occupancy agg
+    # (srp_choose_bands); the registry query's fixed parameterization is
+    # for the sf corpora.
     n7 = int(1_000_000 * s)
 
     def srp():
@@ -191,10 +193,10 @@ def main() -> None:
         )
 
         return srp_near_dup_pairs(
-            synth_vectors(spark, n7), n_planes=64, bands=4, threshold=0.9
+            synth_vectors(spark, n7), n_planes=64, bands="auto", threshold=0.9
         )
 
-    run_case("srp_near_dup", n7, srp)
+    run_case("srp_near_dup_auto", n7, srp)
 
     # 8. WAV PCM16 codec round trip at 300k clips (Arrow-heavy path:
     # encode -> chunk walk -> whole-clip features)

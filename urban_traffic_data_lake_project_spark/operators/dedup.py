@@ -667,13 +667,44 @@ def srp_planes(n_planes: int, dim: int) -> list:
     ]
 
 
+def srp_choose_bands(
+    n_rows: int,
+    sig_sq_mass: int,
+    n_planes: int,
+    target_pairs_per_row: float = 8.0,
+) -> int:
+    """Pick the SRP band count so the banded self-join stays near-linear.
+
+    ``sig_sq_mass`` is ``sum(c^2)`` over full-signature occupancy counts
+    (one aggregation pass). Identical-signature mass is IRREDUCIBLE —
+    those rows collide in every band at any width, and they are the true
+    near-dups the verify step must score anyway. The tunable part is the
+    RANDOM collision mass of distinct signatures, modeled uniform:
+    ``E[extra candidates] ~= bands * (n^2 - sum_c2) / 2^width``. Choose
+    the NARROWEST width (most bands, highest recall) whose extra mass
+    stays under ``target_pairs_per_row * n``, from the divisors of
+    ``n_planes`` (width <= 32 so band slices stay in integer range).
+
+    Pure driver arithmetic on two scalars — deterministic given the data,
+    so auto-tuned runs remain reproducible."""
+    extra_mass = max(float(n_rows) * float(n_rows) - float(sig_sq_mass), 0.0)
+    budget = target_pairs_per_row * max(n_rows, 1)
+    widths = [w for w in range(1, min(n_planes, 32) + 1) if n_planes % w == 0]
+    for w in widths:  # ascending width = descending recall
+        bands = n_planes // w
+        if bands * extra_mass / float(1 << w) <= budget:
+            return bands
+    return n_planes // widths[-1]
+
+
 def srp_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 16,
-    bands: int = 4,
+    bands: int | str = 4,
     threshold: float = 0.95,
+    target_pairs_per_row: float = 8.0,
 ) -> DataFrame:
     """Embedding near-dup pairs via sign-random-projection LSH — the
     angle-preserving cousin of the IVF bucketing in
@@ -695,14 +726,23 @@ def srp_near_dup_pairs(
     with ~90% recall at cosine 0.95). Vectors travel into the join only
     for the verify step. Approximate by design: a pair disagreeing
     somewhere in every band is missed (the standard SRP trade; more
-    bands or fewer bits per band raise recall)."""
+    bands or fewer bits per band raise recall).
+
+    ``bands="auto"`` sizes the bands from the data instead: one
+    aggregation over full-signature occupancy (count + sum of squared
+    bucket counts) feeds ``srp_choose_bands``, which picks the most
+    bands whose expected RANDOM candidate mass stays under
+    ``target_pairs_per_row * n`` — the knob the 1M-vector stress case
+    showed must track corpus size/density, now turned automatically.
+    Costs one extra column-pruned pass over the signature projection;
+    the banding plan shape is unchanged."""
     from urban_traffic_data_lake_project_spark.operators.similarity import (
         _as_double,
         _dot,
         _norm,
     )
 
-    if n_planes % bands:
+    if bands != "auto" and n_planes % bands:
         raise ValueError(f"bands must divide n_planes (got {n_planes}/{bands})")
     dim = emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
     planes = srp_planes(n_planes, dim)
@@ -724,6 +764,19 @@ def srp_near_dup_pairs(
         sig = bit if sig is None else sig + bit
     sig_type = "int" if n_planes <= 31 else "long"
     signed = base.select("__id", "__v", sig.cast(sig_type).alias("__sig"))
+    if bands == "auto":
+        occ = (
+            signed.groupBy("__sig")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.sum(F.col("c") * F.col("c")).alias("c2"),
+                F.sum("c").alias("n"),
+            )
+            .first()
+        )
+        bands = srp_choose_bands(
+            int(occ["n"] or 0), int(occ["c2"] or 0), n_planes, target_pairs_per_row
+        )
     width = n_planes // bands
     mask = (1 << width) - 1
     entries = [

@@ -423,10 +423,16 @@ def _partition_local_kmins(
     gc = list(group_cols)
 
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        # NULL values hash to NULL and are not distinct elements (KMV
+        # estimates COUNT(DISTINCT v), which ignores NULLs) — drop them
+        # BEFORE ranking, where pandas would sort them first but SQL
+        # engines sort them last. NULL GROUP KEYS are real groups
+        # (dropna=False matches Spark/SQL groupBy semantics).
+        pdf = pdf[pdf["h"].notna()]
         pdf = pdf.drop_duplicates(subset=[*gc, "h"]).sort_values(
             [*gc, "h"], kind="mergesort"
         )
-        return pdf.groupby(gc, sort=False).head(k) if gc else pdf.head(k)
+        return pdf.groupby(gc, sort=False, dropna=False).head(k) if gc else pdf.head(k)
 
     def per_partition(batches):
         best: pd.DataFrame | None = None
@@ -563,10 +569,15 @@ def cm_heavy_hitters(
     Returns (value, n_cm, n_exact), truth-filtered. The total-row count
     rides the plan as a broadcast one-row aggregate — no eager count."""
     total = df.agg(F.count(F.lit(1)).alias("__tot"))
-    # one sketch build, reused by all ``depth`` broadcast screens (persist
-    # is lazy and the table is <= depth*width rows — without it each
-    # broadcast exchange would recompute the full input scan)
-    cells = cm_sketch_table(df, value_col, depth, width).persist()
+    # One sketch build shared by all ``depth`` broadcast screens. The
+    # cells table is <= depth*width rows BY CONSTRUCTION, so materialize
+    # it eagerly and re-create it as a local DataFrame: without this each
+    # broadcast exchange would recompute the full input scan, and a
+    # persist() here would leak a cached DataFrame per invocation for the
+    # lifetime of the session (nothing downstream could unpersist it —
+    # the returned plan still references it lazily).
+    built = cm_sketch_table(df, value_col, depth, width)
+    cells = df.sparkSession.createDataFrame(built.collect(), schema=built.schema)
     out = df.select(value_col).crossJoin(F.broadcast(total))
     for j in range(depth):
         cells_j = F.broadcast(

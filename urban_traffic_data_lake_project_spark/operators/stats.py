@@ -459,32 +459,50 @@ def logistic_irls(
     aggregate-then-step loop through L-BFGS).
 
     Starts at beta = 0 (mu = 0.5, w = 0.25 — always well-conditioned).
+    The weight is clamped at 1e-10: mu*(1-mu) underflows to exactly 0
+    when eta saturates (well-separated data / many iterations), which
+    would turn the z working response and every sum into NaN/Inf. The
+    clamp must be mirrored bit-for-bit by any oracle replay.
+
+    The (y, x...) projection is cached across rounds — each round is one
+    aggregation JOB over the same few-column frame, and re-reading the
+    source per round both rescans the input and makes round timing
+    hostage to scan variance. Unpersisted before returning.
+
     Returns [intercept, beta_x1, ...]."""
     import numpy as np
 
     k = len(x_cols) + 1
     beta = [0.0] * k
 
-    def feats():
-        return [F.lit(1.0)] + [F.col(c).cast("double") for c in x_cols]
+    proj = df.select(
+        F.col(y_col).cast("double").alias(y_col),
+        *[F.col(c).cast("double").alias(c) for c in x_cols],
+    ).persist()
 
-    for _ in range(iters):
-        fs = feats()
-        eta = sum((F.lit(b) * f for b, f in zip(beta, fs)), F.lit(0.0))
-        mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
-        w = mu * (F.lit(1.0) - mu)
-        z = eta + (F.col(y_col).cast("double") - mu) / w
-        aggs = []
-        for i in range(k):
-            for j in range(i, k):
-                aggs.append(F.sum(w * fs[i] * fs[j]).alias(f"s{i}{j}"))
-        for i in range(k):
-            aggs.append(F.sum(w * fs[i] * z).alias(f"r{i}"))
-        row = df.agg(*aggs).first()
-        A = np.empty((k, k))
-        for i in range(k):
-            for j in range(i, k):
-                A[i, j] = A[j, i] = row[f"s{i}{j}"]
-        rhs = np.array([row[f"r{i}"] for i in range(k)])
-        beta = [float(b) for b in np.linalg.solve(A, rhs)]
+    def feats():
+        return [F.lit(1.0)] + [F.col(c) for c in x_cols]
+
+    try:
+        for _ in range(iters):
+            fs = feats()
+            eta = sum((F.lit(b) * f for b, f in zip(beta, fs)), F.lit(0.0))
+            mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+            w = F.greatest(mu * (F.lit(1.0) - mu), F.lit(1e-10))
+            z = eta + (F.col(y_col) - mu) / w
+            aggs = []
+            for i in range(k):
+                for j in range(i, k):
+                    aggs.append(F.sum(w * fs[i] * fs[j]).alias(f"s{i}{j}"))
+            for i in range(k):
+                aggs.append(F.sum(w * fs[i] * z).alias(f"r{i}"))
+            row = proj.agg(*aggs).first()
+            A = np.empty((k, k))
+            for i in range(k):
+                for j in range(i, k):
+                    A[i, j] = A[j, i] = row[f"s{i}{j}"]
+            rhs = np.array([row[f"r{i}"] for i in range(k)])
+            beta = [float(b) for b in np.linalg.solve(A, rhs)]
+    finally:
+        proj.unpersist()
     return beta

@@ -19,81 +19,75 @@ from urban_traffic_data_lake_project_spark.queries import (
 from urban_traffic_data_lake_project_spark.queries.base import QuerySpec
 
 # The driver's correctness gate records the FIRST ~50 oracle entries in
-# registration order. Round-4 rotation policy: the window carries (a)
+# registration order. Round-5 rotation policy: the window carries (a)
 # every oracle query that has NEVER had a driver-recorded row in rounds
-# 1-3 — all of the round-4 surface — plus (b) core sentinels, one per
-# operator family, that were recorded green in earlier rounds (regression
-# canaries). Everything else is driver-recorded in a prior CORRECTNESS
-# file and stays verified every round by tools/check_oracle.py and the
-# per-module pytest oracle parametrizations. "defer" tags on QuerySpecs
-# remain as per-query provenance notes; ordering comes from this list.
+# 1-4 — the 25-query r4 in-session overflow — (b) the two r4 hash-red
+# queries (text_boilerplate_lines, quality_expectations) whose
+# env-hardened oracles must re-record green, and (c) sentinels recorded
+# green in earlier rounds, prioritizing queries whose CODE was edited
+# this round (IRLS caching/clamp, KMV null handling, CM materialize,
+# bucketed-join fingerprint, versioned-profile cache, SRP auto-bands)
+# plus one canary per operator family. Everything else is
+# driver-recorded in a prior CORRECTNESS file and stays verified every
+# round by tools/check_oracle.py (now with --strict dtype-kind parity)
+# and the per-module pytest oracle parametrizations. The full
+# round-by-round recording ledger lives in COVERAGE.md.
 RECORD_WINDOW: tuple[str, ...] = (
-    # never driver-recorded — the round-4 continuation surface
-    "text_bm25_topk",
-    "win_time_range_rolling",
-    "merge_interval_overlap",
-    "stream_bounded_recent_stats",
-    "sim_pq_encode",
-    "sim_pq_topk",
-    "join_fuzzy_blocked",
-    "win_resample_ffill",
-    "lakehouse_merge_upsert",
-    # never driver-recorded (rounds 1-3) — the round-4 surface
-    "core_histogram",
-    "dedup_substring_spans",
-    "multimodal_pixels",
-    "image_near_dup",
-    "dedup_embedding_srp",
-    "text_bpe_tokens",
-    "sim_cosine_topk_ivf_trained",
-    "stream_static_enrich",
-    "events_anomaly_zscore",
-    "win_ewma",
-    "win_funnel_steps",
-    "stream_dedup_redelivery",
-    "audio_features",
-    "audio_frame_energy",
-    "udf_surface",
-    "agg_mad_pandas_udaf",
-    "udtf_keyword_context",
-    "gif_frame_index",
-    "text_bigram_logprob",
-    "sketch_hist_quantiles",
-    "decontam_embedding",
-    "text_inverted_index",
-    "text_strip_markup",
+    # (a) never driver-recorded in r1-r4 — the r4 in-session overflow
+    "core_equidepth_histogram",
+    "join_bucketed_colocated",
+    "source_python_datasource",
+    "ml_naive_bayes_lang",
+    "text_zipf_fit",
+    "sim_ivf_recall",
+    "sim_pq_recall",
+    "sample_leakage_safe_split",
+    "dedup_cluster_sizes",
+    "stream_dedup_within_watermark",
+    "variant_extract_events",
+    "events_markov_transitions",
+    "analytics_rfm_segments",
+    "events_cooccurrence_lift",
+    "events_seasonality",
+    "table_diff_unkeyed",
+    "ml_logistic_irls",
+    "events_drift_psi",
+    "events_cohort_retention",
+    "profile_functional_deps",
+    "sketch_kmv_rollup",
+    "corpus_datacard",
+    "sketch_cm_heavy_hitters",
+    "curation_source_quality",
+    "lakehouse_cdc_diff",
+    # (b) r4 hash-red, fixed this round — must re-record green
     "text_boilerplate_lines",
-    "sample_cluster_balanced",
-    "stream_sketch_quantiles",
     "quality_expectations",
-    "scd2_user_history",
-    "agg_incremental_maintenance",
-    "merge_asof_directions",
-    # round-4 in-session surface — never driver-recorded; six
-    # representative entries fit the 50-slot window. The overflow (heavy
-    # hitters, zipf, psi, cohort, seasonality, fd-profile, ivf+pq recall,
-    # cdc, within-watermark dedup, leakage split, source quality,
-    # datacard, logistic IRLS, naive bayes, markov, rfm, lift, bucketed
-    # join, equi-depth histogram, cluster sizes, python-datasource,
-    # variant, keyless diff) is locally verified by tools/check_oracle.py
-    # — full-registry green at sf0.01 AND sf0.1 — and rotates into the
-    # round-5 window
-    "sketch_kmv_setops",
-    "dedup_containment",
-    "sim_hard_negatives",
-    "stream_interval_join_outer",
+    # (c) sentinels — recorded green in earlier rounds. First the queries
+    # whose implementation changed in round 5 (regression proof for the
+    # edits), then one canary per family; the r3-red NTZ trio stays.
     "lakehouse_time_travel",
-    "privacy_k_anonymity",
-    # sentinels — recorded green in earlier rounds; the r3-red trio
-    # (tumbling / range-join / interval-join) stays to prove the NTZ fix,
-    # text_profile/curation_pipeline prove the bench-killer fix
-    # (everything dropped from the window was driver-recorded green in
-    # r1-r3 and stays locally verified every round)
+    "lakehouse_merge_upsert",
+    "dedup_embedding_srp",
+    "sketch_kmv_setops",
+    "sketch_hist_quantiles",
+    "stream_sketch_quantiles",
     "text_profile",
     "curation_pipeline",
     "merge_range_join",
     "stream_interval_join",
     "stream_tumbling_available_now",
+    "core_pricing_summary",
+    "core_grand_aggs",
+    "core_join_snowflake",
+    "win_ewma",
+    "win_resample_ffill",
+    "text_bm25_topk",
+    "sim_cosine_topk_ivf_trained",
+    "decontam_embedding",
+    "multimodal_pixels",
+    "audio_features",
+    "udf_surface",
+    "dedup_minhash_lsh",
 )
 
 

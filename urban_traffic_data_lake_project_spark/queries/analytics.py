@@ -379,8 +379,8 @@ def _irls_round_sql(prev: str, out: str) -> str:
          sum(w*x1*x1) AS s11, sum(w*x1*x2) AS s12, sum(w*x2*x2) AS s22,
          sum(w*z) AS r0, sum(w*x1*z) AS r1, sum(w*x2*z) AS r2
   FROM (
-    SELECT x1, x2, mu*(1-mu) AS w,
-           eta + (y - mu) / (mu*(1-mu)) AS z
+    SELECT x1, x2, greatest(mu*(1-mu), 1e-10) AS w,
+           eta + (y - mu) / greatest(mu*(1-mu), 1e-10) AS z
     FROM (
       SELECT d.y, d.x1, d.x2,
              p.b0 + p.b1*d.x1 + p.b2*d.x2 AS eta,

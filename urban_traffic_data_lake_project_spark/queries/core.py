@@ -496,7 +496,7 @@ SELECT l_returnflag,
        round(regr_slope(l_extendedprice, l_quantity), {ROUND_STAT}) AS slope,
        round(regr_intercept(l_extendedprice, l_quantity), {ROUND_STAT}) AS intercept,
        round(regr_r2(l_extendedprice, l_quantity), {ROUND_STAT}) AS r2,
-       regr_count(l_extendedprice, l_quantity) AS n
+       regr_count(l_extendedprice, l_quantity)::BIGINT AS n
 FROM lineitem
 GROUP BY l_returnflag
 """
@@ -638,14 +638,27 @@ FROM gen GROUP BY sensor_id
 _BUCKETED_WRITTEN: set[str] = set()
 
 
-def _bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bucketed_table_tag(sf_dir: str) -> str:
+    """Fingerprint naming the bucketed gate tables: sf_dir + source file
+    sizes/mtimes. A process that queries two scale factors must never
+    read the other's bucketed tables, and regenerating the parquet at
+    the SAME path within a long-lived process must invalidate the layout
+    instead of silently serving stale buckets."""
     import hashlib
+    import os
 
+    sig = [sf_dir]
+    for t in ("orders", "lineitem"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        st = os.stat(p)
+        sig.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(sig).encode()).hexdigest()[:8]
+
+
+def _bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from urban_traffic_data_lake_project_spark.sources.writers import write_bucketed
 
-    # table names carry the sf_dir fingerprint: a process that queries two
-    # scale factors must never read the other's bucketed tables
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = bucketed_table_tag(sf_dir)
     t_orders, t_li = f"bq_orders_{tag}", f"bq_lineitem_{tag}"
     if tag not in _BUCKETED_WRITTEN:
         # a previous PROCESS may have left the managed-table location on

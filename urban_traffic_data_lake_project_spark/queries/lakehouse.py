@@ -303,14 +303,38 @@ FROM t FULL OUTER JOIN d ON t.user_id = d.user_id
 _TT_CUTS = ("2024-01-11", "2024-01-21")
 
 
+# one versioned-table build per (process, sf_dir): lakehouse_time_travel
+# and lakehouse_cdc_diff read the same three epochs, and a bench or
+# correctness sweep invokes each several times — without the cache every
+# call would mkdtemp a new directory and replay the upserts, leaking temp
+# dirs for the life of the machine. atexit removes whatever was built.
+_VERSIONED_DIRS: dict[str, str] = {}
+
+
+def _cleanup_versioned_dirs() -> None:
+    import shutil
+
+    for d in _VERSIONED_DIRS.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _VERSIONED_DIRS.clear()
+
+
 def _build_versioned_profiles(spark: SparkSession, sf_dir: str) -> str:
     """Apply the three 10-day event-slice epochs through the upsert sink
-    into a fresh temp table dir; returns the dir (versions 0..2)."""
+    into a per-(process, sf_dir) temp table dir; returns the dir
+    (versions 0..2)."""
+    import atexit
     import tempfile
 
     from urban_traffic_data_lake_project_spark.streaming.sinks import (
         foreach_batch_upsert,
     )
+
+    cached = _VERSIONED_DIRS.get(sf_dir)
+    if cached is not None:
+        return cached
+    if not _VERSIONED_DIRS:
+        atexit.register(_cleanup_versioned_dirs)
 
     e = load_table(spark, sf_dir, "events")
     c1 = F.lit(_TT_CUTS[0]).cast("timestamp")
@@ -329,6 +353,7 @@ def _build_versioned_profiles(spark: SparkSession, sf_dir: str) -> str:
             F.max("ts").alias("last_ts"),
         )
         sink(profile, bid)
+    _VERSIONED_DIRS[sf_dir] = table_dir
     return table_dir
 
 
