@@ -682,6 +682,35 @@ def test_kmv_exact_below_k(spark):
     assert est == 37.0
 
 
+def test_kmv_null_values_ignored_null_groups_kept(spark):
+    """NULL values are not distinct elements (COUNT(DISTINCT v)
+    semantics): they contribute no hash, so the estimate over a column
+    that is 1/3 NULL equals the non-null distinct count exactly (below
+    k). NULL GROUP KEYS are real groups and must survive the
+    partition-local prune (groupby dropna=False). Nulls are filtered
+    BEFORE the Arrow boundary so the 60-bit hash column never degrades
+    to float64 in pandas."""
+    from urban_traffic_data_lake_project_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch_table,
+    )
+
+    df = spark.range(900).select(
+        F.when(F.col("id") % 2 == 0, F.lit("g")).alias("g"),  # half NULL keys
+        F.when(F.col("id") % 3 != 0, (F.col("id") % 41).cast("string")).alias("v"),
+    )
+    sk = kmv_sketch_table(df, ["g"], "v", k=256)
+    assert sk.where(F.col("h").isNull()).count() == 0
+    est = {r["g"]: r["n_kmv"] for r in kmv_estimate(sk, ["g"], k=256).collect()}
+    # exact per-group non-null distinct counts from the engine itself
+    exact = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g").agg(F.count_distinct("v").alias("n")).collect()
+    }
+    assert set(est) == set(exact) and None in est
+    assert est == {g: float(n) for g, n in exact.items()}
+
+
 def test_kmv_estimate_within_expected_error(spark):
     # k=256 -> relative standard error ~1/sqrt(k-2) ~ 6.3%; assert 4 sigma
     from urban_traffic_data_lake_project_spark.operators.sketches import (

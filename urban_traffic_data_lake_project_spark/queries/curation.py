@@ -1071,7 +1071,9 @@ def _cm_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cm_hash(j: int) -> str:
-    return _sql_hash64(f"'cm{j}|' || term")
+    # mirrors operators.sketches._cm_bucket (depth <= 4): 32-bit chunk j
+    # of ONE md5 per term
+    return f"('0x' || substr(md5(term), {1 + 8 * j}, 8))::UBIGINT"
 
 
 _CM_CELLS_UNION = "\nUNION ALL\n".join(
@@ -1352,8 +1354,10 @@ def _cm_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hh_bucket_sql(j: str | int) -> str:
+    # mirrors operators.sketches._cm_bucket (depth <= 4): one md5 per
+    # term, row j reads hex chars [1+8j, 8+8j)
     return (
-        f"((('0x' || substr(md5('cm' || {j} || '|' || term), 1, 15))::UBIGINT"
+        f"((('0x' || substr(md5(term), 1 + 8 * {j}, 8))::UBIGINT"
         f" % {_HH_WIDTH})::BIGINT)"
     )
 
