@@ -171,15 +171,19 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
     assert "1997-11" not in pf
 
 
-def test_heavy_hitter_screen_is_all_broadcast(spark, sf_dir):
-    """The CM screen must reach every occurrence via broadcast joins —
-    a SortMergeJoin before the final grouped count would mean the screen
-    itself shuffles the corpus, defeating its purpose."""
+def test_heavy_hitter_screen_is_joinless_codegen(spark, sf_dir):
+    """The CM screen must reach every occurrence map-side: the sketch is
+    inlined as literal arrays (element_at inside whole-stage codegen), so
+    the ONLY join in the plan is the broadcast one-row total — any
+    SortMergeJoin, or more than one join of any kind, means the screen
+    itself shuffles or joins the corpus, defeating its purpose."""
     df = REGISTRY["sketch_cm_heavy_hitters"].fn(spark, sf_dir)
     df.collect()
     plan = plan_of(df).split("+- == Initial Plan ==")[0]
-    assert plan.count("BroadcastHashJoin") >= 4  # one per sketch row + total
     assert "SortMergeJoin" not in plan
+    n_joins = sum(plan.count(j) for j in ("BroadcastHashJoin", "BroadcastNestedLoopJoin"))
+    assert n_joins == 1, plan  # the broadcast 1-row __tot only
+    assert "element_at" in plan  # literal-array screen in the scan stage
 
 
 def test_hard_negatives_rank_is_group_limited(spark, sf_dir):

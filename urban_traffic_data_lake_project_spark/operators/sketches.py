@@ -438,9 +438,12 @@ def _partition_local_kmins(
         # NULL values hash to NULL and are not distinct elements (KMV
         # estimates COUNT(DISTINCT v), which ignores NULLs) — drop them
         # BEFORE ranking, where pandas would sort them first but SQL
-        # engines sort them last. NULL GROUP KEYS are real groups
-        # (dropna=False matches Spark/SQL groupBy semantics).
-        pdf = pdf[pdf["h"].notna()]
+        # engines sort them last. Callers filter h IS NOT NULL upstream
+        # (kmv_sketch_table does), so this is a cheap no-copy check in
+        # the common path. NULL GROUP KEYS are real groups (dropna=False
+        # matches Spark/SQL groupBy semantics).
+        if pdf["h"].isna().any():
+            pdf = pdf[pdf["h"].notna()]
         pdf = pdf.drop_duplicates(subset=[*gc, "h"]).sort_values(
             [*gc, "h"], kind="mergesort"
         )
