@@ -330,7 +330,14 @@ def _build_versioned_profiles(spark: SparkSession, sf_dir: str) -> str:
         foreach_batch_upsert,
     )
 
-    cached = _VERSIONED_DIRS.get(sf_dir)
+    import os
+
+    # key includes the source fingerprint so regenerated parquet at the
+    # same path invalidates the build (same rule as the bucketed gate
+    # tables in queries/core.py)
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    cache_key = f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
+    cached = _VERSIONED_DIRS.get(cache_key)
     if cached is not None:
         return cached
     if not _VERSIONED_DIRS:
@@ -353,7 +360,7 @@ def _build_versioned_profiles(spark: SparkSession, sf_dir: str) -> str:
             F.max("ts").alias("last_ts"),
         )
         sink(profile, bid)
-    _VERSIONED_DIRS[sf_dir] = table_dir
+    _VERSIONED_DIRS[cache_key] = table_dir
     return table_dir
 
 
