@@ -220,3 +220,36 @@ def test_gif_zero_frames():
     from urban_traffic_data_lake_project_spark.operators import multimodal as MM
 
     assert MM.gif_parse_frames(MM.gif_encode_frames([])) == []
+
+
+def test_srp_auto_bands_empty_corpus(spark):
+    """bands="auto" on an empty corpus must not crash on dim inference
+    or the occupancy aggregate — it returns an empty pair set with the
+    stable (id_a, id_b, cosine_sim) schema."""
+    from urban_traffic_data_lake_project_spark.operators.dedup import (
+        srp_near_dup_pairs,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = srp_near_dup_pairs(empty, n_planes=64, bands="auto", threshold=0.9)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id_a", "id_b", "cosine_sim"]
+
+
+def test_logistic_irls_saturates_without_nan(spark):
+    """Perfectly separated data saturates eta within a few rounds, where
+    mu*(1-mu) underflows to 0 — the 1e-10 weight clamp must keep every
+    aggregate finite and the fit must still separate the classes."""
+    import math
+
+    from urban_traffic_data_lake_project_spark.operators.stats import logistic_irls
+
+    rows = [(0.0, float(x)) for x in range(-50, 0)] + [
+        (1.0, float(x)) for x in range(1, 51)
+    ]
+    df = spark.createDataFrame(rows, "y double, x double")
+    beta = logistic_irls(df, "y", ["x"], iters=12)
+    assert all(math.isfinite(b) for b in beta), beta
+    # separation direction: positive slope, decision boundary near 0
+    assert beta[1] > 0
+    assert abs(beta[0] / beta[1]) < 1.0

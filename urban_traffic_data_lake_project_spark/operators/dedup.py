@@ -744,7 +744,12 @@ def srp_near_dup_pairs(
 
     if bands != "auto" and n_planes % bands:
         raise ValueError(f"bands must divide n_planes (got {n_planes}/{bands})")
-    dim = emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:  # empty corpus: no pairs, stable schema
+        return emb.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine_sim double"
+        )
+    dim = first["d"]
     planes = srp_planes(n_planes, dim)
     # materialize the double vector FIRST so the plane dots read a bound
     # column, not per-term copies of the cast transform. The dots stay
