@@ -59,6 +59,9 @@ RECORD_WINDOW: tuple[str, ...] = (
     "sketch_cm_heavy_hitters",
     "curation_source_quality",
     "lakehouse_cdc_diff",
+    # (a continued) born this round, never recorded: the auto-banded SRP
+    # whose oracle replays the band chooser
+    "dedup_embedding_srp_auto",
     # (b) r4 hash-red, fixed this round — must re-record green
     "text_boilerplate_lines",
     "quality_expectations",
@@ -87,7 +90,6 @@ RECORD_WINDOW: tuple[str, ...] = (
     "multimodal_pixels",
     "audio_features",
     "udf_surface",
-    "dedup_minhash_lsh",
 )
 
 

@@ -995,6 +995,85 @@ FROM scored WHERE sim >= {_EMB_THRESHOLD}
 
 
 # ---------------------------------------------------------------------------
+# dedup_embedding_srp_auto — the AUTO-BANDED variant under the full
+# oracle gate: band width is chosen from the data (one signature-
+# occupancy aggregate -> srp_choose_bands), and because the chooser is
+# deterministic driver arithmetic on two scalars, the oracle REPLAYS the
+# choice in SQL — occupancy CTE, the same divisor-ascending inequality
+# as a CASE, then banding with the chosen width as a variable shift.
+# Proves the 100 TB tuning path end-to-end, not just the fixed-knob one.
+# ---------------------------------------------------------------------------
+_SRP_AUTO_TARGET = 8.0
+
+
+def _dedup_embedding_srp_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.operators.dedup import (
+        srp_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = srp_near_dup_pairs(
+        emb,
+        n_planes=_SRP_PLANES,
+        bands="auto",
+        threshold=_EMB_THRESHOLD,
+        target_pairs_per_row=_SRP_AUTO_TARGET,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine_sim", ROUND_STAT).alias("cosine_sim")
+    )
+
+
+def _srp_auto_pick_sql() -> str:
+    """CASE mirroring srp_choose_bands(n, c2, 16, target): widths
+    ascending (max recall first), first width whose random candidate
+    mass fits the linear budget wins; fallback widest."""
+    arms = []
+    for w in (1, 2, 4, 8, 16):
+        bands = _SRP_PLANES // w
+        arms.append(
+            f"WHEN {bands} * extra / {float(1 << w)} <= budget THEN {w}"
+        )
+    return "CASE " + " ".join(arms) + " ELSE 16 END"
+
+
+_DEDUP_SRP_AUTO_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+bits AS (
+  SELECT vec_id, j,
+         CASE WHEN list_sum(list_transform(range(1, len(e) + 1),
+                            i -> e[i] * {_SRP_COMPONENT})) >= 0
+              THEN (1::BIGINT << j) ELSE 0 END AS bit
+  FROM v, LATERAL unnest(range(0, {_SRP_PLANES})) AS t(j)),
+sg AS (SELECT vec_id, sum(bit)::BIGINT AS sig FROM bits GROUP BY vec_id),
+occ AS (
+  SELECT sum(c)::BIGINT AS n, sum(c * c)::BIGINT AS c2
+  FROM (SELECT count(*) AS c FROM sg GROUP BY sig)),
+pick AS (
+  SELECT {_srp_auto_pick_sql()} AS w
+  FROM (SELECT greatest(n * n - c2, 0)::DOUBLE AS extra,
+               {_SRP_AUTO_TARGET} * greatest(n, 1) AS budget
+        FROM occ)),
+bands AS (
+  SELECT vec_id, b, (sig >> (b * p.w)) & ((1::BIGINT << p.w) - 1) AS slice
+  FROM sg, pick p, LATERAL unnest(range(0, CAST({_SRP_PLANES} / p.w AS INT))) AS t(b)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b ON a.b = b.b AND a.slice = b.slice AND a.vec_id < b.vec_id),
+scored AS (
+  SELECT id_a, id_b,
+         list_sum(list_transform(range(1, len(va.e) + 1), i -> va.e[i] * vb.e[i]))
+           / (sqrt(list_sum(list_transform(va.e, x -> x * x)))
+              * sqrt(list_sum(list_transform(vb.e, x -> x * x)))) AS sim
+  FROM cand
+  JOIN v va ON va.vec_id = id_a
+  JOIN v vb ON vb.vec_id = id_b)
+SELECT id_a, id_b, round(sim, {ROUND_STAT}) AS cosine_sim
+FROM scored WHERE sim >= {_EMB_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup_clusters — connected components over the near-dup graph: every doc
 # labeled with the smallest reachable doc_id. Spark: iterative min-label
 # propagation (operators.dedup.dup_clusters); oracle: recursive CTE
@@ -1574,6 +1653,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_embedding_srp": QuerySpec(
         _dedup_embedding_srp, _DEDUP_SRP_SQL,
         "embedding near-dup pairs via sign-random-projection LSH banding",
+        ("dedup", "similarity", "defer"),
+    ),
+    "dedup_embedding_srp_auto": QuerySpec(
+        _dedup_embedding_srp_auto, _DEDUP_SRP_AUTO_SQL,
+        "SRP near-dup with data-driven band width; oracle replays the chooser",
         ("dedup", "similarity", "defer"),
     ),
     "text_tfidf": QuerySpec(_text_tfidf, _TFIDF_SQL, "smooth TF-IDF table", ("text",)),
