@@ -198,6 +198,31 @@ def main() -> None:
 
     run_case("srp_near_dup_auto", n7, srp)
 
+    # 7b. the pathological density regime from the r4 verdict: every
+    # vector has 9 near-copies (ids sharing id//10 differ by a tiny
+    # deterministic perturbation). The copy mass is IRREDUCIBLE — same
+    # signature in every band at any width — so the chooser must not
+    # waste width fighting it, and runtime must stay bounded by the true
+    # pair count (45 pairs per copy-group), never corpus^2.
+    n7b = int(200_000 * s)
+
+    def srp_dense():
+        from urban_traffic_data_lake_project_spark.operators.dedup import (
+            srp_near_dup_pairs,
+        )
+
+        comp = lambda i: (  # noqa: E731
+            (F.pmod(F.xxhash64(F.col("base"), F.lit(i)), F.lit(2001)) - 1000) / 1000.0
+            + (F.pmod(F.xxhash64("vec_id", F.lit(1000 + i)), F.lit(21)) - 10) / 1e7
+        )
+        dense = spark.range(n7b).select(
+            F.col("id").alias("vec_id"),
+            (F.col("id") / 10).cast("long").alias("base"),
+        ).select("vec_id", F.array(*[comp(i) for i in range(32)]).alias("embedding"))
+        return srp_near_dup_pairs(dense, n_planes=64, bands="auto", threshold=0.999)
+
+    run_case("srp_dense_dups_auto", n7b, srp_dense)
+
     # 8. WAV PCM16 codec round trip at 300k clips (Arrow-heavy path:
     # encode -> chunk walk -> whole-clip features)
     n8 = int(300_000 * s)
