@@ -249,3 +249,47 @@ def test_bucketed_gate_join_has_no_exchange(spark, sf_dir):
         assert "Exchange" not in join_subtree
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_similarity_family_codegen_compiles_no_fallback(spark, sf_dir):
+    """The literal-unrolled similarity family (IVF assignment, PQ encode /
+    ADC) must COMPILE: r5's single-stage plans exceeded janino's 64 KB
+    method limit ("Code grows beyond 64 KB"), logged `ERROR CodeGenerator:
+    Failed to compile` and silently degraded to unfused row-at-a-time
+    execution. The chunked stage folds (operators/similarity.py,
+    `with_nearest_centroids` / `pq_encode`) bound every generated method;
+    this test executes each query while capturing the JVM's stderr at the
+    OS fd level and asserts no codegen compile failure (and no
+    planning-time OOM from inferred-predicate expansion) is emitted.
+    Compile failures are NOT cached by Spark, so a failing plan re-logs on
+    every execution — absence of the marker proves the plan compiled."""
+    import os
+    import tempfile
+
+    names = [
+        "sim_cosine_topk_ivf",
+        "sim_cosine_topk_ivf_trained",
+        "sim_ivf_recall",
+        "sim_pq_encode",
+        "sim_pq_topk",
+        "sim_pq_recall",
+        "sim_hard_negatives",
+    ]
+    saved = os.dup(2)
+    with tempfile.NamedTemporaryFile(mode="w+b", delete=False) as tf:
+        path = tf.name
+    fd = os.open(path, os.O_WRONLY | os.O_TRUNC)
+    os.dup2(fd, 2)
+    try:
+        for name in names:
+            REGISTRY[name].fn(spark, sf_dir).collect()
+    finally:
+        os.dup2(saved, 2)
+        os.close(saved)
+        os.close(fd)
+    with open(path, "rb") as f:
+        err = f.read().decode("utf-8", "replace")
+    os.unlink(path)
+    assert "Failed to compile" not in err, err[:4000]
+    assert "grows beyond 64 KB" not in err, err[:4000]
+    assert "OutOfMemoryError" not in err, err[:4000]

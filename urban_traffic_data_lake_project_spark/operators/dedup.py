@@ -514,7 +514,7 @@ def embedding_near_dup_pairs(
     DEFAULT path is IVF-bucketed (the 100 TB shape): every vector is
     assigned to its ``n_assign`` nearest of ``n_centroids`` deterministic
     centroids via a per-row expression (no shuffle — see
-    ``similarity.nearest_centroid_ids``), then only pairs sharing a bucket
+    ``similarity.with_nearest_centroids``), then only pairs sharing a bucket
     are scored: one equi-join on centroid_id instead of an O(n²)
     cross-join. Multi-assignment (n_assign > 1) recovers near-dups that
     straddle a bucket boundary; a pair sharing two buckets is scored twice
@@ -526,7 +526,7 @@ def embedding_near_dup_pairs(
         _dot,
         _norm,
         centroid_entries,
-        nearest_centroid_ids,
+        with_nearest_centroids,
     )
 
     sim = _dot(F.col("__va"), F.col("__vb")) / (_norm(F.col("__va")) * _norm(F.col("__vb")))
@@ -545,12 +545,10 @@ def embedding_near_dup_pairs(
     v = spread_to_parallelism(emb).select(
         F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
     ).withColumn("__n", _norm(F.col("__v")))
-    buckets = v.select(
+    buckets = with_nearest_centroids(v, "__v", "__n", entries, n_assign, "__cids").select(
         "__id",
         "__v",
-        F.explode(
-            nearest_centroid_ids(F.col("__v"), F.col("__n"), entries, n_assign)
-        ).alias("__cid"),
+        F.explode("__cids").alias("__cid"),
     )
     a = buckets.select(
         F.col("__id").alias("id_a"), F.col("__v").alias("__va"), "__cid"

@@ -224,7 +224,7 @@ def cluster_balanced_sample(
         _as_double,
         _norm,
         kmeans_centroids,
-        nearest_centroid_ids,
+        with_nearest_centroids,
     )
 
     entries = kmeans_centroids(corpus, id_col, vec_col, k=k, iters=iters)
@@ -234,11 +234,9 @@ def cluster_balanced_sample(
     base = corpus.select(
         id_col, _as_double(F.col(vec_col)).alias("__v")
     ).withColumn("__n", _norm(F.col("__v")))
-    assigned = base.select(
+    assigned = with_nearest_centroids(base, "__v", "__n", entries, 1, "__cids").select(
         id_col,
-        F.element_at(
-            nearest_centroid_ids(F.col("__v"), F.col("__n"), entries, 1), 1
-        ).alias("cluster_id"),
+        F.element_at("__cids", 1).alias("cluster_id"),
     )
     h = _seeded_hash(id_col, seed)
     w = Window.partitionBy("cluster_id").orderBy(h.asc(), F.col(id_col).asc())

@@ -316,7 +316,7 @@ def kmeans_centroids(
     decimals so cross-engine ulp drift in the (order-sensitive) grouped
     mean cannot cascade into different assignments next round; empty
     clusters keep their previous centroid; centroid ids are re-keyed
-    0..k-1. Returns entries consumable by ``nearest_centroid_ids``."""
+    0..k-1. Returns entries consumable by ``with_nearest_centroids``."""
     import math
 
     seed = centroid_entries(corpus, id_col, vec_col, k)
@@ -328,11 +328,8 @@ def kmeans_centroids(
         _as_double(F.col(vec_col)).alias("__v")
     ).withColumn("__n", _norm(F.col("__v")))
     for _ in range(iters):
-        assigned = v.select(
-            F.element_at(
-                nearest_centroid_ids(F.col("__v"), F.col("__n"), entries, 1), 1
-            ).alias("cid"),
-            "__v",
+        assigned = with_nearest_centroids(v, "__v", "__n", entries, 1, "__cids").select(
+            F.element_at("__cids", 1).alias("cid"), "__v"
         )
         means = grouped_vector_mean(assigned, ["cid"], "__v", out_col="centroid").collect()
         by_cid = {
@@ -356,36 +353,120 @@ def _dot_literal(v: Column, vals) -> Column:
     ``aggregate(zip_with(...))`` — an INTERPRETED higher-order function —
     this stays inside whole-stage codegen: measured 5.8x faster on the
     1M-vector centroid-assignment stress case. The left-assoc order is
-    bit-identical to the fold (0.0 + x == x), so oracle parity holds."""
+    bit-identical to the fold (0.0 + x == x), so oracle parity holds.
+
+    Callers MUST keep the total unrolled terms per projection stage under
+    ``_MAX_STAGE_TERMS`` (see ``with_nearest_centroids``): janino hard-fails
+    methods over 64 KB of bytecode and Spark silently falls back to
+    interpreted execution for the whole stage."""
     expr = F.element_at(v, 1) * float(vals[0])
     for i in range(1, len(vals)):
         expr = expr + F.element_at(v, i + 1) * float(vals[i])
     return expr
 
 
-def nearest_centroid_ids(v: Column, v_norm: Column, entries: list, top: int) -> Column:
-    """Array of the ``top`` nearest centroid ids for one row's vector — a
-    pure per-row expression over the driver-side ``entries`` list
-    (``centroid_entries`` / ``kmeans_centroids`` output). Each centroid's
-    cosine is an UNROLLED literal dot (codegen'd — see ``_dot_literal``);
-    top=1 resolves via a flat ``least`` over comparable (neg_sim, cid)
-    structs (ties -> smaller cid), top>1 sorts the tiny k-struct array.
-    NO join, NO window, NO shuffle — the round-1 formulation (row_number
-    over a per-vector window after a centroid cross-join) shuffled the
-    n_centroids-times-expanded corpus just to pick an argmax."""
-    structs = [
-        F.struct(
-            (
-                -(_dot_literal(v, e["vec"]) / (v_norm * float(e["cnorm"])))
-            ).alias("neg_sim"),
-            F.lit(int(e["cid"])).alias("cid"),
-        )
-        for e in entries
-    ]
-    if top == 1:
-        best = structs[0] if len(structs) == 1 else F.least(*structs)
-        return F.array(best.getField("cid"))
-    return F.slice(F.array_sort(F.array(*structs)), 1, top).getField("cid")
+# Budget of unrolled multiply-add terms per projection STAGE. One stage's
+# expressions compile into one whole-stage-codegen method (or one split-out
+# consume method); measured on Spark 4.1: 1024 element_at terms in a stage
+# throws janino "Code grows beyond 64 KB" (silent interpreted fallback),
+# 256 compiles with comfortable margin.
+_MAX_STAGE_TERMS = 256
+
+
+def _centroid_struct(v: Column, v_norm: Column, e: dict) -> Column:
+    """(neg_sim, cid) comparable struct for one centroid — smaller is
+    nearer; ties break to the smaller cid."""
+    return F.struct(
+        (-(_dot_literal(v, e["vec"]) / (v_norm * float(e["cnorm"])))).alias("neg_sim"),
+        F.lit(int(e["cid"])).alias("cid"),
+    )
+
+
+def with_nearest_centroids(
+    df: DataFrame,
+    vec_col: str,
+    norm_col: str,
+    entries: list,
+    top: int,
+    out_col: str,
+) -> DataFrame:
+    """Adds ``out_col`` = array of the ``top`` nearest centroid ids (by
+    cosine, ties to the smaller cid) for every row — still a pure per-row
+    computation over the driver-side ``entries`` list (zero joins, zero
+    shuffles), but CHUNKED across projection stages so whole-stage codegen
+    actually compiles at any k x dim:
+
+    - Each chunk evaluates at most ``_MAX_STAGE_TERMS`` unrolled dot terms
+      (a flat ``least`` / ``array_sort`` over <= chunk structs).
+    - Chunks fold into a running best through an ``array_sort`` /
+      sliced-sorted-concat step. Two deliberate properties of the fold:
+      (1) it references the accumulator column MORE than once, so
+      Catalyst's CollapseProject keeps the stage boundary instead of
+      inlining everything back into one giant expression; (2) it routes
+      through a higher-order function (``array_sort``), whose
+      CodegenFallback status makes CollapseCodegenStages cut the
+      whole-stage-codegen region at each fold — so no single generated
+      method ever accumulates all k*dim terms. The r5 single-stage plan
+      hit janino's 64 KB method limit at ~1024 terms ("Code grows beyond
+      64 KB") and silently degraded; per-operator consume splitting
+      (spark.sql.codegen.splitConsumeFuncByOperator) measurably never
+      engages for project chains on Spark 4.1, so stage cutting is the
+      only reliable way to bound method size.
+    - Never fold with nested ``F.least(least(...), ...)``: nested Least
+      codegen MISCOMPILES (measured wrong argmins on a 20k-row probe);
+      the sort-based fold is both correct and stage-cuttable.
+
+    Semantics are bit-identical to the old single-expression form: same
+    left-assoc dots, same (neg_sim, cid) ordering, and a streaming top-n
+    never drops a global top-n element.
+    """
+    dim = len(entries[0]["vec"])
+    chunk = max(1, _MAX_STAGE_TERMS // dim)
+    v, vn = F.col(vec_col), F.col(norm_col)
+    carry = list(df.columns)
+    acc, cand = "__nc_acc", "__nc_cand"
+    cur = df
+    first = True
+    for base in range(0, len(entries), chunk):
+        part = entries[base : base + chunk]
+        if top == 1:
+            ss = [_centroid_struct(v, vn, e) for e in part]
+            cexpr = ss[0] if len(ss) == 1 else F.least(*ss)
+        else:
+            cexpr = F.slice(
+                F.array_sort(F.array(*[_centroid_struct(v, vn, e) for e in part])),
+                1,
+                top,
+            )
+        if first:
+            cur = cur.select(*carry, cexpr.alias(acc))
+            first = False
+        else:
+            cur = cur.select(*carry, acc, cexpr.alias(cand))
+            if top == 1:
+                # acc IS NULL never holds; the dead branch re-references acc
+                # (keeps CollapseProject out) and the sorted-pair minimum is
+                # exactly least(acc, cand) while routing through the
+                # array_sort codegen island (cuts the WSCG region)
+                fold = F.when(F.col(acc).isNull(), F.col(acc)).otherwise(
+                    F.element_at(
+                        F.array_sort(F.array(F.col(acc), F.col(cand))), 1
+                    )
+                )
+            else:
+                merged = F.slice(
+                    F.array_sort(F.concat(F.col(acc), F.col(cand))), 1, top
+                )
+                # size(acc) < 0 is never true; the dead branch exists only to
+                # reference acc again so CollapseProject keeps the boundary
+                fold = F.when(F.size(F.col(acc)) < 0, F.col(acc)).otherwise(merged)
+            cur = cur.select(*carry, fold.alias(acc))
+    out = (
+        F.array(F.col(acc).getField("cid"))
+        if top == 1
+        else F.col(acc).getField("cid")
+    )
+    return cur.select(*carry, out.alias(out_col))
 
 
 def cosine_topk_ivf(
@@ -416,23 +497,19 @@ def cosine_topk_ivf(
     c = spread_to_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
     ).withColumn("__cn", _norm(F.col("__cv")))
-    assigned = c.select(
+    assigned = with_nearest_centroids(c, "__cv", "__cn", entries, 1, "__cids").select(
         "neighbor_id",
         "__cv",
-        F.element_at(
-            nearest_centroid_ids(F.col("__cv"), F.col("__cn"), entries, 1), 1
-        ).alias("centroid_id"),
+        F.element_at("__cids", 1).alias("centroid_id"),
     )
 
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
     ).withColumn("__qn", _norm(F.col("__qv")))
-    probes = q.select(
+    probes = with_nearest_centroids(q, "__qv", "__qn", entries, nprobe, "__cids").select(
         "query_id",
         "__qv",
-        F.explode(
-            nearest_centroid_ids(F.col("__qv"), F.col("__qn"), entries, nprobe)
-        ).alias("centroid_id"),
+        F.explode("__cids").alias("centroid_id"),
     )
 
     scored = (
@@ -521,12 +598,23 @@ def pq_encode(
     nearest-centroid argmin per subspace is an unrolled per-row literal
     expression (array_min over (dist, c) structs — ties to the smaller
     code): NO join, NO shuffle, the whole encode rides in the corpus
-    scan's projection exactly like ``nearest_centroid_ids`` does for IVF."""
+    scan's projection exactly like ``with_nearest_centroids`` does for IVF.
+
+    Codegen-safe chunking: subspaces are grouped so each projection stage
+    stays under ``_MAX_STAGE_TERMS`` unrolled terms (one subspace costs
+    k*sub terms), and the growing code array is folded across stages with
+    a multi-reference ``when`` so CollapseProject keeps the boundaries —
+    the r5 single-stage form (all m*k*sub terms in one method) blew
+    janino's 64 KB limit and silently ran interpreted."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
+    terms_per_sub = max(1, len(codebooks[0]) * sub)
+    group = max(1, _MAX_STAGE_TERMS // terms_per_sub)
+    carry = list(df.columns)
     out = df.withColumn("__v", _as_double(F.col(vec_col)))
-    code_exprs = []
-    for j in range(m):
+    acc = "__pq_acc"
+
+    def code_expr(j: int) -> Column:
         cands = F.array(
             *[
                 F.struct(
@@ -536,8 +624,25 @@ def pq_encode(
                 for c in range(len(codebooks[j]))
             ]
         )
-        code_exprs.append(F.array_min(cands)["c"])
-    return out.withColumn(codes_col, F.array(*code_exprs)).drop("__v")
+        return F.array_min(cands)["c"]
+
+    cur = out
+    first = True
+    for base in range(0, m, group):
+        chunk_arr = F.array(*[code_expr(j) for j in range(base, min(base + group, m))])
+        if first:
+            cur = cur.select(*carry, "__v", chunk_arr.alias(acc))
+            first = False
+        else:
+            # size(acc) < 0 never holds — the dead branch re-references acc
+            # so CollapseProject keeps the stage boundary; the identity
+            # transform() is a codegen island that cuts the WSCG region
+            # (see with_nearest_centroids)
+            fold = F.when(F.size(F.col(acc)) < 0, F.slice(F.col(acc), 1, 1)).otherwise(
+                F.transform(F.concat(F.col(acc), chunk_arr), lambda x: x)
+            )
+            cur = cur.select(*carry, "__v", fold.alias(acc))
+    return cur.select(*carry, F.col(acc).alias(codes_col))
 
 
 def pq_reconstruction_mse(
@@ -549,24 +654,58 @@ def pq_reconstruction_mse(
 ) -> DataFrame:
     """Per-vector quantization distortion: mean over dimensions of the
     squared gap between the vector and its codebook reconstruction.
-    Pure projection over the encoded frame (no shuffle)."""
+    Pure projections over the encoded frame (no shuffle) — chunked across
+    stages like ``pq_encode`` so each stage's unrolled terms stay under
+    the janino 64 KB method limit; the running sum folds with a
+    multi-reference ``when`` guard (acc < 0 never holds for a sum of
+    squared distances) that keeps CollapseProject from re-inlining."""
     m, sub = len(codebooks), len(codebooks[0][0])
     d = m * sub
+    terms_per_sub = max(1, len(codebooks[0]) * sub)
+    group = max(1, _MAX_STAGE_TERMS // terms_per_sub)
+    carry = list(df.columns)
     v = _as_double(F.col(vec_col))
-    total = None
-    for j in range(m):
-        # distance to the ASSIGNED centroid, selected by the code value
-        per_c = F.array(
-            *[_sub_dist(v, j * sub, codebooks[j][c]) for c in range(len(codebooks[j]))]
-        )
-        term = F.element_at(per_c, F.col(codes_col)[j] + 1)
-        total = term if total is None else total + term
-    return df.select(
+    acc = "__mse_acc"
+
+    def chunk_sum(base: int, start: Column | None) -> Column:
+        """Chain this chunk's terms LEFT-ASSOCIATIVELY onto ``start`` so the
+        float result is bit-identical to the unchunked ((t0+t1)+t2)+...
+        fold the oracle replays."""
+        total = start
+        for j in range(base, min(base + group, m)):
+            # distance to the ASSIGNED centroid, selected by the code value
+            per_c = F.array(
+                *[
+                    _sub_dist(v, j * sub, codebooks[j][c])
+                    for c in range(len(codebooks[j]))
+                ]
+            )
+            term = F.element_at(per_c, F.col(codes_col)[j] + 1)
+            total = term if total is None else total + term
+        return total
+
+    cur = df
+    first = True
+    for base in range(0, m, group):
+        if first:
+            cur = cur.select(*carry, chunk_sum(base, None).alias(acc))
+            first = False
+        else:
+            # acc < 0 never holds for a sum of squared distances; the
+            # single-element array_sort is an identity codegen island that
+            # cuts the WSCG region without touching the float value
+            fold = F.when(F.col(acc) < 0, F.lit(None).cast("double")).otherwise(
+                F.element_at(
+                    F.array_sort(F.array(chunk_sum(base, F.col(acc)))), 1
+                )
+            )
+            cur = cur.select(*carry, fold.alias(acc))
+    return cur.select(
         F.col(id_col),
         F.concat_ws(",", F.transform(F.col(codes_col), lambda x: x.cast("string"))).alias(
             "code_str"
         ),
-        F.round(total / F.lit(float(d)), 6).alias("mse"),
+        F.round(F.col(acc) / F.lit(float(d)), 6).alias("mse"),
     )
 
 
@@ -602,8 +741,7 @@ def pq_adc_topk(
             total += (qv[base + i] - float(cv)) ** 2
         return total
 
-    per_query = []
-    for r in q_rows:
+    def query_struct(r) -> Column:
         qv = list(r["__qv"])
         dist = None
         for j in range(m):
@@ -612,14 +750,34 @@ def pq_adc_topk(
             )
             term = F.element_at(lut, F.col("__codes")[j] + 1)
             dist = term if dist is None else dist + term
-        per_query.append(
-            F.struct(F.lit(int(r["__qid"])).alias("query_id"), dist.alias("d"))
-        )
+        return F.struct(F.lit(int(r["__qid"])).alias("query_id"), dist.alias("d"))
+
+    # Build the Q-struct score array CHUNKED across projection stages
+    # (each stage <= _MAX_STAGE_TERMS LUT lookups; the growing array folds
+    # with a multi-reference `when` so CollapseProject keeps the stage
+    # boundaries and every codegen method stays under janino's 64 KB).
+    qgroup = max(1, _MAX_STAGE_TERMS // max(1, m))
+    acc = "__adc_acc"
+    carry = [id_col, "__codes"]
+    cur = enc.select(*carry)
+    first = True
+    for base in range(0, len(q_rows), qgroup):
+        chunk_arr = F.array(*[query_struct(r) for r in q_rows[base : base + qgroup]])
+        if first:
+            cur = cur.select(*carry, chunk_arr.alias(acc))
+            first = False
+        else:
+            # dead branch re-references acc (CollapseProject blocker); the
+            # identity transform() cuts the WSCG region per stage
+            fold = F.when(F.size(F.col(acc)) < 0, F.slice(F.col(acc), 1, 1)).otherwise(
+                F.transform(F.concat(F.col(acc), chunk_arr), lambda x: x)
+            )
+            cur = cur.select(*carry, fold.alias(acc))
     # _partition_local_topk's contract is (query_id, neighbor_id,
     # cosine_sim DESC); negated distance satisfies it (same tie rule)
-    scored = enc.select(
+    scored = cur.select(
         F.col(id_col).alias("neighbor_id"),
-        F.explode(F.array(*per_query)).alias("__s"),
+        F.explode(F.col(acc)).alias("__s"),
     ).select(
         "__s.query_id",
         "neighbor_id",
