@@ -86,12 +86,14 @@ def test_describe_table_matches_pandas_describe(spark):
 
 def test_registry_driver_window_contract():
     """The driver's correctness gate records ~50 entries in registration
-    order. Round-5 rotation: the window (queries.RECORD_WINDOW) carries
-    every oracle query NEVER driver-recorded in rounds 1-4 (the r4
-    in-session overflow), the two r4 hash-red queries whose fixes must
-    re-record, and per-family sentinels recorded green in earlier rounds
-    — with priority to queries whose code was edited this round. A
-    regression here silently drops queries out of the recorded window."""
+    order. As of round 5 every oracle query has at least one recorded
+    green row, so the round-6+ rotation contract is freshness-first: (1)
+    any oracle query never driver-recorded must be in the window (none
+    currently — guards future query additions); (2) the window must
+    contain the ENTIRE least-recently-recorded vintage, so no query's
+    recorded evidence can rot indefinitely while slots go to fresher
+    ones. A regression here silently drops queries out of the recorded
+    window."""
     import json
     import os
 
@@ -105,31 +107,30 @@ def test_registry_driver_window_contract():
     # every window entry is oracle-backed
     for n in RECORD_WINDOW:
         assert REGISTRY[n].oracle is not None, n
-    # every oracle query with no driver-recorded row in r1-r3 is in the window
-    ever = set()
+    # last-recorded round per query across all CORRECTNESS files so far
+    last: dict[str, int] = {}
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for r in (1, 2, 3, 4):
+    for r in (1, 2, 3, 4, 5):
         p = os.path.join(root, f"CORRECTNESS_r0{r}.json")
         if os.path.exists(p):
             d = json.load(open(p))
             qs = d.get("queries") or d.get("results") or d
-            ever |= set(qs if isinstance(qs, dict) else [q.get("name") for q in qs])
-    never = {
-        n for n, spec in REGISTRY.items() if spec.oracle is not None and n not in ever
-    }
-    # With more never-recorded queries than slots (round-4 in-session
-    # growth), the window cannot hold them all; the contract becomes:
-    # every slot NOT spent on a declared sentinel goes to a never-recorded
-    # query (no slot is wasted), and the overflow stays covered by
-    # tools/check_oracle.py until it rotates into the next round.
-    sentinels = set(RECORD_WINDOW) - never
-    if len(never) <= len(RECORD_WINDOW) - len(sentinels):
-        assert never <= set(RECORD_WINDOW), (
-            f"never-recorded but outside window: {never - set(RECORD_WINDOW)}"
+            for n in qs if isinstance(qs, dict) else [q.get("name") for q in qs]:
+                last[n] = r
+    oracle_qs = {n for n, s in REGISTRY.items() if s.oracle is not None}
+    # (1) never-recorded oracle queries (new this round) must be in window
+    never = oracle_qs - set(last)
+    assert never <= set(RECORD_WINDOW), (
+        f"never-recorded but outside window: {never - set(RECORD_WINDOW)}"
+    )
+    # (2) the entire oldest vintage rotates in (freshness-first)
+    if oracle_qs & set(last):
+        oldest = min(last[n] for n in oracle_qs & set(last))
+        stale = {n for n in oracle_qs if last.get(n) == oldest}
+        assert stale <= set(RECORD_WINDOW), (
+            f"r{oldest}-vintage queries left outside window: "
+            f"{stale - set(RECORD_WINDOW)}"
         )
-    else:
-        assert len(RECORD_WINDOW) == 50, "overflow round must fill every slot"
-        assert len(sentinels) <= 5, f"too many slots on sentinels: {sentinels}"
     # rows-only specs sort last, after all oracle-backed queries
     tiers = [0 if s.oracle is not None else 1 for s in REGISTRY.values()]
     assert tiers == sorted(tiers)

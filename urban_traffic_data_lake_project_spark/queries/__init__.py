@@ -19,77 +19,77 @@ from urban_traffic_data_lake_project_spark.queries import (
 from urban_traffic_data_lake_project_spark.queries.base import QuerySpec
 
 # The driver's correctness gate records the FIRST ~50 oracle entries in
-# registration order. Round-5 rotation policy: the window carries (a)
-# every oracle query that has NEVER had a driver-recorded row in rounds
-# 1-4 — the 25-query r4 in-session overflow — (b) the two r4 hash-red
-# queries (text_boilerplate_lines, quality_expectations) whose
-# env-hardened oracles must re-record green, and (c) sentinels recorded
-# green in earlier rounds, prioritizing queries whose CODE was edited
-# this round (IRLS caching/clamp, KMV null handling, CM materialize,
-# bucketed-join fingerprint, versioned-profile cache, SRP auto-bands)
-# plus one canary per operator family. Everything else is
-# driver-recorded in a prior CORRECTNESS file and stays verified every
-# round by tools/check_oracle.py (now with --strict dtype-kind parity)
-# and the per-module pytest oracle parametrizations. The full
+# registration order. As of round 5 EVERY oracle query has at least one
+# driver-recorded green row (CORRECTNESS_r01..r05 union), so from round
+# 6 the rotation policy is freshness-first: the window carries (a) the
+# entire least-recently-recorded vintage — all 25 r2-vintage queries
+# (the r1 names were renamed/merged in r2, so r2 is the oldest surviving
+# vintage), (b) every query whose IMPLEMENTATION changed this round (the
+# codegen-chunked IVF/PQ similarity family + its two call-site
+# dependents, and the conditional-persist IRLS), and (c) sentinels: the
+# r3-red timestamp-NTZ trio plus one r3-vintage canary per operator
+# family. Median last-recorded age strictly decreases round-over-round.
+# Everything else stays verified every round by tools/check_oracle.py
+# --strict and the per-module pytest oracle parametrizations. The full
 # round-by-round recording ledger lives in COVERAGE.md.
 RECORD_WINDOW: tuple[str, ...] = (
-    # (a) never driver-recorded in r1-r4 — the r4 in-session overflow
-    "core_equidepth_histogram",
-    "join_bucketed_colocated",
-    "source_python_datasource",
-    "ml_naive_bayes_lang",
-    "text_zipf_fit",
+    # (a) the full r2 vintage — least-recently-recorded queries alive
+    "agg_pivot",
+    "arr_vector_stats",
+    "clean_dedup_keyed",
+    "clean_full_kernel",
+    "clean_iqr_clip",
+    "clean_median_fill",
+    "clean_mode_fill",
+    "clean_null_fraction_drop",
+    "clean_numeric_coercion",
+    "clean_timestamp_multiformat",
+    "clean_variance_filter",
+    "core_corr_matrix",
+    "core_describe",
+    "core_filter_project",
+    "core_left_join_fanout",
+    "core_set_ops",
+    "core_topk_abs",
+    "core_topk_groups",
+    "join_semi_anti",
+    "json_extract_events",
+    "merge_suffix_day_join",
+    "scalar_functions",
+    "scalar_subquery",
+    "win_rank_lag",
+    "win_rollup_cube",
+    # (b) implementation changed in round 6: the whole-stage-codegen
+    # chunking of the literal-unrolled similarity family
+    # (with_nearest_centroids / pq_encode / pq_reconstruction_mse /
+    # pq_adc_topk), its call-site dependents, and conditional-persist IRLS
+    "sim_cosine_topk_ivf",
+    "sim_cosine_topk_ivf_trained",
     "sim_ivf_recall",
+    "sim_pq_encode",
+    "sim_pq_topk",
     "sim_pq_recall",
-    "sample_leakage_safe_split",
-    "dedup_cluster_sizes",
-    "stream_dedup_within_watermark",
-    "variant_extract_events",
-    "events_markov_transitions",
-    "analytics_rfm_segments",
-    "events_cooccurrence_lift",
-    "events_seasonality",
-    "table_diff_unkeyed",
+    "sim_hard_negatives",
+    "dedup_embedding_cosine",
+    "sample_cluster_balanced",
     "ml_logistic_irls",
-    "events_drift_psi",
-    "events_cohort_retention",
-    "profile_functional_deps",
-    "sketch_kmv_rollup",
-    "corpus_datacard",
-    "sketch_cm_heavy_hitters",
-    "curation_source_quality",
-    "lakehouse_cdc_diff",
-    # (a continued) born this round, never recorded: the auto-banded SRP
-    # whose oracle replays the band chooser, and the AVI container walk
-    "dedup_embedding_srp_auto",
-    "video_frame_index",
-    # (b) r4 hash-red, fixed this round — must re-record green
-    "text_boilerplate_lines",
-    "quality_expectations",
-    # (c) sentinels — recorded green in earlier rounds. First the queries
-    # whose implementation changed in round 5 (regression proof for the
-    # edits), then one canary per family; the r3-red NTZ trio stays.
-    "lakehouse_time_travel",
-    "lakehouse_merge_upsert",
-    "dedup_embedding_srp",
-    "sketch_kmv_setops",
-    "sketch_hist_quantiles",
-    "stream_sketch_quantiles",
-    "text_profile",
-    "curation_pipeline",
+    # (c) sentinels: the r3-red NTZ trio...
     "merge_range_join",
     "stream_interval_join",
     "stream_tumbling_available_now",
-    "core_pricing_summary",
-    "core_grand_aggs",
-    "core_join_snowflake",
-    "win_ewma",
-    "win_resample_ffill",
-    "text_bm25_topk",
-    "sim_cosine_topk_ivf_trained",
-    "decontam_embedding",
-    "multimodal_pixels",
-    "udf_surface",
+    # ...and one r3-vintage canary per family (oldest vintage after r2)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "text_tfidf",
+    "sketch_hll_distinct",
+    "sample_stratified",
+    "merge_asof_join",
+    "win_session_events",
+    "agg_group_percentiles",
+    "decontam_eval_overlap",
+    "stream_stateful_user_stats",
+    "multimodal_decode",
 )
 
 
