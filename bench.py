@@ -80,6 +80,12 @@ BENCH_QUERIES: tuple[str, ...] = (
     # order-free list_sort rebuild that replaced string_agg ORDER BY —
     # the r4 driver-red query, now env-hardened)
     "text_boilerplate_lines",
+    # round-6: the codegen-chunked ANN paths (trained IVF assignment and
+    # PQ encode + ADC) — the queries whose generated code previously blew
+    # janino's 64 KB limit and silently ran interpreted; benched so the
+    # compiled-vs-fallback difference stays visible round-over-round
+    "sim_cosine_topk_ivf_trained",
+    "sim_pq_topk",
 )
 
 

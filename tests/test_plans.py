@@ -293,3 +293,33 @@ def test_similarity_family_codegen_compiles_no_fallback(spark, sf_dir):
     assert "Failed to compile" not in err, err[:4000]
     assert "grows beyond 64 KB" not in err, err[:4000]
     assert "OutOfMemoryError" not in err, err[:4000]
+
+
+def test_similarity_family_plan_size_bounded(spark, sf_dir):
+    """No physical-plan node in the chunked similarity family may carry a
+    blown-up substituted expression. Joining on a fold-derived column
+    makes InferFiltersFromConstraints add isnotnull(key); pushing that
+    filter through the chunked fold projections substitutes the full
+    producing expression 3x per stage — measured an 11.6 MB Filter node
+    and executor heap OOM at 1M vectors before `cosine_topk_ivf` derived
+    centroid_id via explode (a Generate is a pushdown barrier). Guard
+    both the per-node and whole-plan sizes so any future rule that
+    re-inlines the stages is caught at planning time."""
+    names = [
+        "sim_cosine_topk_ivf",
+        "sim_cosine_topk_ivf_trained",
+        "sim_ivf_recall",
+        "sim_pq_encode",
+        "sim_pq_topk",
+        "sim_pq_recall",
+        "sim_hard_negatives",
+    ]
+    # Legitimate single-stage unrolls are ~150 KB of plan text (1024
+    # terms); the substitution blowups this guards against measured
+    # 867 KB (sf0.01 parquet) to 11.6 MB (1M synth) per node.
+    for name in names:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        s = df._jdf.queryExecution().sparkPlan().toString()
+        assert len(s) < 800_000, f"{name}: whole plan {len(s)} bytes"
+        worst = max(len(line) for line in s.split("\n"))
+        assert worst < 250_000, f"{name}: plan node of {worst} bytes"

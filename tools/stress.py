@@ -163,6 +163,44 @@ def main() -> None:
 
     run_case("ivf_topk", n5, ivf)
 
+    # 5b. the k-means-TRAINED IVF path at 1M vectors: 2 spherical rounds
+    # (each one grouped vector-mean over the chunk-assigned corpus) then
+    # the same zero-corpus-shuffle assignment + probe join. Exercises the
+    # codegen-chunked with_nearest_centroids at k=32 x dim=32 (1056
+    # unrolled terms — the regime that silently fell back to interpreted
+    # execution before the round-6 stage-fold fix).
+    def ivf_trained():
+        from urban_traffic_data_lake_project_spark.operators.similarity import (
+            cosine_topk_ivf,
+        )
+
+        corpus = synth_vectors(spark, n5)
+        queries = corpus.filter(F.col("vec_id") < 50)
+        return cosine_topk_ivf(
+            corpus, queries, k=5, n_centroids=32, nprobe=4, train_iters=2
+        )
+
+    run_case("ivf_topk_trained", n5, ivf_trained)
+
+    # 5c. PQ encode + ADC top-k at 1M x 64-dim vectors (registry shape:
+    # m=8 subspaces, k=16 codes). Encode is m*k*sub = 1024 unrolled terms
+    # — over janino's limit in one stage, chunked to 2 subspaces/stage by
+    # pq_encode; ADC scores ride the same chunked-fold shape.
+    n5c = int(1_000_000 * s)
+
+    def pq_adc():
+        from urban_traffic_data_lake_project_spark.operators.similarity import (
+            pq_adc_topk,
+            pq_codebooks,
+        )
+
+        corpus = synth_vectors(spark, n5c, dim=64)
+        queries = corpus.filter(F.col("vec_id") < 10)
+        cb = pq_codebooks(corpus, "vec_id", "embedding", m=8, k=16)
+        return pq_adc_topk(corpus, queries, "vec_id", "embedding", cb, k_top=5)
+
+    run_case("pq_adc_topk", n5c, pq_adc)
+
     # 6. histogram quantile sketch at 100M values
     n6 = int(100_000_000 * s)
 

@@ -542,6 +542,12 @@ def embedding_near_dup_pairs(
         )
 
     entries = centroid_entries(emb, id_col, vec_col, n_centroids)
+    # dim is known from the entries -> score candidate pairs with the
+    # codegen-unrolled dot instead of the interpreted HOF fold
+    sim = _dot(F.col("__va"), F.col("__vb"), len(entries[0]["vec"])) / (
+        _norm(F.col("__va"), len(entries[0]["vec"]))
+        * _norm(F.col("__vb"), len(entries[0]["vec"]))
+    )
     v = spread_to_parallelism(emb).select(
         F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
     ).withColumn("__n", _norm(F.col("__v")))

