@@ -36,6 +36,7 @@ AUDIT_EXTRA: tuple[str, ...] = (
     "multimodal_pixels",
     "text_bpe_tokens",
     "sim_cosine_topk_ivf_trained",
+    "sim_ivfpq_topk",
     "text_bigram_logprob",
     "stream_dedup_redelivery",
     "audio_frame_energy",

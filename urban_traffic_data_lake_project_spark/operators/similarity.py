@@ -698,6 +698,117 @@ def pq_encode(
     return cur.select(*carry, F.col(acc).alias(codes_col))
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k_top: int = 5,
+) -> DataFrame:
+    """IVF-PQ retrieval — the production ANN shape (FAISS ``IVFx,PQy``):
+    a coarse quantizer buckets the corpus by nearest centroid, queries
+    probe only their ``nprobe`` nearest buckets, and candidates are
+    scored by ADC over m-byte PQ codes instead of d-float raw vectors.
+    At corpus scale this multiplies the two savings the standalone
+    operators provide separately: the probe join cuts candidates to
+    ~nprobe/n_centroids of the corpus (``cosine_topk_ivf``), and each
+    scored candidate touches only the code array and a literal LUT
+    (``pq_adc_topk``) — the raw-vector column is never read past encode.
+
+    Codes quantize the RAW vectors (not bucket residuals) so the
+    per-subspace assignment stays replayable by the SQL oracle; residual
+    encoding is the recall refinement a production system layers on top.
+
+    Plan shape: zero corpus shuffles before the rank window — coarse
+    assignment and PQ encode are per-row projections (codegen-chunked,
+    Generate barrier on the bucket key), probes broadcast, the ADC
+    distance is m map-free literal-array lookups, and the partition-local
+    prune bounds the window exchange to partitions*q*k rows. Self-match
+    is kept (distance 0) exactly like ``pq_adc_topk``; its bucket always
+    probes first, so it is always a candidate."""
+    m, sub = len(codebooks), len(codebooks[0][0])
+    n_codes = len(codebooks[0])
+    entries = centroid_entries(corpus, id_col, vec_col, n_centroids)
+    dim = len(entries[0]["vec"])
+
+    c = spread_to_parallelism(corpus).select(
+        F.col(id_col).alias("corpus_id"), _as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__n", _norm(F.col("__v"), dim))
+    # explode, not element_at: Generate blocks the join's inferred
+    # isnotnull(centroid_id) from substituting the fold expression
+    # (see cosine_topk_ivf)
+    assigned = with_nearest_centroids(c, "__v", "__n", entries, 1, "__cids").select(
+        "corpus_id", "__v", F.explode("__cids").alias("centroid_id")
+    )
+    enc = pq_encode(assigned, "corpus_id", "__v", codebooks, codes_col="__codes").select(
+        "corpus_id", "centroid_id", "__codes"
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+    ).withColumn("__qn", _norm(F.col("__qv"), dim))
+    probes = with_nearest_centroids(q, "__qv", "__qn", entries, nprobe, "__cids").select(
+        "query_id", F.explode("__cids").alias("centroid_id")
+    )
+
+    # Per-(query, subspace, code) ADC LUT computed once on the driver from
+    # the collected (bounded) query set, shipped as one literal map keyed
+    # by query_id — after the bucket join each candidate row evaluates m
+    # element_at lookups; raw query vectors never reach the corpus side.
+    q_rows = (
+        queries.orderBy(id_col)
+        .select(F.col(id_col).alias("__qid"), _as_double(F.col(vec_col)).alias("__qv"))
+        .collect()
+    )
+
+    def lut_flat(qv: list) -> list:
+        out = []
+        for j in range(m):
+            base = j * sub
+            for cdx in range(n_codes):
+                total = 0.0
+                for i, cv in enumerate(codebooks[j][cdx]):
+                    total += (qv[base + i] - float(cv)) ** 2
+                out.append(total)
+        return out
+
+    map_args: list[Column] = []
+    for r in q_rows:
+        map_args.append(F.lit(int(r["__qid"])))
+        map_args.append(F.array(*[F.lit(v) for v in lut_flat(list(r["__qv"]))]))
+    lut_map = F.create_map(*map_args)
+
+    cand = enc.join(F.broadcast(probes), "centroid_id").withColumn(
+        "__lut", lut_map[F.col("query_id")]
+    )
+    dist = None
+    for j in range(m):
+        term = F.element_at(F.col("__lut"), F.lit(j * n_codes + 1) + F.col("__codes")[j])
+        dist = term if dist is None else dist + term
+    scored = cand.select(
+        "query_id",
+        F.col("corpus_id").alias("neighbor_id"),
+        (-F.round(dist, 6)).alias("cosine_sim"),
+    )
+    pruned = _partition_local_topk(scored, k_top)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("corpus_id"),
+            (-F.col("cosine_sim")).alias("adc_dist"),
+            "rank",
+        )
+    )
+
+
 def pq_reconstruction_mse(
     df: DataFrame,
     id_col: str,

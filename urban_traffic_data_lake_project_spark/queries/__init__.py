@@ -86,7 +86,8 @@ RECORD_WINDOW: tuple[str, ...] = (
     "sample_stratified",
     "merge_asof_join",
     "win_session_events",
-    "agg_group_percentiles",
+    # born in round 6, never recorded: the composed IVF-PQ retrieval
+    "sim_ivfpq_topk",
     "decontam_eval_overlap",
     "stream_stateful_user_stats",
     "multimodal_decode",

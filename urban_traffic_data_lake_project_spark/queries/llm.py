@@ -1652,6 +1652,74 @@ FROM base b LEFT JOIN hits h ON h.query_id = b.query_id
 """
 
 
+# ---------------------------------------------------------------------------
+# sim_ivfpq_topk — IVF-PQ: the two ANN dials composed the way production
+# systems ship them (FAISS IVFx,PQy). Coarse cosine quantizer buckets the
+# corpus (same 16 lowest-id centroids the IVF oracle replays), queries
+# probe their 4 nearest buckets, candidates are ADC-scored over m=8
+# PQ codes (same codebook seed rule the PQ oracle replays). The oracle
+# composes both replays and restricts the ADC pair set to bucket matches.
+# ---------------------------------------------------------------------------
+_IVFPQ_CENTROIDS, _IVFPQ_NPROBE = 16, 4
+
+
+def _ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, cb = _pq_cb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivfpq_topk(
+        emb, queries, "vec_id", "embedding", cb,
+        n_centroids=_IVFPQ_CENTROIDS, nprobe=_IVFPQ_NPROBE, k_top=_PQ_TOPK,
+    )
+
+
+_IVFPQ_COS = (
+    "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    " * sqrt(list_sum(list_transform({b}, x -> x * x))))"
+)
+
+_IVFPQ_TOPK_SQL = f"""
+WITH {_PQ_BASE_CTES},
+cents AS (
+  SELECT vec_id AS centroid_id, e AS ctv
+  FROM v ORDER BY vec_id LIMIT {_IVFPQ_CENTROIDS}),
+ia AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT c.vec_id, cents.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY {_IVFPQ_COS.format(a="c.e", b="cents.ctv")} DESC,
+                      cents.centroid_id) AS rn
+    FROM v c, cents)
+  WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, cents.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_IVFPQ_COS.format(a="q.qe", b="cents.ctv")} DESC,
+                      cents.centroid_id) AS rn
+    FROM q, cents)
+  WHERE rn <= {_IVFPQ_NPROBE}),
+pair AS (
+  SELECT q.query_id, a.vec_id AS corpus_id,
+         sum(list_sum(list_transform(range(1, {_PQ_SUB} + 1),
+             i -> (q.qe[a.j * {_PQ_SUB} + i] - cb.cent[i]) ^ 2))) AS d
+  FROM assigned a
+  JOIN cb ON cb.j = a.j AND cb.c = a.best.c
+  JOIN ia ON ia.vec_id = a.vec_id
+  JOIN probes p ON p.centroid_id = ia.centroid_id
+  JOIN q ON q.query_id = p.query_id
+  GROUP BY q.query_id, a.vec_id),
+ranked AS (
+  SELECT query_id, corpus_id, round(d, {ROUND_STAT}) AS adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(d, {ROUND_STAT}), corpus_id) AS rank
+  FROM pair)
+SELECT query_id, corpus_id, adc_dist, rank
+FROM ranked WHERE rank <= {_PQ_TOPK}
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(_dedup_exact, _DEDUP_EXACT_SQL, "exact dedup via content hash", ("dedup",)),
     "dedup_apply_near": QuerySpec(_dedup_apply, _DEDUP_APPLY_SQL, "corpus after near-dup removal", ("dedup",)),
@@ -1724,6 +1792,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "sim_pq_topk": QuerySpec(
         _pq_topk, _PQ_TOPK_SQL,
         "PQ asymmetric-distance top-k over compressed codes (driver LUT)",
+        ("similarity", "defer"),
+    ),
+    "sim_ivfpq_topk": QuerySpec(
+        _ivfpq_topk, _IVFPQ_TOPK_SQL,
+        "IVF-PQ: coarse-bucket probe + ADC over compressed codes (FAISS shape)",
         ("similarity", "defer"),
     ),
     "sim_cosine_topk_ivf": QuerySpec(_cosine_topk_ivf, _COSINE_IVF_SQL, "IVF-bucketed cosine top-k", ("similarity",)),
