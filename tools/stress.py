@@ -201,6 +201,26 @@ def main() -> None:
 
     run_case("pq_adc_topk", n5c, pq_adc)
 
+    # 5d. the composed IVF-PQ retrieval at 1M x 64-dim: coarse-bucket
+    # probe (nprobe/n_centroids of the corpus reaches scoring) + ADC over
+    # m=8 codes — candidates AND bytes-per-candidate both cut; the two
+    # standalone stress cases above are its upper bounds.
+    def ivfpq():
+        from urban_traffic_data_lake_project_spark.operators.similarity import (
+            ivfpq_topk,
+            pq_codebooks,
+        )
+
+        corpus = synth_vectors(spark, n5c, dim=64)
+        queries = corpus.filter(F.col("vec_id") < 10)
+        cb = pq_codebooks(corpus, "vec_id", "embedding", m=8, k=16)
+        return ivfpq_topk(
+            corpus, queries, "vec_id", "embedding", cb,
+            n_centroids=32, nprobe=4, k_top=5,
+        )
+
+    run_case("ivfpq_topk", n5c, ivfpq)
+
     # 6. histogram quantile sketch at 100M values
     n6 = int(100_000_000 * s)
 

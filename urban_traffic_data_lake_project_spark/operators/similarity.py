@@ -481,12 +481,25 @@ def with_nearest_centroids(
             first = False
         else:
             cur = cur.select(*carry, acc, cexpr.alias(cand))
+            # BOTH acc and cand must be referenced MORE than once in the
+            # fold: a single-referenced alias gets inlined by
+            # CollapseProject straight into the array_sort island — whose
+            # CodegenFallback eval then runs the inlined chunk's ENTIRE
+            # unrolled dot INTERPRETED per row (measured 21 s vs ~2 s for
+            # the 1M x dim64 x k32 assignment). The dead branches are
+            # unreachable AND must not be statically decidable: an
+            # isnull() guard on these non-nullable structs is
+            # constant-folded to false by SimplifyConditionals, which
+            # deletes the extra references and re-merges everything into
+            # one interpreted island. cid is a non-negative literal per
+            # centroid, but behind least()/GetStructField the optimizer
+            # cannot prove it, so the guard survives.
             if top == 1:
-                # acc IS NULL never holds; the dead branch re-references acc
-                # (keeps CollapseProject out) and the sorted-pair minimum is
-                # exactly least(acc, cand) while routing through the
-                # array_sort codegen island (cuts the WSCG region)
-                fold = F.when(F.col(acc).isNull(), F.col(acc)).otherwise(
+                fold = F.when(
+                    (F.col(acc).getField("cid") < -1)
+                    | (F.col(cand).getField("cid") < -1),
+                    F.col(acc),
+                ).otherwise(
                     F.element_at(
                         F.array_sort(F.array(F.col(acc), F.col(cand))), 1
                     )
@@ -495,9 +508,10 @@ def with_nearest_centroids(
                 merged = F.slice(
                     F.array_sort(F.concat(F.col(acc), F.col(cand))), 1, top
                 )
-                # size(acc) < 0 is never true; the dead branch exists only to
-                # reference acc again so CollapseProject keeps the boundary
-                fold = F.when(F.size(F.col(acc)) < 0, F.col(acc)).otherwise(merged)
+                fold = F.when(
+                    (F.size(F.col(acc)) < 0) | (F.size(F.col(cand)) < 0),
+                    F.slice(F.col(acc), 1, top),
+                ).otherwise(merged)
             cur = cur.select(*carry, fold.alias(acc))
     out = (
         F.array(F.col(acc).getField("cid"))
@@ -679,6 +693,7 @@ def pq_encode(
         )
         return F.array_min(cands)["c"]
 
+    cand = "__pq_cand"
     cur = out
     first = True
     for base in range(0, m, group):
@@ -687,13 +702,17 @@ def pq_encode(
             cur = cur.select(*carry, "__v", chunk_arr.alias(acc))
             first = False
         else:
-            # size(acc) < 0 never holds — the dead branch re-references acc
-            # so CollapseProject keeps the stage boundary; the identity
-            # transform() is a codegen island that cuts the WSCG region
-            # (see with_nearest_centroids)
-            fold = F.when(F.size(F.col(acc)) < 0, F.slice(F.col(acc), 1, 1)).otherwise(
-                F.transform(F.concat(F.col(acc), chunk_arr), lambda x: x)
-            )
+            # the chunk's argmins land in their OWN aliased projection and
+            # the fold references BOTH acc and cand twice: a
+            # single-referenced alias would be inlined by CollapseProject
+            # into the transform island, whose CodegenFallback eval runs
+            # the inlined subtree interpreted per row (see
+            # with_nearest_centroids). Dead branches are unreachable.
+            cur = cur.select(*carry, "__v", acc, chunk_arr.alias(cand))
+            fold = F.when(
+                (F.size(F.col(acc)) < 0) | (F.size(F.col(cand)) < 0),
+                F.slice(F.col(acc), 1, 1),
+            ).otherwise(F.transform(F.concat(F.col(acc), F.col(cand)), lambda x: x))
             cur = cur.select(*carry, "__v", fold.alias(acc))
     return cur.select(*carry, F.col(acc).alias(codes_col))
 
@@ -857,7 +876,14 @@ def pq_reconstruction_mse(
         else:
             # acc < 0 never holds for a sum of squared distances; the
             # single-element array_sort is an identity codegen island that
-            # cuts the WSCG region without touching the float value
+            # cuts the WSCG region without touching the float value.
+            # NOTE: unlike the array folds, this chunk's terms chain
+            # left-associatively ONTO acc for bit parity, so they sit
+            # inside the island and evaluate interpreted when the
+            # multi-chunk path triggers — acceptable because at the
+            # default budget every registry/stress shape is single-chunk
+            # here (m * k * sub <= _MAX_STAGE_TERMS), and reassociating
+            # the sum to split it would change float results.
             fold = F.when(F.col(acc) < 0, F.lit(None).cast("double")).otherwise(
                 F.element_at(
                     F.array_sort(F.array(chunk_sum(base, F.col(acc)))), 1
@@ -925,17 +951,23 @@ def pq_adc_topk(
     carry = [id_col, "__codes"]
     cur = enc.select(*carry)
     first = True
+    cand = "__adc_cand"
     for base in range(0, len(q_rows), qgroup):
         chunk_arr = F.array(*[query_struct(r) for r in q_rows[base : base + qgroup]])
         if first:
             cur = cur.select(*carry, chunk_arr.alias(acc))
             first = False
         else:
-            # dead branch re-references acc (CollapseProject blocker); the
-            # identity transform() cuts the WSCG region per stage
-            fold = F.when(F.size(F.col(acc)) < 0, F.slice(F.col(acc), 1, 1)).otherwise(
-                F.transform(F.concat(F.col(acc), chunk_arr), lambda x: x)
-            )
+            # chunk structs in their OWN aliased projection; the fold
+            # references both acc and cand twice so CollapseProject can't
+            # inline either into the transform island (an inlined chunk
+            # would run interpreted inside the island's fallback eval —
+            # see with_nearest_centroids). Dead branch unreachable.
+            cur = cur.select(*carry, acc, chunk_arr.alias(cand))
+            fold = F.when(
+                (F.size(F.col(acc)) < 0) | (F.size(F.col(cand)) < 0),
+                F.slice(F.col(acc), 1, 1),
+            ).otherwise(F.transform(F.concat(F.col(acc), F.col(cand)), lambda x: x))
             cur = cur.select(*carry, fold.alias(acc))
     # _partition_local_topk's contract is (query_id, neighbor_id,
     # cosine_sim DESC); negated distance satisfies it (same tie rule)

@@ -79,15 +79,17 @@ RECORD_WINDOW: tuple[str, ...] = (
     "stream_tumbling_available_now",
     # ...and one r3-vintage canary per family (oldest vintage after r2)
     "dedup_exact",
-    "dedup_minhash_lsh",
     "sim_cosine_topk",
     "text_tfidf",
     "sketch_hll_distinct",
     "sample_stratified",
     "merge_asof_join",
     "win_session_events",
-    # born in round 6, never recorded: the composed IVF-PQ retrieval
+    # born in round 6, never recorded: the composed IVF-PQ retrieval + its
+    # recall dial (two r3-vintage canaries gave way; their families stay
+    # covered by other window rows)
     "sim_ivfpq_topk",
+    "sim_ivfpq_recall",
     "decontam_eval_overlap",
     "stream_stateful_user_stats",
     "multimodal_decode",

@@ -1678,8 +1678,7 @@ _IVFPQ_COS = (
     " * sqrt(list_sum(list_transform({b}, x -> x * x))))"
 )
 
-_IVFPQ_TOPK_SQL = f"""
-WITH {_PQ_BASE_CTES},
+_IVFPQ_CTES = f"""{_PQ_BASE_CTES},
 cents AS (
   SELECT vec_id AS centroid_id, e AS ctv
   FROM v ORDER BY vec_id LIMIT {_IVFPQ_CENTROIDS}),
@@ -1714,9 +1713,67 @@ ranked AS (
   SELECT query_id, corpus_id, round(d, {ROUND_STAT}) AS adc_dist,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY round(d, {ROUND_STAT}), corpus_id) AS rank
-  FROM pair)
+  FROM pair)"""
+
+_IVFPQ_TOPK_SQL = f"""
+WITH {_IVFPQ_CTES}
 SELECT query_id, corpus_id, adc_dist, rank
 FROM ranked WHERE rank <= {_PQ_TOPK}
+"""
+
+
+def _ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of IVF-PQ retrieval against the exact L2 top-k — the
+    composed dial: bucket-miss loss (IVF) plus compression loss (PQ) in
+    one number, comparable against sim_ivf_recall and sim_pq_recall."""
+    emb, cb = _pq_cb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = S.ivfpq_topk(
+        emb, queries, "vec_id", "embedding", cb,
+        n_centroids=_IVFPQ_CENTROIDS, nprobe=_IVFPQ_NPROBE, k_top=_PQ_TOPK,
+    ).select("query_id", F.col("corpus_id").alias("neighbor_id"))
+    exact = S.l2_topk(emb, queries, "vec_id", "embedding", k=_PQ_TOPK, dim=_EMB_DIM).select(
+        "query_id", "neighbor_id"
+    )
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        F.round(
+            F.coalesce("n_hits", F.lit(0)) / F.col("n_exact"), ROUND_STAT
+        ).alias("recall"),
+    )
+
+
+_IVFPQ_RECALL_SQL = f"""
+WITH {_IVFPQ_CTES},
+ap AS (SELECT query_id, corpus_id FROM ranked WHERE rank <= {_PQ_TOPK}),
+ex_pair AS (
+  SELECT q.query_id, c.vec_id AS corpus_id,
+         list_sum(list_transform(range(1, len(q.qe) + 1),
+             i -> (q.qe[i] - c.e[i]) ^ 2)) AS d
+  FROM v c CROSS JOIN q),
+ex AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT query_id, corpus_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY d, corpus_id) AS rank
+    FROM ex_pair)
+  WHERE rank <= {_PQ_TOPK}),
+base AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY 1),
+hits AS (
+  SELECT ex.query_id, count(*) AS n_hits
+  FROM ex JOIN ap ON ap.query_id = ex.query_id AND ap.corpus_id = ex.corpus_id
+  GROUP BY 1)
+SELECT b.query_id, b.n_exact::BIGINT AS n_exact,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       round(coalesce(h.n_hits, 0)::DOUBLE / b.n_exact, {ROUND_STAT}) AS recall
+FROM base b LEFT JOIN hits h ON h.query_id = b.query_id
 """
 
 
@@ -1798,6 +1855,11 @@ REGISTRY: dict[str, QuerySpec] = {
         _ivfpq_topk, _IVFPQ_TOPK_SQL,
         "IVF-PQ: coarse-bucket probe + ADC over compressed codes (FAISS shape)",
         ("similarity", "defer"),
+    ),
+    "sim_ivfpq_recall": QuerySpec(
+        _ivfpq_recall, _IVFPQ_RECALL_SQL,
+        "recall@5 of IVF-PQ vs exact L2: bucket-miss + compression loss in one dial",
+        ("similarity", "diagnostics"),
     ),
     "sim_cosine_topk_ivf": QuerySpec(_cosine_topk_ivf, _COSINE_IVF_SQL, "IVF-bucketed cosine top-k", ("similarity",)),
     "sim_cosine_topk_ivf_trained": QuerySpec(
