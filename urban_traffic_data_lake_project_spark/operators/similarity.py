@@ -411,12 +411,33 @@ def _dot_literal(v: Column, vals) -> Column:
 _MAX_STAGE_TERMS = 1024
 
 
-def _centroid_struct(v: Column, v_norm: Column, e: dict) -> Column:
-    """(neg_sim, cid) comparable struct for one centroid — smaller is
-    nearer; ties break to the smaller cid."""
-    return F.struct(
-        (-(_dot_literal(v, e["vec"]) / (v_norm * float(e["cnorm"])))).alias("neg_sim"),
-        F.lit(int(e["cid"])).alias("cid"),
+def _f(x) -> str:
+    """A DOUBLE literal as SQL text. repr() is the shortest round-trip
+    representation and Spark's parser reads it back to the identical
+    IEEE-754 double (verified bitwise); the D suffix forces DoubleType
+    (a bare decimal literal parses as DECIMAL). Parenthesized so
+    negative values compose."""
+    return f"({float(x)!r}D)"
+
+
+def _dot_literal_sql(col: str, vals) -> str:
+    """SQL text of ``_dot_literal`` — same left-assoc term order. Built
+    as ONE string parsed by a single F.expr call: constructing the same
+    tree through py4j Column operators costs ~3 gateway round trips per
+    term, which made PLAN BUILD (not execution) dominate the ANN queries
+    (~9 s per build at k x dim = 1024; measured in BENCH_r06 prep)."""
+    return " + ".join(
+        f"(element_at({col}, {i + 1}) * {_f(v)})" for i, v in enumerate(vals)
+    )
+
+
+def _centroid_struct_sql(vec_name: str, norm_name: str, e: dict) -> str:
+    """SQL text of the (neg_sim, cid) comparable struct for one centroid
+    — smaller is nearer; ties break to the smaller cid."""
+    dot = _dot_literal_sql(vec_name, e["vec"])
+    return (
+        f"named_struct('neg_sim', -(({dot}) / ({norm_name} * {_f(e['cnorm'])})), "
+        f"'cid', {int(e['cid'])})"
     )
 
 
@@ -460,21 +481,22 @@ def with_nearest_centroids(
     """
     dim = len(entries[0]["vec"])
     chunk = max(1, _MAX_STAGE_TERMS // dim)
-    v, vn = F.col(vec_col), F.col(norm_col)
     carry = list(df.columns)
     acc, cand = "__nc_acc", "__nc_cand"
     cur = df
     first = True
     for base in range(0, len(entries), chunk):
         part = entries[base : base + chunk]
+        # chunk expressions are built as ONE SQL string per chunk (a
+        # single parse) — the py4j-Column form cost ~3 gateway round
+        # trips per unrolled term and made plan BUILD dominate the ANN
+        # queries (~9 s/build at 1024 terms); semantics are identical
+        ss = [_centroid_struct_sql(vec_col, norm_col, e) for e in part]
         if top == 1:
-            ss = [_centroid_struct(v, vn, e) for e in part]
-            cexpr = ss[0] if len(ss) == 1 else F.least(*ss)
+            cexpr = F.expr(ss[0] if len(ss) == 1 else f"least({', '.join(ss)})")
         else:
-            cexpr = F.slice(
-                F.array_sort(F.array(*[_centroid_struct(v, vn, e) for e in part])),
-                1,
-                top,
+            cexpr = F.expr(
+                f"slice(array_sort(array({', '.join(ss)})), 1, {int(top)})"
             )
         if first:
             cur = cur.select(*carry, cexpr.alias(acc))
@@ -654,6 +676,16 @@ def _sub_dist(vec: Column, offset: int, centroid: list) -> Column:
     return total
 
 
+def _sub_dist_sql(col: str, offset: int, centroid: list) -> str:
+    """SQL text of ``_sub_dist`` — same 0-based indexing, same POWER
+    form as Column.__pow__, same left-assoc chained sum; one parse
+    instead of per-term py4j calls."""
+    return " + ".join(
+        f"power(({col}[{offset + i}] - {_f(c)}), 2)"
+        for i, c in enumerate(centroid)
+    )
+
+
 def pq_encode(
     df: DataFrame,
     id_col: str,
@@ -681,23 +713,27 @@ def pq_encode(
     out = df.withColumn("__v", _as_double(F.col(vec_col)))
     acc = "__pq_acc"
 
-    def code_expr(j: int) -> Column:
-        cands = F.array(
-            *[
-                F.struct(
-                    _sub_dist(F.col("__v"), j * sub, codebooks[j][c]).alias("d"),
-                    F.lit(c).alias("c"),
-                )
-                for c in range(len(codebooks[j]))
-            ]
+    def code_expr_sql(j: int) -> str:
+        # one SQL string per subspace (single parse, not k*sub py4j
+        # round trips — see _dot_literal_sql); same left-assoc power sum
+        # as _sub_dist, same struct-min tiebreak to the smaller code
+        cands = ", ".join(
+            "named_struct('d', "
+            + _sub_dist_sql("__v", j * sub, codebooks[j][c])
+            + f", 'c', {c})"
+            for c in range(len(codebooks[j]))
         )
-        return F.array_min(cands)["c"]
+        return f"array_min(array({cands})).c"
 
     cand = "__pq_cand"
     cur = out
     first = True
     for base in range(0, m, group):
-        chunk_arr = F.array(*[code_expr(j) for j in range(base, min(base + group, m))])
+        chunk_arr = F.expr(
+            "array("
+            + ", ".join(code_expr_sql(j) for j in range(base, min(base + group, m)))
+            + ")"
+        )
         if first:
             cur = cur.select(*carry, "__v", chunk_arr.alias(acc))
             first = False
@@ -794,11 +830,14 @@ def ivfpq_topk(
                 out.append(total)
         return out
 
-    map_args: list[Column] = []
+    map_args: list[str] = []
     for r in q_rows:
-        map_args.append(F.lit(int(r["__qid"])))
-        map_args.append(F.array(*[F.lit(v) for v in lut_flat(list(r["__qv"]))]))
-    lut_map = F.create_map(*map_args)
+        map_args.append(str(int(r["__qid"])))
+        map_args.append(
+            "array(" + ", ".join(_f(v) for v in lut_flat(list(r["__qv"]))) + ")"
+        )
+    # one parsed literal map instead of |q| x m x k py4j lit() calls
+    lut_map = F.expr(f"map({', '.join(map_args)})")
 
     cand = enc.join(F.broadcast(probes), "centroid_id").withColumn(
         "__lut", lut_map[F.col("query_id")]
@@ -847,31 +886,30 @@ def pq_reconstruction_mse(
     terms_per_sub = max(1, len(codebooks[0]) * sub)
     group = max(1, _MAX_STAGE_TERMS // terms_per_sub)
     carry = list(df.columns)
-    v = _as_double(F.col(vec_col))
     acc = "__mse_acc"
 
-    def chunk_sum(base: int, start: Column | None) -> Column:
-        """Chain this chunk's terms LEFT-ASSOCIATIVELY onto ``start`` so the
-        float result is bit-identical to the unchunked ((t0+t1)+t2)+...
-        fold the oracle replays."""
-        total = start
+    def chunk_sum_sql(base: int, start: str | None) -> str:
+        """Chain this chunk's terms LEFT-ASSOCIATIVELY onto ``start`` so
+        the float result is bit-identical to the unchunked
+        ((t0+t1)+t2)+... fold the oracle replays. One SQL string per
+        chunk — the py4j-Column form cost ~3 round trips per term."""
+        parts = [] if start is None else [start]
         for j in range(base, min(base + group, m)):
             # distance to the ASSIGNED centroid, selected by the code value
-            per_c = F.array(
-                *[
-                    _sub_dist(v, j * sub, codebooks[j][c])
-                    for c in range(len(codebooks[j]))
-                ]
+            per_c = ", ".join(
+                f"({_sub_dist_sql('__v', j * sub, codebooks[j][c])})"
+                for c in range(len(codebooks[j]))
             )
-            term = F.element_at(per_c, F.col(codes_col)[j] + 1)
-            total = term if total is None else total + term
-        return total
+            parts.append(
+                f"element_at(array({per_c}), {codes_col}[{j}] + 1)"
+            )
+        return " + ".join(parts)
 
-    cur = df
+    cur = df.withColumn("__v", _as_double(F.col(vec_col)))
     first = True
     for base in range(0, m, group):
         if first:
-            cur = cur.select(*carry, chunk_sum(base, None).alias(acc))
+            cur = cur.select(*carry, "__v", F.expr(chunk_sum_sql(base, None)).alias(acc))
             first = False
         else:
             # acc < 0 never holds for a sum of squared distances; the
@@ -886,10 +924,10 @@ def pq_reconstruction_mse(
             # the sum to split it would change float results.
             fold = F.when(F.col(acc) < 0, F.lit(None).cast("double")).otherwise(
                 F.element_at(
-                    F.array_sort(F.array(chunk_sum(base, F.col(acc)))), 1
+                    F.array_sort(F.array(F.expr(chunk_sum_sql(base, acc)))), 1
                 )
             )
-            cur = cur.select(*carry, fold.alias(acc))
+            cur = cur.select(*carry, "__v", fold.alias(acc))
     return cur.select(
         F.col(id_col),
         F.concat_ws(",", F.transform(F.col(codes_col), lambda x: x.cast("string"))).alias(
@@ -931,16 +969,19 @@ def pq_adc_topk(
             total += (qv[base + i] - float(cv)) ** 2
         return total
 
-    def query_struct(r) -> Column:
+    def query_struct_sql(r) -> str:
+        # one SQL string per query (single parse — see _dot_literal_sql)
         qv = list(r["__qv"])
-        dist = None
+        terms = []
         for j in range(m):
-            lut = F.array(
-                *[F.lit(lut_entry(qv, j, c)) for c in range(len(codebooks[j]))]
+            lut = ", ".join(
+                _f(lut_entry(qv, j, c)) for c in range(len(codebooks[j]))
             )
-            term = F.element_at(lut, F.col("__codes")[j] + 1)
-            dist = term if dist is None else dist + term
-        return F.struct(F.lit(int(r["__qid"])).alias("query_id"), dist.alias("d"))
+            terms.append(f"element_at(array({lut}), __codes[{j}] + 1)")
+        return (
+            f"named_struct('query_id', {int(r['__qid'])}, "
+            f"'d', {' + '.join(terms)})"
+        )
 
     # Build the Q-struct score array CHUNKED across projection stages
     # (each stage <= _MAX_STAGE_TERMS LUT lookups; the growing array folds
@@ -953,7 +994,11 @@ def pq_adc_topk(
     first = True
     cand = "__adc_cand"
     for base in range(0, len(q_rows), qgroup):
-        chunk_arr = F.array(*[query_struct(r) for r in q_rows[base : base + qgroup]])
+        chunk_arr = F.expr(
+            "array("
+            + ", ".join(query_struct_sql(r) for r in q_rows[base : base + qgroup])
+            + ")"
+        )
         if first:
             cur = cur.select(*carry, chunk_arr.alias(acc))
             first = False
