@@ -86,6 +86,8 @@ BENCH_QUERIES: tuple[str, ...] = (
     # compiled-vs-fallback difference stays visible round-over-round
     "sim_cosine_topk_ivf_trained",
     "sim_pq_topk",
+    # the composed FAISS-shape retrieval born this round
+    "sim_ivfpq_topk",
 )
 
 

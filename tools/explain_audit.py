@@ -107,6 +107,10 @@ PLAN_ANNOTATIONS: dict[str, dict[str, str]] = {
             "ml_naive_bayes_lang",
             "sim_ivf_recall",
             "sim_pq_recall",
+            # exact-L2 ground truth (l2_topk) broadcasts the bounded
+            # 10-query set against the corpus — same shape as
+            # sim_pq_recall's; candidates pruned partition-locally
+            "sim_ivfpq_recall",
             "events_cooccurrence_lift",
             "events_seasonality",
             "events_drift_psi",
