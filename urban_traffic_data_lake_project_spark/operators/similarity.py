@@ -341,8 +341,10 @@ def kmeans_centroids(
     deterministic first-k seed: ``iters`` Lloyd rounds of (assign every
     vector to its max-cosine centroid via the per-row literal expression —
     zero corpus shuffle) then (recompute per-cluster element-wise means
-    via ``grouped_vector_mean`` — one shuffle of k*dim partial rows, never
-    vectors). Each round collects only k*dim doubles to the driver.
+    as ONE wide grouped aggregate: dim avg() columns over the assigned
+    frame — map-side partials, one shuffle of k rows x dim columns, no
+    posexplode row blow-up). Each round collects only k*dim doubles to
+    the driver.
 
     Determinism/oracle notes: new centroids are ROUNDED to ``round_to``
     decimals so cross-engine ulp drift in the (order-sensitive) grouped
@@ -363,9 +365,15 @@ def kmeans_centroids(
         assigned = with_nearest_centroids(v, "__v", "__n", entries, 1, "__cids").select(
             F.element_at("__cids", 1).alias("cid"), "__v"
         )
-        means = grouped_vector_mean(assigned, ["cid"], "__v", out_col="centroid").collect()
+        dim = len(entries[0]["vec"])
+        means = assigned.groupBy("cid").agg(
+            *[
+                F.expr(f"avg(element_at(__v, {i + 1}))").alias(f"m{i}")
+                for i in range(dim)
+            ]
+        ).collect()
         by_cid = {
-            int(r["cid"]): [round(float(x), round_to) for x in r["centroid"]]
+            int(r["cid"]): [round(float(r[f"m{i}"]), round_to) for i in range(dim)]
             for r in means
         }
         entries = [
