@@ -274,6 +274,7 @@ def test_similarity_family_codegen_compiles_no_fallback(spark, sf_dir):
         "sim_pq_topk",
         "sim_pq_recall",
         "sim_ivfpq_topk",
+        "sim_ivfpq_residual_topk",
         "sim_hard_negatives",
     ]
     saved = os.dup(2)
@@ -314,6 +315,7 @@ def test_similarity_family_plan_size_bounded(spark, sf_dir):
         "sim_pq_topk",
         "sim_pq_recall",
         "sim_ivfpq_topk",
+        "sim_ivfpq_residual_topk",
         "sim_hard_negatives",
     ]
     # Legitimate single-stage unrolls are ~150 KB of plan text (1024

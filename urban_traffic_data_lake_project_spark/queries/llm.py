@@ -1722,6 +1722,80 @@ FROM ranked WHERE rank <= {_PQ_TOPK}
 """
 
 
+def _ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivfpq_residual_topk(
+        emb, queries, "vec_id", "embedding",
+        n_centroids=_IVFPQ_CENTROIDS, m=_PQ_M, k_codes=_PQ_K,
+        nprobe=_IVFPQ_NPROBE, k_top=_PQ_TOPK,
+    )
+
+
+_IVFPQ_RESIDUAL_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cents AS (
+  SELECT vec_id AS centroid_id, e AS ctv
+  FROM v ORDER BY vec_id LIMIT {_IVFPQ_CENTROIDS}),
+ia AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT c.vec_id, cents.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY {_IVFPQ_COS.format(a="c.e", b="cents.ctv")} DESC,
+                      cents.centroid_id) AS rn
+    FROM v c, cents)
+  WHERE rn = 1),
+rv AS (
+  SELECT v.vec_id, ia.centroid_id,
+         list_transform(range(1, len(v.e) + 1), i -> v.e[i] - cents.ctv[i]) AS re
+  FROM v
+  JOIN ia ON ia.vec_id = v.vec_id
+  JOIN cents ON cents.centroid_id = ia.centroid_id),
+rseed AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, re
+  FROM (SELECT vec_id, re FROM rv ORDER BY vec_id LIMIT {_PQ_K})),
+rcb AS (
+  SELECT t.j, rseed.c,
+         rseed.re[t.j * {_PQ_SUB} + 1 : t.j * {_PQ_SUB} + {_PQ_SUB}] AS cent
+  FROM rseed, range(0, {_PQ_M}) t(j)),
+rassigned AS (
+  SELECT rv.vec_id, rcb.j,
+         min({{'d': list_sum(list_transform(range(1, {_PQ_SUB} + 1),
+                i -> (rv.re[rcb.j * {_PQ_SUB} + i] - rcb.cent[i]) ^ 2)),
+              'c': rcb.c}}) AS best
+  FROM rv CROSS JOIN rcb
+  GROUP BY rv.vec_id, rcb.j),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, cents.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_IVFPQ_COS.format(a="q.qe", b="cents.ctv")} DESC,
+                      cents.centroid_id) AS rn
+    FROM q, cents)
+  WHERE rn <= {_IVFPQ_NPROBE}),
+pair AS (
+  SELECT p.query_id, a.vec_id AS corpus_id,
+         sum(list_sum(list_transform(range(1, {_PQ_SUB} + 1),
+             i -> ((q.qe[a.j * {_PQ_SUB} + i] - pc.ctv[a.j * {_PQ_SUB} + i])
+                   - rcb.cent[i]) ^ 2))) AS d
+  FROM rassigned a
+  JOIN rcb ON rcb.j = a.j AND rcb.c = a.best.c
+  JOIN ia ON ia.vec_id = a.vec_id
+  JOIN probes p ON p.centroid_id = ia.centroid_id
+  JOIN q ON q.query_id = p.query_id
+  JOIN cents pc ON pc.centroid_id = p.centroid_id
+  GROUP BY p.query_id, a.vec_id),
+ranked AS (
+  SELECT query_id, corpus_id, round(d, {ROUND_STAT}) AS adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(d, {ROUND_STAT}), corpus_id) AS rank
+  FROM pair)
+SELECT query_id, corpus_id, adc_dist, rank
+FROM ranked WHERE rank <= {_PQ_TOPK}
+"""
+
+
 def _ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of IVF-PQ retrieval against the exact L2 top-k — the
     composed dial: bucket-miss loss (IVF) plus compression loss (PQ) in
@@ -1860,6 +1934,11 @@ REGISTRY: dict[str, QuerySpec] = {
         _ivfpq_recall, _IVFPQ_RECALL_SQL,
         "recall@5 of IVF-PQ vs exact L2: bucket-miss + compression loss in one dial",
         ("similarity", "diagnostics"),
+    ),
+    "sim_ivfpq_residual_topk": QuerySpec(
+        _ivfpq_residual_topk, _IVFPQ_RESIDUAL_SQL,
+        "IVF-PQ with residual encoding + per-probed-bucket ADC (full FAISS recipe)",
+        ("similarity", "defer"),
     ),
     "sim_cosine_topk_ivf": QuerySpec(_cosine_topk_ivf, _COSINE_IVF_SQL, "IVF-bucketed cosine top-k", ("similarity",)),
     "sim_cosine_topk_ivf_trained": QuerySpec(
