@@ -79,17 +79,18 @@ RECORD_WINDOW: tuple[str, ...] = (
     "stream_tumbling_available_now",
     # ...and one r3-vintage canary per family (oldest vintage after r2)
     "dedup_exact",
-    "sim_cosine_topk",
     "text_tfidf",
     "sketch_hll_distinct",
     "sample_stratified",
     "merge_asof_join",
     "win_session_events",
-    # born in round 6, never recorded: the composed IVF-PQ retrieval + its
-    # recall dial (two r3-vintage canaries gave way; their families stay
-    # covered by other window rows)
+    # born in round 6, never recorded: the composed IVF-PQ retrieval, its
+    # recall dial, and the residual-encoding variant (three r3-vintage
+    # canaries gave way — sim_cosine_topk last, its similarity family
+    # already holds 8 other window rows; all families stay covered)
     "sim_ivfpq_topk",
     "sim_ivfpq_recall",
+    "sim_ivfpq_residual_topk",
     "decontam_eval_overlap",
     "stream_stateful_user_stats",
     "multimodal_decode",
