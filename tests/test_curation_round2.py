@@ -800,3 +800,48 @@ def test_cm_heavy_hitters_equals_direct_exact(spark):
     for v, (n_cm, n_exact) in got.items():
         assert n_exact == direct[v]
         assert n_cm >= n_exact
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling
+# ---------------------------------------------------------------------------
+def test_dsir_selection_skews_toward_target_language(spark, sf_dir):
+    """The importance weights must do their job: the Gumbel-top-k sample
+    drawn ∝ exp(logw) should over-represent the target domain (lang='en')
+    relative to the raw pool — the distributional property the hash
+    oracle (which only proves replayability) can't express. Also pins the
+    contract: ranks are 1..n_keep, keys descend, and target docs carry a
+    higher mean logw than non-target docs."""
+    from urban_traffic_data_lake_project_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base_rate = (
+        docs.agg(F.avg((F.col("lang") == "en").cast("double"))).first()[0]
+    )
+    out = dsir_importance_weights(
+        docs, "doc_id", "text", F.col("lang") == "en", n_keep=100
+    )
+    picked = out.join(docs.select("doc_id", "lang"), "doc_id").collect()
+    assert len(picked) == min(100, docs.count())
+    ranks = sorted(r["rank"] for r in picked)
+    assert ranks == list(range(1, len(picked) + 1))
+    by_rank = sorted(picked, key=lambda r: r["rank"])
+    keys = [r["resample_key"] for r in by_rank]
+    assert keys == sorted(keys, reverse=True)
+
+    picked_rate = sum(r["lang"] == "en" for r in picked) / len(picked)
+    assert picked_rate > base_rate, (picked_rate, base_rate)
+
+    mean_w = docs.select(
+        "doc_id", (F.col("lang") == "en").alias("t")
+    ).join(
+        dsir_importance_weights(
+            docs, "doc_id", "text", F.col("lang") == "en",
+            n_keep=docs.count(),
+        ),
+        "doc_id",
+    ).groupBy("t").agg(F.avg("logw").alias("w")).collect()
+    w = {r["t"]: r["w"] for r in mean_w}
+    assert w[True] > w[False], w

@@ -699,3 +699,36 @@ def test_naive_bayes_separable_vocab_is_perfect(spark):
     conf = {(r["true_label"], r["pred_label"]): r["n"] for r in out.collect()}
     assert all(t == p for (t, p) in conf)
     assert sum(conf.values()) > 50  # a real held-out set was scored
+
+
+def test_semdedup_keeps_farthest_from_centroid(spark):
+    """SemDeDup's priority rule, pinned on a constructed cluster: two
+    near-identical vectors (cos > 1-eps) must resolve to ONE drop, and
+    the survivor must be the pair member FARTHER from the centroid
+    (lower cos_centroid = higher keep priority); an orthogonal third
+    vector stays untouched."""
+    from urban_traffic_data_lake_project_spark.operators.dedup import semdedup
+
+    # centroid seed rule = lowest ids, so id 0 and 1 become centroids
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),        # centroid A
+        (1, [0.0, 1.0, 0.0, 0.0]),        # centroid B
+        (10, [1.0, 0.05, 0.0, 0.0]),      # near A, closer to A than 11
+        (11, [1.0, 0.20, 0.0, 0.0]),      # near A, farther from A; cos(10,11) ~ 0.989
+        (12, [0.0, 1.0, 0.0, 0.9]),       # in B's cluster, no near-dup
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in semdedup(emb, n_centroids=2, eps=0.05).collect()}
+    assert len(out) == 5
+    # 10 and 11 are mutual near-dups; 11 (farther from centroid) wins
+    assert out[11]["keep"] and not out[10]["keep"]
+    assert out[12]["keep"]
+    # centroids themselves: 0 is cos=1.0 with both 10 and 11 dropped? no —
+    # cos(0, 10) = 0.9988 >= 0.95, and 0 sits exactly ON the centroid
+    # (cos_centroid = 1.0, lowest priority), so 0 is dropped in favor of
+    # its farther-out near-dups — the paper's intended behavior
+    assert not out[0]["keep"]
+    assert out[11]["cluster_id"] == out[10]["cluster_id"] == out[0]["cluster_id"]

@@ -839,3 +839,131 @@ def leakage_safe_split(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    eps: float = 0.05,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public) — SEMANTIC deduplication:
+    cluster the embedding space, then inside each cluster drop every
+    vector whose cosine similarity to a higher-priority cluster member
+    is >= 1 - eps. Unlike ``embedding_near_dup_pairs`` (which LISTS
+    near-dup pairs) this emits the keep/drop DECISION per document under
+    the paper's priority rule: within a cluster, items are ranked by
+    ascending similarity to their centroid (SemDeDup keeps the examples
+    FARTHEST from the centroid — the most informative representatives),
+    and an item is dropped iff some higher-priority item sits within its
+    eps-ball. Pairwise only — no transitive closure — exactly the
+    paper's per-cluster screen.
+
+    Plan shape (the paper's own cost model, Spark-first):
+    - centroids: the deterministic first-k seed (``centroid_entries``,
+      the oracle-replayable rule shared with the IVF family; swap in
+      ``kmeans_centroids`` for trained clusters — same contract);
+    - assignment + centroid-cosine: per-row literal arithmetic
+      (codegen-unrolled, ZERO corpus shuffle — the centroid vector is
+      materialized once per row from a literal map, then an unrolled
+      0-based-bracket dot, the ``ivfpq_residual_topk`` idiom);
+    - priority rank: one window over (cluster_id) with ROUNDED cosine
+      keys (round-then-rank makes the cross-engine ordering exact);
+    - the quadratic bit is per-cluster pairwise scoring — the join
+      shuffles on cluster_id only; at 100 TB you scale k with n (the
+      paper uses k ~ n/10k) so cluster sizes stay bounded and AQE's
+      skew-join splits any hot cluster.
+
+    Returns every input row: (id, cluster_id, cos_centroid, keep).
+    """
+    from urban_traffic_data_lake_project_spark.operators.similarity import (
+        _as_double,
+        _dot,
+        _f,
+        _norm,
+        centroid_entries,
+        with_nearest_centroids,
+    )
+    from pyspark.sql import Window
+
+    entries = centroid_entries(emb, id_col, vec_col, n_centroids)
+    dim = len(entries[0]["vec"])
+    tau = 1.0 - eps
+
+    v = spread_to_parallelism(emb).select(
+        F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__n", _norm(F.col("__v"), dim))
+    assigned = with_nearest_centroids(v, "__v", "__n", entries, 1, "__cids").select(
+        "__id", "__v", "__n", F.explode("__cids").alias("cluster_id")
+    )
+    cent_map = (
+        "map("
+        + ", ".join(
+            f"{int(e['cid'])}, array({', '.join(_f(x) for x in e['vec'])})"
+            for e in entries
+        )
+        + ")"
+    )
+    cnorm_map = (
+        "map("
+        + ", ".join(f"{int(e['cid'])}, {_f(e['cnorm'])}" for e in entries)
+        + ")"
+    )
+    dot_c = " + ".join(f"(__v[{i}] * __c[{i}])" for i in range(dim))
+    scored = (
+        assigned.withColumn("__c", F.expr(f"element_at({cent_map}, cluster_id)"))
+        .withColumn(
+            "cos_centroid",
+            F.round(
+                F.expr(f"({dot_c})")
+                / (F.col("__n") * F.expr(f"element_at({cnorm_map}, cluster_id)")),
+                6,
+            ),
+        )
+        .select("__id", "__v", "__n", "cluster_id", "cos_centroid")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("cos_centroid").asc(), F.col("__id").asc()
+    )
+    ranked = scored.withColumn("__rn", F.row_number().over(w))
+
+    hi = ranked.select(
+        "cluster_id",
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+        F.col("__rn").alias("__rna"),
+    )
+    lo = ranked.select(
+        "cluster_id",
+        F.col("__id").alias("__idb"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+        F.col("__rn").alias("__rnb"),
+    )
+    dropped = (
+        hi.join(lo, "cluster_id")
+        .filter(F.col("__rna") < F.col("__rnb"))
+        .withColumn(
+            "__sim",
+            F.round(
+                _dot(F.col("__va"), F.col("__vb"), dim)
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ),
+        )
+        .filter(F.col("__sim") >= tau)
+        .select(F.col("__idb").alias("__dropped_id"))
+        .distinct()
+    )
+    return (
+        ranked.join(
+            dropped, ranked["__id"] == dropped["__dropped_id"], "left"
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "cluster_id",
+            "cos_centroid",
+            F.col("__dropped_id").isNull().alias("keep"),
+        )
+    )

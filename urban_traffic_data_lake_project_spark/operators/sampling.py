@@ -246,3 +246,121 @@ def cluster_balanced_sample(
         .filter(F.col("__rn") <= cap)
         .drop("__rn")
     )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred: F.Column,
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+    n_keep: int = 200,
+    seed: int = 7,
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    public): pick raw-pool documents that LOOK like a target domain by
+    importance weights under hashed-n-gram bag-of-words models.
+
+    - Features: unigrams + word bigrams of the normalized text, hashed to
+      ``n_buckets`` buckets with the md5-derived ``stable_hash64`` (the
+      same ANSI-SQL-expressible hash every sketch here uses).
+    - Fit: ONE corpus pass — explode grams, one grouped count with a
+      target-filtered conditional count riding along (map-side partials;
+      the exchange carries at most ``n_buckets`` rows per task). Both
+      bag-of-words models and their add-``alpha`` smoothed log-ratio
+      lr[b] = ln(p_target[b]) - ln(p_raw[b]) are derived driver-side from
+      that single bounded collect (<= n_buckets rows — the fitted DSIR
+      model IS tiny; that is the point of hashed features).
+    - Score: lr ships back as a LITERAL map, so each document's log
+      importance weight sum_g lr[h(g)] is a zero-shuffle per-row fold.
+      (The fold is a higher-order aggregate — per-token map lookups over
+      a variable-length array cannot unroll; its lambda touches only its
+      element argument, so nothing re-executes per element.)
+    - Resample: Gumbel top-k — key = logw + g_i with g_i = -ln(-ln(u_i)),
+      u_i a seeded-hash uniform in (0,1), equivalent to sampling without
+      replacement ∝ exp(logw) but fully deterministic and replayable in
+      SQL; ``TakeOrderedAndProject`` keeps the global sort bounded.
+
+    Returns the ``n_keep`` selected rows:
+    (id, n_grams, logw, resample_key, rank).
+
+    100 TB posture: fit is one partial-agg'd shuffle bounded by
+    n_buckets; scoring is a projection; selection is a top-k — no
+    corpus-scale join or global sort materializes anywhere.
+    """
+    import math
+
+    from urban_traffic_data_lake_project_spark.functions import normalize_text
+
+    B = int(n_buckets)
+    w = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda x: x != ""
+    )
+    n_bi = F.greatest(F.size(w) - 1, F.lit(0))
+    grams = F.concat(
+        w,
+        F.zip_with(
+            F.slice(w, 1, n_bi), F.slice(w, 2, n_bi),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    )
+    bucketed = df.select(
+        F.col(id_col),
+        target_pred.alias("__is_tgt"),
+        F.transform(
+            grams,
+            lambda g: (
+                F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint") % B
+            ),
+        ).alias("__b"),
+    )
+
+    stats = (
+        bucketed.select("__is_tgt", F.explode("__b").alias("b"))
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.count_if(F.col("__is_tgt")).alias("n_tgt"),
+        )
+        .collect()
+    )
+    R = sum(r["n_raw"] for r in stats)
+    T = sum(r["n_tgt"] for r in stats)
+    lr = {
+        int(r["b"]): math.log((r["n_tgt"] + alpha) / (T + alpha * B))
+        - math.log((r["n_raw"] + alpha) / (R + alpha * B))
+        for r in stats
+    }
+    from urban_traffic_data_lake_project_spark.operators.similarity import _f
+
+    lut = F.expr(
+        "map(" + ", ".join(f"{b}, {_f(v)}" for b, v in sorted(lr.items())) + ")"
+    )
+
+    u = (
+        (stable_hash64(
+            F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string"))
+        ) + 1).cast("double")
+        / float(2**60 + 1)
+    )
+    scored = bucketed.select(
+        F.col(id_col),
+        F.size("__b").alias("n_grams"),
+        F.round(
+            F.aggregate(
+                "__b", F.lit(0.0), lambda acc, x: acc + F.element_at(lut, x)
+            ),
+            6,
+        ).alias("logw"),
+        F.round(-F.log(-F.log(u)), 6).alias("__g"),
+    ).withColumn("resample_key", F.round(F.col("logw") + F.col("__g"), 6))
+    # top-k FIRST (TakeOrderedAndProject — per-partition heaps, never a
+    # global sort), THEN the rank window over the n_keep survivors only
+    kept = scored.orderBy(
+        F.col("resample_key").desc(), F.col(id_col).asc()
+    ).limit(n_keep)
+    rank_w = Window.orderBy(F.col("resample_key").desc(), F.col(id_col).asc())
+    return kept.withColumn("rank", F.row_number().over(rank_w)).select(
+        id_col, "n_grams", "logw", "resample_key", "rank"
+    )

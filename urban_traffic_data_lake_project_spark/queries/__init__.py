@@ -78,19 +78,22 @@ RECORD_WINDOW: tuple[str, ...] = (
     "stream_interval_join",
     "stream_tumbling_available_now",
     # ...and one r3-vintage canary per family (oldest vintage after r2)
-    "dedup_exact",
     "text_tfidf",
     "sketch_hll_distinct",
-    "sample_stratified",
     "merge_asof_join",
     "win_session_events",
     # born in round 6, never recorded: the composed IVF-PQ retrieval, its
-    # recall dial, and the residual-encoding variant (three r3-vintage
-    # canaries gave way — sim_cosine_topk last, its similarity family
-    # already holds 8 other window rows; all families stay covered)
+    # recall dial and residual-encoding variant, DSIR importance
+    # resampling, and SemDeDup (five r3-vintage canaries gave way —
+    # sim_cosine_topk / dedup_exact / sample_stratified last; every
+    # family they covered keeps other window rows: similarity holds 8,
+    # dedup keeps dedup_semantic + dedup_embedding_cosine, sampling
+    # keeps sample_dsir)
     "sim_ivfpq_topk",
     "sim_ivfpq_recall",
     "sim_ivfpq_residual_topk",
+    "sample_dsir",
+    "dedup_semantic",
     "decontam_eval_overlap",
     "stream_stateful_user_stats",
     "multimodal_decode",

@@ -20,6 +20,7 @@ from urban_traffic_data_lake_project_spark.operators.decontam import (
 )
 from urban_traffic_data_lake_project_spark.operators.sampling import (
     cluster_balanced_sample,
+    dsir_importance_weights,
     pack_shards,
     pack_sequences,
     resample_to_mix,
@@ -1533,7 +1534,74 @@ FROM ex e JOIN est s ON s.o_orderpriority = e.o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# sample_dsir — DSIR importance resampling (Xie et al. 2023): select raw-pool
+# documents that look like the target domain (here: lang='en') by hashed
+# n-gram bag-of-words importance weights + deterministic Gumbel top-k.
+# ---------------------------------------------------------------------------
+_DSIR_B = 256
+_DSIR_KEEP = 200
+_DSIR_SEED = 7
+_DSIR_U_DEN = float(2**60 + 1)
+
+
+def _dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_importance_weights(
+        docs, "doc_id", "text", F.col("lang") == "en",
+        n_buckets=_DSIR_B, alpha=1.0, n_keep=_DSIR_KEEP, seed=_DSIR_SEED,
+    )
+
+
+_DSIR_SQL = f"""
+WITH w AS (
+  SELECT doc_id, lang,
+         list_filter(string_split({_NORM.format(c='text')}, ' '), x -> x != '') AS t
+  FROM documents),
+g AS (
+  SELECT doc_id, lang,
+         list_concat(t, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gr
+  FROM w),
+bk AS (
+  SELECT doc_id, lang,
+         list_transform(gr, x -> {_sql_hash64('x')} % {_DSIR_B}) AS b
+  FROM g),
+ex AS (SELECT lang, unnest(b) AS bb FROM bk),
+stats AS (
+  SELECT bb, count(*) AS n_raw,
+         count(*) FILTER (WHERE lang = 'en') AS n_tgt
+  FROM ex GROUP BY bb),
+tot AS (SELECT sum(n_raw) AS r, sum(n_tgt) AS t FROM stats),
+lr AS (
+  SELECT bb, ln((n_tgt + 1.0) / (t + {float(_DSIR_B)}))
+           - ln((n_raw + 1.0) / (r + {float(_DSIR_B)})) AS v
+  FROM stats, tot),
+docex AS (SELECT doc_id, unnest(b) AS bb FROM bk),
+s AS (
+  SELECT docex.doc_id, sum(lr.v) AS lw
+  FROM docex JOIN lr USING (bb) GROUP BY docex.doc_id),
+scored AS (
+  SELECT bk.doc_id, len(bk.b) AS n_grams,
+         round(coalesce(s.lw, 0.0), 6) AS logw,
+         round(-ln(-ln((({_sql_hash64(f"'{_DSIR_SEED}|' || bk.doc_id::VARCHAR")}) + 1)
+                       / {_DSIR_U_DEN!r})), 6) AS gk
+  FROM bk LEFT JOIN s ON s.doc_id = bk.doc_id),
+ranked AS (
+  SELECT doc_id, n_grams, logw, round(logw + gk, 6) AS resample_key
+  FROM scored)
+SELECT doc_id, n_grams, logw, resample_key,
+       row_number() OVER (ORDER BY resample_key DESC, doc_id) AS rank
+FROM ranked
+QUALIFY rank <= {_DSIR_KEEP}
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "sample_dsir": QuerySpec(
+        _dsir, _DSIR_SQL,
+        "DSIR importance resampling: hashed-ngram log ratios + Gumbel top-k",
+        ("sampling", "curation", "defer"),
+    ),
     "sketch_kmv_rollup": QuerySpec(
         _kmv_rollup, _KMV_ROLLUP_SQL,
         "per-week KMV sketches merged to per-priority == direct sketch (rollup)",

@@ -944,6 +944,55 @@ FROM scored WHERE sim >= {_EMB_THRESHOLD}
 
 
 # ---------------------------------------------------------------------------
+# dedup_semantic — SemDeDup (Abbas et al. 2023): per-cluster keep/drop
+# decisions under the keep-farthest-from-centroid priority rule. Distinct
+# from dedup_embedding_cosine (pair LISTING): this emits the curation
+# DECISION per document.
+# ---------------------------------------------------------------------------
+_SEMDEDUP_K = 16
+_SEMDEDUP_EPS = 0.05
+
+
+def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.semdedup(
+        emb, "vec_id", "embedding", n_centroids=_SEMDEDUP_K, eps=_SEMDEDUP_EPS
+    )
+
+
+def _semdedup_sql() -> str:
+    # deferred: _IVFPQ_COS is defined later in the module; REGISTRY
+    # assembly (module bottom) calls this after it exists
+    cos_vc = _IVFPQ_COS.format(a="v.e", b="cents.cv")
+    cos_ab = _IVFPQ_COS.format(a="a.e", b="b.e")
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cents AS (SELECT vec_id AS cid, e AS cv FROM v ORDER BY vec_id LIMIT {_SEMDEDUP_K}),
+asg AS (
+  SELECT vec_id, e, cid, cosc FROM (
+    SELECT v.vec_id, v.e, cents.cid,
+           round({cos_vc}, 6) AS cosc,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {cos_vc} DESC, cents.cid) AS rn
+    FROM v, cents)
+  WHERE rn = 1),
+ranked AS (
+  SELECT vec_id, e, cid, cosc,
+         row_number() OVER (PARTITION BY cid ORDER BY cosc, vec_id) AS prn
+  FROM asg),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM ranked a JOIN ranked b ON a.cid = b.cid AND a.prn < b.prn
+  WHERE round({cos_ab}, 6) >= {1.0 - _SEMDEDUP_EPS}),
+out AS (
+  SELECT r.vec_id, r.cid AS cluster_id, r.cosc AS cos_centroid,
+         d.vec_id IS NULL AS keep
+  FROM ranked r LEFT JOIN dropped d ON d.vec_id = r.vec_id)
+SELECT * FROM out
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup_embedding_srp — the same near-dup task via sign-random-projection
 # LSH: 16 deterministic md5-derived hyperplanes -> 16-bit signature ->
 # 4-bit band bucket join -> exact-cosine verify. The oracle recomputes the
@@ -1855,6 +1904,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(_dedup_exact, _DEDUP_EXACT_SQL, "exact dedup via content hash", ("dedup",)),
     "dedup_apply_near": QuerySpec(_dedup_apply, _DEDUP_APPLY_SQL, "corpus after near-dup removal", ("dedup",)),
     "dedup_embedding_cosine": QuerySpec(_dedup_embedding, _DEDUP_EMBEDDING_SQL, "embedding-cosine near-dup pairs", ("dedup", "similarity")),
+    "dedup_semantic": QuerySpec(
+        _dedup_semantic, _semdedup_sql(),
+        "SemDeDup: per-cluster keep/drop under keep-farthest-from-centroid priority",
+        ("dedup", "similarity", "defer"),
+    ),
     "dedup_embedding_srp": QuerySpec(
         _dedup_embedding_srp, _DEDUP_SRP_SQL,
         "embedding near-dup pairs via sign-random-projection LSH banding",
