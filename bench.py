@@ -88,6 +88,12 @@ BENCH_QUERIES: tuple[str, ...] = (
     "sim_pq_topk",
     # the composed FAISS-shape retrieval born this round
     "sim_ivfpq_topk",
+    # round-6 session 2: the residual-encoding IVF-PQ (per-bucket ADC
+    # LUTs), DSIR importance resampling (explode-fit + literal-map fold
+    # scoring), and SemDeDup (per-cluster pairwise screen)
+    "sim_ivfpq_residual_topk",
+    "sample_dsir",
+    "dedup_semantic",
 )
 
 

@@ -221,6 +221,41 @@ def main() -> None:
 
     run_case("ivfpq_topk", n5c, ivfpq)
 
+    # 5e. residual-encoding IVF-PQ at 1M x 64-dim (the full FAISS recipe):
+    # adds the unrolled residual subtract to the corpus scan and swaps the
+    # single ADC LUT for per-(query, probed-bucket) LUTs in one literal map
+    # — candidate volume identical to ivfpq_topk, so the delta vs 5d is
+    # the residual/LUT overhead itself.
+    def ivfpq_residual():
+        from urban_traffic_data_lake_project_spark.operators.similarity import (
+            ivfpq_residual_topk,
+        )
+
+        corpus = synth_vectors(spark, n5c, dim=64)
+        queries = corpus.filter(F.col("vec_id") < 10)
+        return ivfpq_residual_topk(
+            corpus, queries, "vec_id", "embedding",
+            n_centroids=32, m=8, k_codes=16, nprobe=4, k_top=5,
+        )
+
+    run_case("ivfpq_residual", n5c, ivfpq_residual)
+
+    # 5f. SemDeDup at 200k vectors, k=256 clusters: the quadratic bit is
+    # per-cluster pairwise scoring (~n^2/k pairs/cluster x k) — the knob
+    # that keeps it linear-ish at scale is k ~ n (paper: k ~ n/10k; here
+    # ~780/cluster -> ~78M scored pairs). Assignment is the chunked
+    # zero-shuffle literal path (k x dim = 8192 terms across 8 stages).
+    n5f = int(200_000 * s)
+
+    def semdedup_case():
+        from urban_traffic_data_lake_project_spark.operators.dedup import semdedup
+
+        return semdedup(
+            synth_vectors(spark, n5f, dim=32), n_centroids=256, eps=0.05
+        )
+
+    run_case("semdedup", n5f, semdedup_case)
+
     # 6. histogram quantile sketch at 100M values
     n6 = int(100_000_000 * s)
 

@@ -870,22 +870,26 @@ def semdedup(
       0-based-bracket dot, the ``ivfpq_residual_topk`` idiom);
     - priority rank: one window over (cluster_id) with ROUNDED cosine
       keys (round-then-rank makes the cross-engine ordering exact);
-    - the quadratic bit is per-cluster pairwise scoring — the join
-      shuffles on cluster_id only; at 100 TB you scale k with n (the
-      paper uses k ~ n/10k) so cluster sizes stay bounded and AQE's
-      skew-join splits any hot cluster.
+    - the quadratic bit is per-cluster pairwise scoring — ONE Arrow
+      pass (``applyInPandas`` grouped on cluster_id): each cluster's
+      similarity matrix is a single numpy GEMM, exactly the reference
+      SemDeDup implementation's per-cluster matmul. The expression-level
+      alternative (self-join + per-pair unrolled dot) measured 313 s at
+      200k x k=256 because Catalyst pushes the whole 64-term dot into
+      the join CONDITION — evaluated per probed pair on joined rows;
+      the GEMM form does the same 78M pair-sims in a few blocked BLAS
+      calls per cluster. At 100 TB you scale k with n (the paper uses
+      k ~ n/10k) so cluster groups stay executor-sized.
 
     Returns every input row: (id, cluster_id, cos_centroid, keep).
     """
     from urban_traffic_data_lake_project_spark.operators.similarity import (
         _as_double,
-        _dot,
         _f,
         _norm,
         centroid_entries,
         with_nearest_centroids,
     )
-    from pyspark.sql import Window
 
     entries = centroid_entries(emb, id_col, vec_col, n_centroids)
     dim = len(entries[0]["vec"])
@@ -923,47 +927,42 @@ def semdedup(
         )
         .select("__id", "__v", "__n", "cluster_id", "cos_centroid")
     )
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col("cos_centroid").asc(), F.col("__id").asc()
-    )
-    ranked = scored.withColumn("__rn", F.row_number().over(w))
+    def screen(pdf):
+        import numpy as np
+        import pandas as pd
 
-    hi = ranked.select(
-        "cluster_id",
-        F.col("__v").alias("__va"),
-        F.col("__n").alias("__na"),
-        F.col("__rn").alias("__rna"),
-    )
-    lo = ranked.select(
-        "cluster_id",
-        F.col("__id").alias("__idb"),
-        F.col("__v").alias("__vb"),
-        F.col("__n").alias("__nb"),
-        F.col("__rn").alias("__rnb"),
-    )
-    dropped = (
-        hi.join(lo, "cluster_id")
-        .filter(F.col("__rna") < F.col("__rnb"))
-        .withColumn(
-            "__sim",
-            F.round(
-                _dot(F.col("__va"), F.col("__vb"), dim)
-                / (F.col("__na") * F.col("__nb")),
-                6,
-            ),
+        # priority order: ascending rounded centroid-cosine, id tiebreak
+        # (same keys the SQL oracle ranks by — rounded keys make the
+        # cross-engine order exact)
+        pdf = pdf.sort_values(["cos_centroid", "__id"]).reset_index(drop=True)
+        s = len(pdf)
+        if s < 2:
+            keep = np.ones(s, dtype=bool)
+        else:
+            V = np.stack(pdf["__v"].to_numpy())
+            n = pdf["__n"].to_numpy()
+            # dot first, THEN divide by the norm product — the same
+            # arithmetic shape as the expression form and the SQL
+            # oracle, so the rounded values agree
+            S = np.round((V @ V.T) / np.outer(n, n), 6)
+            # dropped[j] <=> some higher-priority i (row above j) has
+            # sim >= tau; strict upper triangle = pairs (i earlier, j)
+            keep = ~np.triu(S >= tau, k=1).any(axis=0)
+        return pd.DataFrame(
+            {
+                "__id": pdf["__id"],
+                "cluster_id": pdf["cluster_id"],
+                "cos_centroid": pdf["cos_centroid"],
+                "keep": keep,
+            }
         )
-        .filter(F.col("__sim") >= tau)
-        .select(F.col("__idb").alias("__dropped_id"))
-        .distinct()
+
+    out_schema = (
+        f"__id {dict(emb.select(F.col(id_col)).dtypes)[id_col]}, "
+        "cluster_id int, cos_centroid double, keep boolean"
     )
     return (
-        ranked.join(
-            dropped, ranked["__id"] == dropped["__dropped_id"], "left"
-        )
-        .select(
-            F.col("__id").alias(id_col),
-            "cluster_id",
-            "cos_centroid",
-            F.col("__dropped_id").isNull().alias("keep"),
-        )
+        scored.groupBy("cluster_id")
+        .applyInPandas(screen, out_schema)
+        .withColumnRenamed("__id", id_col)
     )

@@ -936,7 +936,54 @@ def ivfpq_residual_topk(
         ),
     ).select("corpus_id", "centroid_id", "__r")
 
-    codebooks = pq_codebooks(resid, "corpus_id", "__r", m=m, k=k_codes)
+    # Codebook seeds DRIVER-SIDE: the seed rule is "the k_codes lowest-id
+    # vectors' residual subvectors", and those vectors are already in
+    # hand (entries; one bounded RAW collect if k_codes > n_centroids).
+    # Replaying their assignment + residual in Python — same left-assoc
+    # dots, same (neg_sim, cid) tie order, correctly-rounded sqrt — is
+    # bit-identical to the Spark expressions, and avoids the FULL corpus
+    # assignment+residual pass that `pq_codebooks(resid, ...)` ran just
+    # to harvest k_codes rows (measured ~1/3 of the 1M-vector stress).
+    import math
+
+    cent_by_id = {int(e["cid"]): e["vec"] for e in entries}
+    if k_codes <= len(entries):
+        seeds = [(list(e["vec"]), float(e["cnorm"])) for e in entries[:k_codes]]
+    else:
+        raw = (
+            corpus.orderBy(F.col(id_col).asc())
+            .limit(k_codes)
+            .select(_as_double(F.col(vec_col)).alias("__v"))
+            .collect()
+        )
+        seeds = []
+        for r in raw:
+            vv = list(r["__v"])
+            acc = vv[0] * vv[0]
+            for x in vv[1:]:
+                acc += x * x
+            seeds.append((vv, math.sqrt(acc)))
+
+    def _assign_py(vv: list, nv: float) -> int:
+        best = None
+        for e in entries:
+            cvec = e["vec"]
+            d = vv[0] * float(cvec[0])
+            for i in range(1, dim):
+                d += vv[i] * float(cvec[i])
+            key = (-(d / (nv * float(e["cnorm"]))), int(e["cid"]))
+            if best is None or key < best:
+                best = key
+        return best[1]
+
+    seed_resid = []
+    for vv, nv in seeds:
+        ct = cent_by_id[_assign_py(vv, nv)]
+        seed_resid.append([vv[i] - float(ct[i]) for i in range(dim)])
+    codebooks = [
+        [rv[j * sub : (j + 1) * sub] for rv in seed_resid] for j in range(m)
+    ]
+
     enc = pq_encode(resid, "corpus_id", "__r", codebooks, codes_col="__codes").select(
         "corpus_id", "centroid_id", "__codes"
     )
@@ -956,7 +1003,6 @@ def ivfpq_residual_topk(
         for r in q.select("query_id", "__qv").collect()
     }
     probe_rows = probes.collect()
-    cent_by_id = {int(e["cid"]): e["vec"] for e in entries}
 
     def lut_flat(qv: list, ctv: list) -> list:
         qr = [qv[i] - float(ctv[i]) for i in range(dim)]
@@ -970,21 +1016,23 @@ def ivfpq_residual_topk(
                 out.append(total)
         return out
 
-    map_args = []
-    for r in probe_rows:
-        qid, cid = int(r["query_id"]), int(r["centroid_id"])
-        map_args.append(f"'{qid}|{cid}'")
-        map_args.append(
-            "array("
-            + ", ".join(_f(v) for v in lut_flat(q_rows[qid], cent_by_id[cid]))
-            + ")"
-        )
-    lut_map = F.expr(f"map({', '.join(map_args)})")
-
-    cand = enc.join(F.broadcast(probes), "centroid_id").withColumn(
-        "__lut",
-        lut_map[F.concat(F.col("query_id").cast("string"), F.lit("|"), F.col("centroid_id").cast("string"))],
+    # The LUT travels as a COLUMN of the broadcast probes table, not as a
+    # string-keyed literal map: the map form cost O(|probes|) string
+    # compares per lookup, and CollapseProject inlined the lookup into
+    # every one of the m ADC terms (measured 49.6 s for the 1M-vector
+    # stress; the broadcast-column form does zero per-row lookups).
+    probes_lut = corpus.sparkSession.createDataFrame(
+        [
+            (
+                int(r["query_id"]),
+                int(r["centroid_id"]),
+                lut_flat(q_rows[int(r["query_id"])], cent_by_id[int(r["centroid_id"])]),
+            )
+            for r in probe_rows
+        ],
+        "query_id long, centroid_id int, __lut array<double>",
     )
+    cand = enc.join(F.broadcast(probes_lut), "centroid_id")
     dist = None
     for j in range(m):
         term = F.element_at(F.col("__lut"), F.lit(j * k_codes + 1) + F.col("__codes")[j])

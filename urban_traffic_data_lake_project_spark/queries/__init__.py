@@ -78,22 +78,23 @@ RECORD_WINDOW: tuple[str, ...] = (
     "stream_interval_join",
     "stream_tumbling_available_now",
     # ...and one r3-vintage canary per family (oldest vintage after r2)
-    "text_tfidf",
     "sketch_hll_distinct",
     "merge_asof_join",
     "win_session_events",
     # born in round 6, never recorded: the composed IVF-PQ retrieval, its
     # recall dial and residual-encoding variant, DSIR importance
-    # resampling, and SemDeDup (five r3-vintage canaries gave way —
-    # sim_cosine_topk / dedup_exact / sample_stratified last; every
-    # family they covered keeps other window rows: similarity holds 8,
-    # dedup keeps dedup_semantic + dedup_embedding_cosine, sampling
-    # keeps sample_dsir)
+    # resampling, SemDeDup, and the CCNet perplexity terciles (six
+    # r3-vintage canaries gave way — sim_cosine_topk / dedup_exact /
+    # sample_stratified / text_tfidf last; every family they covered
+    # keeps other window rows: similarity holds 8, dedup keeps
+    # dedup_semantic + dedup_embedding_cosine, sampling keeps
+    # sample_dsir, text keeps text_ccnet_buckets)
     "sim_ivfpq_topk",
     "sim_ivfpq_recall",
     "sim_ivfpq_residual_topk",
     "sample_dsir",
     "dedup_semantic",
+    "text_ccnet_buckets",
     "decontam_eval_overlap",
     "stream_stateful_user_stats",
     "multimodal_decode",

@@ -912,6 +912,58 @@ GROUP BY t.doc_id
 
 
 # ---------------------------------------------------------------------------
+# text_ccnet_buckets — CCNet-style perplexity bucketing (Wenzek et al.
+# 2020, public): per LANGUAGE, rank documents by LM score and split into
+# head/middle/tail terciles — the classic crawl-curation triage where
+# "head" feeds training directly and "tail" is dropped or re-reviewed.
+# Scored by the self-trained unigram LM (the cheap stand-in for KenLM);
+# ranking on the ROUNDED score with a doc-id tiebreak makes the tercile
+# boundary cross-engine exact.
+# ---------------------------------------------------------------------------
+def _ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = T.unigram_logprob(docs, "doc_id", "text").select(
+        "doc_id", F.round("avg_logp", ROUND_STAT).alias("avg_logp")
+    )
+    j = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logp").desc(), F.col("doc_id").asc()
+    )
+    t = F.ntile(3).over(w)
+    return j.select(
+        "doc_id",
+        "lang",
+        "avg_logp",
+        F.when(t == 1, "head").when(t == 2, "middle").otherwise("tail").alias("bucket"),
+    )
+
+
+_CCNET_SQL = f"""
+WITH norm AS (SELECT doc_id, {_NORM.format(c='text')} AS nt FROM documents),
+terms AS (
+  SELECT doc_id, t.term
+  FROM norm, LATERAL unnest(string_split(nt, ' ')) AS t(term)
+  WHERE t.term <> ''),
+tot AS (SELECT count(*) AS n FROM terms),
+freqs AS (SELECT term, count(*) AS tf FROM terms GROUP BY term),
+scored AS (
+  SELECT t.doc_id,
+         round(avg(ln(f.tf / (SELECT n FROM tot))), {ROUND_STAT}) AS avg_logp
+  FROM terms t JOIN freqs f ON f.term = t.term
+  GROUP BY t.doc_id),
+j AS (
+  SELECT s.doc_id, d.lang, s.avg_logp
+  FROM scored s JOIN documents d USING (doc_id))
+SELECT doc_id, lang, avg_logp,
+       CASE ntile(3) OVER (PARTITION BY lang
+                           ORDER BY avg_logp DESC, doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS bucket
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
 # text_bigram_logprob — bigram LM with stupid backoff, fit on the even-id
 # HELD-OUT split and scored over the whole corpus (so the backoff path is
 # live: odd docs contain bigrams the fit never saw). One rung up from the
@@ -1681,6 +1733,11 @@ REGISTRY: dict[str, QuerySpec] = {
         _stream_redact, _REDACT_SQL,
         "the redaction chain as a real streaming job (AvailableNow), same oracle",
         ("streaming", "curation"),
+    ),
+    "text_ccnet_buckets": QuerySpec(
+        _ccnet_buckets, _CCNET_SQL,
+        "CCNet perplexity terciles: per-language head/middle/tail LM-score split",
+        ("text", "curation", "defer"),
     ),
     "text_unigram_logprob": QuerySpec(
         _unigram_logprob, _UNIGRAM_SQL,
