@@ -79,7 +79,6 @@ RECORD_WINDOW: tuple[str, ...] = (
     "stream_tumbling_available_now",
     # ...and one r3-vintage canary per family (oldest vintage after r2)
     "sketch_hll_distinct",
-    "merge_asof_join",
     "win_session_events",
     # born in round 6, never recorded: the composed IVF-PQ retrieval, its
     # recall dial and residual-encoding variant, DSIR importance
@@ -88,13 +87,16 @@ RECORD_WINDOW: tuple[str, ...] = (
     # sample_stratified / text_tfidf last; every family they covered
     # keeps other window rows: similarity holds 8, dedup keeps
     # dedup_semantic + dedup_embedding_cosine, sampling keeps
-    # sample_dsir, text keeps text_ccnet_buckets)
+    # sample_dsir, text keeps text_ccnet_buckets; merge_asof_join gave
+    # way to sim_ivf_index_persisted — merge keeps merge_suffix_day_join
+    # + the merge_range_join sentinel)
     "sim_ivfpq_topk",
     "sim_ivfpq_recall",
     "sim_ivfpq_residual_topk",
     "sample_dsir",
     "dedup_semantic",
     "text_ccnet_buckets",
+    "sim_ivf_index_persisted",
     "decontam_eval_overlap",
     "stream_stateful_user_stats",
     "multimodal_decode",

@@ -506,6 +506,50 @@ def _cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# sim_ivf_index_persisted — the SAME retrieval against a PERSISTED IVF
+# index (postings parquet partitioned by centroid_id + centroid sidecar):
+# "index once, query many". The probed-bucket predicate lands in the scan's
+# PartitionFilters (plan-asserted), so non-probed buckets are never read.
+# Results are bit-identical to sim_cosine_topk_ivf, so it shares that
+# oracle SQL. One index build per (process, embeddings fingerprint);
+# atexit removes the temp dirs.
+# ---------------------------------------------------------------------------
+_IVF_INDEX_DIRS: dict[str, str] = {}
+
+
+def _cleanup_ivf_index_dirs() -> None:
+    import shutil
+
+    for d in _IVF_INDEX_DIRS.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _IVF_INDEX_DIRS.clear()
+
+
+def _ivf_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import tempfile
+
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    key = f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
+    d = _IVF_INDEX_DIRS.get(key)
+    if d is None:
+        if not _IVF_INDEX_DIRS:
+            atexit.register(_cleanup_ivf_index_dirs)
+        d = tempfile.mkdtemp(prefix="spark_graft_ivf_index_")
+        S.build_ivf_index(
+            load_table(spark, sf_dir, "embeddings"), d,
+            "vec_id", "embedding", n_centroids=16,
+        )
+        _IVF_INDEX_DIRS[key] = d
+    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    out = S.query_ivf_index(spark, d, queries, "vec_id", "embedding", k=5, nprobe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", ROUND_STAT).alias("cosine_sim"), "rank"
+    )
+
+
 _COSINE_IVF_SQL = f"""
 WITH cents AS (
   SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ctv
@@ -1995,6 +2039,11 @@ REGISTRY: dict[str, QuerySpec] = {
         ("similarity", "defer"),
     ),
     "sim_cosine_topk_ivf": QuerySpec(_cosine_topk_ivf, _COSINE_IVF_SQL, "IVF-bucketed cosine top-k", ("similarity",)),
+    "sim_ivf_index_persisted": QuerySpec(
+        _ivf_index_persisted, _COSINE_IVF_SQL,
+        "persisted IVF index: partition-pruned probed-bucket reads, same results",
+        ("similarity", "lakehouse", "defer"),
+    ),
     "sim_cosine_topk_ivf_trained": QuerySpec(
         _cosine_topk_ivf_trained, _COSINE_IVF_TRAINED_SQL,
         "IVF with spherical-k-means-trained centroids; oracle replays training",
