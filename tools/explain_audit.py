@@ -127,6 +127,8 @@ PLAN_ANNOTATIONS: dict[str, dict[str, str]] = {
             "sample_domain_mix",
             "sim_embedding_quantize",
             "text_unigram_logprob",
+            # composes text_unigram_logprob — same bounded n_total attach
+            "text_ccnet_buckets",
             "text_bigram_logprob",
             "text_inverted_index",
             "agg_key_skew_profile",

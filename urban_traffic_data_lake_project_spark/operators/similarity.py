@@ -1348,3 +1348,33 @@ def query_ivf_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def append_ivf_index(
+    new_batch: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally maintain a persisted IVF index: assign ONLY the new
+    batch against the frozen sidecar centroids (no retrain, no recluster,
+    no touch of existing postings) and append into the same partitioned
+    layout. Cost is O(batch) regardless of index size — the production
+    ingest path; periodic re-train/re-build handles centroid drift.
+    Parquet append per partition directory is atomic enough for batch
+    ingest (each file lands whole); concurrent readers see either the old
+    or the new file set."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "centroids.json")) as f:
+        entries = json.load(f)
+    c = spread_to_parallelism(new_batch).select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("vec")
+    ).withColumn("norm", _norm(F.col("vec")))
+    assigned = with_nearest_centroids(c, "vec", "norm", entries, 1, "__cids").select(
+        "neighbor_id", "vec", "norm", F.explode("__cids").alias("centroid_id")
+    )
+    assigned.repartition("centroid_id").write.mode("append").partitionBy(
+        "centroid_id"
+    ).parquet(os.path.join(index_dir, "postings"))

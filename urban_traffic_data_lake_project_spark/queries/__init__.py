@@ -87,9 +87,10 @@ RECORD_WINDOW: tuple[str, ...] = (
     # sample_stratified / text_tfidf last; every family they covered
     # keeps other window rows: similarity holds 8, dedup keeps
     # dedup_semantic + dedup_embedding_cosine, sampling keeps
-    # sample_dsir, text keeps text_ccnet_buckets; merge_asof_join gave
-    # way to sim_ivf_index_persisted — merge keeps merge_suffix_day_join
-    # + the merge_range_join sentinel)
+    # sample_dsir, text keeps text_ccnet_buckets; merge_asof_join and
+    # stream_stateful_user_stats gave way to the persisted/incremental
+    # IVF-index pair — merge keeps merge_suffix_day_join + the
+    # merge_range_join sentinel; streaming keeps both NTZ stream rows)
     "sim_ivfpq_topk",
     "sim_ivfpq_recall",
     "sim_ivfpq_residual_topk",
@@ -97,8 +98,8 @@ RECORD_WINDOW: tuple[str, ...] = (
     "dedup_semantic",
     "text_ccnet_buckets",
     "sim_ivf_index_persisted",
+    "sim_ivf_index_incremental",
     "decontam_eval_overlap",
-    "stream_stateful_user_stats",
     "multimodal_decode",
 )
 

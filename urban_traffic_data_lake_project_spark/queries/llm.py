@@ -550,6 +550,99 @@ def _ivf_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# sim_ivf_index_incremental — the index LIFECYCLE: build on the initial
+# corpus slice (vec_id >= 100), append the later batch (10 <= vec_id < 100)
+# against the FROZEN sidecar centroids (no retrain — O(batch) ingest),
+# query over the union. The oracle replays exactly that: centroids seeded
+# from the initial slice only, assignment over everything.
+# ---------------------------------------------------------------------------
+_IVF_INCR_DIRS: dict[str, str] = {}
+
+
+def _cleanup_ivf_incr_dirs() -> None:
+    import shutil
+
+    for d in _IVF_INCR_DIRS.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _IVF_INCR_DIRS.clear()
+
+
+def _ivf_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import tempfile
+
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    key = f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
+    d = _IVF_INCR_DIRS.get(key)
+    if d is None:
+        if not _IVF_INCR_DIRS:
+            atexit.register(_cleanup_ivf_incr_dirs)
+        d = tempfile.mkdtemp(prefix="spark_graft_ivf_incr_")
+        emb = load_table(spark, sf_dir, "embeddings")
+        S.build_ivf_index(
+            emb.filter(F.col("vec_id") >= 100), d,
+            "vec_id", "embedding", n_centroids=16,
+        )
+        S.append_ivf_index(
+            emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 100)), d,
+            "vec_id", "embedding",
+        )
+        _IVF_INCR_DIRS[key] = d
+    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    out = S.query_ivf_index(spark, d, queries, "vec_id", "embedding", k=5, nprobe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", ROUND_STAT).alias("cosine_sim"), "rank"
+    )
+
+
+_IVF_INCR_COS = (
+    "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    " * sqrt(list_sum(list_transform({b}, x -> x * x))))"
+)
+
+_IVF_INCR_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ctv
+  FROM embeddings WHERE vec_id >= 100 ORDER BY vec_id LIMIT 16),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id >= 10),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10),
+assign AS (
+  SELECT neighbor_id, cv, centroid_id FROM (
+    SELECT neighbor_id, cv, centroid_id,
+           row_number() OVER (
+             PARTITION BY neighbor_id
+             ORDER BY {_IVF_INCR_COS.format(a="cv", b="ctv")} DESC,
+                      centroid_id) AS rn
+    FROM c, cents)
+  WHERE rn = 1),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT query_id, qv, centroid_id,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY {_IVF_INCR_COS.format(a="qv", b="ctv")} DESC,
+                      centroid_id) AS rn
+    FROM q, cents)
+  WHERE rn <= 4),
+scored AS (
+  SELECT p.query_id, a.neighbor_id,
+         {_IVF_INCR_COS.format(a="p.qv", b="a.cv")} AS sim
+  FROM assign a JOIN probes p ON a.centroid_id = p.centroid_id
+  WHERE a.neighbor_id <> p.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, round(sim, {ROUND_STAT}) AS cosine_sim, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 _COSINE_IVF_SQL = f"""
 WITH cents AS (
   SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ctv
@@ -2042,6 +2135,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "sim_ivf_index_persisted": QuerySpec(
         _ivf_index_persisted, _COSINE_IVF_SQL,
         "persisted IVF index: partition-pruned probed-bucket reads, same results",
+        ("similarity", "lakehouse", "defer"),
+    ),
+    "sim_ivf_index_incremental": QuerySpec(
+        _ivf_index_incremental, _IVF_INCR_SQL,
+        "IVF index lifecycle: build, O(batch) append vs frozen centroids, query",
         ("similarity", "lakehouse", "defer"),
     ),
     "sim_cosine_topk_ivf_trained": QuerySpec(
