@@ -256,6 +256,39 @@ def main() -> None:
 
     run_case("semdedup", n5f, semdedup_case)
 
+    # 5g. persisted IVF index lifecycle at 1M x 64-dim: build (assignment
+    # + one centroid_id shuffle + partitioned write), append a 100k batch
+    # against the frozen centroids, then query — the query's scan reads
+    # only the probed partitions (PartitionFilters INSET).
+    def ivf_index_lifecycle():
+        import shutil
+        import tempfile
+
+        from urban_traffic_data_lake_project_spark.operators.similarity import (
+            append_ivf_index,
+            build_ivf_index,
+            query_ivf_index,
+        )
+
+        d = tempfile.mkdtemp(prefix="stress_ivf_index_")
+        corpus = synth_vectors(spark, n5c, dim=64).filter(F.col("vec_id") >= 100_000)
+        batch = synth_vectors(spark, n5c, dim=64).filter(
+            (F.col("vec_id") >= 10) & (F.col("vec_id") < 100_000)
+        )
+        build_ivf_index(corpus, d, n_centroids=32)
+        append_ivf_index(batch, d)
+        out = query_ivf_index(
+            spark, d,
+            synth_vectors(spark, n5c, dim=64).filter(F.col("vec_id") < 10),
+            k=5, nprobe=4,
+        )
+        import atexit
+
+        atexit.register(lambda: shutil.rmtree(d, ignore_errors=True))
+        return out
+
+    run_case("ivf_index_lifecycle", n5c, ivf_index_lifecycle)
+
     # 6. histogram quantile sketch at 100M values
     n6 = int(100_000_000 * s)
 
