@@ -120,6 +120,9 @@ PLAN_ANNOTATIONS: dict[str, dict[str, str]] = {
             "quality_expectations",
             "sketch_kmv_setops",
             "text_bm25_topk",
+            # composes text_bm25_topk + sim_cosine_topk — both bounded
+            # broadcast scalar/query attaches
+            "text_hybrid_rrf",
             "decontam_embedding",
             "text_tfidf",
             "sim_cosine_topk",

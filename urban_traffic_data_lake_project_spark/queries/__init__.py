@@ -79,7 +79,6 @@ RECORD_WINDOW: tuple[str, ...] = (
     "stream_tumbling_available_now",
     # ...and one r3-vintage canary per family (oldest vintage after r2)
     "sketch_hll_distinct",
-    "win_session_events",
     # born in round 6, never recorded: the composed IVF-PQ retrieval, its
     # recall dial and residual-encoding variant, DSIR importance
     # resampling, SemDeDup, and the CCNet perplexity terciles (six
@@ -90,7 +89,9 @@ RECORD_WINDOW: tuple[str, ...] = (
     # sample_dsir, text keeps text_ccnet_buckets; merge_asof_join and
     # stream_stateful_user_stats gave way to the persisted/incremental
     # IVF-index pair — merge keeps merge_suffix_day_join + the
-    # merge_range_join sentinel; streaming keeps both NTZ stream rows)
+    # merge_range_join sentinel; streaming keeps both NTZ stream rows;
+    # win_session_events gave way to text_hybrid_rrf — windows keep
+    # win_rank_lag + win_rollup_cube from the r2 vintage)
     "sim_ivfpq_topk",
     "sim_ivfpq_recall",
     "sim_ivfpq_residual_topk",
@@ -99,6 +100,7 @@ RECORD_WINDOW: tuple[str, ...] = (
     "text_ccnet_buckets",
     "sim_ivf_index_persisted",
     "sim_ivf_index_incremental",
+    "text_hybrid_rrf",
     "decontam_eval_overlap",
     "multimodal_decode",
 )

@@ -1292,6 +1292,113 @@ FROM perdoc ORDER BY bm25 DESC, doc_id LIMIT {_BM25_K}
 
 
 # ---------------------------------------------------------------------------
+# text_hybrid_rrf — HYBRID retrieval with reciprocal-rank fusion (the
+# production stack: lexical BM25 + dense cosine, fused as
+# sum(1/(C + rank_system))). RRF needs no score calibration between the
+# two systems — only their ranks — which is exactly why it ships in
+# every real retrieval pipeline. Both legs reuse existing operators; the
+# fusion is a full-outer join of two pool-sized (tiny) frames.
+# ---------------------------------------------------------------------------
+_RRF_C = 60
+_HYB_POOL = 10
+_HYB_TOPK = 8
+_HYB_DIM = 64  # embeddings are 64-dim at every SF
+
+
+def _hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.operators import similarity as SIM
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = T.bm25_topk(
+        docs, "doc_id", "text", _BM25_TERMS, k=_HYB_POOL, k1=_BM25_K1, b=_BM25_B
+    )
+    wb = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    bm_r = bm.select(
+        "doc_id", "bm25", F.row_number().over(wb).alias("bm25_rank")
+    )
+    cos = SIM.cosine_topk(
+        emb, emb.filter(F.col("vec_id") == 0), "vec_id", "embedding",
+        k=_HYB_POOL, dim=_HYB_DIM,
+    )
+    cos_r = cos.select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.round("cosine_sim", ROUND_STAT).alias("cosine_sim"),
+        F.col("rank").alias("cos_rank"),
+    )
+    fused = bm_r.join(cos_r, "doc_id", "full_outer").withColumn(
+        "rrf_score",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(_RRF_C) + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(_RRF_C) + F.col("cos_rank")), F.lit(0.0)),
+            6,
+        ),
+    )
+    wf = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= _HYB_TOPK)
+        .select("doc_id", "bm25", "cosine_sim", "rrf_score", "rank")
+    )
+
+
+_HYB_COS = (
+    "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    " * sqrt(list_sum(list_transform({b}, x -> x * x))))"
+)
+
+_HYBRID_RRF_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split({_NORM.format(c='text')}, ' '), x -> x <> '') AS w
+  FROM documents),
+d2 AS (SELECT doc_id, w, len(w) AS dl FROM d),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d2),
+tf AS (
+  SELECT doc_id, dl, t.term, count(*) AS tf
+  FROM d2, LATERAL unnest(w) AS t(term)
+  WHERE t.term IN ('{"','".join(_BM25_TERMS)}')
+  GROUP BY doc_id, dl, t.term),
+tdf AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+bscored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - tdf.df_t + 0.5) / (tdf.df_t + 0.5))
+           * tf.tf * {_BM25_K1 + 1.0}
+           / (tf.tf + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * tf.dl / s.avgdl))
+           AS sc
+  FROM tf JOIN tdf USING (term) CROSS JOIN stats s),
+perdoc AS (
+  SELECT doc_id, round(sum(sc), {ROUND_STAT}) AS bm25
+  FROM bscored GROUP BY doc_id),
+bmr AS (
+  SELECT doc_id, bm25,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS bm25_rank
+  FROM (SELECT doc_id, bm25 FROM perdoc
+        ORDER BY bm25 DESC, doc_id LIMIT {_HYB_POOL})),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+c AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS cv FROM embeddings),
+cscored AS (
+  SELECT doc_id, {_HYB_COS.format(a="qv", b="cv")} AS sim
+  FROM c, q WHERE doc_id <> 0),
+cranked AS (
+  SELECT doc_id, round(sim, {ROUND_STAT}) AS cosine_sim,
+         row_number() OVER (ORDER BY sim DESC, doc_id) AS cos_rank
+  FROM cscored),
+ctop AS (SELECT * FROM cranked WHERE cos_rank <= {_HYB_POOL}),
+fused AS (
+  SELECT coalesce(b.doc_id, t.doc_id) AS doc_id, b.bm25, t.cosine_sim,
+         round(coalesce(1.0 / ({_RRF_C} + b.bm25_rank), 0.0)
+               + coalesce(1.0 / ({_RRF_C} + t.cos_rank), 0.0), 6) AS rrf_score
+  FROM bmr b FULL OUTER JOIN ctop t ON t.doc_id = b.doc_id)
+SELECT doc_id, bm25, cosine_sim, rrf_score,
+       row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+FROM fused
+QUALIFY rank <= {_HYB_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # sketch_kmv_setops — theta/KMV sketch set algebra: how many customers do
 # the URGENT and HIGH order populations share? Two KMV sketches built
 # independently (the per-crawl / per-day shape), then union / intersection
@@ -1678,6 +1785,11 @@ REGISTRY: dict[str, QuerySpec] = {
         _sketch_kmv_setops, _KMV_SETOPS_SQL,
         "KMV/theta sketch set algebra: union/intersection/difference estimates vs exact",
         ("sketch", "curation"),
+    ),
+    "text_hybrid_rrf": QuerySpec(
+        _hybrid_rrf, _HYBRID_RRF_SQL,
+        "hybrid retrieval: BM25 + dense cosine fused by reciprocal-rank fusion",
+        ("text", "similarity", "defer"),
     ),
     "text_bm25_topk": QuerySpec(
         _bm25_topk, _BM25_SQL,
