@@ -261,3 +261,62 @@ def test_vacuum_keeps_newest_versions(spark):
         raise AssertionError("vacuumed version must not be readable")
     except ValueError:
         pass
+
+
+def test_streaming_ivf_ingest_idempotent_and_query_equivalent(
+    spark, sf_dir, tmp_path
+):
+    """The ANN index's streaming ingest path: build on the initial slice,
+    stream the later batch in through foreachBatch, and the queried
+    results must equal the batch build+append path exactly. A re-applied
+    epoch (same batch_id — the retry case) must not change the postings
+    row count (dynamic partition overwrite replaces its own epoch)."""
+    from urban_traffic_data_lake_project_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        query_ivf_index,
+    )
+    from urban_traffic_data_lake_project_spark.streaming.sinks import (
+        foreach_batch_ivf_append,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d_stream = str(tmp_path / "idx_stream")
+    d_batch = str(tmp_path / "idx_batch")
+    initial = emb.filter(F.col("vec_id") >= 100)
+    later = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 100))
+    build_ivf_index(initial, d_stream, n_centroids=8)
+    build_ivf_index(initial, d_batch, n_centroids=8)
+    append_ivf_index(later, d_batch)
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    schema = spark.read.parquet(path).schema
+    glob = path[:-1] + f"[{path[-1]}]" if os.path.isfile(path) else path
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(glob)
+        .filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 100))
+    )
+    q = (
+        stream.writeStream.foreachBatch(foreach_batch_ivf_append(d_stream))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = sorted(
+        tuple(r) for r in query_ivf_index(spark, d_stream, queries, k=5).collect()
+    )
+    want = sorted(
+        tuple(r) for r in query_ivf_index(spark, d_batch, queries, k=5).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # retry: re-apply epoch 0 by hand — postings must not grow
+    postings = os.path.join(d_stream, "postings")
+    before = spark.read.parquet(postings).count()
+    foreach_batch_ivf_append(d_stream)(later, 0)
+    after = spark.read.parquet(postings).count()
+    assert before == after

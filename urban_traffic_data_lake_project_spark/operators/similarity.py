@@ -1276,10 +1276,14 @@ def build_ivf_index(
     # partition sort lands in its own post-exchange stage — fused with
     # the assignment projection it put sort_addToSorter over janino's
     # 64 KB method limit (observed compile failure -> silent interpreted
-    # write at 16 centroids x dim 64).
-    assigned.repartition("centroid_id").write.mode("overwrite").partitionBy(
+    # write at 16 centroids x dim 64). ingest_batch=-1 marks the base
+    # build; appends land in their own epoch partitions, which is what
+    # makes streaming ingest retry-idempotent (see append_ivf_index).
+    assigned.withColumn("ingest_batch", F.lit(-1)).repartition(
         "centroid_id"
-    ).parquet(os.path.join(index_dir, "postings"))
+    ).write.mode("overwrite").partitionBy("centroid_id", "ingest_batch").parquet(
+        os.path.join(index_dir, "postings")
+    )
     with open(os.path.join(index_dir, "centroids.json"), "w") as f:
         json.dump(
             [
@@ -1356,15 +1360,22 @@ def append_ivf_index(
     index_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    ingest_batch: int = 0,
+    idempotent: bool = False,
 ) -> None:
     """Incrementally maintain a persisted IVF index: assign ONLY the new
     batch against the frozen sidecar centroids (no retrain, no recluster,
-    no touch of existing postings) and append into the same partitioned
-    layout. Cost is O(batch) regardless of index size — the production
-    ingest path; periodic re-train/re-build handles centroid drift.
-    Parquet append per partition directory is atomic enough for batch
-    ingest (each file lands whole); concurrent readers see either the old
-    or the new file set."""
+    no touch of existing postings) and land it under its own
+    ``ingest_batch`` epoch partitions. Cost is O(batch) regardless of
+    index size — the production ingest path; periodic re-train/re-build
+    handles centroid drift.
+
+    ``idempotent=True`` is the streaming-retry contract (pass the
+    Structured-Streaming batch_id as ``ingest_batch``): the write runs in
+    DYNAMIC partition-overwrite mode, so a retried epoch replaces exactly
+    its own (centroid_id, ingest_batch) partitions and duplicates cannot
+    accumulate — the same path-layout idempotence as
+    ``streaming.sinks.foreach_batch_idempotent``."""
     import json
     import os
 
@@ -1376,6 +1387,13 @@ def append_ivf_index(
     assigned = with_nearest_centroids(c, "vec", "norm", entries, 1, "__cids").select(
         "neighbor_id", "vec", "norm", F.explode("__cids").alias("centroid_id")
     )
-    assigned.repartition("centroid_id").write.mode("append").partitionBy(
-        "centroid_id"
-    ).parquet(os.path.join(index_dir, "postings"))
+    w = (
+        assigned.withColumn("ingest_batch", F.lit(int(ingest_batch)))
+        .repartition("centroid_id")
+        .write.partitionBy("centroid_id", "ingest_batch")
+    )
+    if idempotent:
+        w = w.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+    else:
+        w = w.mode("append")
+    w.parquet(os.path.join(index_dir, "postings"))

@@ -186,3 +186,28 @@ def foreach_batch_upsert(table_dir: str, keys: list[str], order_col: str):
         os.replace(tmp, os.path.join(table_dir, _POINTER))  # atomic advance
 
     return sink
+
+
+def foreach_batch_ivf_append(
+    index_dir: str, id_col: str = "vec_id", vec_col: str = "embedding"
+):
+    """Streaming ingest into a persisted IVF index
+    (``operators.similarity.build_ivf_index``): each epoch assigns only
+    its own rows against the frozen sidecar centroids — O(batch) per
+    epoch — and lands under (centroid_id, ingest_batch=batch_id)
+    partitions in DYNAMIC overwrite mode, so a retried epoch replaces
+    exactly its own partitions and duplicates cannot accumulate: the
+    same path-layout idempotence as ``foreach_batch_idempotent``.
+    Readers (``query_ivf_index``) keep pruning on the centroid_id
+    partition level; the epoch level is invisible to them."""
+    from urban_traffic_data_lake_project_spark.operators.similarity import (
+        append_ivf_index,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        append_ivf_index(
+            batch_df, index_dir, id_col, vec_col,
+            ingest_batch=batch_id, idempotent=True,
+        )
+
+    return sink
