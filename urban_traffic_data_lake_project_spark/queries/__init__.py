@@ -77,8 +77,10 @@ RECORD_WINDOW: tuple[str, ...] = (
     "merge_range_join",
     "stream_interval_join",
     "stream_tumbling_available_now",
-    # ...and one r3-vintage canary per family (oldest vintage after r2)
-    "sketch_hll_distinct",
+    # ...and r3-vintage canaries (several families' canaries gave way to
+    # the r6-borns below; those families all have r5-recorded sibling
+    # rows — sketches via sketch_kmv_rollup/cm/hist, dedup via
+    # dedup_cluster_sizes, similarity via the whole IVF/PQ family)
     # born in round 6, never recorded: the composed IVF-PQ retrieval, its
     # recall dial and residual-encoding variant, DSIR importance
     # resampling, SemDeDup, and the CCNet perplexity terciles (six
@@ -100,6 +102,7 @@ RECORD_WINDOW: tuple[str, ...] = (
     "text_ccnet_buckets",
     "sim_ivf_index_persisted",
     "sim_ivf_index_incremental",
+    "sim_ivfpq_index_persisted",
     "text_hybrid_rrf",
     "decontam_eval_overlap",
     "multimodal_decode",

@@ -1908,6 +1908,48 @@ FROM ranked WHERE rank <= {_PQ_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# sim_ivfpq_index_persisted — the COMPRESSED persisted index: postings
+# store m PQ codes per vector, queries ADC over partition-pruned probed
+# buckets. Bit-identical to the live sim_ivfpq_topk, so it shares that
+# oracle. Same per-(process, fingerprint) cache + atexit cleanup as the
+# raw-vector index.
+# ---------------------------------------------------------------------------
+_IVFPQ_INDEX_DIRS: dict[str, str] = {}
+
+
+def _cleanup_ivfpq_index_dirs() -> None:
+    import shutil
+
+    for d in _IVFPQ_INDEX_DIRS.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _IVFPQ_INDEX_DIRS.clear()
+
+
+def _ivfpq_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import tempfile
+
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    key = f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
+    d = _IVFPQ_INDEX_DIRS.get(key)
+    if d is None:
+        if not _IVFPQ_INDEX_DIRS:
+            atexit.register(_cleanup_ivfpq_index_dirs)
+        d = tempfile.mkdtemp(prefix="spark_graft_ivfpq_index_")
+        emb, cb = _pq_cb(spark, sf_dir)
+        S.build_ivfpq_index(
+            emb, d, cb, "vec_id", "embedding", n_centroids=_IVFPQ_CENTROIDS
+        )
+        _IVFPQ_INDEX_DIRS[key] = d
+    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    return S.query_ivfpq_index(
+        spark, d, queries, "vec_id", "embedding",
+        nprobe=_IVFPQ_NPROBE, k_top=_PQ_TOPK,
+    )
+
+
 def _ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
@@ -2120,6 +2162,11 @@ REGISTRY: dict[str, QuerySpec] = {
         _ivfpq_topk, _IVFPQ_TOPK_SQL,
         "IVF-PQ: coarse-bucket probe + ADC over compressed codes (FAISS shape)",
         ("similarity", "defer"),
+    ),
+    "sim_ivfpq_index_persisted": QuerySpec(
+        _ivfpq_index_persisted, _IVFPQ_TOPK_SQL,
+        "compressed persisted index: PQ-code postings, pruned probed-bucket ADC",
+        ("similarity", "lakehouse", "defer"),
     ),
     "sim_ivfpq_recall": QuerySpec(
         _ivfpq_recall, _IVFPQ_RECALL_SQL,
