@@ -106,6 +106,8 @@ PLAN_ANNOTATIONS: dict[str, dict[str, str]] = {
         for name in (
             "ml_naive_bayes_lang",
             "sim_ivf_recall",
+            # same exact-cosine ground-truth leg as sim_ivf_recall
+            "sim_retrieval_metrics",
             "sim_pq_recall",
             # exact-L2 ground truth (l2_topk) broadcasts the bounded
             # 10-query set against the corpus — same shape as

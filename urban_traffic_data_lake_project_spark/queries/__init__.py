@@ -104,7 +104,7 @@ RECORD_WINDOW: tuple[str, ...] = (
     "sim_ivf_index_incremental",
     "sim_ivfpq_index_persisted",
     "text_hybrid_rrf",
-    "decontam_eval_overlap",
+    "sim_retrieval_metrics",
     "multimodal_decode",
 )
 

@@ -1363,6 +1363,56 @@ def _ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# sim_retrieval_metrics — the retrieval-eval scoreboard: per-query MRR
+# and binary-relevance nDCG@5 of the IVF system against the exact-cosine
+# ground truth (relevant = in the exact top-5). Rank-quality dials that
+# recall@k alone can't express: recall says WHETHER the truth was found,
+# RR/nDCG say WHERE it landed.
+# ---------------------------------------------------------------------------
+import math as _math
+
+_IDCG5 = sum(1.0 / _math.log2(i + 1) for i in range(1, 6))
+
+
+def _retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = S.cosine_topk(emb, queries, "vec_id", "embedding", k=5, dim=_EMB_DIM).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__hit")
+    )
+    approx = S.cosine_topk_ivf(
+        emb, queries, "vec_id", "embedding", k=5, n_centroids=16, nprobe=4
+    ).select("query_id", "neighbor_id", "rank")
+    j = approx.join(exact, ["query_id", "neighbor_id"], "left")
+    hit = F.coalesce(F.col("__hit"), F.lit(0))
+    return j.groupBy("query_id").agg(
+        F.sum(hit).alias("n_hits"),
+        F.round(
+            F.coalesce(F.max(F.when(hit == 1, F.lit(1.0) / F.col("rank"))), F.lit(0.0)),
+            ROUND_STAT,
+        ).alias("rr"),
+        F.round(
+            F.sum(hit / F.log2(F.col("rank") + 1)) / F.lit(_IDCG5), ROUND_STAT
+        ).alias("ndcg"),
+    )
+
+
+_RETRIEVAL_METRICS_SQL = """
+WITH ex AS ({exact}),
+ap AS ({approx}),
+j AS (
+  SELECT ap.query_id, ap.rank,
+         CASE WHEN ex.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM ap LEFT JOIN ex
+    ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id)
+SELECT query_id, sum(hit)::BIGINT AS n_hits,
+       round(coalesce(max(CASE WHEN hit = 1 THEN 1.0 / rank END), 0.0), {r}) AS rr,
+       round(sum(hit / log2(rank + 1)) / {idcg}, {r}) AS ndcg
+FROM j GROUP BY query_id
+"""
+
+
 _IVF_RECALL_SQL = f"""
 WITH ex AS ({{exact}}),
 ap AS ({{approx}}),
@@ -2137,6 +2187,15 @@ REGISTRY: dict[str, QuerySpec] = {
         _IVF_RECALL_SQL.format(exact=_COSINE_TOPK_SQL, approx=_COSINE_IVF_SQL),
         "recall@5 of IVF retrieval vs the exact top-k, per query",
         ("similarity", "diagnostics"),
+    ),
+    "sim_retrieval_metrics": QuerySpec(
+        _retrieval_metrics,
+        _RETRIEVAL_METRICS_SQL.format(
+            exact=_COSINE_TOPK_SQL, approx=_COSINE_IVF_SQL,
+            r=ROUND_STAT, idcg=repr(_IDCG5),
+        ),
+        "per-query MRR + binary nDCG@5 of IVF retrieval vs exact ground truth",
+        ("similarity", "diagnostics", "defer"),
     ),
     "sim_hard_negatives": QuerySpec(
         _hard_negatives, _HARD_NEG_SQL,
