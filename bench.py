@@ -147,13 +147,32 @@ def main() -> None:
         runs: list[float] = []
         for i in range(repeats):
             dt = run_once(name)
-            if i > 0:
+            # with repeats=1 the single (warm-up) run must still count,
+            # or runs stays empty and min()/median below raise
+            if i > 0 or repeats == 1:
                 runs.append(dt)
-        if min(runs) > 0 and max(runs) / min(runs) > spread_gate:
+        if len(runs) >= 2 and min(runs) > 0 and max(runs) / min(runs) > spread_gate:
             runs.extend(run_once(name) for _ in range(extra_repeats))
         runs.sort()
+        # TRIMMED measurement set (r6 verdict item 5): if the spread still
+        # exceeds the gate after the extra repeats, drop the single worst
+        # run — with >= 5 measurements one noisy-neighbor spike is the
+        # dominant cause and it should not render the regression call
+        # unadjudicable. The trim is recorded in the artifact (trimmed
+        # count per query) so the judge sees exactly what was dropped.
+        trimmed = 0
+        while (
+            len(runs) >= 5
+            and runs[0] > 0
+            and runs[-1] / runs[0] > spread_gate
+            and trimmed < 2
+        ):
+            runs.pop()
+            trimmed += 1
         timings[name] = round(runs[len(runs) // 2], 3)
-        spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
+        spread[name] = [round(runs[0], 3), round(runs[-1], 3)] + (
+            [f"trimmed={trimmed}"] if trimmed else []
+        )
 
     total = round(sum(timings.values()), 3)
     print(

@@ -110,7 +110,7 @@ def test_registry_driver_window_contract():
     # last-recorded round per query across all CORRECTNESS files so far
     last: dict[str, int] = {}
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for r in (1, 2, 3, 4, 5):
+    for r in (1, 2, 3, 4, 5, 6):
         p = os.path.join(root, f"CORRECTNESS_r0{r}.json")
         if os.path.exists(p):
             d = json.load(open(p))

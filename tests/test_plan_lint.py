@@ -5,9 +5,14 @@ restricted physical node in any registry query's plan must carry an
 explicit annotation (tools/explain_audit.py:PLAN_ANNOTATIONS) naming why
 it is deliberate; stale annotations fail too, so the table can't rot.
 
-Planning-only (qe.sparkPlan, no execution): the flagged join/UDF nodes
-are decided at planning time, so this covers all 156 queries in ~2 min
-at sf0.001 instead of executing them all.
+Mostly planning-only (qe.sparkPlan — the flagged join/UDF nodes are
+decided at planning time, so the full registry lints in minutes at
+sf0.001 instead of executing every query). "Mostly": building a spec's
+DataFrame may itself run bounded driver-side jobs as side effects —
+centroid/codebook/LUT collects in the similarity family, and the
+persisted-index specs (sim_ivf_index_* / sim_ivfpq_index_persisted)
+build and write real tempdir indexes that only their atexit hooks clean
+up. Row-scale execution of the linted plan itself still never happens.
 """
 
 from __future__ import annotations

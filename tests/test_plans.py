@@ -4,6 +4,8 @@ joins, whole-stage codegen, TakeOrderedAndProject for top-k."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from urban_traffic_data_lake_project_spark.queries import REGISTRY
@@ -251,50 +253,47 @@ def test_bucketed_gate_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
-def test_similarity_family_codegen_compiles_no_fallback(spark, sf_dir):
-    """The literal-unrolled similarity family (IVF assignment, PQ encode /
-    ADC) must COMPILE: r5's single-stage plans exceeded janino's 64 KB
-    method limit ("Code grows beyond 64 KB"), logged `ERROR CodeGenerator:
-    Failed to compile` and silently degraded to unfused row-at-a-time
-    execution. The chunked stage folds (operators/similarity.py,
-    `with_nearest_centroids` / `pq_encode`) bound every generated method;
-    this test executes each query while capturing the JVM's stderr at the
-    OS fd level and asserts no codegen compile failure (and no
-    planning-time OOM from inferred-predicate expansion) is emitted.
-    Compile failures are NOT cached by Spark, so a failing plan re-logs on
-    every execution — absence of the marker proves the plan compiled."""
-    import os
-    import tempfile
+def test_similarity_family_codegen_compiles_no_fallback(tmp_path):
+    """The unrolled similarity/ANN family must COMPILE — and the check
+    must actually be able to SEE a failure. The r6 version of this test
+    dup2'd fd 2 in-process after the SparkSession existed; the JVM
+    inherits the ORIGINAL fd 2 at gateway launch, so the capture file
+    stayed empty and the test passed while 17 `Failed to compile` events
+    (janino "Code grows beyond 64 KB" -> silent interpreted fallback)
+    scrolled past on the real stderr (diagnosed r7 with
+    `spark.sql.codegen.fallback=false`, which turns the fallback into a
+    hard error). This version spawns `tools/codegen_health.py` as a fresh
+    subprocess with stderr redirected AT SPAWN — the child JVM writes
+    into the capture file — runs every family query at sf0.01 via
+    `.toPandas()` (the driver's consumer) under fallback=false, and
+    asserts a zero exit plus no compile-failure markers in the child's
+    stderr."""
+    import subprocess
+    import sys
 
-    names = [
-        "sim_cosine_topk_ivf",
-        "sim_cosine_topk_ivf_trained",
-        "sim_ivf_recall",
-        "sim_pq_encode",
-        "sim_pq_topk",
-        "sim_pq_recall",
-        "sim_ivfpq_topk",
-        "sim_ivfpq_residual_topk",
-        "sim_hard_negatives",
-    ]
-    saved = os.dup(2)
-    with tempfile.NamedTemporaryFile(mode="w+b", delete=False) as tf:
-        path = tf.name
-    fd = os.open(path, os.O_WRONLY | os.O_TRUNC)
-    os.dup2(fd, 2)
-    try:
-        for name in names:
-            REGISTRY[name].fn(spark, sf_dir).collect()
-    finally:
-        os.dup2(saved, 2)
-        os.close(saved)
-        os.close(fd)
-    with open(path, "rb") as f:
-        err = f.read().decode("utf-8", "replace")
-    os.unlink(path)
-    assert "Failed to compile" not in err, err[:4000]
-    assert "grows beyond 64 KB" not in err, err[:4000]
-    assert "OutOfMemoryError" not in err, err[:4000]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    errfile = tmp_path / "codegen_health.err"
+    with open(errfile, "wb") as ef:
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(repo, "tools", "codegen_health.py"),
+                "--sf-dir",
+                os.environ.get("SPARK_GRAFT_CODEGEN_SF_DIR", "/root/testdata/sf0.01"),
+                "--consumer",
+                "toPandas",
+            ],
+            stdout=subprocess.PIPE,
+            stderr=ef,
+            timeout=1200,
+            cwd=repo,
+        )
+    err = errfile.read_text(errors="replace")
+    out = proc.stdout.decode(errors="replace")
+    assert proc.returncode == 0, f"codegen_health failed:\n{out[-4000:]}"
+    assert "Failed to compile" not in err, err[-4000:]
+    assert "grows beyond 64 KB" not in err, err[-4000:]
+    assert "OutOfMemoryError" not in err, err[-4000:]
 
 
 def test_similarity_family_plan_size_bounded(spark, sf_dir):

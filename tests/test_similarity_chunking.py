@@ -38,11 +38,11 @@ def test_nearest_centroids_invariant_under_chunking(spark, emb, top, monkeypatch
         "vec_id", S._as_double(F.col("embedding")).alias("__v")
     ).withColumn("__n", S._norm(F.col("__v")))
 
-    def assign(budget):
+    def assign(budget, impl="expr"):
         monkeypatch.setattr(S, "_MAX_STAGE_TERMS", budget)
-        rows = S.with_nearest_centroids(c, "__v", "__n", entries, top, "cids").select(
-            "vec_id", "cids"
-        ).collect()
+        rows = S.with_nearest_centroids(
+            c, "__v", "__n", entries, top, "cids", impl=impl
+        ).select("vec_id", "cids").collect()
         return sorted((r["vec_id"], tuple(r["cids"])) for r in rows)
 
     base = assign(BIG)
@@ -50,14 +50,18 @@ def test_nearest_centroids_invariant_under_chunking(spark, emb, top, monkeypatch
     # 15 island folds); 256 is the 4-chunk shape
     for budget in (64, 256):
         assert assign(budget) == base, f"budget={budget}, top={top}"
+    # the DEFAULT vectorized Arrow path must agree bit-exactly with the
+    # expression folds (same left-assoc accumulation -> same doubles,
+    # same argmin ties)
+    assert assign(BIG, impl="arrow") == base, f"arrow parity, top={top}"
 
 
 def test_pq_encode_and_mse_invariant_under_chunking(spark, emb, monkeypatch):
     cb = S.pq_codebooks(emb, "vec_id", "embedding", m=8, k=16)
 
-    def run(budget):
+    def run(budget, impl="expr"):
         monkeypatch.setattr(S, "_MAX_STAGE_TERMS", budget)
-        enc = S.pq_encode(emb, "vec_id", "embedding", cb, codes_col="codes")
+        enc = S.pq_encode(emb, "vec_id", "embedding", cb, codes_col="codes", impl=impl)
         mse = S.pq_reconstruction_mse(enc, "vec_id", "embedding", cb, codes_col="codes")
         return sorted(
             (r["vec_id"], r["code_str"], r["mse"]) for r in mse.collect()
@@ -68,6 +72,8 @@ def test_pq_encode_and_mse_invariant_under_chunking(spark, emb, monkeypatch):
     # (8 stages, 7 folds); 256 groups two
     for budget in (128, 256):
         assert run(budget) == base, f"budget={budget}"
+    # default Arrow encode must agree bit-exactly with the expression form
+    assert run(BIG, impl="arrow") == base, "arrow parity"
 
 
 def test_pq_adc_topk_invariant_under_chunking(spark, emb, monkeypatch):

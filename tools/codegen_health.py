@@ -1,0 +1,85 @@
+"""Codegen compile-health runner for the unrolled similarity/ANN family.
+
+Executes each query with ``spark.sql.codegen.fallback=false`` so a
+whole-stage method that exceeds janino's 64 KB limit is a HARD error
+instead of a silent interpreted fallback, and (belt and braces) scans its
+own stderr afterwards for ``Failed to compile`` markers from subsystems
+that fall back without consulting that conf.
+
+MUST run as a fresh subprocess with stderr redirected at spawn time: the
+JVM inherits the parent's fd 2 when the gateway launches, so an
+in-process ``os.dup2`` AFTER SparkSession creation retargets only
+Python's fd and captures nothing from the JVM — the r6 fd-capture test
+asserted against an empty file and passed while 17 compile failures
+scrolled by (diagnosed r7). ``tests/test_plans.py`` spawns this script
+with ``stderr=<file>`` so the child JVM writes where the test can read.
+
+Usage: python tools/codegen_health.py [--sf-dir DIR] [--consumer toPandas|collect] [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# every registry query whose plan carries dim-unrolled dots, chunked
+# folds, ADC LUT structs, or the Arrow scorer — the shapes that have
+# historically tripped the 64 KB method limit
+FAMILY = [
+    "sim_cosine_topk",
+    "sim_hard_negatives",
+    "sim_cosine_topk_ivf",
+    "sim_cosine_topk_ivf_trained",
+    "sim_ivf_recall",
+    "sim_pq_encode",
+    "sim_pq_topk",
+    "sim_pq_recall",
+    "sim_ivfpq_topk",
+    "sim_ivfpq_recall",
+    "sim_ivfpq_residual_topk",
+    "sim_ivf_index_persisted",
+    "sim_ivf_index_incremental",
+    "sim_ivfpq_index_persisted",
+    "sim_retrieval_metrics",
+    "dedup_embedding_cosine",
+    "dedup_semantic",
+    "dedup_embedding_srp",
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--consumer", default="toPandas", choices=["toPandas", "collect"])
+    ap.add_argument("names", nargs="*", default=None)
+    args = ap.parse_args()
+    names = args.names or FAMILY
+
+    from urban_traffic_data_lake_project_spark.queries import REGISTRY
+    from urban_traffic_data_lake_project_spark.session import get_spark
+
+    spark = get_spark(
+        "codegen-health",
+        extra_conf={"spark.sql.codegen.fallback": "false"},
+    )
+    bad = 0
+    for name in names:
+        try:
+            df = REGISTRY[name].fn(spark, args.sf_dir)
+            n = len(df.toPandas()) if args.consumer == "toPandas" else len(df.collect())
+            print(f"OK   {name} {args.consumer} rows={n}", flush=True)
+        except Exception as e:  # noqa: BLE001 — report and keep sweeping
+            bad += 1
+            print(
+                f"FAIL {name} {args.consumer}: {str(e).splitlines()[0][:300]}",
+                flush=True,
+            )
+    print(f"DONE bad={bad}", flush=True)
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -113,6 +113,11 @@ PLAN_ANNOTATIONS: dict[str, dict[str, str]] = {
             # 10-query set against the corpus — same shape as
             # sim_pq_recall's; candidates pruned partition-locally
             "sim_ivfpq_recall",
+            # ADC scores every (query, corpus) pair by definition; the
+            # per-query LUT rides a broadcast |queries|-row table
+            # (broadcast-column idiom) — candidates pruned partition-
+            # locally before the rank window
+            "sim_pq_topk",
             "events_cooccurrence_lift",
             "events_seasonality",
             "events_drift_psi",

@@ -289,6 +289,36 @@ def main() -> None:
 
     run_case("ivf_index_lifecycle", n5c, ivf_index_lifecycle)
 
+    # 5h. the TRAINED compressed persisted index at 1M x 64-dim — the
+    # production FAISS IVFx,PQy lifecycle: 2 spherical k-means rounds
+    # refine the coarse quantizer, PQ codes land in the postings
+    # (partitioned by centroid_id), the query ADCs over ONLY the probed
+    # partitions. Exercises build_ivfpq_index(train_iters=) end-to-end.
+    def ivfpq_index_trained_lifecycle():
+        import atexit
+        import shutil
+        import tempfile
+
+        from urban_traffic_data_lake_project_spark.operators.similarity import (
+            build_ivfpq_index,
+            pq_codebooks,
+            query_ivfpq_index,
+        )
+
+        d = tempfile.mkdtemp(prefix="stress_ivfpq_trained_")
+        corpus = synth_vectors(spark, n5c, dim=64)
+        cb = pq_codebooks(corpus, "vec_id", "embedding", m=8, k=16)
+        build_ivfpq_index(
+            corpus, d, cb, n_centroids=32, train_iters=2
+        )
+        out = query_ivfpq_index(
+            spark, d, corpus.filter(F.col("vec_id") < 10), nprobe=4, k_top=5
+        )
+        atexit.register(lambda: shutil.rmtree(d, ignore_errors=True))
+        return out
+
+    run_case("ivfpq_index_trained_lifecycle", n5c, ivfpq_index_trained_lifecycle)
+
     # 6. histogram quantile sketch at 100M values
     n6 = int(100_000_000 * s)
 

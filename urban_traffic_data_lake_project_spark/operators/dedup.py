@@ -542,12 +542,7 @@ def embedding_near_dup_pairs(
         )
 
     entries = centroid_entries(emb, id_col, vec_col, n_centroids)
-    # dim is known from the entries -> score candidate pairs with the
-    # codegen-unrolled dot instead of the interpreted HOF fold
-    sim = _dot(F.col("__va"), F.col("__vb"), len(entries[0]["vec"])) / (
-        _norm(F.col("__va"), len(entries[0]["vec"]))
-        * _norm(F.col("__vb"), len(entries[0]["vec"]))
-    )
+    dim = len(entries[0]["vec"])
     v = spread_to_parallelism(emb).select(
         F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
     ).withColumn("__n", _norm(F.col("__v")))
@@ -562,14 +557,54 @@ def embedding_near_dup_pairs(
     b = buckets.select(
         F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), "__cid"
     )
-    return (
-        a.join(b, ["__cid"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", sim)
-        .filter(F.col("cosine_sim") >= threshold)
-        .select("id_a", "id_b", "cosine_sim")
-        .distinct()
+    cand = a.join(b, ["__cid"]).filter(F.col("id_a") < F.col("id_b"))
+    # Pair scoring + threshold as ONE vectorized Arrow stage. The
+    # expression form (dim-unrolled dot/norms in a withColumn + filter)
+    # blew janino's 64 KB limit: predicate pushdown substitutes the
+    # threshold filter's full ~3*dim-term sim expression into the JOIN
+    # CONDITION while the projection recomputes it for the output —
+    # twice the terms in one fused region, silent interpreted fallback
+    # (r7 codegen audit). The numpy folds below replay the SQL arithmetic
+    # exactly (0.0-seeded left-assoc dot and power sums), so the DuckDB
+    # oracle still hash-matches; the stage streams each candidate batch,
+    # keeping memory O(batch), and the threshold prunes before the
+    # distinct's exchange.
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine_sim", DoubleType()),
+        ]
     )
+    thr = float(threshold)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["__va"].to_numpy()).astype(np.float64, copy=False)
+            B = np.stack(pdf["__vb"].to_numpy()).astype(np.float64, copy=False)
+            n = len(pdf)
+            dot = np.zeros(n)
+            na = np.zeros(n)
+            nb = np.zeros(n)
+            for i in range(dim):
+                dot = dot + A[:, i] * B[:, i]
+                na = na + A[:, i] * A[:, i]
+                nb = nb + B[:, i] * B[:, i]
+            simv = dot / (np.sqrt(na) * np.sqrt(nb))
+            keep = simv >= thr
+            out = pdf.loc[keep, ["id_a", "id_b"]].copy()
+            out["cosine_sim"] = simv[keep]
+            yield out
+
+    return cand.select("id_a", "id_b", "__va", "__vb").mapInPandas(
+        score, out_schema
+    ).distinct()
 
 
 def dup_clusters(
@@ -872,14 +907,18 @@ def semdedup(
       keys (round-then-rank makes the cross-engine ordering exact);
     - the quadratic bit is per-cluster pairwise scoring — ONE Arrow
       pass (``applyInPandas`` grouped on cluster_id): each cluster's
-      similarity matrix is a single numpy GEMM, exactly the reference
-      SemDeDup implementation's per-cluster matmul. The expression-level
-      alternative (self-join + per-pair unrolled dot) measured 313 s at
-      200k x k=256 because Catalyst pushes the whole 64-term dot into
-      the join CONDITION — evaluated per probed pair on joined rows;
-      the GEMM form does the same 78M pair-sims in a few blocked BLAS
-      calls per cluster. At 100 TB you scale k with n (the paper uses
-      k ~ n/10k) so cluster groups stay executor-sized.
+      similarity matrix is built by dim rank-1 numpy updates in index
+      order (NOT a blocked ``V @ V.T`` GEMM, which reassociates the
+      summation and can flip a keep/drop decision when a sim lands ulps
+      from the 1e-6 rounding boundary near tau — ADVICE r6), so every
+      pair's dot is bit-identical to the oracle's sequential list_sum.
+      The expression-level alternative (self-join + per-pair unrolled
+      dot) measured 313 s at 200k x k=256 because Catalyst pushes the
+      whole 64-term dot into the join CONDITION — evaluated per probed
+      pair on joined rows; the vectorized form does the same 78M
+      pair-sims in dim elementwise passes per cluster. At 100 TB you
+      scale k with n (the paper uses k ~ n/10k) so cluster groups stay
+      executor-sized.
 
     Returns every input row: (id, cluster_id, cos_centroid, keep).
     """
@@ -897,7 +936,7 @@ def semdedup(
 
     v = spread_to_parallelism(emb).select(
         F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
-    ).withColumn("__n", _norm(F.col("__v"), dim))
+    ).withColumn("__n", _norm("__v", dim))
     assigned = with_nearest_centroids(v, "__v", "__n", entries, 1, "__cids").select(
         "__id", "__v", "__n", F.explode("__cids").alias("cluster_id")
     )
@@ -941,10 +980,20 @@ def semdedup(
         else:
             V = np.stack(pdf["__v"].to_numpy())
             n = pdf["__n"].to_numpy()
-            # dot first, THEN divide by the norm product — the same
-            # arithmetic shape as the expression form and the SQL
-            # oracle, so the rounded values agree
-            S = np.round((V @ V.T) / np.outer(n, n), 6)
+            # Rank-1 left-assoc accumulation, NOT a blocked GEMM: V @ V.T
+            # reassociates the dot-product summation (SIMD/blocking), so
+            # a sim a few ulps from the 1e-6 rounding boundary near tau
+            # could round differently than the oracle's sequential
+            # list_sum and flip a keep/drop decision. Each rank-1 update
+            # adds v_ai * v_bi elementwise in index order — every pair's
+            # dot is the exact seedless left-assoc chain both engines
+            # compute. ~2x slower than BLAS on the same O(s^2 * dim)
+            # work; dot first, THEN divide by the norm product (the
+            # oracle's shape).
+            D = np.multiply.outer(V[:, 0], V[:, 0])
+            for i in range(1, V.shape[1]):
+                D = D + np.multiply.outer(V[:, i], V[:, i])
+            S = np.round(D / np.outer(n, n), 6)
             # dropped[j] <=> some higher-priority i (row above j) has
             # sim >= tau; strict upper triangle = pairs (i earlier, j)
             keep = ~np.triu(S >= tau, k=1).any(axis=0)

@@ -29,7 +29,33 @@ def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
+def _dot_sql(a: str, b: str, dim: int) -> str:
+    """SQL text of the dim-unrolled dot product between two array COLUMNS
+    (by name). Same tree the old py4j loop built — ``0.0D`` accumulator,
+    left-assoc adds — so results stay bit-identical; but built as ONE
+    string parsed by a single ``F.expr`` call. The Column-operator form
+    cost ~3 py4j gateway round trips per term, which made PLAN BUILD (not
+    execution) dominate ``sim_cosine_topk`` at dim=64 (x4 invocations per
+    score expression): +160% on the sf0.1 bench between r5 and r6 — the
+    same failure mode `_dot_literal_sql` already fixed for the
+    literal-vector unrolls."""
+    return "0.0D + " + " + ".join(
+        f"(element_at({a}, {i}) * element_at({b}, {i}))" for i in range(1, dim + 1)
+    )
+
+
+def _norm_sql(a: str, dim: int) -> str:
+    return (
+        "sqrt(0.0D + "
+        + " + ".join(
+            f"(element_at({a}, {i}) * element_at({a}, {i}))"
+            for i in range(1, dim + 1)
+        )
+        + ")"
+    )
+
+
+def _dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """Column-column dot product. With ``dim`` known at plan time the sum
     is UNROLLED into per-index element_at products — a plain arithmetic
     expression that rides whole-stage codegen — instead of the
@@ -38,23 +64,31 @@ def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
     join at 1M vectors (~6M candidate pairs x one interpreted fold
     each). The unroll starts from the same lit(0.0) accumulator and adds
     in the same left-assoc order, so results are bit-identical and
-    oracle parity is unaffected."""
+    oracle parity is unaffected. Pass column NAMES (not Columns) with
+    ``dim`` so the unroll is one ``F.expr`` parse — see ``_dot_sql``."""
     if dim:
+        if isinstance(a, str) and isinstance(b, str):
+            return F.expr(_dot_sql(a, b, dim))
         expr: Column = F.lit(0.0)
         for i in range(1, dim + 1):
             expr = expr + F.element_at(a, i) * F.element_at(b, i)
         return expr
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
 
 
-def _norm(a: Column, dim: int | None = None) -> Column:
+def _norm(a: Column | str, dim: int | None = None) -> Column:
     if dim:
+        if isinstance(a, str):
+            return F.expr(_norm_sql(a, dim))
         expr: Column = F.lit(0.0)
         for i in range(1, dim + 1):
             expr = expr + F.element_at(a, i) * F.element_at(a, i)
         return F.sqrt(expr)
+    a = F.col(a) if isinstance(a, str) else a
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
@@ -134,6 +168,94 @@ def quantize_embeddings_int8(
     )
 
 
+def _score_local_topk_arrow(
+    cand: DataFrame,
+    q_rows: list,
+    k: int,
+    dim: int,
+    vec_col: str = "__cv",
+    norm_col: str = "__cn",
+) -> DataFrame:
+    """Candidate scoring + partition-local top-k as ONE vectorized Arrow
+    stage. ``cand`` carries (query_id, neighbor_id, vec_col, norm_col);
+    ``q_rows`` is the bounded driver-collected query set as
+    (query_id, qvec, qnorm) Rows — query vectors travel in the task
+    closure instead of being duplicated onto every candidate row, halving
+    the Arrow transfer, and the dot products run as float64 column sweeps
+    (``acc = acc + q_i * c_i`` from a 0.0 seed — the same left-assoc
+    order as the ``_dot_sql`` unroll, so every double is bit-identical to
+    the SQL form and the DuckDB oracle replay still hash-matches).
+
+    Why not the expression form: 6.1M candidate pairs x a 65-term
+    element_at chain measured ~8 s at the 1M-vector stress even when the
+    stage COMPILES (each element_at pays null+bounds checks), and the
+    unrolled projection is what kept tripping janino's 64 KB method
+    limit. Here there is nothing to JIT and the prune streams each batch,
+    so partition memory stays O(queries * k) like ``_partition_local_topk``
+    (whose fold this reuses — the global rank window still only sees
+    partitions * q * k survivor rows)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    qids = np.array([int(r["query_id"]) for r in q_rows], dtype=np.int64)
+    Q = np.array([[float(x) for x in r["__qv"]] for r in q_rows], dtype=np.float64)
+    qn = np.array([float(r["__qn"]) for r in q_rows], dtype=np.float64)
+    # dense lookup from query_id to its row in Q (query ids are bounded)
+    pos = {int(q): i for i, q in enumerate(qids)}
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cosine_sim", DoubleType()),
+        ]
+    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["query_id", "cosine_sim", "neighbor_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return pdf.groupby("query_id", sort=False).head(k)
+
+    def per_partition(batches):
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+            cn = pdf[norm_col].to_numpy(dtype=np.float64)
+            qidx = np.fromiter(
+                (pos[int(q)] for q in pdf["query_id"].to_numpy()),
+                dtype=np.int64,
+                count=n,
+            )
+            Qr = Q[qidx]
+            acc = np.zeros(n, dtype=np.float64)
+            for i in range(dim):
+                acc = acc + Qr[:, i] * V[:, i]
+            sim = acc / (qn[qidx] * cn)
+            cur = prune(
+                pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"].to_numpy(),
+                        "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                        "cosine_sim": sim,
+                    }
+                )
+            )
+            best = cur if best is None else prune(pd.concat([best, cur]))
+        if best is not None:
+            yield best
+
+    proj = cand.select("query_id", "neighbor_id", vec_col, norm_col)
+    return proj.mapInPandas(per_partition, out_schema)
+
+
 def _partition_local_topk(scored: DataFrame, k: int) -> DataFrame:
     """Phase-1 prune for exact top-k: within each partition keep only the k
     best (cosine_sim DESC, neighbor_id ASC) rows per query — the global
@@ -194,12 +316,23 @@ def cosine_topk(
     c = spread_to_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
     )
+    # expression scorer, NOT the fused Arrow scorer used by the IVF
+    # paths: the Arrow variant needs a driver collect of the query set
+    # (an extra Spark job, ~0.3 s fixed), which the IVF paths amortize
+    # against probe selection but which dominates this bounded exact
+    # path at bench scale (measured 1.6 s vs 1.2 s at sf0.1). With dim
+    # known the dot/norms build as ONE F.expr SQL string (_dot_sql) —
+    # the py4j Column loop cost ~1 s of PLAN BUILD per invocation and
+    # was the r6 +160% regression.
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine_sim",
-            _dot(F.col("__qv"), F.col("__cv"), dim)
-            / (_norm(F.col("__qv"), dim) * _norm(F.col("__cv"), dim)),
+            _dot("__qv", "__cv", dim)
+            / (_norm("__qv", dim) * _norm("__cv", dim))
+            if dim
+            else _dot(F.col("__qv"), F.col("__cv"))
+            / (_norm(F.col("__qv")) * _norm(F.col("__cv"))),
         )
     )
     pruned = _partition_local_topk(scored, k)
@@ -241,14 +374,19 @@ def hard_negatives(
         F.col(label_col).alias("__cl"),
         _as_double(F.col(vec_col)).alias("__cv"),
     )
+    # same expression-scorer rationale as cosine_topk (the Arrow
+    # scorer's extra driver job dominates this bounded exact path)
     scored = c.join(
         F.broadcast(q),
         (F.col("neighbor_id") != F.col("query_id"))
         & (F.col("__cl") != F.col("__ql")),
     ).withColumn(
         "cosine_sim",
-        _dot(F.col("__qv"), F.col("__cv"), dim)
-        / (_norm(F.col("__qv"), dim) * _norm(F.col("__cv"), dim)),
+        _dot("__qv", "__cv", dim)
+        / (_norm("__qv", dim) * _norm("__cv", dim))
+        if dim
+        else _dot(F.col("__qv"), F.col("__cv"))
+        / (_norm(F.col("__qv")) * _norm(F.col("__cv"))),
     )
     pruned = _partition_local_topk(scored, k)
     w = Window.partitionBy("query_id").orderBy(
@@ -282,11 +420,16 @@ def l2_topk(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
     )
     if dim:
-        # same left-assoc fold as the HOF form, codegen-unrolled
-        dist: Column = F.lit(0.0)
-        for i in range(1, dim + 1):
-            d_i = F.element_at(F.col("__qv"), i) - F.element_at(F.col("__cv"), i)
-            dist = dist + d_i * d_i
+        # same left-assoc fold as the HOF form, codegen-unrolled; one
+        # F.expr parse, not py4j per-term ops (see _dot_sql)
+        dist: Column = F.expr(
+            "0.0D + "
+            + " + ".join(
+                f"((element_at(__qv, {i}) - element_at(__cv, {i}))"
+                f" * (element_at(__qv, {i}) - element_at(__cv, {i})))"
+                for i in range(1, dim + 1)
+            )
+        )
     else:
         dist = F.aggregate(
             F.zip_with(F.col("__qv"), F.col("__cv"), lambda a, b: (a - b) * (a - b)),
@@ -406,17 +549,61 @@ def _dot_literal(v: Column, vals) -> Column:
 
 
 # Budget of unrolled multiply-add terms per projection STAGE. One stage's
-# expressions compile into one whole-stage-codegen method (or one split-out
-# consume method). Measured on Spark 4.1 at 1M vectors: 1024 terms
-# compiles clean in every full-query context exercised by the registry
-# and the stress harness (asserted by the fd-capture codegen test), and
-# each fold stage costs a real per-row copy of the carried vector — at
-# k=32 x dim=32 the single-stage form ran 3.7x faster than four chunked
-# stages (1.3 s vs 4.9 s assignment-only). r5's single-stage failures at
-# ~the same term count came from larger FUSED contexts; the budget is the
-# backstop that keeps any one stage bounded while the codegen test keeps
-# the whole plan honest.
-_MAX_STAGE_TERMS = 1024
+# expressions compile into one whole-stage-codegen method, and per-operator
+# consume splitting never engages for project chains on Spark 4.1, so the
+# generated processNext() carries every term. Measured with
+# ``spark.sql.codegen.fallback=false`` + debug.codegenString on the IVF
+# assignment shape (r7): 1024 terms -> 1.09 MB source, compile FAILURE
+# even with the stage isolated by _codegen_cut barriers (r6's "1024
+# compiles clean" claim rested on an fd-capture test that never saw the
+# JVM's stderr — the JVM inherits the ORIGINAL fd 2 at launch, so an
+# in-process dup2 captures nothing); 384 terms -> 52 KB bytecode (80% of
+# janino's 64 KB method limit, and the denser pq_encode named_struct
+# shape still failed); 256 terms -> 34 KB everywhere, ~50% headroom.
+_MAX_STAGE_TERMS = 256
+
+# Which with_nearest_centroids / pq_encode implementation to use by
+# default: "arrow" (vectorized mapInPandas, bit-identical accumulation
+# order, nothing to JIT -> immune to the 64 KB cliff and ~2x faster at
+# 1M vectors than the compiled chunk folds, whose interpreted fold
+# islands each re-copy the carried vector per row) or "expr" (the
+# chunked literal-unroll Catalyst path, kept for pure-SQL plan contexts
+# and as the cross-check in tests).
+_NEAREST_IMPL = "arrow"
+
+
+def _codegen_cut(c: Column, kind: str) -> Column:
+    """Identity wrapper that ENDS the whole-stage-codegen region at the
+    projection it appears in. Spark fuses every consecutive
+    codegen-supporting node into ONE generated ``processNext()`` method,
+    and per-operator consume splitting never engages for project chains
+    on Spark 4.1 — so a budget-compliant 1024-term unrolled projection
+    still blows janino's 64 KB limit the moment it FUSES with a
+    downstream explode + broadcast join + scoring projection (r6: 17
+    silent ``Failed to compile`` -> interpreted fallbacks across the
+    IVF/PQ family; reproduced with ``spark.sql.codegen.fallback=false``).
+    Routing the column through a higher-order function (``array_sort`` /
+    ``transform``, both CodegenFallback) makes this ProjectExec
+    interpreted, cutting the region; referencing the input TWICE keeps
+    CollapseProject from inlining the producing expression into the
+    island (an inlined unroll would run interpreted per row). The guard
+    branches both evaluate to the input, and the islands are identities
+    (sorting a 1-element array; an identity lambda), so values — and
+    oracle hashes — are bit-unchanged.
+
+    kind: 'scalar' (double), 'struct' (the (neg_sim, cid) comparable),
+    'array' (order-preserving)."""
+    if kind == "scalar":
+        return F.when(c < 0, c).otherwise(
+            F.element_at(F.array_sort(F.array(c)), 1)
+        )
+    if kind == "struct":
+        return F.when(c.getField("cid") < -1, c).otherwise(
+            F.element_at(F.array_sort(F.array(c)), 1)
+        )
+    return F.when(F.size(c) < 0, F.slice(c, 1, 1)).otherwise(
+        F.transform(c, lambda x: x)
+    )
 
 
 def _f(x) -> str:
@@ -450,6 +637,96 @@ def _centroid_struct_sql(vec_name: str, norm_name: str, e: dict) -> str:
 
 
 def with_nearest_centroids(
+    df: DataFrame,
+    vec_col: str,
+    norm_col: str,
+    entries: list,
+    top: int,
+    out_col: str,
+    impl: str | None = None,
+) -> DataFrame:
+    """Adds ``out_col`` = array of the ``top`` nearest centroid ids (by
+    cosine, ties to the smaller cid) for every row — a pure per-row
+    computation against the driver-side ``entries`` list: zero joins,
+    zero shuffles, so at 100 TB the corpus is scanned once and never
+    repartitioned for assignment.
+
+    Two implementations, value-identical (asserted by a pytest that
+    collects both and compares bit-exact):
+
+    - ``arrow`` (default): one vectorized ``mapInPandas`` stage. Each
+      Arrow batch computes all k dots as ``acc = acc + V[:, i] * c_i``
+      column sweeps — float64 elementwise, SAME left-assoc order and
+      seed as the SQL unroll, so every double is bit-identical and the
+      DuckDB oracle replay still hash-matches. Nothing is code-generated,
+      so there is no janino 64 KB cliff at any k x dim (the failure mode
+      that silently degraded the expr path in r5/r6), and at 1M vectors
+      it beats the compiled chunk folds ~2x (no per-stage interpreted
+      row copies). The Python stage is also a pushdown barrier, which is
+      what the downstream join needs anyway (see cosine_topk_ivf).
+    - ``expr``: the chunked literal-unroll Catalyst projection chain
+      (``_nearest_centroids_expr``) — kept for pure-SQL plan contexts
+      and as the cross-check.
+    """
+    if (impl or _NEAREST_IMPL) == "arrow":
+        return _nearest_centroids_arrow(df, vec_col, norm_col, entries, top, out_col)
+    return _nearest_centroids_expr(df, vec_col, norm_col, entries, top, out_col)
+
+
+def _nearest_centroids_arrow(
+    df: DataFrame,
+    vec_col: str,
+    norm_col: str,
+    entries: list,
+    top: int,
+    out_col: str,
+) -> DataFrame:
+    import numpy as np
+
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    ents = sorted(entries, key=lambda e: int(e["cid"]))
+    cids = np.array([int(e["cid"]) for e in ents], dtype=np.int32)
+    cvecs = [[float(x) for x in e["vec"]] for e in ents]
+    cnorms = [float(e["cnorm"]) for e in ents]
+    dim, k = len(cvecs[0]), len(ents)
+    # fresh StructType: StructType.add MUTATES (and returns) self, which
+    # would pollute the input DataFrame's cached schema object
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, ArrayType(IntegerType()), False)]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+            norms = pdf[norm_col].to_numpy(dtype=np.float64)
+            neg = np.empty((n, k), dtype=np.float64)
+            for j in range(k):
+                cv = cvecs[j]
+                # same fold as _dot_literal: seeded by the FIRST term
+                # (not 0.0), left-assoc adds — elementwise float64, so
+                # each row's double equals the SQL unroll bit-for-bit
+                acc = V[:, 0] * cv[0]
+                for i in range(1, dim):
+                    acc = acc + V[:, i] * cv[i]
+                neg[:, j] = -(acc / (norms * cnorms[j]))
+            if top == 1:
+                # argmin returns the FIRST minimum; columns are in
+                # ascending-cid order, so ties break to the smaller cid
+                # exactly like the SQL least((neg_sim, cid)) struct
+                picks = cids[np.argmin(neg, axis=1)][:, None]
+            else:
+                order = np.argsort(neg, axis=1, kind="stable")[:, :top]
+                picks = cids[order]
+            yield pdf.assign(**{out_col: list(picks)})
+
+    return df.mapInPandas(assign, schema)
+
+
+def _nearest_centroids_expr(
     df: DataFrame,
     vec_col: str,
     norm_col: str,
@@ -491,7 +768,15 @@ def with_nearest_centroids(
     chunk = max(1, _MAX_STAGE_TERMS // dim)
     carry = list(df.columns)
     acc, cand = "__nc_acc", "__nc_cand"
-    cur = df
+    # ENTRY cut: without it the first chunk's unrolled terms fuse with
+    # whatever codegen projections feed this operator (e.g. ivfpq's
+    # dim-unrolled norm: 128 + 1024 terms in one generated method).
+    cur = df.select(
+        *[
+            _codegen_cut(F.col(c), "scalar").alias(c) if c == norm_col else F.col(c)
+            for c in carry
+        ]
+    )
     first = True
     for base in range(0, len(entries), chunk):
         part = entries[base : base + chunk]
@@ -543,6 +828,14 @@ def with_nearest_centroids(
                     F.slice(F.col(acc), 1, top),
                 ).otherwise(merged)
             cur = cur.select(*carry, fold.alias(acc))
+    if len(entries) <= chunk:
+        # Single chunk -> the loop ended on a pure-codegen projection
+        # (no fold island); EXIT cut so the 1024-term stage doesn't fuse
+        # with the caller's explode + join + scoring. Multi-chunk paths
+        # already end on a fold island, which is itself the cut.
+        cur = cur.select(
+            *carry, _codegen_cut(F.col(acc), "struct" if top == 1 else "array").alias(acc)
+        )
     out = (
         F.array(F.col(acc).getField("cid"))
         if top == 1
@@ -597,32 +890,24 @@ def cosine_topk_ivf(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
     ).withColumn("__qn", _norm(F.col("__qv")))
-    probes = with_nearest_centroids(q, "__qv", "__qn", entries, nprobe, "__cids").select(
-        "query_id",
-        "__qv",
-        "__qn",
-        F.explode("__cids").alias("centroid_id"),
-    )
+    probed = with_nearest_centroids(q, "__qv", "__qn", entries, nprobe, "__cids")
+    # bounded driver collect (queries are small by contract): the query
+    # vectors+norms travel in the scorer's task closure, so the broadcast
+    # probe table is (query_id, centroid_id) only and candidate rows never
+    # carry a duplicated query vector
+    q_rows = probed.select("query_id", "__qv", "__qn").collect()
+    probes = probed.select("query_id", F.explode("__cids").alias("centroid_id"))
 
-    # scoring reuses the per-ROW norms carried through the fold (one norm
-    # per vector, not one per candidate pair) and an unrolled codegen dot
-    # (dim is known from the centroid entries) — the interpreted
-    # aggregate(zip_with) fold dominated this join at 1M vectors
+    # scoring + partition-local prune as ONE Arrow stage (see
+    # _score_local_topk_arrow): bit-identical left-assoc dots, no 64 KB
+    # codegen cliff, and the rank-window exchange still only carries
+    # partitions*q*k survivor rows — probing already cut candidates to
+    # ~nprobe/n_centroids of the corpus, the prune bounds the rest
     dim = len(entries[0]["vec"])
-    scored = (
-        assigned.join(F.broadcast(probes), "centroid_id")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine_sim",
-            _dot(F.col("__qv"), F.col("__cv"), dim) / (F.col("__qn") * F.col("__cn")),
-        )
+    cand = assigned.join(F.broadcast(probes), "centroid_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
     )
-    # probing already cuts candidates to ~nprobe/n_centroids of the corpus,
-    # but at corpus scale that is still a large exchange — the same
-    # partition-local prune as exact top-k bounds the rank-window shuffle
-    # to partitions*q*k scalar rows (each (query, neighbor) pair appears
-    # once: corpus vectors are assigned to exactly one centroid)
-    pruned = _partition_local_topk(scored, k)
+    pruned = _score_local_topk_arrow(cand, q_rows, k, dim, "__cv", "__cn")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -700,6 +985,73 @@ def pq_encode(
     vec_col: str,
     codebooks: list,
     codes_col: str = "codes",
+    impl: str | None = None,
+) -> DataFrame:
+    """Attach a PQ code array (one int per subspace) to every row — the
+    per-subspace nearest-centroid argmin, NO join, NO shuffle: the whole
+    encode rides the corpus scan. Implementations (value-identical,
+    pytest-asserted): ``arrow`` (default) — one vectorized mapInPandas
+    stage with the same left-assoc squared-distance fold as the SQL text,
+    immune to the janino 64 KB method limit at any m x k x sub; ``expr``
+    — the chunked literal-unroll projection chain (``_pq_encode_expr``),
+    kept for pure-SQL contexts and as the cross-check."""
+    if (impl or _NEAREST_IMPL) == "arrow":
+        return _pq_encode_arrow(df, id_col, vec_col, codebooks, codes_col)
+    return _pq_encode_expr(df, id_col, vec_col, codebooks, codes_col)
+
+
+def _pq_encode_arrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list,
+    codes_col: str = "codes",
+) -> DataFrame:
+    import numpy as np
+
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cbs = [[[float(x) for x in cent] for cent in cb] for cb in codebooks]
+    schema = StructType(
+        list(df.schema.fields) + [StructField(codes_col, ArrayType(IntegerType()), False)]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+            codes = np.empty((n, m), dtype=np.int32)
+            for j in range(m):
+                base = j * sub
+                dmat = np.empty((n, len(cbs[j])), dtype=np.float64)
+                for c, cent in enumerate(cbs[j]):
+                    # same fold as _sub_dist: seeded by the first term,
+                    # left-assoc adds, (x - c)^2 per element — float64
+                    # elementwise, bit-identical to the SQL power sum
+                    t = V[:, base] - cent[0]
+                    acc = t * t
+                    for i in range(1, sub):
+                        t = V[:, base + i] - cent[i]
+                        acc = acc + t * t
+                    dmat[:, c] = acc
+                # first minimum = smaller code on ties, like the SQL
+                # array_min((dist, code)) struct
+                codes[:, j] = np.argmin(dmat, axis=1)
+            yield pdf.assign(**{codes_col: list(codes)})
+
+    return df.mapInPandas(encode, schema)
+
+
+def _pq_encode_expr(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list,
+    codes_col: str = "codes",
 ) -> DataFrame:
     """Attach a PQ code array (one int per subspace) to every row. The
     nearest-centroid argmin per subspace is an unrolled per-row literal
@@ -758,6 +1110,11 @@ def pq_encode(
                 F.slice(F.col(acc), 1, 1),
             ).otherwise(F.transform(F.concat(F.col(acc), F.col(cand)), lambda x: x))
             cur = cur.select(*carry, "__v", fold.alias(acc))
+    if m <= group:
+        # single-chunk: EXIT cut so the m*k*sub-term encode stage never
+        # fuses with the caller's probe join / ADC scoring (see
+        # _codegen_cut); multi-chunk already ends on a fold island
+        cur = cur.select(*carry, "__v", _codegen_cut(F.col(acc), "array").alias(acc))
     return cur.select(*carry, F.col(acc).alias(codes_col))
 
 
@@ -799,7 +1156,7 @@ def ivfpq_topk(
 
     c = spread_to_parallelism(corpus).select(
         F.col(id_col).alias("corpus_id"), _as_double(F.col(vec_col)).alias("__v")
-    ).withColumn("__n", _norm(F.col("__v"), dim))
+    ).withColumn("__n", _norm("__v", dim))
     # explode, not element_at: Generate blocks the join's inferred
     # isnotnull(centroid_id) from substituting the fold expression
     # (see cosine_topk_ivf)
@@ -812,7 +1169,7 @@ def ivfpq_topk(
 
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
-    ).withColumn("__qn", _norm(F.col("__qv"), dim))
+    ).withColumn("__qn", _norm("__qv", dim))
     probes = with_nearest_centroids(q, "__qv", "__qn", entries, nprobe, "__cids").select(
         "query_id", F.explode("__cids").alias("centroid_id")
     )
@@ -914,7 +1271,7 @@ def ivfpq_residual_topk(
 
     c = spread_to_parallelism(corpus).select(
         F.col(id_col).alias("corpus_id"), _as_double(F.col(vec_col)).alias("__v")
-    ).withColumn("__n", _norm(F.col("__v"), dim))
+    ).withColumn("__n", _norm("__v", dim))
     assigned = with_nearest_centroids(c, "__v", "__n", entries, 1, "__cids").select(
         "corpus_id", "__v", F.explode("__cids").alias("centroid_id")
     )
@@ -991,7 +1348,7 @@ def ivfpq_residual_topk(
 
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
-    ).withColumn("__qn", _norm(F.col("__qv"), dim))
+    ).withColumn("__qn", _norm("__qv", dim))
     probes = with_nearest_centroids(q, "__qv", "__qn", entries, nprobe, "__cids").select(
         "query_id", F.explode("__cids").alias("centroid_id")
     )
@@ -1120,6 +1477,11 @@ def pq_reconstruction_mse(
                 )
             )
             cur = cur.select(*carry, "__v", fold.alias(acc))
+    # EXIT cut: the final select's concat_ws(transform(...)) island would
+    # otherwise absorb the single-referenced acc (CollapseProject inlines
+    # single-use aliases), running the whole unrolled distance sum
+    # interpreted per row inside the island.
+    cur = cur.select(*carry, "__v", _codegen_cut(F.col(acc), "scalar").alias(acc))
     return cur.select(
         F.col(id_col),
         F.concat_ws(",", F.transform(F.col(codes_col), lambda x: x.cast("string"))).alias(
@@ -1141,12 +1503,24 @@ def pq_adc_topk(
     subspaces of ||q_sub - centroid[code]||^2, where the per-(query,
     subspace, centroid) distances form a LUT computed ONCE on the driver
     from the collected (bounded) query set. The corpus side therefore
-    never touches raw query vectors — each corpus row evaluates m
-    ``element_at(literal_array, code)`` lookups, the PQ promise that
-    makes compressed scans cheap. Ranking is per-query partition-local
-    top-k first (bounded pre-prune), then the global rank window sees
-    only the pruned candidates."""
-    m, sub = len(codebooks), len(codebooks[0][0])
+    never touches raw query vectors — each candidate row evaluates m
+    ``element_at`` lookups against the LUT, the PQ promise that makes
+    compressed scans cheap. Ranking is per-query partition-local top-k
+    first (bounded pre-prune), then the global rank window sees only the
+    pruned candidates.
+
+    The LUT travels as a COLUMN of a broadcast per-query table (the
+    ``ivfpq_topk`` idiom), attached by a deliberate broadcast
+    nested-loop join (|queries| rows — every corpus vector pairs with
+    every query by definition of exact ADC). The previous delivery —
+    per-query literal structs unrolled into chunked projections — put
+    m*k literal doubles per query into the generated code (janino 64 KB
+    hazard, codegen-cut fold stages, ~1 MB of plan text at 10 queries);
+    the broadcast-column form has none of that and is plan-size O(1) in
+    the query count."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    n_codes = len(codebooks[0])
     q_rows = (
         queries.orderBy(id_col)
         .select(F.col(id_col).alias("__qid"), _as_double(F.col(vec_col)).alias("__qv"))
@@ -1154,67 +1528,34 @@ def pq_adc_topk(
     )
     enc = pq_encode(corpus, id_col, vec_col, codebooks, codes_col="__codes")
 
-    def lut_entry(qv: list, j: int, c: int) -> float:
-        total = 0.0
-        base = j * sub
-        for i, cv in enumerate(codebooks[j][c]):
-            total += (qv[base + i] - float(cv)) ** 2
-        return total
-
-    def query_struct_sql(r) -> str:
-        # one SQL string per query (single parse — see _dot_literal_sql)
-        qv = list(r["__qv"])
-        terms = []
+    def lut_flat(qv: list) -> list:
+        out = []
         for j in range(m):
-            lut = ", ".join(
-                _f(lut_entry(qv, j, c)) for c in range(len(codebooks[j]))
-            )
-            terms.append(f"element_at(array({lut}), __codes[{j}] + 1)")
-        return (
-            f"named_struct('query_id', {int(r['__qid'])}, "
-            f"'d', {' + '.join(terms)})"
-        )
+            base = j * sub
+            for cdx in range(n_codes):
+                total = 0.0
+                for i, cv in enumerate(codebooks[j][cdx]):
+                    total += (qv[base + i] - float(cv)) ** 2
+                out.append(total)
+        return out
 
-    # Build the Q-struct score array CHUNKED across projection stages
-    # (each stage <= _MAX_STAGE_TERMS LUT lookups; the growing array folds
-    # with a multi-reference `when` so CollapseProject keeps the stage
-    # boundaries and every codegen method stays under janino's 64 KB).
-    qgroup = max(1, _MAX_STAGE_TERMS // max(1, m))
-    acc = "__adc_acc"
-    carry = [id_col, "__codes"]
-    cur = enc.select(*carry)
-    first = True
-    cand = "__adc_cand"
-    for base in range(0, len(q_rows), qgroup):
-        chunk_arr = F.expr(
-            "array("
-            + ", ".join(query_struct_sql(r) for r in q_rows[base : base + qgroup])
-            + ")"
-        )
-        if first:
-            cur = cur.select(*carry, chunk_arr.alias(acc))
-            first = False
-        else:
-            # chunk structs in their OWN aliased projection; the fold
-            # references both acc and cand twice so CollapseProject can't
-            # inline either into the transform island (an inlined chunk
-            # would run interpreted inside the island's fallback eval —
-            # see with_nearest_centroids). Dead branch unreachable.
-            cur = cur.select(*carry, acc, chunk_arr.alias(cand))
-            fold = F.when(
-                (F.size(F.col(acc)) < 0) | (F.size(F.col(cand)) < 0),
-                F.slice(F.col(acc), 1, 1),
-            ).otherwise(F.transform(F.concat(F.col(acc), F.col(cand)), lambda x: x))
-            cur = cur.select(*carry, fold.alias(acc))
+    lut_df = corpus.sparkSession.createDataFrame(
+        [(int(r["__qid"]), lut_flat(list(r["__qv"]))) for r in q_rows],
+        "query_id long, __lut array<double>",
+    )
+    cand = enc.select(F.col(id_col).alias("neighbor_id"), "__codes").crossJoin(
+        F.broadcast(lut_df)
+    )
+    dist = None
+    for j in range(m):
+        term = F.element_at(F.col("__lut"), F.lit(j * n_codes + 1) + F.col("__codes")[j])
+        dist = term if dist is None else dist + term
     # _partition_local_topk's contract is (query_id, neighbor_id,
     # cosine_sim DESC); negated distance satisfies it (same tie rule)
-    scored = cur.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.explode(F.col(acc)).alias("__s"),
-    ).select(
-        "__s.query_id",
+    scored = cand.select(
+        "query_id",
         "neighbor_id",
-        (-F.round("__s.d", 6)).alias("cosine_sim"),
+        (-F.round(dist, 6)).alias("cosine_sim"),
     )
     pruned = _partition_local_topk(scored, k_top)
     w = Window.partitionBy("query_id").orderBy(
@@ -1325,9 +1666,11 @@ def query_ivf_index(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
     ).withColumn("__qn", _norm(F.col("__qv")))
-    probes = with_nearest_centroids(q, "__qv", "__qn", entries, nprobe, "__cids").select(
-        "query_id", "__qv", "__qn", F.explode("__cids").alias("centroid_id")
-    )
+    probed_df = with_nearest_centroids(q, "__qv", "__qn", entries, nprobe, "__cids")
+    # bounded driver collect — query vectors ride the scorer's closure
+    # (see cosine_topk_ivf), so the broadcast probe table stays narrow
+    q_rows = probed_df.select("query_id", "__qv", "__qn").collect()
+    probes = probed_df.select("query_id", F.explode("__cids").alias("centroid_id"))
     probed = sorted(
         int(r["centroid_id"])
         for r in probes.select("centroid_id").distinct().collect()
@@ -1336,15 +1679,10 @@ def query_ivf_index(
     postings = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
         F.col("centroid_id").isin(probed)
     )
-    scored = (
-        postings.join(F.broadcast(probes), "centroid_id")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine_sim",
-            _dot(F.col("__qv"), F.col("vec"), dim) / (F.col("__qn") * F.col("norm")),
-        )
+    cand = postings.join(F.broadcast(probes), "centroid_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
     )
-    pruned = _partition_local_topk(scored, k)
+    pruned = _score_local_topk_arrow(cand, q_rows, k, dim, "vec", "norm")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -1406,6 +1744,7 @@ def build_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 16,
+    train_iters: int = 0,
 ) -> list:
     """Build and persist the COMPRESSED index — IVF postings that store
     m PQ codes per vector instead of the raw floats (64 float32 -> 8
@@ -1413,11 +1752,22 @@ def build_ivfpq_index(
     index fit a fraction of the footprint). Layout mirrors
     ``build_ivf_index`` (postings partitioned by (centroid_id,
     ingest_batch); centroid + codebook JSON sidecars), and queries run
-    ADC over the codes — raw vectors never need to be read again."""
+    ADC over the codes — raw vectors never need to be read again.
+
+    ``train_iters > 0`` refines the coarse quantizer with that many
+    spherical k-means rounds (``kmeans_centroids``) before assignment —
+    the production FAISS ``IVFx,PQy`` shape trains the coarse level too
+    (the deterministic first-k seed is the oracle-replayable default);
+    ``build_ivf_index`` has had the same dial since r6 (ADVICE parity)."""
     import json
     import os
 
-    entries = centroid_entries(corpus, id_col, vec_col, n_centroids)
+    if train_iters > 0:
+        entries = kmeans_centroids(
+            corpus, id_col, vec_col, k=n_centroids, iters=train_iters
+        )
+    else:
+        entries = centroid_entries(corpus, id_col, vec_col, n_centroids)
     c = spread_to_parallelism(corpus).select(
         F.col(id_col).alias("corpus_id"), _as_double(F.col(vec_col)).alias("__v")
     ).withColumn("__n", _norm(F.col("__v")))

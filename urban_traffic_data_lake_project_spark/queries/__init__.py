@@ -19,93 +19,84 @@ from urban_traffic_data_lake_project_spark.queries import (
 from urban_traffic_data_lake_project_spark.queries.base import QuerySpec
 
 # The driver's correctness gate records the FIRST ~50 oracle entries in
-# registration order. As of round 5 EVERY oracle query has at least one
-# driver-recorded green row (CORRECTNESS_r01..r05 union), so from round
-# 6 the rotation policy is freshness-first: the window carries (a) the
-# entire least-recently-recorded vintage — all 25 r2-vintage queries
-# (the r1 names were renamed/merged in r2, so r2 is the oldest surviving
-# vintage), (b) every query whose IMPLEMENTATION changed this round (the
-# codegen-chunked IVF/PQ similarity family + its two call-site
-# dependents, and the conditional-persist IRLS), and (c) sentinels: the
-# r3-red timestamp-NTZ trio plus one r3-vintage canary per operator
-# family. Median last-recorded age strictly decreases round-over-round.
-# Everything else stays verified every round by tools/check_oracle.py
-# --strict and the per-module pytest oracle parametrizations. The full
-# round-by-round recording ledger lives in COVERAGE.md.
+# registration order. Every oracle query has at least one driver-recorded
+# green row (CORRECTNESS_r01..r06 union); the rotation policy is
+# freshness-first (since r6): the window carries (a) the entire
+# least-recently-recorded vintage — after the r6 recording that is all
+# 40 r3-vintage queries, (b) every never-recorded query (one r7-born:
+# the k-means-trained persisted IVF-PQ index), and (c) as many
+# changed-THIS-round implementations as the remaining slots hold — round
+# 7 rewrote the similarity/ANN hot paths (vectorized Arrow centroid
+# assignment + PQ encode, the fused Arrow score+prune stage, SQL-string
+# dim unrolls, SemDeDup's left-assoc pair matrix), so the nine slots go
+# to one representative per changed plan shape; the rest of the changed
+# set (all r6-recorded, age 1) is covered by this round's full
+# check_oracle --strict sweep. The r6 NTZ sentinels rotate out recorded
+# green with their code untouched; r3-vintage merge_asof_join /
+# stream_redact_pii / stream_sketch_hll / stream_stateful_user_stats
+# keep timestamp+streaming coverage inside the window. Median
+# last-recorded age strictly decreases round-over-round (contract test
+# in tests/test_core_queries.py). Full ledger: COVERAGE.md.
 RECORD_WINDOW: tuple[str, ...] = (
-    # (a) the full r2 vintage — least-recently-recorded queries alive
-    "agg_pivot",
-    "arr_vector_stats",
-    "clean_dedup_keyed",
-    "clean_full_kernel",
-    "clean_iqr_clip",
-    "clean_median_fill",
-    "clean_mode_fill",
-    "clean_null_fraction_drop",
-    "clean_numeric_coercion",
-    "clean_timestamp_multiformat",
-    "clean_variance_filter",
-    "core_corr_matrix",
-    "core_describe",
-    "core_filter_project",
-    "core_left_join_fanout",
-    "core_set_ops",
-    "core_topk_abs",
-    "core_topk_groups",
-    "join_semi_anti",
-    "json_extract_events",
-    "merge_suffix_day_join",
-    "scalar_functions",
-    "scalar_subquery",
-    "win_rank_lag",
-    "win_rollup_cube",
-    # (b) implementation changed in round 6: the whole-stage-codegen
-    # chunking of the literal-unrolled similarity family
-    # (with_nearest_centroids / pq_encode / pq_reconstruction_mse /
-    # pq_adc_topk), its call-site dependents, and conditional-persist IRLS
+    # (a) the full r3 vintage — least-recently-recorded queries alive
+    "agg_group_percentiles",
+    "agg_grouped_ols",
+    "agg_key_skew_profile",
+    "agg_regression",
+    "curation_pack_sequences",
+    "decontam_eval_overlap",
+    "dedup_apply_near",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_hi_recall",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "join_null_safe",
+    "join_salted_skew",
+    "mc_scenario_expectations",
+    "merge_asof_join",
+    "multimodal_ingest",
+    "sample_domain_mix",
+    "sample_split_shards",
+    "sample_stratified",
+    "sample_weighted_quality",
+    "sim_cosine_topk",
+    "sim_embedding_quantize",
+    "sim_lang_centroids",
+    "sketch_bloom_screen",
+    "sketch_cm_term_freq",
+    "sketch_hll_distinct",
+    "sketch_hll_rollup",
+    "stream_redact_pii",
+    "stream_sketch_hll",
+    "stream_stateful_user_stats",
+    "text_chunks",
+    "text_redact_pii",
+    "text_tfidf",
+    "text_unigram_logprob",
+    "win_distribution",
+    "win_session_events",
+    "win_sliding_events",
+    # (b) born in round 7, never recorded
+    "sim_ivfpq_index_trained",
+    # (c) changed in round 7, one representative per rewritten plan
+    # shape: Arrow assignment + fused score/prune (cosine_topk_ivf),
+    # Arrow PQ encode (pq_encode), composed + residual IVF-PQ over the
+    # Arrow encode, persisted-index query over the Arrow scorer, the
+    # Arrow pair-scorer (dedup_embedding_cosine), SemDeDup's rank-1
+    # left-assoc pair matrix, the retrieval-metrics composite, and the
+    # SQL-string exact-path dot (hard_negatives)
     "sim_cosine_topk_ivf",
-    "sim_cosine_topk_ivf_trained",
-    "sim_ivf_recall",
     "sim_pq_encode",
-    "sim_pq_topk",
-    "sim_pq_recall",
-    "sim_hard_negatives",
-    "dedup_embedding_cosine",
-    "sample_cluster_balanced",
-    "ml_logistic_irls",
-    # (c) sentinels: the r3-red NTZ trio...
-    "merge_range_join",
-    "stream_interval_join",
-    "stream_tumbling_available_now",
-    # ...and r3-vintage canaries (several families' canaries gave way to
-    # the r6-borns below; those families all have r5-recorded sibling
-    # rows — sketches via sketch_kmv_rollup/cm/hist, dedup via
-    # dedup_cluster_sizes, similarity via the whole IVF/PQ family)
-    # born in round 6, never recorded: the composed IVF-PQ retrieval, its
-    # recall dial and residual-encoding variant, DSIR importance
-    # resampling, SemDeDup, and the CCNet perplexity terciles (six
-    # r3-vintage canaries gave way — sim_cosine_topk / dedup_exact /
-    # sample_stratified / text_tfidf last; every family they covered
-    # keeps other window rows: similarity holds 8, dedup keeps
-    # dedup_semantic + dedup_embedding_cosine, sampling keeps
-    # sample_dsir, text keeps text_ccnet_buckets; merge_asof_join and
-    # stream_stateful_user_stats gave way to the persisted/incremental
-    # IVF-index pair — merge keeps merge_suffix_day_join + the
-    # merge_range_join sentinel; streaming keeps both NTZ stream rows;
-    # win_session_events gave way to text_hybrid_rrf — windows keep
-    # win_rank_lag + win_rollup_cube from the r2 vintage)
     "sim_ivfpq_topk",
-    "sim_ivfpq_recall",
     "sim_ivfpq_residual_topk",
-    "sample_dsir",
-    "dedup_semantic",
-    "text_ccnet_buckets",
     "sim_ivf_index_persisted",
-    "sim_ivf_index_incremental",
-    "sim_ivfpq_index_persisted",
-    "text_hybrid_rrf",
+    "dedup_embedding_cosine",
+    "dedup_semantic",
     "sim_retrieval_metrics",
-    "multimodal_decode",
+    "sim_hard_negatives",
 )
 
 

@@ -2000,6 +2000,96 @@ def _ivfpq_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# sim_ivfpq_index_trained — the compressed persisted index with a TRAINED
+# coarse quantizer (spherical k-means, the production FAISS IVFx,PQy
+# shape): kmeans-refined centroids bucket the postings, PQ codes store the
+# payload, queries ADC over partition-pruned probed buckets. The oracle
+# replays the whole chain — k-means training rounds (rounded per-dim
+# means), trained-centroid assignment/probes, per-subspace PQ encode, ADC.
+# ---------------------------------------------------------------------------
+_IVFPQT_INDEX_DIRS: dict[str, str] = {}
+
+
+def _cleanup_ivfpqt_index_dirs() -> None:
+    import shutil
+
+    for d in _IVFPQT_INDEX_DIRS.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _IVFPQT_INDEX_DIRS.clear()
+
+
+def _ivfpq_index_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import tempfile
+
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    key = f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
+    d = _IVFPQT_INDEX_DIRS.get(key)
+    if d is None:
+        if not _IVFPQT_INDEX_DIRS:
+            atexit.register(_cleanup_ivfpqt_index_dirs)
+        d = tempfile.mkdtemp(prefix="spark_graft_ivfpqt_index_")
+        emb, cb = _pq_cb(spark, sf_dir)
+        S.build_ivfpq_index(
+            emb, d, cb, "vec_id", "embedding",
+            n_centroids=_KM_K, train_iters=_KM_ITERS,
+        )
+        _IVFPQT_INDEX_DIRS[key] = d
+    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    return S.query_ivfpq_index(
+        spark, d, queries, "vec_id", "embedding",
+        nprobe=_IVFPQ_NPROBE, k_top=_PQ_TOPK,
+    )
+
+
+def _ivfpq_index_trained_sql() -> str:
+    # deferred like _semdedup_sql: composes the k-means training chain
+    # with the PQ encode/ADC CTEs at registry-assembly time
+    cos_vc = _IVFPQ_COS.format(a="c.e", b="cents.ctv")
+    cos_qc = _IVFPQ_COS.format(a="q.qe", b="cents.ctv")
+    return f"""
+WITH {_PQ_BASE_CTES},
+{_kmeans_ctes(_KM_K, _KM_ITERS, _KM_ROUND)},
+cents AS (SELECT cid AS centroid_id, cv AS ctv FROM c{_KM_ITERS}),
+ia AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT c.vec_id, cents.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY {cos_vc} DESC,
+                      cents.centroid_id) AS rn
+    FROM v c, cents)
+  WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, cents.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {cos_qc} DESC,
+                      cents.centroid_id) AS rn
+    FROM q, cents)
+  WHERE rn <= {_IVFPQ_NPROBE}),
+pair AS (
+  SELECT q.query_id, a.vec_id AS corpus_id,
+         sum(list_sum(list_transform(range(1, {_PQ_SUB} + 1),
+             i -> (q.qe[a.j * {_PQ_SUB} + i] - cb.cent[i]) ^ 2))) AS d
+  FROM assigned a
+  JOIN cb ON cb.j = a.j AND cb.c = a.best.c
+  JOIN ia ON ia.vec_id = a.vec_id
+  JOIN probes p ON p.centroid_id = ia.centroid_id
+  JOIN q ON q.query_id = p.query_id
+  GROUP BY q.query_id, a.vec_id),
+ranked AS (
+  SELECT query_id, corpus_id, round(d, {ROUND_STAT}) AS adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(d, {ROUND_STAT}), corpus_id) AS rank
+  FROM pair)
+SELECT query_id, corpus_id, adc_dist, rank
+FROM ranked WHERE rank <= {_PQ_TOPK}
+"""
+
+
 def _ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
@@ -2225,6 +2315,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "sim_ivfpq_index_persisted": QuerySpec(
         _ivfpq_index_persisted, _IVFPQ_TOPK_SQL,
         "compressed persisted index: PQ-code postings, pruned probed-bucket ADC",
+        ("similarity", "lakehouse", "defer"),
+    ),
+    "sim_ivfpq_index_trained": QuerySpec(
+        _ivfpq_index_trained, _ivfpq_index_trained_sql(),
+        "persisted IVF-PQ with k-means-trained coarse quantizer (FAISS production shape)",
         ("similarity", "lakehouse", "defer"),
     ),
     "sim_ivfpq_recall": QuerySpec(

@@ -31,20 +31,16 @@ _DEFAULTS: dict[str, str] = {
     # Parquet TIMESTAMP(NANOS) (events.ts) is otherwise PARQUET_TYPE_ILLEGAL;
     # read as long and convert to micros in sources.load_table.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
-    # InferFiltersFromGenerate adds `size(e) > 0 AND isnotnull(e)` below
-    # every explode. Explode already emits nothing for empty/null arrays,
-    # so the filter is purely an early-skip — but when the exploded array
-    # is produced by a chain of projection stages whose aliases reference
-    # their inputs more than once (the codegen-safe chunked folds in
-    # operators/similarity.py), predicate pushdown substitutes the FULL
-    # producing expression through every stage, tripling per level:
-    # measured 1.6 MB filter expressions (janino 64KB compile failure) and
-    # driver OOM during optimization on the PQ/ADC plans. Excluding the
-    # rule costs nothing semantically and keeps inferred predicates from
-    # re-inlining what the stages deliberately keep apart.
-    "spark.sql.optimizer.excludedRules": (
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
-    ),
+    # NOTE: r6 globally excluded InferFiltersFromGenerate because the
+    # rule's inferred `size(e) > 0 AND isnotnull(e)` below every explode
+    # was substituted through the similarity family's chunked fold
+    # projections (1.6 MB filter expressions, driver OOM) — a blunt
+    # engine-wide tax on every explode-heavy query to fix a
+    # similarity-only hazard (ADVICE r6). r7 removed the exclusion: the
+    # similarity family's exploded arrays are now produced by vectorized
+    # Arrow stages (operators/similarity.py), and predicate pushdown
+    # cannot substitute through a Python map node, so the hazard is
+    # structurally gone (plan-size + subprocess codegen tests enforce it).
     # ~128 MB input splits: good parquet scan granularity at any scale.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     # Don't let tiny files explode the task count on small SFs.
