@@ -732,3 +732,39 @@ def test_semdedup_keeps_farthest_from_centroid(spark):
     # its farther-out near-dups — the paper's intended behavior
     assert not out[0]["keep"]
     assert out[11]["cluster_id"] == out[10]["cluster_id"] == out[0]["cluster_id"]
+
+
+def test_matryoshka_rerank_recall_and_exact_at_full_depth(spark, sf_dir):
+    """Two-stage coarse+rerank: (a) with depth >= corpus size the result
+    must EQUAL exact brute-force top-k (stage 1 then prunes nothing);
+    (b) at the registry depth the truncated-dim prefilter must still
+    recover most of the true neighbors (the Matryoshka premise that
+    front dimensions carry signal — on random embeddings this is a
+    correlated screen, so demand a moderate floor, not perfection)."""
+    import urban_traffic_data_lake_project_spark.operators.similarity as S
+    from urban_traffic_data_lake_project_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    n = emb.count()
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk(emb, queries, "vec_id", "embedding", k=5, dim=64).collect()
+    }
+    full_depth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk_coarse_rerank(
+            emb, queries, "vec_id", "embedding", k=5, dim=64,
+            d_coarse=16, depth=int(n),
+        ).collect()
+    }
+    assert full_depth == exact
+    shallow = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk_coarse_rerank(
+            emb, queries, "vec_id", "embedding", k=5, dim=64,
+            d_coarse=16, depth=50,
+        ).collect()
+    }
+    recall = len(shallow & exact) / len(exact)
+    assert recall >= 0.5, recall

@@ -134,6 +134,10 @@ PLAN_ANNOTATIONS: dict[str, dict[str, str]] = {
             "text_tfidf",
             "sim_cosine_topk",
             "sim_hard_negatives",
+            # coarse stage broadcasts the bounded query set against the
+            # corpus exactly like sim_cosine_topk; the rerank stage's
+            # joins are equi-joins on the q*depth survivor set
+            "sim_matryoshka_rerank",
             "sample_domain_mix",
             "sim_embedding_quantize",
             "text_unigram_logprob",

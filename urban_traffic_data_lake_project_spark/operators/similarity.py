@@ -202,8 +202,11 @@ def _score_local_topk_arrow(
     qids = np.array([int(r["query_id"]) for r in q_rows], dtype=np.int64)
     Q = np.array([[float(x) for x in r["__qv"]] for r in q_rows], dtype=np.float64)
     qn = np.array([float(r["__qn"]) for r in q_rows], dtype=np.float64)
-    # dense lookup from query_id to its row in Q (query ids are bounded)
-    pos = {int(q): i for i, q in enumerate(qids)}
+    # vectorized query_id -> Q-row lookup via searchsorted on the sorted
+    # id list (a python-dict lookup per candidate row was a hidden
+    # serial cost at millions of candidates)
+    sort_idx = np.argsort(qids)
+    qids_sorted = qids[sort_idx]
 
     out_schema = StructType(
         [
@@ -229,11 +232,11 @@ def _score_local_topk_arrow(
                 continue
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
             cn = pdf[norm_col].to_numpy(dtype=np.float64)
-            qidx = np.fromiter(
-                (pos[int(q)] for q in pdf["query_id"].to_numpy()),
-                dtype=np.int64,
-                count=n,
-            )
+            qidx = sort_idx[
+                np.searchsorted(
+                    qids_sorted, pdf["query_id"].to_numpy(dtype=np.int64)
+                )
+            ]
             Qr = Q[qidx]
             acc = np.zeros(n, dtype=np.float64)
             for i in range(dim):
@@ -394,6 +397,80 @@ def hard_negatives(
     )
     return (
         pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def cosine_topk_coarse_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int | None = None,
+    d_coarse: int = 16,
+    depth: int = 50,
+) -> DataFrame:
+    """Two-stage retrieval with a truncated-dimension prefilter — the
+    Matryoshka-representation pattern (Kusupati et al. 2022, public):
+    stage 1 scores every (query, candidate) pair on only the FIRST
+    ``d_coarse`` dimensions (embeddings trained front-loaded make the
+    prefix a usable coarse score; for generic embeddings it is still a
+    cheap correlated screen) and keeps the top ``depth`` per query;
+    stage 2 re-ranks only those ``depth`` survivors with the EXACT
+    full-dimension cosine. At corpus scale stage 1 does dim/d_coarse
+    less arithmetic per pair and stage 2 touches q * depth rows instead
+    of q * n — the classic retrieve-then-rerank split, complementary to
+    IVF (which prunes by bucket rather than by dimension).
+
+    Deterministic end-to-end (coarse ties to the smaller neighbor id,
+    exact ties likewise), so the DuckDB oracle replays both stages.
+    Returns (query_id, neighbor_id, cosine_sim, rank) like
+    ``cosine_topk``; approximate exactly insofar as a true top-k member
+    can fall outside the coarse top-``depth``."""
+    if not dim:
+        raise ValueError("cosine_topk_coarse_rerank requires dim")
+    d_coarse = min(d_coarse, dim)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+    )
+    c = spread_to_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
+    )
+    # stage 1: prefix-dim cosine on every pair; same expression-scorer +
+    # partition-local-prune shape as cosine_topk, just on d_coarse dims
+    coarse = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine_sim",
+            _dot("__qv", "__cv", d_coarse)
+            / (_norm("__qv", d_coarse) * _norm("__cv", d_coarse)),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    survivors = (
+        _partition_local_topk(coarse, depth)
+        .withColumn("__crank", F.row_number().over(w))
+        .filter(F.col("__crank") <= depth)
+        .select("query_id", "neighbor_id")
+    )
+    # stage 2: exact cosine on the q*depth survivors only. Survivors are
+    # bounded (q * depth rows) -> broadcast them against the corpus; the
+    # full-dim arithmetic never runs on non-candidates.
+    rerank = (
+        c.join(F.broadcast(survivors), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cosine_sim",
+            _dot("__qv", "__cv", dim)
+            / (_norm("__qv", dim) * _norm("__cv", dim)),
+        )
+    )
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )

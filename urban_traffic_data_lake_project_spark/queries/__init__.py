@@ -23,8 +23,9 @@ from urban_traffic_data_lake_project_spark.queries.base import QuerySpec
 # green row (CORRECTNESS_r01..r06 union); the rotation policy is
 # freshness-first (since r6): the window carries (a) the entire
 # least-recently-recorded vintage — after the r6 recording that is all
-# 40 r3-vintage queries, (b) every never-recorded query (one r7-born:
-# the k-means-trained persisted IVF-PQ index), and (c) as many
+# 40 r3-vintage queries, (b) every never-recorded query (three r7-borns:
+# the k-means-trained persisted IVF-PQ index, the z-order clustering
+# codes, and the Matryoshka coarse-rerank retrieval), and (c) as many
 # changed-THIS-round implementations as the remaining slots hold — round
 # 7 rewrote the similarity/ANN hot paths (vectorized Arrow centroid
 # assignment + PQ encode, the fused Arrow score+prune stage, SQL-string
@@ -81,22 +82,25 @@ RECORD_WINDOW: tuple[str, ...] = (
     "win_sliding_events",
     # (b) born in round 7, never recorded
     "sim_ivfpq_index_trained",
+    "lakehouse_zorder_codes",
+    "sim_matryoshka_rerank",
     # (c) changed in round 7, one representative per rewritten plan
     # shape: Arrow assignment + fused score/prune (cosine_topk_ivf),
     # Arrow PQ encode (pq_encode), composed + residual IVF-PQ over the
     # Arrow encode, persisted-index query over the Arrow scorer, the
     # Arrow pair-scorer (dedup_embedding_cosine), SemDeDup's rank-1
-    # left-assoc pair matrix, the retrieval-metrics composite, and the
-    # SQL-string exact-path dot (hard_negatives)
+    # left-assoc pair matrix, and the retrieval-metrics composite.
+    # (sim_hard_negatives and sim_ivf_index_persisted gave way to the
+    # later r7-borns — the SQL-string exact-path dot shape is carried by
+    # sim_cosine_topk in the r3 vintage, and the persisted-index query's
+    # Arrow-scorer change by sim_cosine_topk_ivf below)
     "sim_cosine_topk_ivf",
     "sim_pq_encode",
     "sim_ivfpq_topk",
     "sim_ivfpq_residual_topk",
-    "sim_ivf_index_persisted",
     "dedup_embedding_cosine",
     "dedup_semantic",
     "sim_retrieval_metrics",
-    "sim_hard_negatives",
 )
 
 

@@ -524,7 +524,82 @@ SELECT (SELECT count(*) FROM customer)::BIGINT AS n_rows,
 """
 
 
+# ---------------------------------------------------------------------------
+# lakehouse_zorder_codes — multi-dimensional clustering codes (the
+# Delta/Iceberg ZORDER BY maintenance job): Morton-interleave of the
+# min-max-scaled (l_partkey, l_suppkey) pair, summarized per top-8-bit
+# z-bucket. The code computation is the EXACT arithmetic
+# operators/layout.zorder_write sorts by — deterministic (no sampling),
+# so the oracle replays it bit-for-bit; the file-skipping effect of the
+# clustered write itself is asserted by
+# tests/test_lakehouse.py::test_zorder_write_clusters_files (sampled
+# range-partition boundaries are not SQL-replayable).
+# ---------------------------------------------------------------------------
+_Z_BITS = 16
+
+
+def _zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.operators.layout import (
+        column_bounds,
+        with_morton_code,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bounds = column_bounds(li, ["l_partkey", "l_suppkey"])
+    coded = with_morton_code(li, "l_partkey", "l_suppkey", bounds, bits=_Z_BITS)
+    return (
+        coded.groupBy(
+            F.shiftright("morton", 2 * _Z_BITS - 8).alias("zbucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("morton").alias("morton_lo"),
+            F.max("morton").alias("morton_hi"),
+        )
+    )
+
+
+def _zorder_scale_sql(col: str, lo: str, hi: str) -> str:
+    top = (1 << _Z_BITS) - 1
+    return (
+        f"least(CAST({top} AS BIGINT), greatest(CAST(0 AS BIGINT), "
+        f"CAST(floor((({col} - {lo}) / ({hi} - {lo})) * {top}) AS BIGINT)))"
+    )
+
+
+def _zorder_interleave_sql(za: str, zb: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({za} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({zb} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_ZORDER_SQL = f"""
+WITH b AS (
+  SELECT min(l_partkey) AS alo, max(l_partkey) AS ahi,
+         min(l_suppkey) AS blo, max(l_suppkey) AS bhi
+  FROM lineitem),
+scaled AS (
+  SELECT {_zorder_scale_sql('l_partkey', 'b.alo', 'b.ahi')} AS za,
+         {_zorder_scale_sql('l_suppkey', 'b.blo', 'b.bhi')} AS zb
+  FROM lineitem, b),
+coded AS (
+  SELECT ({_zorder_interleave_sql('za', 'zb')})::BIGINT AS morton FROM scaled)
+SELECT (morton >> {2 * _Z_BITS - 8})::BIGINT AS zbucket,
+       count(*)::BIGINT AS n_rows,
+       min(morton)::BIGINT AS morton_lo,
+       max(morton)::BIGINT AS morton_hi
+FROM coded GROUP BY 1
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "lakehouse_zorder_codes": QuerySpec(
+        _zorder_codes, _ZORDER_SQL,
+        "Z-order (Morton) clustering codes for 2-D data skipping, per z-bucket",
+        ("lakehouse",),
+    ),
     "privacy_k_anonymity": QuerySpec(
         _k_anonymity, _KANON_SQL,
         "k-anonymity suppression over quasi-identifiers with invariant summary",

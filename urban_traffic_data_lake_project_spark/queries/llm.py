@@ -472,6 +472,66 @@ def _hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# sim_matryoshka_rerank — two-stage retrieval with a truncated-dimension
+# prefilter (Kusupati et al. 2022, Matryoshka representations): coarse
+# cosine on the first 16 of 64 dims keeps the top-50 per query, the
+# exact full-dim cosine re-ranks only those survivors. The oracle
+# replays both stages (prefix sums, deterministic tie orders).
+# ---------------------------------------------------------------------------
+_MRL_COARSE_DIMS, _MRL_DEPTH = 16, 50
+
+
+def _matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = S.cosine_topk_coarse_rerank(
+        emb, queries, "vec_id", "embedding",
+        k=5, dim=_EMB_DIM, d_coarse=_MRL_COARSE_DIMS, depth=_MRL_DEPTH,
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("cosine_sim", ROUND_STAT).alias("cosine_sim"), "rank",
+    )
+
+
+def _prefix_cos_sql(a: str, b: str, d: int) -> str:
+    dot = f"list_sum(list_transform(range(1, {d} + 1), i -> {a}[i] * {b}[i]))"
+    na = f"sqrt(list_sum(list_transform(range(1, {d} + 1), i -> {a}[i] * {a}[i])))"
+    nb = f"sqrt(list_sum(list_transform(range(1, {d} + 1), i -> {b}[i] * {b}[i])))"
+    return f"{dot} / ({na} * {nb})"
+
+
+_MRL_RERANK_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+coarse AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_prefix_cos_sql('q.qe', 'c.e', _MRL_COARSE_DIMS)} AS csim
+  FROM v c, q WHERE c.vec_id <> q.query_id),
+surv AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY csim DESC, neighbor_id) AS rn
+    FROM coarse)
+  WHERE rn <= {_MRL_DEPTH}),
+exact AS (
+  SELECT s.query_id, s.neighbor_id,
+         {_prefix_cos_sql('q.qe', 'c.e', 64)} AS sim
+  FROM surv s
+  JOIN v c ON c.vec_id = s.neighbor_id
+  JOIN q ON q.query_id = s.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM exact)
+SELECT query_id, neighbor_id, round(sim, {ROUND_STAT}) AS cosine_sim, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 _HARD_NEG_SQL = f"""
 WITH q AS (
   SELECT vec_id AS query_id, label AS ql, embedding::DOUBLE[] AS qv
@@ -2286,6 +2346,11 @@ REGISTRY: dict[str, QuerySpec] = {
         ),
         "per-query MRR + binary nDCG@5 of IVF retrieval vs exact ground truth",
         ("similarity", "diagnostics", "defer"),
+    ),
+    "sim_matryoshka_rerank": QuerySpec(
+        _matryoshka_rerank, _MRL_RERANK_SQL,
+        "truncated-dim coarse prefilter + exact full-dim re-rank (Matryoshka)",
+        ("similarity",),
     ),
     "sim_hard_negatives": QuerySpec(
         _hard_negatives, _HARD_NEG_SQL,
