@@ -768,3 +768,40 @@ def test_matryoshka_rerank_recall_and_exact_at_full_depth(spark, sf_dir):
     }
     recall = len(shallow & exact) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_filtered_index_search_respects_predicate_and_pushes_down(spark, sf_dir):
+    """Filtered vector search: every returned neighbor must satisfy the
+    metadata predicate, and the predicate must reach the postings
+    parquet scan as a pushed filter (bytes pruned, not post-filtered)."""
+    from urban_traffic_data_lake_project_spark.queries.llm import (
+        _IVF_FLT_LABEL,
+        _ivf_index_filtered,
+    )
+    from urban_traffic_data_lake_project_spark.sources import load_table
+
+    out = _ivf_index_filtered(spark, sf_dir)
+    rows = out.collect()
+    assert rows, "filtered search returned nothing"
+    labels = dict(
+        (r["vec_id"], r["label"])
+        for r in load_table(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    )
+    assert all(labels[r["neighbor_id"]] == _IVF_FLT_LABEL for r in rows)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "label" in plan.split("PushedFilters", 1)[1][:300]
+
+
+def test_embedding_drift_zero_on_identical_snapshots(spark, sf_dir):
+    """PSI must be exactly zero when both snapshots are the same frame
+    (pa == pb per bucket), and the bucket counts must cover the corpus."""
+    import urban_traffic_data_lake_project_spark.operators.similarity as S
+    from urban_traffic_data_lake_project_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.embedding_bucket_drift(emb, emb, "vec_id", "embedding", n_centroids=8).collect()
+    assert len(out) == 8
+    assert all(r["n_a"] == r["n_b"] for r in out)
+    assert all(r["psi_term"] == 0.0 for r in out)
+    assert sum(r["n_a"] for r in out) == emb.count()

@@ -402,6 +402,59 @@ def hard_negatives(
     )
 
 
+def embedding_bucket_drift(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Embedding-distribution drift between two corpus snapshots — the
+    curation monitor that catches a source, scraper, or encoder change
+    shifting WHERE new data lands in embedding space before it skews a
+    training mix. Both snapshots are assigned to SHARED buckets (the
+    deterministic first-k centroids of snapshot ``a`` — the reference
+    frame), and the bucket histograms are compared by PSI: psi_term =
+    (p_a - p_b) * ln(p_a / p_b) per bucket (proportions floored at
+    ``eps`` so empty buckets stay finite; sum the column for the overall
+    index — >0.2 is the conventional "investigate" line).
+
+    Scale shape: two zero-shuffle assignment scans (the Arrow path) into
+    bucket-count aggregates (map-side partials; n_centroids rows each),
+    then all arithmetic happens on the k-row joined frame — the global
+    total/proportion window runs over k rows, never the corpus."""
+    entries = centroid_entries(a, id_col, vec_col, n_centroids)
+    spark = a.sparkSession
+
+    def bucket_counts(df: DataFrame, out: str) -> DataFrame:
+        v = spread_to_parallelism(df).select(
+            _as_double(F.col(vec_col)).alias("__v")
+        ).withColumn("__n", _norm(F.col("__v")))
+        asn = with_nearest_centroids(v, "__v", "__n", entries, 1, "__cids").select(
+            F.explode("__cids").alias("centroid_id")
+        )
+        return asn.groupBy("centroid_id").agg(F.count(F.lit(1)).alias(out))
+
+    base = spark.createDataFrame(
+        [(int(e["cid"]),) for e in entries], "centroid_id long"
+    )
+    j = (
+        base.join(bucket_counts(a, "n_a"), "centroid_id", "left")
+        .join(bucket_counts(b, "n_b"), "centroid_id", "left")
+        .fillna(0, subset=["n_a", "n_b"])
+    )
+    w = Window.partitionBy()  # k rows total — the window never sees the corpus
+    pa = F.greatest(F.col("n_a") / F.sum("n_a").over(w), F.lit(float(eps)))
+    pb = F.greatest(F.col("n_b") / F.sum("n_b").over(w), F.lit(float(eps)))
+    return j.select(
+        "centroid_id",
+        "n_a",
+        "n_b",
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+    )
+
+
 def cosine_topk_coarse_rerank(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1657,6 +1710,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     train_iters: int = 0,
+    meta_cols: tuple = (),
 ) -> list:
     """Build and PERSIST an IVF index — the "index once, query many"
     production shape ``cosine_topk_ivf`` recomputes per call:
@@ -1682,11 +1736,18 @@ def build_ivf_index(
         )
     else:
         entries = centroid_entries(corpus, id_col, vec_col, n_centroids)
+    # meta_cols ride the postings row (label/domain/source/timestamp —
+    # whatever query-time predicates need): FILTERED vector search then
+    # pushes the predicate into the postings scan instead of post-
+    # filtering scored results (see query_ivf_index(where=...))
     c = spread_to_parallelism(corpus).select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("vec")
+        F.col(id_col).alias("neighbor_id"),
+        *meta_cols,
+        _as_double(F.col(vec_col)).alias("vec"),
     ).withColumn("norm", _norm(F.col("vec")))
     assigned = with_nearest_centroids(c, "vec", "norm", entries, 1, "__cids").select(
-        "neighbor_id", "vec", "norm", F.explode("__cids").alias("centroid_id")
+        "neighbor_id", *meta_cols, "vec", "norm",
+        F.explode("__cids").alias("centroid_id"),
     )
     # One shuffle on centroid_id before the partitioned write — paid
     # deliberately at build time: (1) each bucket becomes ONE file per
@@ -1725,6 +1786,7 @@ def query_ivf_index(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 4,
+    where: str | None = None,
 ) -> DataFrame:
     """Query a persisted IVF index (``build_ivf_index``): probe selection
     against the sidecar centroids, then a scan of ONLY the probed
@@ -1756,6 +1818,13 @@ def query_ivf_index(
     postings = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
         F.col("centroid_id").isin(probed)
     )
+    if where:
+        # FILTERED vector search: the metadata predicate applies to the
+        # postings SCAN (PushedFilters — row groups of non-matching
+        # metadata are skipped via footer stats), so at 100 TB the
+        # filter prunes bytes read, not just scored candidates; recall
+        # within the filtered slice is exact for the probed buckets
+        postings = postings.filter(F.expr(where))
     cand = postings.join(F.broadcast(probes), "centroid_id").filter(
         F.col("neighbor_id") != F.col("query_id")
     )

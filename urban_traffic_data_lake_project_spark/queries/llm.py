@@ -473,6 +473,62 @@ def _hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sim_embedding_drift — embedding-distribution drift between two corpus
+# snapshots (even vs odd vec_id as the deterministic stand-ins): shared
+# ANN buckets from snapshot A's first-k centroids, PSI over the bucket
+# histograms. The curation monitor for source/scraper/encoder shifts.
+# ---------------------------------------------------------------------------
+def _embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    return S.embedding_bucket_drift(a, b, "vec_id", "embedding", n_centroids=16)
+
+
+_EMB_DRIFT_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+a AS (SELECT * FROM v WHERE vec_id % 2 = 0),
+b AS (SELECT * FROM v WHERE vec_id % 2 = 1),
+cents AS (SELECT vec_id AS centroid_id, e AS ctv FROM a ORDER BY vec_id LIMIT 16),
+asg_a AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT a.vec_id, cents.centroid_id,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * ctv[i]))
+                      / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                         * sqrt(list_sum(list_transform(ctv, x -> x * x)))) DESC,
+                      cents.centroid_id) AS rn
+    FROM a, cents)
+  WHERE rn = 1),
+asg_b AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT b.vec_id, cents.centroid_id,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY list_sum(list_transform(range(1, len(b.e) + 1), i -> b.e[i] * ctv[i]))
+                      / (sqrt(list_sum(list_transform(b.e, x -> x * x)))
+                         * sqrt(list_sum(list_transform(ctv, x -> x * x)))) DESC,
+                      cents.centroid_id) AS rn
+    FROM b, cents)
+  WHERE rn = 1),
+ca AS (SELECT centroid_id, count(*)::BIGINT AS n_a FROM asg_a GROUP BY 1),
+cb AS (SELECT centroid_id, count(*)::BIGINT AS n_b FROM asg_b GROUP BY 1),
+j AS (
+  SELECT cents.centroid_id,
+         coalesce(ca.n_a, 0)::BIGINT AS n_a,
+         coalesce(cb.n_b, 0)::BIGINT AS n_b
+  FROM cents LEFT JOIN ca ON ca.centroid_id = cents.centroid_id
+             LEFT JOIN cb ON cb.centroid_id = cents.centroid_id),
+p AS (
+  SELECT centroid_id, n_a, n_b,
+         greatest(n_a / sum(n_a) OVER (), 1e-06) AS pa,
+         greatest(n_b / sum(n_b) OVER (), 1e-06) AS pb
+  FROM j)
+SELECT centroid_id, n_a, n_b, round((pa - pb) * ln(pa / pb), 6) AS psi_term
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
 # sim_matryoshka_rerank — two-stage retrieval with a truncated-dimension
 # prefilter (Kusupati et al. 2022, Matryoshka representations): coarse
 # cosine on the first 16 of 64 dims keeps the top-50 per query, the
@@ -608,6 +664,98 @@ def _ivf_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", F.round("cosine_sim", ROUND_STAT).alias("cosine_sim"), "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_ivf_index_filtered — FILTERED vector search over the persisted
+# index: metadata (label) rides the postings rows, and the query-time
+# predicate lands in the postings SCAN (PushedFilters), so the filter
+# prunes bytes read rather than post-filtering scored candidates — the
+# production "search within a slice" shape (per-tenant / per-language /
+# per-license retrieval). Oracle replays assignment + label filter +
+# probe + rank.
+# ---------------------------------------------------------------------------
+_IVF_FLT_DIRS: dict[str, str] = {}
+_IVF_FLT_LABEL = 1
+
+
+def _cleanup_ivf_flt_dirs() -> None:
+    import shutil
+
+    for d in _IVF_FLT_DIRS.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _IVF_FLT_DIRS.clear()
+
+
+def _ivf_index_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import tempfile
+
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    key = f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
+    d = _IVF_FLT_DIRS.get(key)
+    if d is None:
+        if not _IVF_FLT_DIRS:
+            atexit.register(_cleanup_ivf_flt_dirs)
+        d = tempfile.mkdtemp(prefix="spark_graft_ivf_flt_index_")
+        S.build_ivf_index(
+            load_table(spark, sf_dir, "embeddings"), d,
+            "vec_id", "embedding", n_centroids=16, meta_cols=("label",),
+        )
+        _IVF_FLT_DIRS[key] = d
+    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    out = S.query_ivf_index(
+        spark, d, queries, "vec_id", "embedding", k=5, nprobe=4,
+        where=f"label = {_IVF_FLT_LABEL}",
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", ROUND_STAT).alias("cosine_sim"), "rank"
+    )
+
+
+_COSINE_IVF_FILTERED_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ctv
+  FROM embeddings ORDER BY vec_id LIMIT 16),
+c AS (SELECT vec_id AS neighbor_id, label, embedding::DOUBLE[] AS cv FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+assign AS (
+  SELECT neighbor_id, label, cv, centroid_id FROM (
+    SELECT neighbor_id, label, cv, centroid_id,
+           row_number() OVER (
+             PARTITION BY neighbor_id
+             ORDER BY list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i] * ctv[i]))
+                      / (sqrt(list_sum(list_transform(cv, x -> x * x)))
+                         * sqrt(list_sum(list_transform(ctv, x -> x * x)))) DESC,
+                      centroid_id) AS rn
+    FROM c, cents)
+  WHERE rn = 1),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT query_id, qv, centroid_id,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * ctv[i]))
+                      / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                         * sqrt(list_sum(list_transform(ctv, x -> x * x)))) DESC,
+                      centroid_id) AS rn
+    FROM q, cents)
+  WHERE rn <= 4),
+scored AS (
+  SELECT p.query_id, a.neighbor_id,
+         list_sum(list_transform(range(1, len(p.qv) + 1), i -> p.qv[i] * a.cv[i]))
+           / (sqrt(list_sum(list_transform(p.qv, x -> x * x)))
+              * sqrt(list_sum(list_transform(a.cv, x -> x * x)))) AS sim
+  FROM assign a JOIN probes p ON a.centroid_id = p.centroid_id
+  WHERE a.neighbor_id <> p.query_id AND a.label = {_IVF_FLT_LABEL}),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, round(sim, {ROUND_STAT}) AS cosine_sim, rank
+FROM ranked WHERE rank <= 5
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2347,6 +2495,11 @@ REGISTRY: dict[str, QuerySpec] = {
         "per-query MRR + binary nDCG@5 of IVF retrieval vs exact ground truth",
         ("similarity", "diagnostics", "defer"),
     ),
+    "sim_embedding_drift": QuerySpec(
+        _embedding_drift, _EMB_DRIFT_SQL,
+        "embedding-distribution drift (PSI over shared ANN buckets) between snapshots",
+        ("similarity", "diagnostics"),
+    ),
     "sim_matryoshka_rerank": QuerySpec(
         _matryoshka_rerank, _MRL_RERANK_SQL,
         "truncated-dim coarse prefilter + exact full-dim re-rank (Matryoshka)",
@@ -2398,6 +2551,11 @@ REGISTRY: dict[str, QuerySpec] = {
         ("similarity", "defer"),
     ),
     "sim_cosine_topk_ivf": QuerySpec(_cosine_topk_ivf, _COSINE_IVF_SQL, "IVF-bucketed cosine top-k", ("similarity",)),
+    "sim_ivf_index_filtered": QuerySpec(
+        _ivf_index_filtered, _COSINE_IVF_FILTERED_SQL,
+        "filtered vector search: metadata predicate pushed into the postings scan",
+        ("similarity", "lakehouse", "defer"),
+    ),
     "sim_ivf_index_persisted": QuerySpec(
         _ivf_index_persisted, _COSINE_IVF_SQL,
         "persisted IVF index: partition-pruned probed-bucket reads, same results",
