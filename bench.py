@@ -94,6 +94,14 @@ BENCH_QUERIES: tuple[str, ...] = (
     "sim_ivfpq_residual_topk",
     "sample_dsir",
     "dedup_semantic",
+    # round-7: the truncated-dim coarse+rerank retrieval (two-stage
+    # exact pipeline), filtered vector search over the persisted index
+    # (predicate pushed into the postings scan), and the z-order
+    # clustering codes (scale + bit-interleave projection into a
+    # 256-bucket aggregate)
+    "sim_matryoshka_rerank",
+    "sim_ivf_index_filtered",
+    "lakehouse_zorder_codes",
 )
 
 

@@ -54,12 +54,20 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--consumer", default="toPandas", choices=["toPandas", "collect"])
+    ap.add_argument(
+        "--all",
+        action="store_true",
+        help="sweep EVERY registry query (engine-wide compile health), "
+        "not just the unrolled similarity family; pair with a small "
+        "--sf-dir (compilation is plan-shaped, not data-sized)",
+    )
     ap.add_argument("names", nargs="*", default=None)
     args = ap.parse_args()
-    names = args.names or FAMILY
 
     from urban_traffic_data_lake_project_spark.queries import REGISTRY
     from urban_traffic_data_lake_project_spark.session import get_spark
+
+    names = args.names or (list(REGISTRY) if args.all else FAMILY)
 
     spark = get_spark(
         "codegen-health",
