@@ -845,3 +845,28 @@ def test_dsir_selection_skews_toward_target_language(spark, sf_dir):
     ).groupBy("t").agg(F.avg("logw").alias("w")).collect()
     w = {r["t"]: r["w"] for r in mean_w}
     assert w[True] > w[False], w
+
+
+def test_temperature_resample_identity_at_t1_and_flattens_at_high_t(spark, sf_dir):
+    """T=1 must be the identity (thresholds hit the full resolution for
+    every group), and raising T must strictly reduce imbalance: the
+    max/min group-share ratio at T=3 sits between natural and the
+    near-uniform T=100 result."""
+    from urban_traffic_data_lake_project_spark.operators.sampling import (
+        temperature_resample,
+    )
+    from urban_traffic_data_lake_project_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def ratio(df):
+        counts = [r["n"] for r in df.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()]
+        return max(counts) / min(counts)
+
+    t1 = temperature_resample(docs, "lang", "doc_id", temperature=1.0)
+    assert t1.count() == docs.count()
+    natural = ratio(docs)
+    mid = ratio(temperature_resample(docs, "lang", "doc_id", temperature=3.0))
+    flat = ratio(temperature_resample(docs, "lang", "doc_id", temperature=100.0))
+    assert flat <= mid <= natural
+    assert flat < natural

@@ -139,6 +139,8 @@ PLAN_ANNOTATIONS: dict[str, dict[str, str]] = {
             # joins are equi-joins on the q*depth survivor set
             "sim_matryoshka_rerank",
             "sample_domain_mix",
+            # same 1-row min-ratio scale attach as sample_domain_mix
+            "sample_temperature_mix",
             "sim_embedding_quantize",
             "text_unigram_logprob",
             # composes text_unigram_logprob — same bounded n_total attach

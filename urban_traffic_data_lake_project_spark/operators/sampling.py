@@ -200,6 +200,53 @@ def resample_to_mix(
     )
 
 
+def temperature_resample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    temperature: float = 3.0,
+    seed: int = 42,
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled group rebalancing — the multilingual-mixture
+    knob (mT5 / XLM-R, public): target proportions follow n_g^(1/T), so
+    T=1 keeps the natural distribution and T->inf approaches uniform,
+    lifting low-resource groups without fully flattening the mix.
+
+    Same deterministic hash-threshold survival rule as
+    ``resample_to_mix`` (a row survives iff hash(id) mod resolution
+    falls under its group's acceptance threshold — re-runs, insertions
+    elsewhere, and repartitioning never flip a kept row). The target
+    normalization is deliberately FOLDED OUT: threshold_g = floor(
+    resolution * min_h(n_h / n_h^(1/T)) * n_g^(1/T) / n_g) — the
+    sum-over-groups normalizer cancels algebraically, and never
+    computing it avoids a cross-engine float-summation-order hazard
+    (Spark's aggregate sum order is nondeterministic; DuckDB's is not).
+    min() is order-independent, pow() is per-row, so the oracle replays
+    every double bit-for-bit.
+
+    Scale shape: one tiny count aggregate, one 1-row min attach
+    (broadcast), then a map-side filter — the corpus never shuffles."""
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__p", F.pow(F.col("__n"), F.lit(1.0 / float(temperature))))
+    )
+    scale = counts.agg(F.min(F.col("__n") / F.col("__p")).alias("__scale"))
+    thresholds = counts.crossJoin(F.broadcast(scale)).select(
+        group_col,
+        F.least(
+            F.lit(resolution).cast("bigint"),
+            F.floor(F.lit(resolution) * F.col("__scale") * F.col("__p") / F.col("__n")),
+        ).alias("__thr"),
+    )
+    return (
+        df.join(F.broadcast(thresholds), group_col)
+        .filter(F.pmod(_seeded_hash(id_col, seed), F.lit(resolution)) < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
 def cluster_balanced_sample(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -23,9 +23,10 @@ from urban_traffic_data_lake_project_spark.queries.base import QuerySpec
 # green row (CORRECTNESS_r01..r06 union); the rotation policy is
 # freshness-first (since r6): the window carries (a) the entire
 # least-recently-recorded vintage — after the r6 recording that is all
-# 40 r3-vintage queries, (b) every never-recorded query (five r7-borns:
+# 40 r3-vintage queries, (b) every never-recorded query (six r7-borns:
 # trained persisted IVF-PQ, z-order clustering codes, Matryoshka
-# coarse-rerank, filtered vector search, embedding-drift PSI), and (c) as many
+# coarse-rerank, filtered vector search, embedding-drift PSI,
+# temperature-scaled mixing), and (c) as many
 # changed-THIS-round implementations as the remaining slots hold — round
 # 7 rewrote the similarity/ANN hot paths (vectorized Arrow centroid
 # assignment + PQ encode, the fused Arrow score+prune stage, SQL-string
@@ -86,6 +87,7 @@ RECORD_WINDOW: tuple[str, ...] = (
     "sim_matryoshka_rerank",
     "sim_ivf_index_filtered",
     "sim_embedding_drift",
+    "sample_temperature_mix",
     # (c) changed in round 7, one representative per rewritten plan
     # shape: Arrow assignment + fused score/prune (cosine_topk_ivf),
     # Arrow PQ encode (pq_encode), composed + residual IVF-PQ over the
@@ -93,13 +95,13 @@ RECORD_WINDOW: tuple[str, ...] = (
     # Arrow pair-scorer (dedup_embedding_cosine), SemDeDup's rank-1
     # left-assoc pair matrix, and the retrieval-metrics composite.
     # (sim_hard_negatives / sim_ivf_index_persisted / sim_pq_encode /
-    # sim_retrieval_metrics gave way to the later r7-borns — every
-    # displaced rep's rewritten plan shape stays covered: the SQL-string
-    # exact dot by sim_cosine_topk in the r3 vintage, the Arrow scorer
-    # and Arrow encode by sim_cosine_topk_ivf / sim_ivfpq_topk below)
+    # sim_retrieval_metrics / sim_ivfpq_residual_topk gave way to the
+    # later r7-borns — every displaced rep's rewritten plan shape stays
+    # covered: the SQL-string exact dot by sim_cosine_topk in the r3
+    # vintage, the Arrow scorer / Arrow encode / broadcast-column ADC by
+    # sim_cosine_topk_ivf and sim_ivfpq_topk below)
     "sim_cosine_topk_ivf",
     "sim_ivfpq_topk",
-    "sim_ivfpq_residual_topk",
     "dedup_embedding_cosine",
     "dedup_semantic",
 )

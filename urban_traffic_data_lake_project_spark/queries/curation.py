@@ -24,6 +24,7 @@ from urban_traffic_data_lake_project_spark.operators.sampling import (
     pack_shards,
     pack_sequences,
     resample_to_mix,
+    temperature_resample,
     train_eval_split,
     weighted_sample,
 )
@@ -218,6 +219,40 @@ def _domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "lang", "doc_id", _MIX_WEIGHTS, resolution=_MIX_RESOLUTION
     )
     return out.select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# sample_temperature_mix — temperature-scaled language rebalancing
+# (mT5/XLM-R, public): target proportions follow n^(1/T); the binding
+# language is kept whole and the rest thinned by the same deterministic
+# hash-threshold rule as sample_domain_mix. The normalizer is folded out
+# (min is order-independent, pow per-row), so the oracle replays every
+# double bit-for-bit with no cross-engine sum-order hazard.
+# ---------------------------------------------------------------------------
+_TEMP_T = 3.0
+_TEMP_INV = 1.0 / _TEMP_T
+
+
+def _temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = temperature_resample(
+        docs, "lang", "doc_id", temperature=_TEMP_T, resolution=_MIX_RESOLUTION
+    )
+    return out.select("doc_id", "lang")
+
+
+_TEMP_MIX_SQL = f"""
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+pw AS (SELECT lang, n, power(n, {_TEMP_INV!r}) AS p FROM counts),
+sc AS (SELECT min(n / p) AS scale FROM pw),
+thr AS (
+  SELECT lang,
+         least({_MIX_RESOLUTION}, floor({_MIX_RESOLUTION} * (SELECT scale FROM sc) * p / n))::BIGINT AS t
+  FROM pw)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thr ON thr.lang = d.lang
+WHERE {_SEEDED_HASH_SQL} % {_MIX_RESOLUTION} < thr.t
+"""
 
 
 _MIX_CASE = "CASE lang " + " ".join(
@@ -1814,6 +1849,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "sample_domain_mix": QuerySpec(
         _domain_mix, _DOMAIN_MIX_SQL,
         "deterministic resampling to a target language mix",
+        ("curation",),
+    ),
+    "sample_temperature_mix": QuerySpec(
+        _temperature_mix, _TEMP_MIX_SQL,
+        "temperature-scaled (n^(1/T)) language rebalancing, deterministic thresholds",
         ("curation",),
     ),
     "text_redact_pii": QuerySpec(
