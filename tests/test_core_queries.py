@@ -94,8 +94,10 @@ def test_registry_driver_window_contract():
     recorded evidence can rot indefinitely while slots go to fresher
     ones. A regression here silently drops queries out of the recorded
     window."""
+    import glob
     import json
     import os
+    import re
 
     from urban_traffic_data_lake_project_spark.queries import RECORD_WINDOW, REGISTRY
 
@@ -107,16 +109,23 @@ def test_registry_driver_window_contract():
     # every window entry is oracle-backed
     for n in RECORD_WINDOW:
         assert REGISTRY[n].oracle is not None, n
-    # last-recorded round per query across all CORRECTNESS files so far
+    # last-recorded round per query across all CORRECTNESS files so far —
+    # discovered by glob so the test can never rot on a hardcoded round
+    # list (the r6 and r7 verdicts both flagged exactly that defect)
     last: dict[str, int] = {}
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for r in (1, 2, 3, 4, 5, 6):
-        p = os.path.join(root, f"CORRECTNESS_r0{r}.json")
-        if os.path.exists(p):
-            d = json.load(open(p))
-            qs = d.get("queries") or d.get("results") or d
-            for n in qs if isinstance(qs, dict) else [q.get("name") for q in qs]:
-                last[n] = r
+    rounds = sorted(
+        int(m.group(1))
+        for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    )
+    assert rounds, "no CORRECTNESS_r*.json found next to the repo root"
+    for r in rounds:
+        p = os.path.join(root, f"CORRECTNESS_r{r:02d}.json")
+        d = json.load(open(p))
+        qs = d.get("queries") or d.get("results") or d
+        for n in qs if isinstance(qs, dict) else [q.get("name") for q in qs]:
+            last[n] = r
     oracle_qs = {n for n, s in REGISTRY.items() if s.oracle is not None}
     # (1) never-recorded oracle queries (new this round) must be in window
     never = oracle_qs - set(last)

@@ -805,3 +805,33 @@ def test_embedding_drift_zero_on_identical_snapshots(spark, sf_dir):
     assert all(r["n_a"] == r["n_b"] for r in out)
     assert all(r["psi_term"] == 0.0 for r in out)
     assert sum(r["n_a"] for r in out) == emb.count()
+
+
+def test_arrow_scorer_preserves_string_ids(spark, sf_dir):
+    """ADVICE r7: the Arrow score/prune stages hardcoded LongType for the
+    id columns while the public APIs accept arbitrary id_col — string ids
+    failed in the Arrow conversion (the expression path they replaced
+    preserved the input id type). The ids must round-trip as strings and
+    the neighbor sets must match the long-id run exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # zero-padded so lexicographic order == numeric order: centroid
+    # seeding (smallest-id vectors) and every tie-break then pick the
+    # SAME rows in both runs and the outputs must agree exactly
+    tag = lambda i: "doc-%06d" % i  # noqa: E731
+    semb = emb.withColumn("vec_id", F.format_string("doc-%06d", F.col("vec_id")))
+    q = emb.filter(F.col("vec_id") < 10)
+    sq = semb.filter(F.element_at(F.split("vec_id", "-"), 2).cast("long") < 10)
+
+    base = S.cosine_topk_ivf(emb, q, k=5, n_centroids=16, nprobe=4).collect()
+    out = S.cosine_topk_ivf(semb, sq, k=5, n_centroids=16, nprobe=4).collect()
+    assert all(isinstance(r["query_id"], str) for r in out)
+    assert {(tag(r["query_id"]), tag(r["neighbor_id"])) for r in base} == {
+        (r["query_id"], r["neighbor_id"]) for r in out
+    }
+
+    pairs_base = D.embedding_near_dup_pairs(emb, threshold=0.2).collect()
+    pairs = D.embedding_near_dup_pairs(semb, threshold=0.2).collect()
+    assert all(isinstance(r["id_a"], str) for r in pairs)
+    assert {(tag(r["id_a"]), tag(r["id_b"])) for r in pairs_base} == {
+        (r["id_a"], r["id_b"]) for r in pairs
+    }

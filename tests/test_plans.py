@@ -384,3 +384,44 @@ def test_persisted_ivf_index_prunes_partitions(spark, sf_dir, tmp_path):
         r"\d+", probed_pf[0].split("INSET")[1].split("isnotnull")[0]
     )
     assert 0 < len(inset_ids) <= 12, probed_pf[0]
+
+
+def test_dsir_fit_filter_does_not_reevaluate_gram_hash(spark, sf_dir):
+    """The r7 bench regression (sample_dsir +43%): InferFiltersFromGenerate
+    infers `size(__b) > 0 AND isnotnull(__b)` under the fit explode and
+    predicate pushdown substitutes the whole md5 gram-hash transform chain
+    into that filter — re-hashing every gram per row in a filter that
+    prunes nothing. The fix scopes a rule exclusion around the fit action
+    (operators/sampling.py); this asserts the guarded plan shape: no
+    Filter node may carry the md5 chain."""
+    from urban_traffic_data_lake_project_spark.session import (
+        excluded_optimizer_rules,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    hashed = F.transform(
+        F.split(F.col("text"), " "),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"),
+    )
+    def fit_plan():
+        fit = (
+            docs.select(hashed.alias("__b"))
+            .select(F.explode("__b").alias("b"))
+            .groupBy("b")
+            .count()
+        )
+        return fit._jdf.queryExecution().optimizedPlan().toString()
+
+    with excluded_optimizer_rules(
+        spark,
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    ):
+        guarded = fit_plan()
+    filter_lines = [
+        ln for ln in guarded.splitlines() if "Filter" in ln.split("(")[0]
+    ]
+    assert not any("md5" in ln for ln in filter_lines), filter_lines
+    # the context restores the previous conf (here: unset)
+    assert (
+        spark.conf.get("spark.sql.optimizer.excludedRules", None) is None
+    )

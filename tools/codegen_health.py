@@ -47,6 +47,16 @@ FAMILY = [
     "dedup_embedding_cosine",
     "dedup_semantic",
     "dedup_embedding_srp",
+    # r7-born unrolled shapes (ADVICE r7): the Matryoshka rerank fuses a
+    # 192-term element_at scorer with two broadcast joins + a rank
+    # window; the Morton interleave repeats its scale expression 32x in
+    # one projection; the filtered/trained index queries and the drift
+    # monitor run the Arrow assignment + unrolled PSI arithmetic
+    "sim_matryoshka_rerank",
+    "lakehouse_zorder_codes",
+    "sim_ivf_index_filtered",
+    "sim_embedding_drift",
+    "sim_ivfpq_index_trained",
 ]
 
 

@@ -571,12 +571,15 @@ def embedding_near_dup_pairs(
     # distinct's exchange.
     import numpy as np
 
-    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
+    # id dtypes follow the caller's id_col (string ids and narrower ints
+    # pass through the pandas stage untouched — ADVICE r7: hardcoded
+    # LongType broke non-long ids that the expression path accepted)
     out_schema = StructType(
         [
-            StructField("id_a", LongType()),
-            StructField("id_b", LongType()),
+            StructField("id_a", cand.schema["id_a"].dataType),
+            StructField("id_b", cand.schema["id_b"].dataType),
             StructField("cosine_sim", DoubleType()),
         ]
     )

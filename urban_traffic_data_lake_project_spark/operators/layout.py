@@ -23,7 +23,7 @@ tests/test_lakehouse.py::test_zorder_write_clusters_files).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -63,7 +63,7 @@ def with_morton_code(
     bounds: dict,
     bits: int = 16,
     out_col: str = "morton",
-) -> Column:
+) -> DataFrame:
     """Adds ``out_col`` = Morton(z-order) code of (col_a, col_b) under
     the given bounds ``{col: (lo, hi)}``. Pure per-row arithmetic — one
     projection, no shuffle; bounds come from the caller (one bounded agg

@@ -222,8 +222,14 @@ def temperature_resample(
     sum-over-groups normalizer cancels algebraically, and never
     computing it avoids a cross-engine float-summation-order hazard
     (Spark's aggregate sum order is nondeterministic; DuckDB's is not).
-    min() is order-independent, pow() is per-row, so the oracle replays
-    every double bit-for-bit.
+    min() is order-independent and division is IEEE-correctly rounded on
+    both engines, but ``pow(double, double)`` is NOT guaranteed
+    identically rounded between JVM ``Math.pow`` and C ``std::pow``
+    (ADVICE r7): a 1-ulp drift in n^(1/T) could flip ``floor`` at an
+    integer boundary. The acceptance RATIO (scale*p/n, always in [0,1],
+    ulp ~2e-16) is therefore rounded to 9 decimals on both engines
+    before the floor — a 5e-10 margin that collapses any few-ulp pow
+    drift while leaving thresholds unchanged away from boundaries.
 
     Scale shape: one tiny count aggregate, one 1-row min attach
     (broadcast), then a map-side filter — the corpus never shuffles."""
@@ -237,7 +243,10 @@ def temperature_resample(
         group_col,
         F.least(
             F.lit(resolution).cast("bigint"),
-            F.floor(F.lit(resolution) * F.col("__scale") * F.col("__p") / F.col("__n")),
+            F.floor(
+                F.lit(resolution)
+                * F.round(F.col("__scale") * F.col("__p") / F.col("__n"), 9)
+            ),
         ).alias("__thr"),
     )
     return (
@@ -363,15 +372,29 @@ def dsir_importance_weights(
         ).alias("__b"),
     )
 
-    stats = (
+    fit = (
         bucketed.select("__is_tgt", F.explode("__b").alias("b"))
         .groupBy("b")
         .agg(
             F.count(F.lit(1)).alias("n_raw"),
             F.count_if(F.col("__is_tgt")).alias("n_tgt"),
         )
-        .collect()
     )
+    # InferFiltersFromGenerate would add `size(__b) > 0 AND isnotnull(__b)`
+    # under the explode; predicate pushdown then substitutes the whole
+    # md5-transform chain into that filter (bisected r8: 3.18 s -> 2.24 s
+    # median at sf0.1 — the r7 bench regression). The array is never null
+    # and explode already skips empties, so the inferred filter prunes
+    # nothing: exclude the rule, scoped to this one action.
+    from urban_traffic_data_lake_project_spark.session import (
+        excluded_optimizer_rules,
+    )
+
+    with excluded_optimizer_rules(
+        df.sparkSession,
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    ):
+        stats = fit.collect()
     R = sum(r["n_raw"] for r in stats)
     T = sum(r["n_tgt"] for r in stats)
     lr = {

@@ -197,9 +197,27 @@ def _score_local_topk_arrow(
     import numpy as np
     import pandas as pd
 
-    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+    from pyspark.sql.types import (
+        ByteType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StructField,
+        StructType,
+    )
 
-    qids = np.array([int(r["query_id"]) for r in q_rows], dtype=np.int64)
+    # id dtypes follow the caller's columns (ADVICE r7: the expression
+    # path preserved arbitrary id types; hardcoding LongType here broke
+    # string ids in the Arrow conversion)
+    qid_type = cand.schema["query_id"].dataType
+    integral_ids = isinstance(
+        qid_type, (LongType, IntegerType, ShortType, ByteType)
+    )
+    if integral_ids:
+        qids = np.array([int(r["query_id"]) for r in q_rows], dtype=np.int64)
+    else:
+        qids = np.asarray([r["query_id"] for r in q_rows])
     Q = np.array([[float(x) for x in r["__qv"]] for r in q_rows], dtype=np.float64)
     qn = np.array([float(r["__qn"]) for r in q_rows], dtype=np.float64)
     # vectorized query_id -> Q-row lookup via searchsorted on the sorted
@@ -210,8 +228,8 @@ def _score_local_topk_arrow(
 
     out_schema = StructType(
         [
-            StructField("query_id", LongType()),
-            StructField("neighbor_id", LongType()),
+            StructField("query_id", qid_type),
+            StructField("neighbor_id", cand.schema["neighbor_id"].dataType),
             StructField("cosine_sim", DoubleType()),
         ]
     )
@@ -232,11 +250,13 @@ def _score_local_topk_arrow(
                 continue
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
             cn = pdf[norm_col].to_numpy(dtype=np.float64)
-            qidx = sort_idx[
-                np.searchsorted(
-                    qids_sorted, pdf["query_id"].to_numpy(dtype=np.int64)
-                )
-            ]
+            raw_ids = pdf["query_id"].to_numpy()
+            batch_ids = (
+                raw_ids.astype(np.int64, copy=False)
+                if integral_ids
+                else np.asarray(raw_ids, dtype=qids_sorted.dtype)
+            )
+            qidx = sort_idx[np.searchsorted(qids_sorted, batch_ids)]
             Qr = Q[qidx]
             acc = np.zeros(n, dtype=np.float64)
             for i in range(dim):
@@ -813,17 +833,33 @@ def _nearest_centroids_arrow(
 ) -> DataFrame:
     import numpy as np
 
-    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
 
-    ents = sorted(entries, key=lambda e: int(e["cid"]))
-    cids = np.array([int(e["cid"]) for e in ents], dtype=np.int32)
+    # centroid ids inherit the corpus id type (they are seeded from
+    # corpus rows): ints keep the historical int32 path bit-for-bit;
+    # string ids sort/tie-break lexicographically — the same order the
+    # expr twin's least((neg_sim, cid)) struct comparison applies.
+    int_cids = all(isinstance(e["cid"], (int, np.integer)) for e in entries)
+    elem_type = IntegerType() if int_cids else StringType()
+    if int_cids:
+        ents = sorted(entries, key=lambda e: int(e["cid"]))
+        cids = np.array([int(e["cid"]) for e in ents], dtype=np.int32)
+    else:
+        ents = sorted(entries, key=lambda e: str(e["cid"]))
+        cids = np.asarray([str(e["cid"]) for e in ents])
     cvecs = [[float(x) for x in e["vec"]] for e in ents]
     cnorms = [float(e["cnorm"]) for e in ents]
     dim, k = len(cvecs[0]), len(ents)
     # fresh StructType: StructType.add MUTATES (and returns) self, which
     # would pollute the input DataFrame's cached schema object
     schema = StructType(
-        list(df.schema.fields) + [StructField(out_col, ArrayType(IntegerType()), False)]
+        list(df.schema.fields) + [StructField(out_col, ArrayType(elem_type), False)]
     )
 
     def assign(batches):

@@ -20,90 +20,74 @@ from urban_traffic_data_lake_project_spark.queries.base import QuerySpec
 
 # The driver's correctness gate records the FIRST ~50 oracle entries in
 # registration order. Every oracle query has at least one driver-recorded
-# green row (CORRECTNESS_r01..r06 union); the rotation policy is
-# freshness-first (since r6): the window carries (a) the entire
-# least-recently-recorded vintage — after the r6 recording that is all
-# 40 r3-vintage queries, (b) every never-recorded query (six r7-borns:
-# trained persisted IVF-PQ, z-order clustering codes, Matryoshka
-# coarse-rerank, filtered vector search, embedding-drift PSI,
-# temperature-scaled mixing), and (c) as many
-# changed-THIS-round implementations as the remaining slots hold — round
-# 7 rewrote the similarity/ANN hot paths (vectorized Arrow centroid
-# assignment + PQ encode, the fused Arrow score+prune stage, SQL-string
-# dim unrolls, SemDeDup's left-assoc pair matrix), so the nine slots go
-# to one representative per changed plan shape; the rest of the changed
-# set (all r6-recorded, age 1) is covered by this round's full
-# check_oracle --strict sweep. The r6 NTZ sentinels rotate out recorded
-# green with their code untouched; r3-vintage merge_asof_join /
-# stream_redact_pii / stream_sketch_hll / stream_stateful_user_stats
-# keep timestamp+streaming coverage inside the window. Median
-# last-recorded age strictly decreases round-over-round (contract test
-# in tests/test_core_queries.py). Full ledger: COVERAGE.md.
+# green row; the rotation policy is freshness-first (since r6): the
+# window carries (a) the entire least-recently-recorded vintage — after
+# the r7 recording that is the 26 r4-vintage queries, (b) every
+# never-recorded query (the r8-borns), and (c) changed-THIS-round
+# implementations — round 8 touched the DSIR fit (scoped
+# InferFiltersFromGenerate exclusion), temperature mixing (pow-rounding
+# parity), the trained persisted IVF-PQ (hash-sampled k-means), the
+# Arrow scorers' id dtype derivation (cosine_topk_ivf /
+# dedup_embedding_cosine reps), and the Matryoshka rerank (IVF-composed
+# prefilter). Remaining slots prepay the next-oldest (r5) vintage,
+# doubling as sentinels: the two historically driver-red queries
+# (text_boilerplate_lines, quality_expectations), the curation flagship,
+# and the heavy sketch/lakehouse/stream reps. The rest of the r5 vintage
+# is covered by this round's full check_oracle --strict sweep. The
+# freshness contract is enforced by
+# tests/test_core_queries.py::test_registry_driver_window_contract,
+# which since r8 discovers recorded rounds by GLOB (no hardcoded round
+# list to rot). Full ledger: COVERAGE.md.
 RECORD_WINDOW: tuple[str, ...] = (
-    # (a) the full r3 vintage — least-recently-recorded queries alive
-    "agg_group_percentiles",
-    "agg_grouped_ols",
-    "agg_key_skew_profile",
-    "agg_regression",
-    "curation_pack_sequences",
-    "decontam_eval_overlap",
-    "dedup_apply_near",
-    "dedup_clusters",
-    "dedup_exact",
-    "dedup_incremental",
-    "dedup_minhash_lsh",
-    "dedup_minhash_lsh_hi_recall",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "join_null_safe",
-    "join_salted_skew",
-    "mc_scenario_expectations",
-    "merge_asof_join",
-    "multimodal_ingest",
-    "sample_domain_mix",
-    "sample_split_shards",
-    "sample_stratified",
-    "sample_weighted_quality",
-    "sim_cosine_topk",
-    "sim_embedding_quantize",
-    "sim_lang_centroids",
-    "sketch_bloom_screen",
-    "sketch_cm_term_freq",
-    "sketch_hll_distinct",
-    "sketch_hll_rollup",
-    "stream_redact_pii",
-    "stream_sketch_hll",
-    "stream_stateful_user_stats",
-    "text_chunks",
-    "text_redact_pii",
-    "text_tfidf",
-    "text_unigram_logprob",
-    "win_distribution",
-    "win_session_events",
-    "win_sliding_events",
-    # (b) born in round 7, never recorded
-    "sim_ivfpq_index_trained",
-    "lakehouse_zorder_codes",
-    "sim_matryoshka_rerank",
-    "sim_ivf_index_filtered",
-    "sim_embedding_drift",
+    # (a) the full r4 vintage — least-recently-recorded queries alive
+    "agg_incremental_maintenance",
+    "agg_mad_pandas_udaf",
+    "audio_features",
+    "audio_frame_energy",
+    "core_histogram",
+    "dedup_containment",
+    "dedup_substring_spans",
+    "events_anomaly_zscore",
+    "gif_frame_index",
+    "image_near_dup",
+    "join_fuzzy_blocked",
+    "merge_asof_directions",
+    "merge_interval_overlap",
+    "privacy_k_anonymity",
+    "scd2_user_history",
+    "stream_bounded_recent_stats",
+    "stream_dedup_redelivery",
+    "stream_interval_join_outer",
+    "stream_static_enrich",
+    "text_bigram_logprob",
+    "text_bpe_tokens",
+    "text_inverted_index",
+    "text_strip_markup",
+    "udtf_keyword_context",
+    "win_funnel_steps",
+    "win_time_range_rolling",
+    # (b) born in round 8, never recorded (filled as queries land)
+    # (c) changed in round 8 — one representative per touched plan shape
+    "sample_dsir",
     "sample_temperature_mix",
-    # (c) changed in round 7, one representative per rewritten plan
-    # shape: Arrow assignment + fused score/prune (cosine_topk_ivf),
-    # Arrow PQ encode (pq_encode), composed + residual IVF-PQ over the
-    # Arrow encode, persisted-index query over the Arrow scorer, the
-    # Arrow pair-scorer (dedup_embedding_cosine), SemDeDup's rank-1
-    # left-assoc pair matrix, and the retrieval-metrics composite.
-    # (sim_hard_negatives / sim_ivf_index_persisted / sim_pq_encode /
-    # sim_retrieval_metrics / sim_ivfpq_residual_topk gave way to the
-    # later r7-borns — every displaced rep's rewritten plan shape stays
-    # covered: the SQL-string exact dot by sim_cosine_topk in the r3
-    # vintage, the Arrow scorer / Arrow encode / broadcast-column ADC by
-    # sim_cosine_topk_ivf and sim_ivfpq_topk below)
+    "sim_ivfpq_index_trained",
     "sim_cosine_topk_ivf",
-    "sim_ivfpq_topk",
     "dedup_embedding_cosine",
-    "dedup_semantic",
+    "sim_matryoshka_rerank",
+    # (d) r5-vintage prepay + sentinels (historic reds, heavy reps)
+    "text_boilerplate_lines",
+    "quality_expectations",
+    "sketch_cm_heavy_hitters",
+    "curation_pipeline",
+    "dedup_embedding_srp",
+    "lakehouse_merge_upsert",
+    "lakehouse_time_travel",
+    "core_join_snowflake",
+    "text_bm25_topk",
+    "events_drift_psi",
+    "ml_naive_bayes_lang",
+    "variant_extract_events",
+    "stream_dedup_within_watermark",
 )
 
 

@@ -226,8 +226,10 @@ def _domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (mT5/XLM-R, public): target proportions follow n^(1/T); the binding
 # language is kept whole and the rest thinned by the same deterministic
 # hash-threshold rule as sample_domain_mix. The normalizer is folded out
-# (min is order-independent, pow per-row), so the oracle replays every
-# double bit-for-bit with no cross-engine sum-order hazard.
+# (min is order-independent, pow per-row) so there is no cross-engine
+# sum-order hazard; pow(double,double) itself is not identically rounded
+# across JVM/C libm, so the acceptance ratio is rounded to 9 decimals on
+# both engines before the floor (see temperature_resample's docstring).
 # ---------------------------------------------------------------------------
 _TEMP_T = 3.0
 _TEMP_INV = 1.0 / _TEMP_T
@@ -247,7 +249,7 @@ pw AS (SELECT lang, n, power(n, {_TEMP_INV!r}) AS p FROM counts),
 sc AS (SELECT min(n / p) AS scale FROM pw),
 thr AS (
   SELECT lang,
-         least({_MIX_RESOLUTION}, floor({_MIX_RESOLUTION} * (SELECT scale FROM sc) * p / n))::BIGINT AS t
+         least({_MIX_RESOLUTION}, floor({_MIX_RESOLUTION} * round((SELECT scale FROM sc) * p / n, 9)))::BIGINT AS t
   FROM pw)
 SELECT d.doc_id, d.lang
 FROM documents d JOIN thr ON thr.lang = d.lang

@@ -51,6 +51,41 @@ _DEFAULTS: dict[str, str] = {
 }
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def excluded_optimizer_rules(spark: SparkSession, *rules: str):
+    """Scope a Catalyst-rule exclusion around one query's planning.
+
+    Rule exclusions never change results (every excludable rule is a
+    semantics-preserving rewrite), so this is a pure planning knob. Used
+    where a rule is a measured pessimization for ONE plan shape — e.g.
+    ``InferFiltersFromGenerate`` under DSIR's fit explode, where the
+    inferred ``size(e) > 0 AND isnotnull(e)`` is substituted through the
+    defining Project and re-evaluates the whole hashed-gram ``transform``
+    chain per row in a filter that prunes nothing (the gram array is never
+    null). r6 excluded that rule engine-wide — a blunt tax on every
+    explode; this context keeps the exclusion scoped to the plan that
+    needs it. The conf is read at optimization time, so wrapping the
+    action (collect/write) is sufficient.
+    """
+    key = "spark.sql.optimizer.excludedRules"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    merged = ",".join(([prev] if prev else []) + list(rules))
+    spark.conf.set(key, merged)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def get_spark(
     app_name: str = "urban-traffic-data-lake-spark",
     master: str | None = None,
