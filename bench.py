@@ -102,6 +102,9 @@ BENCH_QUERIES: tuple[str, ...] = (
     "sim_matryoshka_rerank",
     "sim_ivf_index_filtered",
     "lakehouse_zorder_codes",
+    # round-8: the IVF-composed Matryoshka retrieval (probe cut upstream
+    # of the prefix screen — the scale fix for the all-pairs stage 1)
+    "sim_matryoshka_ivf",
 )
 
 
@@ -148,17 +151,28 @@ def main() -> None:
         return time.time() - t0
 
     for name in names:
-        # First run pays whole-stage-codegen compilation — discard it as
-        # warm-up, then take the MEDIAN of the remaining repeats so one
-        # noisy-neighbor spike can't masquerade as a regression (the
-        # recorded round-2 bench was ambient machine load, not code).
+        # First TWO runs pay whole-stage-codegen compilation, Arrow/numpy
+        # import and JIT, and parquet footer caching — isolated probes
+        # (r8, quiet box) show the Arrow-heavy queries need two runs to
+        # reach steady state (sim_ivfpq_topk: 7.6 -> 2.1 -> 1.9..2.0
+        # steady, spread 1.15x from run 3). Discard both as warm-up (one
+        # extra run per query, same measured count as before), then take
+        # the MEDIAN of the remaining repeats so one noisy-neighbor spike
+        # can't masquerade as a regression (the recorded round-2 bench
+        # was ambient machine load, not code). Residual floor: queries
+        # with multi-shuffle line-row plans (text_boilerplate_lines)
+        # keep an inherent ~1.4-1.5x steady-state spread at sf0.1 run
+        # durations (~1-2 s, GC-sensitive) — that is the measurement
+        # floor, not ramp; the chronological trim leaves it visible.
         runs: list[float] = []
-        for i in range(repeats):
+        for i in range(repeats + 1):
             dt = run_once(name)
             # with repeats=1 the single (warm-up) run must still count,
             # or runs stays empty and min()/median below raise
-            if i > 0 or repeats == 1:
+            if i > 1 or repeats == 1:
                 runs.append(dt)
+            if repeats == 1:
+                break
         if len(runs) >= 2 and min(runs) > 0 and max(runs) / min(runs) > spread_gate:
             runs.extend(run_once(name) for _ in range(extra_repeats))
         # TRIMMED measurement set (r6 verdict item 5, tightened per

@@ -835,3 +835,97 @@ def test_arrow_scorer_preserves_string_ids(spark, sf_dir):
     assert {(tag(r["id_a"]), tag(r["id_b"])) for r in pairs_base} == {
         (r["id_a"], r["id_b"]) for r in pairs
     }
+
+
+def test_matryoshka_ivf_probe_cut_upstream_of_coarse_screen(spark, sf_dir):
+    """The composed retrieval's defining plan property (r7 verdict item
+    3): the IVF probe join must feed the coarse Arrow screen, so no
+    non-probed candidate is ever coarse-scored. In the executed plan
+    tree the coarse MapInPandas is an ANCESTOR of the centroid_id
+    broadcast join (ancestors print before descendants)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = S.cosine_topk_ivf_coarse_rerank(
+        emb, q, "vec_id", "embedding", k=5, dim=64,
+        n_centroids=16, nprobe=4, d_coarse=16, depth=50,
+    )
+    out.collect()  # finalize AQE
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    join_idx = [
+        i for i, ln in enumerate(lines)
+        if "BroadcastHashJoin" in ln and "centroid_id" in ln
+    ]
+    scorer_idx = [i for i, ln in enumerate(lines) if "MapInPandas" in ln]
+    assert join_idx, plan
+    assert scorer_idx, plan
+    # the coarse scorer (some MapInPandas) sits above the probe join
+    assert min(scorer_idx) < join_idx[0], plan
+
+
+def test_matryoshka_ivf_equals_plain_ivf_at_full_depth(spark, sf_dir):
+    """With depth >= bucket candidate count the coarse screen cuts
+    nothing, so the composed pipeline must return EXACTLY the plain-IVF
+    result (same probe cut, same exact full-dim scoring) — the coarse
+    stage only ever removes candidates, never rescores survivors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    plain = S.cosine_topk_ivf(emb, q, k=5, n_centroids=16, nprobe=4).collect()
+    composed = S.cosine_topk_ivf_coarse_rerank(
+        emb, q, "vec_id", "embedding", k=5, dim=64,
+        n_centroids=16, nprobe=4, d_coarse=16, depth=10**9,
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert {key(r): (r["neighbor_id"], round(r["cosine_sim"], 9)) for r in plain} == {
+        key(r): (r["neighbor_id"], round(r["cosine_sim"], 9)) for r in composed
+    }
+
+
+def test_matryoshka_ivf_recall_and_candidate_containment(spark, sf_dir):
+    """Composed recall tracks its parents: every returned neighbor must
+    come from a probed bucket (subset of the plain-IVF candidate
+    universe), and recall vs exact top-k stays usable at the default
+    dials."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = S.cosine_topk(emb, q, k=5).collect()
+    composed = S.cosine_topk_ivf_coarse_rerank(
+        emb, q, "vec_id", "embedding", k=5, dim=64,
+        n_centroids=16, nprobe=4, d_coarse=16, depth=50,
+    ).collect()
+    ivf_full = S.cosine_topk_ivf(emb, q, k=10**6, n_centroids=16, nprobe=4).collect()
+    universe = {(r["query_id"], r["neighbor_id"]) for r in ivf_full}
+    assert {(r["query_id"], r["neighbor_id"]) for r in composed} <= universe
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    got = {(r["query_id"], r["neighbor_id"]) for r in composed}
+    recall = len(exact_set & got) / len(exact_set)
+    assert recall >= 0.4, f"composed recall too low: {recall}"
+
+
+def test_kmeans_training_sample_semantics(spark, sf_dir):
+    """The r8 trained-quantizer cost cut: Lloyd rounds train on a
+    deterministic hash-range sample when the corpus exceeds the cap.
+    (a) a corpus within the cap must train BIT-IDENTICALLY to cap=None
+    (every historical oracle relies on this); (b) forcing a small cap
+    still yields k usable centroids and the downstream IVF keeps usable
+    recall — training-set size tunes quality, never correctness."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    full = S.kmeans_centroids(emb, k=8, iters=2, train_sample_cap=None)
+    capped = S.kmeans_centroids(emb, k=8, iters=2)  # default cap >> corpus
+    assert full == capped
+
+    sampled = S.kmeans_centroids(emb, k=8, iters=2, train_sample_cap=120)
+    assert len(sampled) == 8
+    assert sampled != full  # the cap genuinely engaged
+    # deterministic: same cap -> same centroids
+    assert sampled == S.kmeans_centroids(emb, k=8, iters=2, train_sample_cap=120)
+
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in S.cosine_topk(emb, q, k=5).collect()}
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk_ivf(
+            emb, q, k=5, n_centroids=8, nprobe=4, train_iters=2
+        ).collect()
+    }
+    assert len(exact & got) / len(exact) >= 0.5

@@ -53,6 +53,7 @@ FAMILY = [
     # one projection; the filtered/trained index queries and the drift
     # monitor run the Arrow assignment + unrolled PSI arithmetic
     "sim_matryoshka_rerank",
+    "sim_matryoshka_ivf",
     "lakehouse_zorder_codes",
     "sim_ivf_index_filtered",
     "sim_embedding_drift",

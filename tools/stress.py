@@ -68,6 +68,25 @@ def synth_vectors(spark, n: int, dim: int = 32):
     )
 
 
+def synth_mrl_vectors(spark, n: int, dim: int = 64, half_life: float = 16.0):
+    """Front-loaded vectors for the Matryoshka stress rows: component i
+    is scaled by 2^(-i/half_life), so the 16-dim prefix carries most of
+    the energy — the property MRL training (Kusupati et al. 2022)
+    produces by construction and the prefix screen's recall depends on.
+    On uniform-random vectors (synth_vectors) a d_coarse=16 prefix is an
+    uninformative screen (measured recall ~0.02 at 1M) and would make
+    any recall comparison meaningless."""
+    comp = lambda i: (  # noqa: E731
+        (F.pmod(F.xxhash64("id", F.lit(i)), F.lit(2001)) - 1000)
+        / 1000.0
+        * float(2.0 ** (-i / half_life))
+    )
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[comp(i) for i in range(dim)]).alias("embedding"),
+    )
+
+
 def run_case(name: str, n: int, build):
     t0 = time.time()
     cnt = build().write.format("noop").mode("overwrite").save()
@@ -239,6 +258,42 @@ def main() -> None:
         )
 
     run_case("ivfpq_residual", n5c, ivfpq_residual)
+
+    # 5e2. Matryoshka coarse+rerank at 1M x 64-dim, both shapes, same
+    # dials (d_coarse=16, depth=50, 50 queries): the all-pairs form
+    # coarse-scores every (query, candidate) pair — the O(q*n) screen the
+    # r7 verdict flagged — while the IVF-composed form probes 4/32
+    # buckets first so the coarse screen touches ~1/8 of the corpus. The
+    # delta between these two rows IS the probe cut's value; ivf_topk
+    # above is the other parent (same probe, full-dim scoring). Vectors
+    # are FRONT-LOADED (synth_mrl_vectors) — the regime the prefix
+    # screen exists for; recall numbers live in SCALING.md.
+    def matryoshka_allpairs():
+        from urban_traffic_data_lake_project_spark.operators.similarity import (
+            cosine_topk_coarse_rerank,
+        )
+
+        corpus = synth_mrl_vectors(spark, n5c, dim=64)
+        queries = corpus.filter(F.col("vec_id") < 50)
+        return cosine_topk_coarse_rerank(
+            corpus, queries, k=5, dim=64, d_coarse=16, depth=50
+        )
+
+    run_case("matryoshka_allpairs", n5c, matryoshka_allpairs)
+
+    def matryoshka_ivf():
+        from urban_traffic_data_lake_project_spark.operators.similarity import (
+            cosine_topk_ivf_coarse_rerank,
+        )
+
+        corpus = synth_mrl_vectors(spark, n5c, dim=64)
+        queries = corpus.filter(F.col("vec_id") < 50)
+        return cosine_topk_ivf_coarse_rerank(
+            corpus, queries, k=5, dim=64,
+            n_centroids=32, nprobe=4, d_coarse=16, depth=50,
+        )
+
+    run_case("matryoshka_ivf", n5c, matryoshka_ivf)
 
     # 5f. SemDeDup at 200k vectors, k=256 clusters: the quadratic bit is
     # per-cluster pairwise scoring (~n^2/k pairs/cluster x k) — the knob

@@ -492,10 +492,18 @@ def cosine_topk_coarse_rerank(
     prefix a usable coarse score; for generic embeddings it is still a
     cheap correlated screen) and keeps the top ``depth`` per query;
     stage 2 re-ranks only those ``depth`` survivors with the EXACT
-    full-dimension cosine. At corpus scale stage 1 does dim/d_coarse
-    less arithmetic per pair and stage 2 touches q * depth rows instead
-    of q * n — the classic retrieve-then-rerank split, complementary to
-    IVF (which prunes by bucket rather than by dimension).
+    full-dimension cosine. Stage 1 does dim/d_coarse less arithmetic per
+    pair and stage 2 touches q * depth rows instead of q * n — the
+    classic retrieve-then-rerank split, complementary to IVF (which
+    prunes by bucket rather than by dimension).
+
+    SCALE REGIME: stage 1 here still VISITS every (query, candidate)
+    pair — the brute-force shape with a smaller constant. That is the
+    right trade only when the corpus side is modest or the query set
+    huge; for corpus-scale retrieval use
+    ``cosine_topk_ivf_coarse_rerank``, which runs the same coarse screen
+    strictly AFTER an IVF probe cut so non-probed candidates are never
+    scored at all.
 
     Deterministic end-to-end (coarse ties to the smaller neighbor id,
     exact ties likewise), so the DuckDB oracle replays both stages.
@@ -540,6 +548,119 @@ def cosine_topk_coarse_rerank(
             "cosine_sim",
             _dot("__qv", "__cv", dim)
             / (_norm("__qv", dim) * _norm("__cv", dim)),
+        )
+    )
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def cosine_topk_ivf_coarse_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int | None = None,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    d_coarse: int = 16,
+    depth: int = 50,
+    train_iters: int = 0,
+) -> DataFrame:
+    """IVF-composed Matryoshka retrieval — the scale path for the
+    coarse+rerank pattern (r7 verdict: ``cosine_topk_coarse_rerank``'s
+    stage 1 coarse-scores EVERY (query, candidate) pair, O(q*n) at any
+    corpus size). Three stages, each cutting the candidate set before
+    the next pays its arithmetic:
+
+    1. **IVF probe cut** (bucket pruning): corpus vectors are assigned
+       to their nearest of ``n_centroids`` centroids by the zero-shuffle
+       Arrow assignment stage; each query probes only its ``nprobe``
+       buckets via a broadcast (query_id, centroid_id) join — candidates
+       drop to ~nprobe/n_centroids of the corpus before ANY scoring.
+    2. **Matryoshka coarse screen** (dimension pruning, Kusupati et al.
+       2022, public): the probed candidates are scored on only the first
+       ``d_coarse`` dims (prefix cosine) by the same fused Arrow
+       score+prune stage the plain IVF uses — dim/d_coarse less
+       arithmetic per surviving pair — keeping the top ``depth`` per
+       query.
+    3. **Exact rerank**: full-dim cosine on the bounded q*depth
+       survivor set only (broadcast joins, unrolled expression dots).
+
+    The probe cut runs UPSTREAM of the coarse score (the broadcast
+    probes join feeds the Arrow screen), so unlike the all-pairs parent
+    neither stage ever touches a non-probed candidate: per-query work is
+    O(n*nprobe/n_centroids * d_coarse + depth*dim) instead of O(n*dim)
+    (exact) or O(n*d_coarse + depth*dim) (all-pairs Matryoshka).
+    Deterministic end-to-end (assignment/probe ties to the smaller cid,
+    score ties to the smaller neighbor id), so the DuckDB oracle replays
+    all three stages. Recall composes multiplicatively: a true neighbor
+    survives iff its bucket is probed AND its prefix score makes the
+    depth cut — dial ``nprobe``/``depth`` up for recall, down for
+    speed."""
+    if not dim:
+        raise ValueError("cosine_topk_ivf_coarse_rerank requires dim")
+    d_coarse = min(d_coarse, dim)
+    if train_iters > 0:
+        entries = kmeans_centroids(
+            corpus, id_col, vec_col, k=n_centroids, iters=train_iters
+        )
+    else:
+        entries = centroid_entries(corpus, id_col, vec_col, n_centroids)
+
+    # stage 1: identical probe shape to cosine_topk_ivf (assignment
+    # explodes through a Generate — the pushdown barrier; probes are a
+    # broadcast equi-join)
+    c = spread_to_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
+    ).withColumn("__cn", _norm(F.col("__cv")))
+    assigned = with_nearest_centroids(c, "__cv", "__cn", entries, 1, "__cids").select(
+        "neighbor_id",
+        "__cv",
+        # the coarse screen divides by PREFIX norms; computed here (a
+        # d_coarse-term unroll riding the same projection) so the Arrow
+        # stage gets it as a plain column, exactly like the full-dim path
+        F.expr(_norm_sql("__cv", d_coarse)).alias("__ccn"),
+        F.explode("__cids").alias("centroid_id"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+    ).withColumn("__qn", _norm(F.col("__qv")))
+    probed = with_nearest_centroids(q, "__qv", "__qn", entries, nprobe, "__cids")
+    # bounded collect: query vectors + PREFIX norms travel in the coarse
+    # scorer's task closure (aliased __qn — the scorer's norm contract)
+    q_rows = probed.select(
+        "query_id", "__qv", F.expr(_norm_sql("__qv", d_coarse)).alias("__qn")
+    ).collect()
+    probes = probed.select("query_id", F.explode("__cids").alias("centroid_id"))
+
+    # stage 2: prefix-dim score + partition-local prune as ONE Arrow
+    # stage over the PROBED candidates only, then the global depth cut
+    cand = assigned.join(F.broadcast(probes), "centroid_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    coarse = _score_local_topk_arrow(cand, q_rows, depth, d_coarse, "__cv", "__ccn")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    survivors = (
+        coarse.withColumn("__crank", F.row_number().over(w))
+        .filter(F.col("__crank") <= depth)
+        .select("query_id", "neighbor_id")
+    )
+
+    # stage 3: exact full-dim cosine on the bounded survivor set
+    rerank = (
+        c.join(F.broadcast(survivors), "neighbor_id")
+        .join(
+            F.broadcast(q.select("query_id", "__qv")), "query_id"
+        )
+        .withColumn(
+            "cosine_sim",
+            _dot("__qv", "__cv", dim) / (_norm("__qv", dim) * _norm("__cv", dim)),
         )
     )
     return (
@@ -629,6 +750,8 @@ def kmeans_centroids(
     k: int = 8,
     iters: int = 2,
     round_to: int = 6,
+    train_sample_cap: int | None = 65536,
+    sample_seed: int = 17,
 ) -> list:
     """Spherical k-means IVF training — the production upgrade over the
     deterministic first-k seed: ``iters`` Lloyd rounds of (assign every
@@ -639,6 +762,26 @@ def kmeans_centroids(
     posexplode row blow-up). Each round collects only k*dim doubles to
     the driver.
 
+    TRAINING SAMPLE (r7 verdict item 4): when the corpus exceeds
+    ``train_sample_cap`` rows, Lloyd rounds run over a deterministic
+    hash-RANGE sample of ~cap vectors: one cheap corpus count sizes an
+    integer threshold t = floor(2^20 * cap / n), and a row trains iff
+    ``stable_hash64(seed|id) mod 2^20 < t`` — a stateless map-side
+    filter, fully parallel, no sort and no single-node merge (the
+    first-cut ``orderBy(hash).limit(cap)`` form was a
+    TakeOrderedAndProject whose driver merge of partitions*cap array
+    rows cost MORE than full-corpus training at 1M). Public FAISS
+    practice trains coarse quantizers on a small sample (~tens of
+    k-multiples of vectors, not the corpus) because centroid positions
+    converge long before the millionth training point; the full corpus
+    still gets ONE exact assignment pass downstream of training
+    wherever the centroids are used. A corpus within the cap trains
+    unsampled — bit-identical to the historical behavior (every
+    registry oracle stays unchanged; the test tables are far below the
+    cap). ``None`` disables sampling. Both the count and the hash
+    filter are replayable in ANSI SQL, so sampled training remains
+    oracle-checkable.
+
     Determinism/oracle notes: new centroids are ROUNDED to ``round_to``
     decimals so cross-engine ulp drift in the (order-sensitive) grouped
     mean cannot cascade into different assignments next round; empty
@@ -646,14 +789,36 @@ def kmeans_centroids(
     0..k-1. Returns entries consumable by ``with_nearest_centroids``."""
     import math
 
-    seed = centroid_entries(corpus, id_col, vec_col, k)
+    from urban_traffic_data_lake_project_spark.functions import stable_hash64
+
+    train = corpus
+    sampled = False
+    if train_sample_cap is not None:
+        n_corpus = corpus.select(id_col).count()
+        if n_corpus > int(train_sample_cap):
+            h = stable_hash64(
+                F.concat_ws(
+                    "|", F.lit(f"kmtrain{sample_seed}"), F.col(id_col).cast("string")
+                )
+            )
+            m = 1 << 20
+            t = (m * int(train_sample_cap)) // n_corpus
+            train = corpus.filter(F.pmod(h, F.lit(m)) < F.lit(t))
+            sampled = True
+
+    seed = centroid_entries(train, id_col, vec_col, k)
     entries = [
         {"cid": i, "vec": [float(x) for x in r["vec"]], "cnorm": float(r["cnorm"])}
         for i, r in enumerate(seed)
     ]
-    v = spread_to_parallelism(corpus).select(
+    v = spread_to_parallelism(train).select(
         _as_double(F.col(vec_col)).alias("__v")
     ).withColumn("__n", _norm(F.col("__v")))
+    if sampled and iters > 1:
+        # the sample is bounded (<= cap rows): persist it so each Lloyd
+        # round reuses the materialized sample instead of re-running the
+        # TakeOrdered heap pass over the corpus
+        v = v.persist()
     for _ in range(iters):
         assigned = with_nearest_centroids(v, "__v", "__n", entries, 1, "__cids").select(
             F.element_at("__cids", 1).alias("cid"), "__v"
@@ -677,6 +842,8 @@ def kmeans_centroids(
             }
             for e in entries
         ]
+    if sampled and iters > 1:
+        v.unpersist()
     return entries
 
 

@@ -67,6 +67,7 @@ RECORD_WINDOW: tuple[str, ...] = (
     "win_funnel_steps",
     "win_time_range_rolling",
     # (b) born in round 8, never recorded (filled as queries land)
+    "sim_matryoshka_ivf",
     # (c) changed in round 8 — one representative per touched plan shape
     "sample_dsir",
     "sample_temperature_mix",

@@ -588,6 +588,80 @@ FROM ranked WHERE rank <= 5
 """
 
 
+# ---------------------------------------------------------------------------
+# sim_matryoshka_ivf — the Matryoshka coarse screen COMPOSED with the IVF
+# probe cut (r7 verdict item 3): candidates drop to the probed buckets
+# BEFORE the prefix-dim score runs, so neither stage ever touches a
+# non-probed candidate — the all-pairs O(q*n) coarse screen of
+# sim_matryoshka_rerank becomes O(q * n * nprobe/n_centroids * d_coarse
+# + q * depth * dim). The oracle replays all three stages (deterministic
+# centroid seed, probe/assign tie orders, prefix sums, depth cut).
+# ---------------------------------------------------------------------------
+def _matryoshka_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = S.cosine_topk_ivf_coarse_rerank(
+        emb, queries, "vec_id", "embedding",
+        k=5, dim=_EMB_DIM, n_centroids=16, nprobe=4,
+        d_coarse=_MRL_COARSE_DIMS, depth=_MRL_DEPTH,
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("cosine_sim", ROUND_STAT).alias("cosine_sim"), "rank",
+    )
+
+
+_MRL_IVF_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cents AS (
+  SELECT vec_id AS centroid_id, e AS ctv
+  FROM v ORDER BY vec_id LIMIT 16),
+c AS (SELECT vec_id AS neighbor_id, e AS cv FROM v),
+q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 10),
+assign AS (
+  SELECT neighbor_id, cv, centroid_id FROM (
+    SELECT neighbor_id, cv, centroid_id,
+           row_number() OVER (
+             PARTITION BY neighbor_id
+             ORDER BY {_prefix_cos_sql('cv', 'ctv', 64)} DESC, centroid_id) AS rn
+    FROM c, cents)
+  WHERE rn = 1),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT query_id, qv, centroid_id,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY {_prefix_cos_sql('qv', 'ctv', 64)} DESC, centroid_id) AS rn
+    FROM q, cents)
+  WHERE rn <= 4),
+coarse AS (
+  SELECT p.query_id, a.neighbor_id,
+         {_prefix_cos_sql('p.qv', 'a.cv', _MRL_COARSE_DIMS)} AS csim
+  FROM assign a JOIN probes p ON a.centroid_id = p.centroid_id
+  WHERE a.neighbor_id <> p.query_id),
+surv AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY csim DESC, neighbor_id) AS rn
+    FROM coarse)
+  WHERE rn <= {_MRL_DEPTH}),
+exact AS (
+  SELECT s.query_id, s.neighbor_id,
+         {_prefix_cos_sql('q.qv', 'c.cv', 64)} AS sim
+  FROM surv s
+  JOIN c ON c.neighbor_id = s.neighbor_id
+  JOIN q ON q.query_id = s.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM exact)
+SELECT query_id, neighbor_id, round(sim, {ROUND_STAT}) AS cosine_sim, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 _HARD_NEG_SQL = f"""
 WITH q AS (
   SELECT vec_id AS query_id, label AS ql, embedding::DOUBLE[] AS qv
@@ -2503,6 +2577,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "sim_matryoshka_rerank": QuerySpec(
         _matryoshka_rerank, _MRL_RERANK_SQL,
         "truncated-dim coarse prefilter + exact full-dim re-rank (Matryoshka)",
+        ("similarity",),
+    ),
+    "sim_matryoshka_ivf": QuerySpec(
+        _matryoshka_ivf, _MRL_IVF_SQL,
+        "IVF probe cut -> Matryoshka coarse screen -> exact re-rank (composed)",
         ("similarity",),
     ),
     "sim_hard_negatives": QuerySpec(
