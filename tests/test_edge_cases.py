@@ -155,7 +155,7 @@ def test_bpe_empty_and_single_word_corpus(spark):
     single = spark.createDataFrame([(1, "hi")], "doc_id long, text string")
     merges, _ = T.bpe_train(single, "text", num_merges=5)
     # 'hi' merges once (h,i) then the vocabulary is exhausted -> early stop
-    assert merges == [("h", "i")]
+    assert merges == [("h", "i", 1)]
     out = T.bpe_token_counts(single, "doc_id", "text", num_merges=5).collect()[0]
     assert out["n_words"] == 1 and out["n_bpe_tokens"] == 1
 

@@ -381,7 +381,9 @@ def test_bpe_counts_match_cleanroom_python(spark):
     assert got == expected
     # and the learned merges themselves are the classic ones for this corpus
     learned, _ = T.bpe_train(df, "text", num_merges=num_merges)
-    assert learned == merges
+    assert [(pa, pb) for pa, pb, _ in learned] == merges
+    # the reported pair frequency is the clean-room count at merge time
+    assert all(cnt > 0 for _, _, cnt in learned)
 
 
 def test_kmeans_centroids_tighten_buckets(spark, sf_dir):
@@ -929,3 +931,28 @@ def test_kmeans_training_sample_semantics(spark, sf_dir):
         ).collect()
     }
     assert len(exact & got) / len(exact) >= 0.5
+
+
+def test_bpe_merge_respects_symbol_boundaries(spark):
+    """Regression for the space-separated symbol encoding's boundary bug:
+    with learned merges (x,a) then (a,b), the word 'xab' — symbols
+    ['xa','b'] after round 1 — was corrupted by round 2's
+    replace('xa b', 'a b', 'ab') into ONE token. Reference BPE (merge
+    pairs of whole symbols only, Sennrich et al. 2016) keeps ['xa','b'].
+    Corpus engineered so (x,a) wins round 1 (freq 7) over (a,b) (freq 5),
+    then (a,b) wins round 2."""
+    df = spark.createDataFrame(
+        [(1, "xa xa xa xa xa"), (2, "xab xab"), (3, "ab ab ab")],
+        "doc_id long, text string",
+    )
+    merges, symtab = T.bpe_train(df, "text", num_merges=2)
+    assert [(pa, pb) for pa, pb, _ in merges] == [("x", "a"), ("a", "b")]
+    syms = {r["word"]: r["sym"] for r in symtab.collect()}
+    assert syms["xab"] == "|xa||b|"  # NOT the corrupted single token
+    assert syms["ab"] == "|ab|"
+    assert syms["xa"] == "|xa|"
+    counts = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in T.bpe_token_counts(df, "doc_id", "text", num_merges=2).collect()
+    }
+    assert counts == {1: 5, 2: 4, 3: 3}

@@ -396,15 +396,34 @@ def document_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def bpe_word_table(df: DataFrame, text_col: str) -> DataFrame:
     """(word, freq, sym) — corpus word frequencies with each word expanded
     to its initial character-symbol string. The ONLY corpus-scale pass in
-    BPE training: everything after runs on the aggregated vocabulary."""
+    BPE training: everything after runs on the aggregated vocabulary.
+
+    Symbol encoding: each symbol is PIPE-WRAPPED (``the`` ->
+    ``|t||h||e|``; the alphabet is [a-z0-9] after normalize_text, so
+    ``|`` can never occur inside a symbol). The earlier space-separated
+    form had a boundary bug: applying merge (a, b) via
+    ``replace(sym, 'a b', 'ab')`` also matched INSIDE a longer previous
+    symbol — ``['xa', 'b']`` serialized as ``'xa b'`` contains ``'a b'``
+    and was corrupted to one ``'xab'`` token (the reference BPE guards
+    boundaries with ``(?<!\\S)pair(?!\\S)``, Sennrich et al. 2016). With
+    wrapping, the search key ``|a||b|`` cannot match a suffix (``'x'``
+    precedes the ``a``, not ``|``), and greedy left-to-right
+    non-overlapping replace still merges runs correctly:
+    ``|b||b||b||b|`` + merge (b,b) -> ``|bb||bb|``."""
     words = (
         spread_to_parallelism(df)
         .select(F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"))
         .filter(F.col("w") != "")
     )
     vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
-    sym = F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 "))
+    sym = F.regexp_replace(F.col("w"), "(.)", "|$1|")
     return vocab.select(F.col("w").alias("word"), "freq", sym.alias("sym"))
+
+
+def _bpe_symbols(sym_col: str) -> F.Column:
+    """Symbol array from the pipe-wrapped encoding (drops the empty
+    fragments the double pipes produce)."""
+    return F.filter(F.split(sym_col, "[|]"), lambda x: x != "")
 
 
 def bpe_train(
@@ -413,7 +432,8 @@ def bpe_train(
     """Sennrich-style BPE training: ``num_merges`` rounds of (count
     adjacent symbol pairs weighted by word frequency -> take the most
     frequent, ties to the lexicographically smallest pair -> apply the
-    merge). Returns (ordered merge list, final symbol table).
+    merge). Returns (ordered list of (pa, pb, freq) merges, final
+    symbol table).
 
     Scale shape: the corpus is touched ONCE (``bpe_word_table``); each
     round is a pair-explode + grouped sum + limit(1) over the |vocab|-row
@@ -426,9 +446,9 @@ def bpe_train(
     num_merges full corpus scans instead of one. The replace chain itself
     re-evaluates per round, but over the cached vocabulary rows."""
     cur = bpe_word_table(df, text_col).persist()
-    merges: list[tuple[str, str]] = []
+    merges: list[tuple[str, str, int]] = []
     for _ in range(num_merges):
-        s = cur.select("freq", F.split("sym", " ").alias("__s"))
+        s = cur.select("freq", _bpe_symbols("sym").alias("__s"))
         n_pairs = F.greatest(F.size("__s") - 1, F.lit(0))
         pairs = s.select(
             "freq",
@@ -450,9 +470,10 @@ def bpe_train(
         if not top:
             break  # vocabulary fully merged — nothing left to learn
         pa, pb = top[0]["pa"], top[0]["pb"]
-        merges.append((pa, pb))
+        merges.append((pa, pb, int(top[0]["cnt"])))
         cur = cur.withColumn(
-            "sym", F.replace(F.col("sym"), F.lit(f"{pa} {pb}"), F.lit(pa + pb))
+            "sym",
+            F.replace(F.col("sym"), F.lit(f"|{pa}||{pb}|"), F.lit(f"|{pa}{pb}|")),
         )
     return merges, cur
 
@@ -470,7 +491,7 @@ def bpe_token_counts(
     when budgeting training tokens."""
     _, symtab = bpe_train(df, text_col, num_merges)
     wordtab = symtab.select(
-        "word", F.size(F.split("sym", " ")).alias("__n_sub")
+        "word", F.size(_bpe_symbols("sym")).alias("__n_sub")
     )
     doc_words = df.select(
         F.col(id_col),

@@ -351,33 +351,41 @@ def _bpe_train_ctes(num_merges: int) -> str:
     the current symbol strings, deterministic argmax (count DESC, pair
     ASC), merge applied via literal replace. LEFT JOIN ON TRUE so an
     exhausted vocabulary (no pairs left) passes through unchanged, the
-    same early-stop the Spark loop takes."""
+    same early-stop the Spark loop takes. Symbols are PIPE-WRAPPED
+    (``|t||h||e|``) so the merge replace can never match inside a
+    longer symbol — see ``operators.text.bpe_word_table``."""
+    # every CTE is MATERIALIZED: each w{k} is referenced twice (by
+    # p{k} and w{k+1}), and DuckDB's default inlining turns the k-deep
+    # chain into a 2^k expression tree — measured 0.07/0.14/0.3/1.5 s at
+    # 2/4/6/8 merges (sf0.001!) and minutes at 12. Materialization makes
+    # the chain linear in num_merges, results identical.
     blocks = [f"""
-w0 AS (
+w0 AS MATERIALIZED (
   SELECT w AS word, count(*) AS freq,
-         trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym
+         regexp_replace(w, '(.)', '|\\1|', 'g') AS sym
   FROM (SELECT unnest(string_split({_NORM.format(c='text')}, ' ')) AS w
         FROM documents)
   WHERE w <> '' GROUP BY w)"""]
     for k in range(num_merges):
         blocks.append(f"""
-p{k} AS (
+p{k} AS MATERIALIZED (
   SELECT s[i] AS pa, s[i+1] AS pb, sum(freq) AS cnt
-  FROM (SELECT string_split(sym, ' ') AS s, freq FROM w{k}),
+  FROM (SELECT list_filter(string_split(sym, '|'), x -> x != '') AS s, freq FROM w{k}),
        LATERAL unnest(range(1, len(s))) AS t(i)
   GROUP BY 1, 2),
-m{k} AS (SELECT pa, pb FROM p{k} ORDER BY cnt DESC, pa ASC, pb ASC LIMIT 1),
-w{k + 1} AS (
+m{k} AS MATERIALIZED (SELECT pa, pb, cnt FROM p{k} ORDER BY cnt DESC, pa ASC, pb ASC LIMIT 1),
+w{k + 1} AS MATERIALIZED (
   SELECT word, freq,
          CASE WHEN pa IS NULL THEN sym
-              ELSE replace(sym, pa || ' ' || pb, pa || pb) END AS sym
+              ELSE replace(sym, '|' || pa || '||' || pb || '|',
+                                '|' || pa || pb || '|') END AS sym
   FROM w{k} LEFT JOIN m{k} ON TRUE)""")
     return ",".join(blocks)
 
 
 _TEXT_BPE_SQL = f"""
 WITH {_bpe_train_ctes(_BPE_MERGES)},
-wc AS (SELECT word, len(string_split(sym, ' ')) AS n_sub FROM w{_BPE_MERGES}),
+wc AS (SELECT word, len(list_filter(string_split(sym, '|'), x -> x != '')) AS n_sub FROM w{_BPE_MERGES}),
 dw AS (
   SELECT doc_id, w FROM (
     SELECT doc_id, unnest(string_split({_NORM.format(c='text')}, ' ')) AS w
@@ -390,6 +398,36 @@ SELECT d.doc_id,
        coalesce(per.n_words, 0) AS n_words,
        coalesce(per.n_bpe_tokens, 0) AS n_bpe_tokens
 FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_train — the learned BPE merge TABLE itself (step, pair, merged
+# symbol, weighted pair frequency at merge time): the artifact a tokenizer
+# build actually ships. The oracle replays every training round; the hash
+# check therefore pins the exact merge order, tie-breaks, and counts —
+# stronger than checking token counts alone (text_bpe_tokens), which can
+# agree across different merge tables.
+# ---------------------------------------------------------------------------
+def _text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = T.bpe_train(docs, "text", num_merges=_BPE_MERGES)
+    rows = [
+        (i + 1, pa, pb, pa + pb, int(cnt))
+        for i, (pa, pb, cnt) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "step int, pa string, pb string, merged string, freq bigint"
+    )
+
+
+_TEXT_BPE_TRAIN_SQL = f"""
+WITH {_bpe_train_ctes(_BPE_MERGES)}
+SELECT * FROM (
+{" UNION ALL ".join(
+    f"SELECT {k + 1} AS step, pa, pb, pa || pb AS merged, cnt::BIGINT AS freq FROM m{k}"
+    for k in range(_BPE_MERGES)
+)})
 """
 
 
@@ -2521,6 +2559,11 @@ REGISTRY: dict[str, QuerySpec] = {
         ("dedup", "similarity", "defer"),
     ),
     "text_tfidf": QuerySpec(_text_tfidf, _TFIDF_SQL, "smooth TF-IDF table", ("text",)),
+    "text_bpe_train": QuerySpec(
+        _text_bpe_train, _TEXT_BPE_TRAIN_SQL,
+        "the learned BPE merge table: step, pair, merged symbol, pair frequency",
+        ("text", "curation"),
+    ),
     "text_bpe_tokens": QuerySpec(
         _text_bpe, _TEXT_BPE_SQL,
         "tokenizer-faithful BPE counts: corpus-trained merges, oracle replays training",
