@@ -103,8 +103,10 @@ BENCH_QUERIES: tuple[str, ...] = (
     "sim_ivf_index_filtered",
     "lakehouse_zorder_codes",
     # round-8: the IVF-composed Matryoshka retrieval (probe cut upstream
-    # of the prefix screen — the scale fix for the all-pairs stage 1)
+    # of the prefix screen — the scale fix for the all-pairs stage 1) and
+    # the int8 scalar-quantized screen over the same probe cut
     "sim_matryoshka_ivf",
+    "sim_int8_rerank",
 )
 
 

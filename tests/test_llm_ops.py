@@ -956,3 +956,37 @@ def test_bpe_merge_respects_symbol_boundaries(spark):
         for r in T.bpe_token_counts(df, "doc_id", "text", num_merges=2).collect()
     }
     assert counts == {1: 5, 2: 4, 3: 3}
+
+
+def test_int8_rerank_equals_plain_ivf_at_full_depth(spark, sf_dir):
+    """With depth unbounded the int8 screen cuts nothing, so the composed
+    pipeline must return EXACTLY the plain-IVF result — the quantized
+    screen only selects candidates, never rescores survivors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    plain = S.cosine_topk_ivf(emb, q, k=5, n_centroids=16, nprobe=4).collect()
+    composed = S.cosine_topk_ivf_int8_rerank(
+        emb, q, "vec_id", "embedding", k=5, dim=64,
+        n_centroids=16, nprobe=4, depth=10**9,
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert {key(r): (r["neighbor_id"], round(r["cosine_sim"], 9)) for r in plain} == {
+        key(r): (r["neighbor_id"], round(r["cosine_sim"], 9)) for r in composed
+    }
+
+
+def test_int8_screen_preserves_ranking_geometry(spark, sf_dir):
+    """The quantized screen's whole value rests on int8 dots ordering
+    like float dots: at depth=50 the composed result must keep high
+    agreement with the plain-IVF top-k (quantization noise ~0.4% can
+    demote only near-boundary candidates)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    plain = {(r["query_id"], r["neighbor_id"])
+             for r in S.cosine_topk_ivf(emb, q, k=5, n_centroids=16, nprobe=4).collect()}
+    composed = {(r["query_id"], r["neighbor_id"])
+                for r in S.cosine_topk_ivf_int8_rerank(
+                    emb, q, "vec_id", "embedding", k=5, dim=64,
+                    n_centroids=16, nprobe=4, depth=50,
+                ).collect()}
+    assert len(plain & composed) / len(plain) >= 0.8

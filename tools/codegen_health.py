@@ -54,6 +54,7 @@ FAMILY = [
     # monitor run the Arrow assignment + unrolled PSI arithmetic
     "sim_matryoshka_rerank",
     "sim_matryoshka_ivf",
+    "sim_int8_rerank",
     "lakehouse_zorder_codes",
     "sim_ivf_index_filtered",
     "sim_embedding_drift",

@@ -295,6 +295,23 @@ def main() -> None:
 
     run_case("matryoshka_ivf", n5c, matryoshka_ivf)
 
+    # 5e3. int8 scalar-quantized screen over the same probe cut: probed
+    # candidates ship 8x smaller rows (int8 codes, not double arrays) to
+    # the screen; the exact rerank joins floats back for survivors only.
+    def int8_rerank():
+        from urban_traffic_data_lake_project_spark.operators.similarity import (
+            cosine_topk_ivf_int8_rerank,
+        )
+
+        corpus = synth_vectors(spark, n5c, dim=64)
+        queries = corpus.filter(F.col("vec_id") < 50)
+        return cosine_topk_ivf_int8_rerank(
+            corpus, queries, k=5, dim=64,
+            n_centroids=32, nprobe=4, depth=50,
+        )
+
+    run_case("int8_rerank", n5c, int8_rerank)
+
     # 5f. SemDeDup at 200k vectors, k=256 clusters: the quadratic bit is
     # per-cluster pairwise scoring (~n^2/k pairs/cluster x k) — the knob
     # that keeps it linear-ish at scale is k ~ n (paper: k ~ n/10k; here

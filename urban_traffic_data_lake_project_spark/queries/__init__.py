@@ -68,6 +68,7 @@ RECORD_WINDOW: tuple[str, ...] = (
     "win_time_range_rolling",
     # (b) born in round 8, never recorded (filled as queries land)
     "sim_matryoshka_ivf",
+    "sim_int8_rerank",
     "text_bpe_train",
     # (c) changed in round 8 — one representative per touched plan shape
     "sample_dsir",

@@ -700,6 +700,87 @@ FROM ranked WHERE rank <= 5
 """
 
 
+# ---------------------------------------------------------------------------
+# sim_int8_rerank — IVF probe cut -> INT8-quantized screen -> exact re-rank
+# (scalar quantization, the production 4x-bandwidth dial next to PQ). The
+# screen is integer arithmetic end-to-end (one global max-abs scale, int64
+# code dots, exactly-representable int->double conversion), so the oracle
+# replays it bit-for-bit with no float summation-order hazard.
+# ---------------------------------------------------------------------------
+def _int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = S.cosine_topk_ivf_int8_rerank(
+        emb, queries, "vec_id", "embedding",
+        k=5, dim=_EMB_DIM, n_centroids=16, nprobe=4, depth=_MRL_DEPTH,
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("cosine_sim", ROUND_STAT).alias("cosine_sim"), "rank",
+    )
+
+
+_INT8_RERANK_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+a AS (SELECT max(list_max(list_transform(e, x -> abs(x)))) AS s FROM v),
+cod AS (
+  SELECT vec_id,
+         list_transform(e, x -> CAST(floor(x * 127.0 / s + 0.5) AS BIGINT)) AS c8
+  FROM v, a),
+cents AS (
+  SELECT vec_id AS centroid_id, e AS ctv
+  FROM v ORDER BY vec_id LIMIT 16),
+c AS (SELECT vec_id AS neighbor_id, e AS cv FROM v),
+q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 10),
+assign AS (
+  SELECT neighbor_id, centroid_id FROM (
+    SELECT neighbor_id, centroid_id,
+           row_number() OVER (
+             PARTITION BY neighbor_id
+             ORDER BY {_prefix_cos_sql('cv', 'ctv', 64)} DESC, centroid_id) AS rn
+    FROM c, cents)
+  WHERE rn = 1),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT query_id, centroid_id,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY {_prefix_cos_sql('qv', 'ctv', 64)} DESC, centroid_id) AS rn
+    FROM q, cents)
+  WHERE rn <= 4),
+screened AS (
+  SELECT p.query_id, s.neighbor_id,
+         (list_sum(list_transform(range(1, 65), i -> cq.c8[i] * cn.c8[i]))::DOUBLE)
+           / (sqrt(list_sum(list_transform(cq.c8, x -> x * x))::DOUBLE)
+              * sqrt(list_sum(list_transform(cn.c8, x -> x * x))::DOUBLE)) AS qsim
+  FROM assign s
+  JOIN probes p ON s.centroid_id = p.centroid_id
+  JOIN cod cq ON cq.vec_id = p.query_id
+  JOIN cod cn ON cn.vec_id = s.neighbor_id
+  WHERE s.neighbor_id <> p.query_id),
+surv AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY qsim DESC, neighbor_id) AS rn
+    FROM screened)
+  WHERE rn <= {_MRL_DEPTH}),
+exact AS (
+  SELECT s.query_id, s.neighbor_id,
+         {_prefix_cos_sql('q.qv', 'c.cv', 64)} AS sim
+  FROM surv s
+  JOIN c ON c.neighbor_id = s.neighbor_id
+  JOIN q ON q.query_id = s.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM exact)
+SELECT query_id, neighbor_id, round(sim, {ROUND_STAT}) AS cosine_sim, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 _HARD_NEG_SQL = f"""
 WITH q AS (
   SELECT vec_id AS query_id, label AS ql, embedding::DOUBLE[] AS qv
@@ -2625,6 +2706,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "sim_matryoshka_ivf": QuerySpec(
         _matryoshka_ivf, _MRL_IVF_SQL,
         "IVF probe cut -> Matryoshka coarse screen -> exact re-rank (composed)",
+        ("similarity",),
+    ),
+    "sim_int8_rerank": QuerySpec(
+        _int8_rerank, _INT8_RERANK_SQL,
+        "IVF probe cut -> int8 scalar-quantized screen -> exact re-rank",
         ("similarity",),
     ),
     "sim_hard_negatives": QuerySpec(
