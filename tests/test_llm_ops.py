@@ -990,3 +990,20 @@ def test_int8_screen_preserves_ranking_geometry(spark, sf_dir):
                     n_centroids=16, nprobe=4, depth=50,
                 ).collect()}
     assert len(plain & composed) / len(plain) >= 0.8
+
+
+def test_int8_screen_zero_norm_sentinel(spark):
+    """A candidate whose every component quantizes to code 0 (all |x| <
+    A/254) must screen at the -2.0 sentinel on BOTH engines (Spark numpy
+    would produce -inf; DuckDB turns x/0.0 into NULL whose sort position
+    is a config knob) — i.e. it ranks below every real candidate but
+    never poisons the output with NULL/inf."""
+    rows = [(i, [float((i * 7 + j) % 11 - 5) for j in range(8)]) for i in range(20)]
+    rows.append((20, [1e-9] * 8))  # quantizes to all-zero codes
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = S.cosine_topk_ivf_int8_rerank(
+        df, df.filter(F.col("vec_id") == 0), "vec_id", "embedding",
+        k=20, dim=8, n_centroids=4, nprobe=4, depth=10**9,
+    ).collect()
+    assert all(abs(r["cosine_sim"]) <= 1.0 + 1e-9 for r in out)
+    assert len(out) >= 10  # probe cut keeps most of this tiny corpus

@@ -820,7 +820,11 @@ def _score_local_topk_int8_arrow(
             dots = (V * Q[qidx]).sum(axis=1)
             cn = np.sqrt((V * V).sum(axis=1).astype(np.float64))
             den = qn[qidx] * cn
-            sim = np.where(den > 0, dots.astype(np.float64) / den, -np.inf)
+            # zero-norm code vectors (every |x| < A/254) get an explicit
+            # -2.0 sentinel — below any cosine, and identical on both
+            # engines (Spark numpy would give -inf here but DuckDB turns
+            # x/0.0 into NULL, whose DESC sort position is a config knob)
+            sim = np.where(den > 0, dots.astype(np.float64) / den, -2.0)
             cur = prune(
                 pd.DataFrame(
                     {

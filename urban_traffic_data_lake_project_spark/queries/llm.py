@@ -750,9 +750,13 @@ probes AS (
   WHERE rn <= 4),
 screened AS (
   SELECT p.query_id, s.neighbor_id,
-         (list_sum(list_transform(range(1, 65), i -> cq.c8[i] * cn.c8[i]))::DOUBLE)
-           / (sqrt(list_sum(list_transform(cq.c8, x -> x * x))::DOUBLE)
-              * sqrt(list_sum(list_transform(cn.c8, x -> x * x))::DOUBLE)) AS qsim
+         CASE WHEN sqrt(list_sum(list_transform(cq.c8, x -> x * x))::DOUBLE)
+                   * sqrt(list_sum(list_transform(cn.c8, x -> x * x))::DOUBLE) = 0
+              THEN -2.0
+              ELSE (list_sum(list_transform(range(1, 65), i -> cq.c8[i] * cn.c8[i]))::DOUBLE)
+                   / (sqrt(list_sum(list_transform(cq.c8, x -> x * x))::DOUBLE)
+                      * sqrt(list_sum(list_transform(cn.c8, x -> x * x))::DOUBLE))
+         END AS qsim
   FROM assign s
   JOIN probes p ON s.centroid_id = p.centroid_id
   JOIN cod cq ON cq.vec_id = p.query_id
