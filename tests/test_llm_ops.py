@@ -1007,3 +1007,27 @@ def test_int8_screen_zero_norm_sentinel(spark):
     ).collect()
     assert all(abs(r["cosine_sim"]) <= 1.0 + 1e-9 for r in out)
     assert len(out) >= 10  # probe cut keeps most of this tiny corpus
+
+
+def test_ivfpq_filtered_search_pushes_predicate_and_matches_labels(spark, sf_dir):
+    """Filtered search on the COMPRESSED index: every neighbor carries
+    the requested label, and the predicate reaches the probed-partition
+    postings scan (PushedFilters) so non-matching bytes are pruned
+    before any ADC arithmetic — the raw-index twin's contract at the
+    compressed footprint."""
+    from urban_traffic_data_lake_project_spark.queries.llm import (
+        _IVF_FLT_LABEL,
+        _ivfpq_index_filtered,
+    )
+
+    out = _ivfpq_index_filtered(spark, sf_dir)
+    rows = out.collect()
+    assert rows, "filtered compressed search returned nothing"
+    labels = dict(
+        (r["vec_id"], r["label"])
+        for r in load_table(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    )
+    assert all(labels[r["corpus_id"]] == _IVF_FLT_LABEL for r in rows)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "label" in plan.split("PushedFilters", 1)[1][:300]

@@ -57,6 +57,7 @@ FAMILY = [
     "sim_int8_rerank",
     "lakehouse_zorder_codes",
     "sim_ivf_index_filtered",
+    "sim_ivfpq_index_filtered",
     "sim_embedding_drift",
     "sim_ivfpq_index_trained",
 ]

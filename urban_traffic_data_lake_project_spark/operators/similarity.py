@@ -2266,6 +2266,7 @@ def build_ivfpq_index(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     train_iters: int = 0,
+    meta_cols: tuple = (),
 ) -> list:
     """Build and persist the COMPRESSED index — IVF postings that store
     m PQ codes per vector instead of the raw floats (64 float32 -> 8
@@ -2289,14 +2290,20 @@ def build_ivfpq_index(
         )
     else:
         entries = centroid_entries(corpus, id_col, vec_col, n_centroids)
+    # meta_cols ride the postings row (label/domain/source — whatever
+    # query-time predicates need), exactly like build_ivf_index: FILTERED
+    # compressed search then pushes the predicate into the postings scan
+    # (see query_ivfpq_index(where=...))
     c = spread_to_parallelism(corpus).select(
-        F.col(id_col).alias("corpus_id"), _as_double(F.col(vec_col)).alias("__v")
+        F.col(id_col).alias("corpus_id"),
+        *meta_cols,
+        _as_double(F.col(vec_col)).alias("__v"),
     ).withColumn("__n", _norm(F.col("__v")))
     assigned = with_nearest_centroids(c, "__v", "__n", entries, 1, "__cids").select(
-        "corpus_id", "__v", F.explode("__cids").alias("centroid_id")
+        "corpus_id", *meta_cols, "__v", F.explode("__cids").alias("centroid_id")
     )
     enc = pq_encode(assigned, "corpus_id", "__v", codebooks, codes_col="codes").select(
-        "corpus_id", "centroid_id", "codes"
+        "corpus_id", *meta_cols, "centroid_id", "codes"
     )
     enc.withColumn("ingest_batch", F.lit(-1)).repartition(
         "centroid_id"
@@ -2327,13 +2334,19 @@ def query_ivfpq_index(
     vec_col: str = "embedding",
     nprobe: int = 4,
     k_top: int = 5,
+    where: str | None = None,
 ) -> DataFrame:
     """Query the compressed persisted index: probe the sidecar
     centroids, scan ONLY the probed postings partitions (the codes are
     all that's read — the scan is both partition-pruned AND narrow), and
     score by ADC with per-query LUTs shipped as a broadcast column —
     arithmetic identical to the live ``ivfpq_topk``, so results are
-    bit-identical to a fresh run over the raw corpus."""
+    bit-identical to a fresh run over the raw corpus.
+
+    ``where`` filters on metadata columns persisted at build time
+    (``build_ivfpq_index(meta_cols=...)``); applied directly to the
+    postings scan so it lands in PushedFilters — bytes are pruned
+    BEFORE any ADC arithmetic, same shape as ``query_ivf_index``."""
     import json
     import os
 
@@ -2378,6 +2391,8 @@ def query_ivfpq_index(
     postings = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
         F.col("centroid_id").isin(probed)
     )
+    if where is not None:
+        postings = postings.filter(F.expr(where))
     cand = postings.join(F.broadcast(probes), "centroid_id").join(
         F.broadcast(lut_df), "query_id"
     )

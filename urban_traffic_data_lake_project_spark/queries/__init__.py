@@ -69,6 +69,7 @@ RECORD_WINDOW: tuple[str, ...] = (
     # (b) born in round 8, never recorded (filled as queries land)
     "sim_matryoshka_ivf",
     "sim_int8_rerank",
+    "sim_ivfpq_index_filtered",
     "text_bpe_train",
     # (c) changed in round 8 — one representative per touched plan shape
     "sample_dsir",

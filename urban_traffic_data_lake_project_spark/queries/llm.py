@@ -2406,6 +2406,71 @@ def _ivfpq_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sim_ivfpq_index_filtered — FILTERED search on the COMPRESSED persisted
+# index: metadata (label) rides the PQ-code postings rows, and the
+# query-time predicate lands in the probed-partition postings SCAN
+# (PushedFilters) — the production "search within a slice" shape at the
+# compressed footprint (sim_ivf_index_filtered is its raw-vector twin).
+# Bytes are pruned BEFORE any ADC arithmetic. Oracle = the IVFPQ ADC
+# replay with the label filter applied to the candidate set.
+# ---------------------------------------------------------------------------
+_IVFPQ_FLT_DIRS: dict[str, str] = {}
+
+
+def _cleanup_ivfpq_flt_dirs() -> None:
+    import shutil
+
+    for d in _IVFPQ_FLT_DIRS.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _IVFPQ_FLT_DIRS.clear()
+
+
+def _ivfpq_index_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import tempfile
+
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    key = f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
+    d = _IVFPQ_FLT_DIRS.get(key)
+    if d is None:
+        if not _IVFPQ_FLT_DIRS:
+            atexit.register(_cleanup_ivfpq_flt_dirs)
+        d = tempfile.mkdtemp(prefix="spark_graft_ivfpq_flt_index_")
+        emb, cb = _pq_cb(spark, sf_dir)
+        S.build_ivfpq_index(
+            emb, d, cb, "vec_id", "embedding",
+            n_centroids=_IVFPQ_CENTROIDS, meta_cols=("label",),
+        )
+        _IVFPQ_FLT_DIRS[key] = d
+    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    return S.query_ivfpq_index(
+        spark, d, queries, "vec_id", "embedding",
+        nprobe=_IVFPQ_NPROBE, k_top=_PQ_TOPK,
+        where=f"label = {_IVF_FLT_LABEL}",
+    )
+
+
+# the ADC replay with a label slice: lbl defined up front (CTEs may only
+# reference earlier CTEs), the candidate set restricted before grouping
+_IVFPQ_FILTERED_CTES = _IVFPQ_CTES.replace(
+    "cents AS (",
+    f"lbl AS (SELECT vec_id FROM embeddings WHERE label = {_IVF_FLT_LABEL}),\ncents AS (",
+    1,
+).replace(
+    "JOIN q ON q.query_id = p.query_id",
+    "JOIN q ON q.query_id = p.query_id\n  JOIN lbl ON lbl.vec_id = a.vec_id",
+    1,
+)
+
+_IVFPQ_FILTERED_SQL = f"""
+WITH {_IVFPQ_FILTERED_CTES}
+SELECT query_id, corpus_id, adc_dist, rank
+FROM ranked WHERE rank <= {_PQ_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # sim_ivfpq_index_trained — the compressed persisted index with a TRAINED
 # coarse quantizer (spherical k-means, the production FAISS IVFx,PQy
 # shape): kmeans-refined centroids bucket the postings, PQ codes store the
@@ -2750,6 +2815,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "sim_ivfpq_index_trained": QuerySpec(
         _ivfpq_index_trained, _ivfpq_index_trained_sql(),
         "persisted IVF-PQ with k-means-trained coarse quantizer (FAISS production shape)",
+        ("similarity", "lakehouse", "defer"),
+    ),
+    "sim_ivfpq_index_filtered": QuerySpec(
+        _ivfpq_index_filtered, _IVFPQ_FILTERED_SQL,
+        "filtered search on the compressed index: predicate in the postings scan",
         ("similarity", "lakehouse", "defer"),
     ),
     "sim_ivfpq_recall": QuerySpec(
