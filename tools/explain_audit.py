@@ -21,6 +21,7 @@ from urban_traffic_data_lake_project_spark.session import get_spark  # noqa: E40
 # Audited beyond the bench set: new-surface queries whose scale posture
 # (broadcasts, shuffle-free projections, bounded windows) the plan proves.
 AUDIT_EXTRA: tuple[str, ...] = (
+    "sim_ivfpq_index_filtered",
     "decontam_eval_overlap",
     "sketch_hll_distinct",
     "curation_pack_sequences",

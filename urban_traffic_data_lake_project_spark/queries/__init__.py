@@ -92,6 +92,7 @@ RECORD_WINDOW: tuple[str, ...] = (
     "ml_naive_bayes_lang",
     "variant_extract_events",
     "stream_dedup_within_watermark",
+    "lakehouse_cdc_diff",
 )
 
 
