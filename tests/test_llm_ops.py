@@ -385,6 +385,20 @@ def test_bpe_counts_match_cleanroom_python(spark):
     # the reported pair frequency is the clean-room count at merge time
     assert all(cnt > 0 for _, _, cnt in learned)
 
+    # encode: the exact token SEQUENCE fingerprint matches the clean-room
+    # tokenization in document word order
+    import hashlib
+
+    enc = {
+        r["doc_id"]: (r["n_tokens"], r["token_fp"])
+        for r in T.bpe_encode(df, "doc_id", "text", num_merges=num_merges).collect()
+    }
+    for doc_id, t in corpus:
+        ws = [w for w in norm(t).split() if w]
+        stream = " ".join(tok for w in ws for tok in syms[w])
+        want_fp = hashlib.md5(stream.encode()).hexdigest()
+        assert enc[doc_id] == (sum(len(syms[w]) for w in ws), want_fp), doc_id
+
 
 def test_kmeans_centroids_tighten_buckets(spark, sf_dir):
     """Lloyd rounds must not hurt: mean within-cluster cosine (to the

@@ -517,6 +517,67 @@ def bpe_token_counts(
     )
 
 
+def bpe_encode(
+    df: DataFrame, id_col: str, text_col: str, num_merges: int = 12
+) -> DataFrame:
+    """Tokenize every document with the corpus-trained BPE — the encode
+    step a tokenizer build ships alongside its merge table. Returns
+    (id, n_words, n_tokens, token_fp) where ``token_fp`` is the md5 of
+    the space-joined token stream in DOCUMENT WORD ORDER, so the
+    fingerprint pins the exact token sequence (ids and counts alone
+    cannot distinguish reordered tokenizations).
+
+    Scale shape: training is ``bpe_train`` (one corpus pass + vocab-table
+    rounds); encoding joins the tiny word->tokens table (broadcast) to
+    the posexploded corpus words, then rebuilds each document's stream
+    with the order-free ``array_sort(collect_list(struct(pos, toks)))``
+    idiom — no order-sensitive aggregation anywhere (the r4
+    ``string_agg ORDER BY`` lesson)."""
+    _, symtab = bpe_train(df, text_col, num_merges)
+    syms = _bpe_symbols("sym")
+    wordtok = symtab.select(
+        "word",
+        F.array_join(syms, " ").alias("__toks"),
+        F.size(syms).alias("__n_sub"),
+    )
+    doc_words = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.split(normalize_text(F.col(text_col)), " "), lambda x: x != ""
+            )
+        ).alias("__pos", "word"),
+    )
+    per_doc = (
+        doc_words.join(F.broadcast(wordtok), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__n_sub").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("__pos", "__toks"))),
+                        lambda s: s["__toks"],
+                    ),
+                    " ",
+                )
+            ).alias("token_fp"),
+        )
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_words", zero).alias("n_words"),
+            F.coalesce(F.col("n_tokens").cast("bigint"), zero).alias("n_tokens"),
+            F.coalesce("token_fp", F.md5(F.lit(""))).alias("token_fp"),
+        )
+    )
+
+
 def bigram_logprob(
     df: DataFrame,
     id_col: str,

@@ -71,6 +71,7 @@ RECORD_WINDOW: tuple[str, ...] = (
     "sim_int8_rerank",
     "sim_ivfpq_index_filtered",
     "text_bpe_train",
+    "text_bpe_encode",
     # (c) changed in round 8 — one representative per touched plan shape
     "sample_dsir",
     "sample_temperature_mix",
@@ -92,7 +93,6 @@ RECORD_WINDOW: tuple[str, ...] = (
     "ml_naive_bayes_lang",
     "variant_extract_events",
     "stream_dedup_within_watermark",
-    "lakehouse_cdc_diff",
 )
 
 

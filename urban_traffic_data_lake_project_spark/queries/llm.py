@@ -432,6 +432,48 @@ SELECT * FROM (
 
 
 # ---------------------------------------------------------------------------
+# text_bpe_encode — full tokenization under the corpus-trained BPE: each
+# document's exact token SEQUENCE is pinned by an md5 fingerprint of the
+# space-joined token stream in word order (counts alone cannot
+# distinguish reordered tokenizations). Completes the tokenizer chain:
+# text_bpe_train (merge table) -> text_bpe_tokens (counts) -> encode.
+# ---------------------------------------------------------------------------
+def _text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bpe_encode(docs, "doc_id", "text", num_merges=_BPE_MERGES)
+
+
+_TEXT_BPE_ENCODE_SQL = f"""
+WITH {_bpe_train_ctes(_BPE_MERGES)},
+wt AS (
+  SELECT word,
+         array_to_string(list_filter(string_split(sym, '|'), x -> x != ''), ' ') AS toks,
+         len(list_filter(string_split(sym, '|'), x -> x != '')) AS n_sub
+  FROM w{_BPE_MERGES}),
+dw AS (
+  SELECT doc_id, t.i AS pos, arr[t.i] AS w
+  FROM (SELECT doc_id,
+               list_filter(string_split({_NORM.format(c='text')}, ' '), x -> x != '') AS arr
+        FROM documents),
+       LATERAL unnest(range(1, len(arr) + 1)) AS t(i)),
+per AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_words,
+         sum(n_sub)::BIGINT AS n_tokens,
+         md5(array_to_string(
+             list_transform(list_sort(list(struct_pack(pos := pos, toks := toks))),
+                            s -> s.toks), ' ')) AS token_fp
+  FROM dw JOIN wt ON wt.word = dw.w
+  GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(per.n_words, 0) AS n_words,
+       coalesce(per.n_tokens, 0) AS n_tokens,
+       coalesce(per.token_fp, md5('')) AS token_fp
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup_simhash — 32-bit SimHash sketch per document
 # ---------------------------------------------------------------------------
 _SIMHASH_BITS = 32
@@ -2712,6 +2754,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "text_bpe_train": QuerySpec(
         _text_bpe_train, _TEXT_BPE_TRAIN_SQL,
         "the learned BPE merge table: step, pair, merged symbol, pair frequency",
+        ("text", "curation"),
+    ),
+    "text_bpe_encode": QuerySpec(
+        _text_bpe_encode, _TEXT_BPE_ENCODE_SQL,
+        "full BPE tokenization: per-doc token counts + exact-sequence fingerprint",
         ("text", "curation"),
     ),
     "text_bpe_tokens": QuerySpec(
