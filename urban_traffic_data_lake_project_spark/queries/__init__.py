@@ -22,77 +22,76 @@ from urban_traffic_data_lake_project_spark.queries.base import QuerySpec
 # registration order. Every oracle query has at least one driver-recorded
 # green row; the rotation policy is freshness-first (since r6): the
 # window carries (a) the entire least-recently-recorded vintage — after
-# the r7 recording that is the 26 r4-vintage queries, (b) every
-# never-recorded query (the r8-borns), and (c) changed-THIS-round
-# implementations — round 8 touched the DSIR fit (scoped
-# InferFiltersFromGenerate exclusion), temperature mixing (pow-rounding
-# parity), the trained persisted IVF-PQ (hash-sampled k-means), the
-# Arrow scorers' id dtype derivation (cosine_topk_ivf /
-# dedup_embedding_cosine reps), and the Matryoshka rerank (IVF-composed
-# prefilter). Remaining slots prepay the next-oldest (r5) vintage,
-# doubling as sentinels: the two historically driver-red queries
-# (text_boilerplate_lines, quality_expectations), the curation flagship,
-# and the heavy sketch/lakehouse/stream reps. The rest of the r5 vintage
-# is covered by this round's full check_oracle --strict sweep. The
-# freshness contract is enforced by
+# the r8 recording that is the 30 r5-vintage queries, (b) every
+# never-recorded query (r9-borns, filled as they land), (c)
+# changed-THIS-round implementations — round 9 touches the Matryoshka
+# coarse screen (zero-norm sentinel, ADVICE r8), the int8 rerank
+# (empty-corpus guard + index-persisted scale), the BPE merge loop
+# (checkpointed symbol column, kills the O(merges²) plan growth), and
+# the two perf-bisect targets (dedup_embedding_srp, sim_ivfpq_topk) —
+# and (d) sentinels (historic driver-reds, the curation flagship, the
+# heavy sketch rep) plus r6-vintage prepay for the remaining slots. The
+# rest of the r6 vintage is covered by this round's full check_oracle
+# --strict sweep. Pinning happens at round START (r8 verdict item 1) so
+# the repo is never left red after the driver records. The freshness
+# contract is enforced by
 # tests/test_core_queries.py::test_registry_driver_window_contract,
-# which since r8 discovers recorded rounds by GLOB (no hardcoded round
-# list to rot). Full ledger: COVERAGE.md.
+# which discovers recorded rounds by GLOB (no hardcoded round list to
+# rot). Full ledger: COVERAGE.md.
 RECORD_WINDOW: tuple[str, ...] = (
-    # (a) the full r4 vintage — least-recently-recorded queries alive
-    "agg_incremental_maintenance",
-    "agg_mad_pandas_udaf",
-    "audio_features",
-    "audio_frame_energy",
-    "core_histogram",
-    "dedup_containment",
-    "dedup_substring_spans",
-    "events_anomaly_zscore",
-    "gif_frame_index",
-    "image_near_dup",
-    "join_fuzzy_blocked",
-    "merge_asof_directions",
-    "merge_interval_overlap",
-    "privacy_k_anonymity",
-    "scd2_user_history",
-    "stream_bounded_recent_stats",
-    "stream_dedup_redelivery",
-    "stream_interval_join_outer",
-    "stream_static_enrich",
-    "text_bigram_logprob",
-    "text_bpe_tokens",
-    "text_inverted_index",
-    "text_strip_markup",
-    "udtf_keyword_context",
-    "win_funnel_steps",
-    "win_time_range_rolling",
-    # (b) born in round 8, never recorded (filled as queries land)
+    # (a) the full r5 vintage — least-recently-recorded queries alive
+    "analytics_rfm_segments",
+    "core_equidepth_histogram",
+    "core_grand_aggs",
+    "core_pricing_summary",
+    "corpus_datacard",
+    "curation_source_quality",
+    "decontam_embedding",
+    "dedup_cluster_sizes",
+    "dedup_embedding_srp_auto",
+    "events_cohort_retention",
+    "events_cooccurrence_lift",
+    "events_markov_transitions",
+    "events_seasonality",
+    "join_bucketed_colocated",
+    "lakehouse_cdc_diff",
+    "multimodal_pixels",
+    "profile_functional_deps",
+    "sample_leakage_safe_split",
+    "sketch_hist_quantiles",
+    "sketch_kmv_rollup",
+    "sketch_kmv_setops",
+    "source_python_datasource",
+    "stream_sketch_quantiles",
+    "table_diff_unkeyed",
+    "text_profile",
+    "text_zipf_fit",
+    "udf_surface",
+    "video_frame_index",
+    "win_ewma",
+    "win_resample_ffill",
+    # (b) born in round 9, never recorded (filled as queries land)
+    # (c) changed in round 9 — one representative per touched plan shape
     "sim_matryoshka_ivf",
     "sim_int8_rerank",
-    "sim_ivfpq_index_filtered",
     "text_bpe_train",
     "text_bpe_encode",
-    # (c) changed in round 8 — one representative per touched plan shape
-    "sample_dsir",
-    "sample_temperature_mix",
-    "sim_ivfpq_index_trained",
-    "sim_cosine_topk_ivf",
-    "dedup_embedding_cosine",
-    "sim_matryoshka_rerank",
-    # (d) r5-vintage prepay + sentinels (historic reds, heavy reps)
+    "dedup_embedding_srp",
+    "sim_ivfpq_topk",
+    # (d) sentinels (historic reds, heavy reps) + r6-vintage prepay
     "text_boilerplate_lines",
     "quality_expectations",
-    "sketch_cm_heavy_hitters",
     "curation_pipeline",
-    "dedup_embedding_srp",
-    "lakehouse_merge_upsert",
-    "lakehouse_time_travel",
-    "core_join_snowflake",
-    "text_bm25_topk",
-    "events_drift_psi",
-    "ml_naive_bayes_lang",
-    "variant_extract_events",
-    "stream_dedup_within_watermark",
+    "sketch_cm_heavy_hitters",
+    "clean_full_kernel",
+    "core_corr_matrix",
+    "sim_ivfpq_index_persisted",
+    "sim_cosine_topk_ivf_trained",
+    "text_hybrid_rrf",
+    "win_rollup_cube",
+    "stream_interval_join",
+    "ml_logistic_irls",
+    "json_extract_events",
 )
 
 
