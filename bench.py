@@ -110,6 +110,30 @@ BENCH_QUERIES: tuple[str, ...] = (
 )
 
 
+def run_canary(spark, sf_dir: str) -> float:
+    """Fixed pure-CPU reference workload (r8 verdict item 2): a seeded
+    integer-hash checksum over ``spark.range`` (codegen-compiled, zero IO)
+    plus one small fixed-parquet aggregate (scan + hash-agg path). Timed
+    before and after the measured queries and recorded in the artifact, so
+    round-over-round deltas can be normalized by what THIS box ran the SAME
+    workload in — separating ambient load from code regressions (the r7/r8
+    comparison was unadjudicable without it). Median of 3 runs; the caller
+    warms it once first."""
+    from urban_traffic_data_lake_project_spark.sources import load_table
+
+    samples: list[float] = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, 20_000_000, 1, 32).selectExpr(
+            "sum((id * 2654435761) % 1000000007) as s"
+        ).collect()
+        load_table(spark, sf_dir, "lineitem").selectExpr(
+            "sum(l_quantity) as q", "count(*) as n"
+        ).collect()
+        samples.append(time.time() - t0)
+    return round(sorted(samples)[1], 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
@@ -136,6 +160,10 @@ def main() -> None:
     load_wait = round(time.time() - wait_start, 1)
 
     load_before = os.getloadavg()
+
+    # environment canary: warm once (codegen + footer cache), then time
+    run_canary(spark, sf_dir)
+    canary_before = run_canary(spark, sf_dir)
 
     names = [n for n in BENCH_QUERIES if n in REGISTRY]
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "6"))
@@ -203,6 +231,8 @@ def main() -> None:
             [f"trimmed={trimmed}"] if trimmed else []
         )
 
+    canary_after = run_canary(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -223,6 +253,12 @@ def main() -> None:
                 # loaded machine is visible in the artifact itself
                 "repeats_measured": repeats - 1,
                 "queries_minmax": spread,
+                # pure-CPU reference workload timed before/after the
+                # measured queries — divide a query's round-over-round
+                # ratio by the canary ratio to separate box drift from
+                # code regressions (r8 verdict item 2)
+                "canary_before_sec": canary_before,
+                "canary_after_sec": canary_after,
                 "loadavg_wait_sec": load_wait,
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],
