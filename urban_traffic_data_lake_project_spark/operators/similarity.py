@@ -256,12 +256,30 @@ def _score_local_topk_arrow(
                 if integral_ids
                 else np.asarray(raw_ids, dtype=qids_sorted.dtype)
             )
-            qidx = sort_idx[np.searchsorted(qids_sorted, batch_ids)]
+            # searchsorted is only valid when every candidate id exists in
+            # the collected query set (the join invariant: candidates are
+            # born by joining against the probes). Turn a broken invariant
+            # into a loud error instead of a silent wrong-row lookup
+            # (ADVICE r8): clip, then verify the round-trip.
+            pos = np.clip(
+                np.searchsorted(qids_sorted, batch_ids), 0, len(qids_sorted) - 1
+            )
+            if not (qids_sorted[pos] == batch_ids).all():
+                raise ValueError(
+                    "candidate query_id absent from the collected query set"
+                )
+            qidx = sort_idx[pos]
             Qr = Q[qidx]
             acc = np.zeros(n, dtype=np.float64)
             for i in range(dim):
                 acc = acc + Qr[:, i] * V[:, i]
-            sim = acc / (qn[qidx] * cn)
+            den = qn[qidx] * cn
+            # zero-norm vectors (e.g. an all-zero d_coarse prefix under the
+            # Matryoshka screen) get an explicit -2.0 sentinel — below any
+            # cosine and identical on both engines (numpy would emit
+            # NaN/inf here while DuckDB turns x/0.0 into NULL, whose DESC
+            # sort position is a config knob) — same guard as the int8 twin
+            sim = np.where(den > 0, acc / den, -2.0)
             cur = prune(
                 pd.DataFrame(
                     {
@@ -521,12 +539,17 @@ def cosine_topk_coarse_rerank(
     )
     # stage 1: prefix-dim cosine on every pair; same expression-scorer +
     # partition-local-prune shape as cosine_topk, just on d_coarse dims
+    # zero-norm d_coarse prefixes (an all-zero leading block is plausible
+    # even for a nonzero vector) get the -2.0 sentinel — below any cosine
+    # and identical on both engines (ADVICE r8; same guard as the Arrow
+    # scorer and the int8 screen)
+    coarse_den = _norm("__qv", d_coarse) * _norm("__cv", d_coarse)
     coarse = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine_sim",
-            _dot("__qv", "__cv", d_coarse)
-            / (_norm("__qv", d_coarse) * _norm("__cv", d_coarse)),
+            F.when(coarse_den > 0, _dot("__qv", "__cv", d_coarse) / coarse_den)
+            .otherwise(F.lit(-2.0)),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -723,7 +746,10 @@ def cosine_topk_ivf_int8_rerank(
     a_row = c.agg(
         F.max(F.array_max(F.transform("__cv", lambda x: F.abs(x)))).alias("a")
     ).collect()[0]
-    scale = float(a_row["a"]) or 1.0
+    # an empty corpus aggregates to NULL — degrade to the same empty
+    # result the sibling paths return instead of float(None) (ADVICE r8)
+    scale = float(a_row["a"]) if a_row["a"] is not None else 1.0
+    scale = scale or 1.0
 
     q8 = lambda v: F.transform(  # noqa: E731
         v, lambda x: F.floor(x * 127.0 / F.lit(scale) + 0.5).cast("long")
@@ -988,8 +1014,8 @@ def kmeans_centroids(
     ).withColumn("__n", _norm(F.col("__v")))
     if sampled and iters > 1:
         # the sample is bounded (<= cap rows): persist it so each Lloyd
-        # round reuses the materialized sample instead of re-running the
-        # TakeOrdered heap pass over the corpus
+        # round reuses the materialized sample instead of re-scanning the
+        # full corpus and re-evaluating the hash-range filter
         v = v.persist()
     for _ in range(iters):
         assigned = with_nearest_centroids(v, "__v", "__n", entries, 1, "__cids").select(

@@ -638,12 +638,23 @@ def _prefix_cos_sql(a: str, b: str, d: int) -> str:
     return f"{dot} / ({na} * {nb})"
 
 
+def _prefix_cos_sql_guarded(a: str, b: str, d: int) -> str:
+    """Zero-denominator-guarded prefix cosine — mirrors the Spark coarse
+    screens' -2.0 sentinel (ADVICE r8): an all-zero d-dim prefix yields
+    NaN/inf in Spark's numpy/expression forms but NULL in DuckDB's x/0.0,
+    so both engines pin it to -2.0 (below any cosine) instead."""
+    dot = f"list_sum(list_transform(range(1, {d} + 1), i -> {a}[i] * {b}[i]))"
+    na = f"sqrt(list_sum(list_transform(range(1, {d} + 1), i -> {a}[i] * {a}[i])))"
+    nb = f"sqrt(list_sum(list_transform(range(1, {d} + 1), i -> {b}[i] * {b}[i])))"
+    return f"CASE WHEN {na} * {nb} = 0 THEN -2.0 ELSE {dot} / ({na} * {nb}) END"
+
+
 _MRL_RERANK_SQL = f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
 coarse AS (
   SELECT q.query_id, c.vec_id AS neighbor_id,
-         {_prefix_cos_sql('q.qe', 'c.e', _MRL_COARSE_DIMS)} AS csim
+         {_prefix_cos_sql_guarded('q.qe', 'c.e', _MRL_COARSE_DIMS)} AS csim
   FROM v c, q WHERE c.vec_id <> q.query_id),
 surv AS (
   SELECT query_id, neighbor_id FROM (
@@ -716,7 +727,7 @@ probes AS (
   WHERE rn <= 4),
 coarse AS (
   SELECT p.query_id, a.neighbor_id,
-         {_prefix_cos_sql('p.qv', 'a.cv', _MRL_COARSE_DIMS)} AS csim
+         {_prefix_cos_sql_guarded('p.qv', 'a.cv', _MRL_COARSE_DIMS)} AS csim
   FROM assign a JOIN probes p ON a.centroid_id = p.centroid_id
   WHERE a.neighbor_id <> p.query_id),
 surv AS (

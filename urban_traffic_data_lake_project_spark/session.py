@@ -51,7 +51,15 @@ _DEFAULTS: dict[str, str] = {
 }
 
 
+import threading
 from contextlib import contextmanager
+
+from pyspark.errors import SparkNoSuchElementException
+
+_EXCLUDED_RULES_LOCK = threading.Lock()
+# unset confs raise SparkNoSuchElementException (SQL_CONF_NOT_FOUND) in
+# PySpark 4; KeyError covers testing doubles
+_MISSING_CONF_ERRORS = (SparkNoSuchElementException, KeyError)
 
 
 @contextmanager
@@ -69,21 +77,35 @@ def excluded_optimizer_rules(spark: SparkSession, *rules: str):
     explode; this context keeps the exclusion scoped to the plan that
     needs it. The conf is read at optimization time, so wrapping the
     action (collect/write) is sufficient.
+
+    CONCURRENCY (ADVICE r8): the exclusion mutates the SESSION-wide conf,
+    so a query planned concurrently on another thread of the same
+    SparkSession also loses the rule while the context is open. A lock
+    serializes concurrent *uses of this context* against each other
+    (nested/parallel contexts can no longer clobber each other's
+    restore); a thread planning OUTSIDE any context still sees the
+    temporary exclusion — acceptable because exclusions are
+    semantics-preserving (plan shape, never results). Cross-session
+    isolation would need ``spark.newSession()`` per thread.
     """
     key = "spark.sql.optimizer.excludedRules"
-    try:
-        prev = spark.conf.get(key)
-    except Exception:
-        prev = None
-    merged = ",".join(([prev] if prev else []) + list(rules))
-    spark.conf.set(key, merged)
-    try:
-        yield
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
+    with _EXCLUDED_RULES_LOCK:
+        try:
+            prev = spark.conf.get(key)
+        except _MISSING_CONF_ERRORS:
+            # missing key only — a transient RPC/session failure must
+            # raise, not masquerade as prev=None and clobber a user-set
+            # exclusion list on exit (ADVICE r8)
+            prev = None
+        merged = ",".join(([prev] if prev else []) + list(rules))
+        spark.conf.set(key, merged)
+        try:
+            yield
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
 
 
 def get_spark(
