@@ -972,6 +972,36 @@ def test_bpe_merge_respects_symbol_boundaries(spark):
     assert counts == {1: 5, 2: 4, 3: 3}
 
 
+def test_bpe_checkpoint_path_is_bit_identical(spark, monkeypatch):
+    """The merge loop's lineage truncation (r8 verdict item 4: eager
+    localCheckpoint every _BPE_CHECKPOINT_EVERY merges, bounding the live
+    replace chain) is a pure execution-strategy change: forcing a
+    checkpoint every 3 merges must learn the SAME merges and produce the
+    SAME symbol table as the unbounded chain."""
+    import urban_traffic_data_lake_project_spark.operators.text as text_mod
+
+    df = spark.createDataFrame(
+        [
+            (1, "low lower lowest low low newer"),
+            (2, "new newer newest new lower wide"),
+            (3, "wider wide widest new low lowest"),
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(text_mod, "_BPE_CHECKPOINT_EVERY", 10_000)
+    m_plain, t_plain = T.bpe_train(df, "text", num_merges=10)
+    s_plain = sorted((r["word"], r["freq"], r["sym"]) for r in t_plain.collect())
+    monkeypatch.setattr(text_mod, "_BPE_CHECKPOINT_EVERY", 3)
+    m_ckpt, t_ckpt = T.bpe_train(df, "text", num_merges=10)
+    s_ckpt = sorted((r["word"], r["freq"], r["sym"]) for r in t_ckpt.collect())
+    assert m_ckpt == m_plain
+    assert s_ckpt == s_plain
+    # and the checkpointed table's plan is lineage-truncated: no replace
+    # chain deeper than the residual (10 % 3 = 1) survives in the plan
+    plan = t_ckpt._jdf.queryExecution().analyzed().toString()
+    assert plan.count("replace(") <= 1
+
+
 def test_int8_rerank_equals_plain_ivf_at_full_depth(spark, sf_dir):
     """With depth unbounded the int8 screen cuts nothing, so the composed
     pipeline must return EXACTLY the plain-IVF result — the quantized

@@ -426,6 +426,12 @@ def _bpe_symbols(sym_col: str) -> F.Column:
     return F.filter(F.split(sym_col, "[|]"), lambda x: x != "")
 
 
+# Materialize the BPE symbol table after this many stacked merges: bounds
+# the live replace-chain depth (plan size, per-round re-evaluation cost) at
+# K while costing one bounded vocab-table job per K rounds.
+_BPE_CHECKPOINT_EVERY = 32
+
+
 def bpe_train(
     df: DataFrame, text_col: str, num_merges: int = 12
 ) -> tuple[list, DataFrame]:
@@ -443,9 +449,24 @@ def bpe_train(
 
     The word table is PERSISTED before the loop: without it every round's
     pair-count job would re-execute the corpus explode + aggregation —
-    num_merges full corpus scans instead of one. The replace chain itself
-    re-evaluates per round, but over the cached vocabulary rows."""
+    num_merges full corpus scans instead of one.
+
+    Plan growth (r8 verdict item 4): naively each round stacks one more
+    ``replace`` onto ``sym``'s expression chain and every later round
+    re-evaluates the WHOLE chain over the vocab — O(num_merges^2)
+    expression work and an ever-deeper plan that hits an analysis-time /
+    plan-size cliff at real tokenizer vocab (30k+ merges). The loop
+    therefore MATERIALIZES the symbol table every ``_BPE_CHECKPOINT_EVERY``
+    rounds with an eager ``localCheckpoint`` (lineage truncated to the
+    materialized rows; executor-local storage — the right durability
+    trade for a driver-coordinated fit loop), so the live chain is
+    bounded at K replaces and total work is O(K * num_merges) — linear in
+    merges for fixed K. Measured at num_merges=256 on sf0.01: 3.9x
+    faster than the unbounded chain with flat per-round cost
+    (SCALING.md)."""
     cur = bpe_word_table(df, text_col).persist()
+    pinned = cur  # currently-materialized base (persisted or checkpointed)
+    depth = 0  # replaces stacked since the last materialization
     merges: list[tuple[str, str, int]] = []
     for _ in range(num_merges):
         s = cur.select("freq", _bpe_symbols("sym").alias("__s"))
@@ -475,6 +496,11 @@ def bpe_train(
             "sym",
             F.replace(F.col("sym"), F.lit(f"|{pa}||{pb}|"), F.lit(f"|{pa}{pb}|")),
         )
+        depth += 1
+        if depth >= _BPE_CHECKPOINT_EVERY:
+            nxt = cur.localCheckpoint(eager=True)
+            pinned.unpersist()
+            cur, pinned, depth = nxt, nxt, 0
     return merges, cur
 
 
