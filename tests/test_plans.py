@@ -425,3 +425,72 @@ def test_dsir_fit_filter_does_not_reevaluate_gram_hash(spark, sf_dir):
     assert (
         spark.conf.get("spark.sql.optimizer.excludedRules", None) is None
     )
+
+
+def test_plans_md_covers_every_registry_query():
+    """PLANS.md is regenerated by tools/explain_audit.py over the WHOLE
+    registry (r8 verdict item 3: the old bench+extras subset let the docs
+    silently lag newborn queries — the two post-regen BPE queries were
+    missing). Every registry query must have its `## <name>` section, and
+    no section may name a query that no longer exists."""
+    import os
+    import re
+
+    from urban_traffic_data_lake_project_spark.queries import REGISTRY
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PLANS.md")) as f:
+        sections = set(re.findall(r"^## (\S+)$", f.read(), re.MULTILINE))
+    missing = set(REGISTRY) - sections
+    assert not missing, f"PLANS.md lacks sections for: {sorted(missing)}"
+    stale = sections - set(REGISTRY)
+    assert not stale, f"PLANS.md has sections for unknown queries: {sorted(stale)}"
+
+
+def test_int8_index_query_has_no_full_corpus_pass(spark, sf_dir, tmp_path):
+    """The persisted int8 index's contract (r8 verdict item 5): the
+    max-abs scale is fitted ONCE at build time and stored in the sidecar,
+    so query time runs zero full-corpus jobs — both postings scans (the
+    quantized screen and the exact rerank) carry the probed-bucket
+    PartitionFilters, and no max/array_max aggregate appears anywhere in
+    the query plan. Results must match the live (per-call-scale) operator
+    when built over the same corpus."""
+    import json
+    import os
+
+    from urban_traffic_data_lake_project_spark.operators.similarity import (
+        build_int8_index,
+        cosine_topk_ivf_int8_rerank,
+        query_int8_index,
+    )
+    from urban_traffic_data_lake_project_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = str(tmp_path / "int8_index")
+    build_int8_index(emb, d, "vec_id", "embedding", n_centroids=16)
+    with open(os.path.join(d, "int8.json")) as f:
+        assert float(json.load(f)["scale"]) > 0
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = query_int8_index(spark, d, queries, k=5, nprobe=4, depth=50)
+    got = {(r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cosine_sim"], 9))
+           for r in out.collect()}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # both postings scans are partition-pruned to the probed buckets
+    pfs = [seg.split("]")[0] for seg in plan.split("PartitionFilters:")[1:]]
+    probed_pf = [p for p in pfs if "centroid_id" in p and "INSET" in p]
+    assert len(probed_pf) >= 2, pfs
+    # and the per-call scale aggregate is gone: no max(array_max(...))
+    # anywhere in the query-time plan
+    assert "array_max" not in plan, "query-time scale aggregate survived"
+
+    # parity with the live operator (same corpus -> same scale -> same
+    # screen -> same exact rerank)
+    live = cosine_topk_ivf_int8_rerank(
+        emb, queries, "vec_id", "embedding", k=5, dim=64, n_centroids=16,
+        nprobe=4, depth=50,
+    )
+    want = {(r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cosine_sim"], 9))
+            for r in live.collect()}
+    assert got == want

@@ -1,4 +1,4 @@
-"""Dump the executed physical plans of the headline queries to PLANS.md —
+"""Dump the executed physical plans of EVERY registry query to PLANS.md —
 reviewable evidence that each plan is the intended one (pushed filters,
 broadcasts, partial aggregation, no stray shuffles).
 
@@ -14,65 +14,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import BENCH_QUERIES  # noqa: E402
 from urban_traffic_data_lake_project_spark.queries import REGISTRY  # noqa: E402
 from urban_traffic_data_lake_project_spark.session import get_spark  # noqa: E402
-
-# Audited beyond the bench set: new-surface queries whose scale posture
-# (broadcasts, shuffle-free projections, bounded windows) the plan proves.
-AUDIT_EXTRA: tuple[str, ...] = (
-    "sim_ivfpq_index_filtered",
-    "decontam_eval_overlap",
-    "sketch_hll_distinct",
-    "curation_pack_sequences",
-    "sample_domain_mix",
-    "text_redact_pii",
-    "dedup_incremental",
-    "sim_embedding_quantize",
-    "sketch_hll_rollup",
-    "sample_weighted_quality",
-    "text_unigram_logprob",
-    "sketch_cm_term_freq",
-    "agg_key_skew_profile",
-    "multimodal_pixels",
-    "text_bpe_tokens",
-    "sim_cosine_topk_ivf_trained",
-    "sim_ivfpq_topk",
-    "text_bigram_logprob",
-    "stream_dedup_redelivery",
-    "audio_frame_energy",
-    "gif_frame_index",
-    "stream_sketch_quantiles",
-    "sample_cluster_balanced",
-    "text_strip_markup",
-    "text_inverted_index",
-    "win_ewma",
-    "win_funnel_steps",
-    "quality_expectations",
-    "scd2_user_history",
-    "agg_incremental_maintenance",
-    "decontam_embedding",
-    "stream_static_enrich",
-    "events_anomaly_zscore",
-    "udf_surface",
-    "agg_mad_pandas_udaf",
-    "udtf_keyword_context",
-    "merge_asof_directions",
-    "text_boilerplate_lines",
-    # round-4 session surface
-    "sketch_kmv_setops",
-    "sketch_cm_heavy_hitters",
-    "dedup_containment",
-    "text_zipf_fit",
-    "sim_hard_negatives",
-    "lakehouse_time_travel",
-    "lakehouse_cdc_diff",
-    "privacy_k_anonymity",
-    "sample_leakage_safe_split",
-    "curation_source_quality",
-    "stream_interval_join_outer",
-    "stream_dedup_within_watermark",
-)
 
 
 # ---------------------------------------------------------------------------
@@ -219,13 +162,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     sections = [
-        "# PLANS — executed physical plans of the headline queries\n",
+        "# PLANS — executed physical plans of every registry query\n",
         f"Generated by `tools/explain_audit.py` at `{args.sf_dir}`. AQE final\n"
         "plans (post-execution): `*(n)` prefixes are whole-stage-codegen\n"
         "spans; look for PushedFilters/ReadSchema on scans, partial_* before\n"
         "exchanges, and Broadcast joins on dimension sides.\n",
     ]
-    for name in BENCH_QUERIES + AUDIT_EXTRA:
+    # EVERY registry query (r8 verdict item 3: the bench+extras subset let
+    # plan docs silently lag the registry); registry order = window first.
+    # tests/test_plans.py asserts one `## <name>` section per query, so
+    # PLANS.md can no longer rot behind new registrations.
+    for name in REGISTRY:
         spec = REGISTRY[name]
         df = spec.fn(spark, args.sf_dir)
         df.collect()  # execute THIS DataFrame so AQE finalizes its plan
@@ -236,7 +183,7 @@ def main() -> None:
         sections.append(f"## {name}\n\n{spec.doc}\n\n```\n{plan}\n```\n")
     with open(args.out, "w") as f:
         f.write("\n".join(sections))
-    print(f"wrote {args.out} ({len(BENCH_QUERIES) + len(AUDIT_EXTRA)} plans)")
+    print(f"wrote {args.out} ({len(REGISTRY)} plans)")
 
 
 if __name__ == "__main__":

@@ -534,6 +534,22 @@ def main() -> None:
 
     run_case("cm_heavy_hitters", n11, heavy)
 
+    # 12. BPE training at 256 merges over 200k docs (~1.1k-word synthetic
+    # vocab, so all 256 rounds stay productive). The merge loop's replace
+    # chain is lineage-truncated every _BPE_CHECKPOINT_EVERY merges (r8
+    # verdict item 4): per-round cost must stay ~flat instead of growing
+    # with the merge index. A/B the unbounded chain with
+    # SPARK_GRAFT_BPE_CKPT_EVERY=100000.
+    n12 = int(200_000 * s)
+
+    def bpe256():
+        from urban_traffic_data_lake_project_spark.operators.text import bpe_train
+
+        _, symtab = bpe_train(synth_docs(spark, n12), "text", num_merges=256)
+        return symtab
+
+    run_case("bpe_train_256", n12, bpe256)
+
 
 if __name__ == "__main__":
     main()

@@ -2445,3 +2445,165 @@ def query_ivfpq_index(
             "rank",
         )
     )
+
+
+def build_int8_index(
+    corpus: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    train_iters: int = 0,
+    meta_cols: tuple = (),
+) -> list:
+    """Build and persist the scalar-quantized index: IVF postings carrying
+    the int8 codes NEXT TO the raw vectors, plus the global max-abs scale
+    in a JSON sidecar. This moves ``cosine_topk_ivf_int8_rerank``'s one
+    per-call full-corpus aggregate (the max-abs scale fit,
+    r8 verdict item 5) to build time: a query against the index touches
+    ONLY its probed partitions — screen reads just (ids, codes) via
+    column pruning, the exact rerank re-reads (ids, vec) for the bounded
+    survivor join — and never re-aggregates the corpus.
+
+    Layout mirrors ``build_ivf_index`` (postings partitioned by
+    (centroid_id, ingest_batch); sidecars ``centroids.json`` +
+    ``int8.json``); ``meta_cols`` ride the postings rows so filtered
+    search pushes predicates into the scan."""
+    import json
+    import os
+
+    if train_iters > 0:
+        entries = kmeans_centroids(
+            corpus, id_col, vec_col, k=n_centroids, iters=train_iters
+        )
+    else:
+        entries = centroid_entries(corpus, id_col, vec_col, n_centroids)
+    c = spread_to_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        *meta_cols,
+        _as_double(F.col(vec_col)).alias("vec"),
+    ).withColumn("norm", _norm(F.col("vec")))
+    # the global symmetric scale: ONE corpus aggregate, paid here at
+    # build time instead of once per query (empty corpus -> NULL -> 1.0)
+    a_row = c.agg(
+        F.max(F.array_max(F.transform("vec", lambda x: F.abs(x)))).alias("a")
+    ).collect()[0]
+    scale = float(a_row["a"]) if a_row["a"] is not None else 1.0
+    scale = scale or 1.0
+    q8 = lambda v: F.transform(  # noqa: E731
+        v, lambda x: F.floor(x * 127.0 / F.lit(scale) + 0.5).cast("long")
+    )
+    assigned = with_nearest_centroids(c, "vec", "norm", entries, 1, "__cids").select(
+        "neighbor_id",
+        *meta_cols,
+        "vec",
+        "norm",
+        q8(F.col("vec")).alias("c8"),
+        F.explode("__cids").alias("centroid_id"),
+    )
+    assigned.withColumn("ingest_batch", F.lit(-1)).repartition(
+        "centroid_id"
+    ).write.mode("overwrite").partitionBy("centroid_id", "ingest_batch").parquet(
+        os.path.join(index_dir, "postings")
+    )
+    with open(os.path.join(index_dir, "centroids.json"), "w") as f:
+        json.dump(
+            [
+                {"cid": int(e["cid"]), "vec": [float(x) for x in e["vec"]],
+                 "cnorm": float(e["cnorm"])}
+                for e in entries
+            ],
+            f,
+        )
+    # float repr round-trips exactly through json, so query-time
+    # quantization is bit-identical to build-time
+    with open(os.path.join(index_dir, "int8.json"), "w") as f:
+        json.dump({"scale": scale}, f)
+    return entries
+
+
+def query_int8_index(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+    depth: int = 50,
+    where: str | None = None,
+) -> DataFrame:
+    """Query the persisted int8 index: probe the sidecar centroids, run
+    the integer-exact quantized screen over ONLY the probed postings
+    partitions (scan reads just ids + codes — partition-pruned AND
+    narrow), then the exact full-precision rerank over the bounded
+    q*depth survivors (a second probed-partition scan of ids + vec).
+    Arithmetic identical to the live ``cosine_topk_ivf_int8_rerank``
+    minus the per-call scale aggregate — the scale comes from the
+    sidecar, so NO full-corpus pass happens at query time (plan-asserted
+    in tests). ``where`` filters on metadata persisted at build time,
+    pushed into both postings scans."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "centroids.json")) as f:
+        entries = json.load(f)
+    with open(os.path.join(index_dir, "int8.json")) as f:
+        scale = float(json.load(f)["scale"])
+    dim = len(entries[0]["vec"])
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+    ).withColumn("__qn", _norm(F.col("__qv")))
+    probed_df = with_nearest_centroids(q, "__qv", "__qn", entries, nprobe, "__cids")
+    q8 = lambda v: F.transform(  # noqa: E731
+        v, lambda x: F.floor(x * 127.0 / F.lit(scale) + 0.5).cast("long")
+    )
+    # bounded collect: quantized query codes travel in the screen's closure
+    q_rows = probed_df.select("query_id", q8(F.col("__qv")).alias("__q8")).collect()
+    probes = probed_df.select("query_id", F.explode("__cids").alias("centroid_id"))
+    probed = sorted(
+        int(r["centroid_id"])
+        for r in probes.select("centroid_id").distinct().collect()
+    )
+
+    def postings_scan():
+        p = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
+            F.col("centroid_id").isin(probed)
+        )
+        return p.filter(F.expr(where)) if where else p
+
+    cand = (
+        postings_scan()
+        .select("neighbor_id", F.col("c8").alias("__c8"), "centroid_id")
+        .join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    screened = _score_local_topk_int8_arrow(cand, q_rows, depth)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("q_sim").desc(), F.col("neighbor_id").asc()
+    )
+    survivors = (
+        screened.withColumn("__qrank", F.row_number().over(w))
+        .filter(F.col("__qrank") <= depth)
+        .select("query_id", "neighbor_id")
+    )
+
+    rerank = (
+        postings_scan()
+        .select("neighbor_id", F.col("vec").alias("__cv"))
+        .join(F.broadcast(survivors), "neighbor_id")
+        .join(F.broadcast(q.select("query_id", "__qv")), "query_id")
+        .withColumn(
+            "cosine_sim",
+            _dot("__qv", "__cv", dim) / (_norm("__qv", dim) * _norm("__cv", dim)),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rerank.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

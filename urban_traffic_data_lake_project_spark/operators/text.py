@@ -428,8 +428,11 @@ def _bpe_symbols(sym_col: str) -> F.Column:
 
 # Materialize the BPE symbol table after this many stacked merges: bounds
 # the live replace-chain depth (plan size, per-round re-evaluation cost) at
-# K while costing one bounded vocab-table job per K rounds.
-_BPE_CHECKPOINT_EVERY = 32
+# K while costing one bounded vocab-table job per K rounds. Env-overridable
+# so the stress harness can A/B the bounded chain against the unbounded one.
+import os as _os
+
+_BPE_CHECKPOINT_EVERY = int(_os.environ.get("SPARK_GRAFT_BPE_CKPT_EVERY", "32"))
 
 
 def bpe_train(

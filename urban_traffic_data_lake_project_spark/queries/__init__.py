@@ -71,6 +71,7 @@ RECORD_WINDOW: tuple[str, ...] = (
     "win_ewma",
     "win_resample_ffill",
     # (b) born in round 9, never recorded (filled as queries land)
+    "sim_int8_index",
     # (c) changed in round 9 — one representative per touched plan shape
     "sim_matryoshka_ivf",
     "sim_int8_rerank",

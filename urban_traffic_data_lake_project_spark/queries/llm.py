@@ -838,6 +838,7 @@ FROM ranked WHERE rank <= 5
 """
 
 
+
 _HARD_NEG_SQL = f"""
 WITH q AS (
   SELECT vec_id AS query_id, label AS ql, embedding::DOUBLE[] AS qv
@@ -927,6 +928,67 @@ def _ivf_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _IVF_FLT_DIRS: dict[str, str] = {}
 _IVF_FLT_LABEL = 1
+
+
+# ---------------------------------------------------------------------------
+# sim_int8_index — the PERSISTED int8 index (r8 verdict item 5): the global
+# max-abs scale and the int8 codes are written at build time (sidecar +
+# postings columns), so query time pays NO full-corpus aggregate — the
+# quantized screen reads only (ids, codes) of the probed partitions and the
+# exact rerank re-reads (ids, vec) for the bounded survivor join, both with
+# the metadata predicate (label slice) pushed into the scan. Oracle = the
+# int8 screen/rerank replay with the label filter on the candidate set.
+# ---------------------------------------------------------------------------
+_INT8_IDX_DIRS: dict[str, str] = {}
+
+
+def _cleanup_int8_idx_dirs() -> None:
+    import shutil
+
+    for d in _INT8_IDX_DIRS.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _INT8_IDX_DIRS.clear()
+
+
+def _int8_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import tempfile
+
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    key = f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
+    d = _INT8_IDX_DIRS.get(key)
+    if d is None:
+        if not _INT8_IDX_DIRS:
+            atexit.register(_cleanup_int8_idx_dirs)
+        d = tempfile.mkdtemp(prefix="spark_graft_int8_index_")
+        emb = load_table(spark, sf_dir, "embeddings")
+        S.build_int8_index(
+            emb, d, "vec_id", "embedding", n_centroids=16, meta_cols=("label",)
+        )
+        _INT8_IDX_DIRS[key] = d
+    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    out = S.query_int8_index(
+        spark, d, queries, "vec_id", "embedding",
+        k=5, nprobe=4, depth=_MRL_DEPTH, where=f"label = {_IVF_FLT_LABEL}",
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("cosine_sim", ROUND_STAT).alias("cosine_sim"), "rank",
+    )
+
+
+# the int8 replay restricted to the label slice: candidates must carry the
+# label BEFORE the screen (the index filter prunes postings, not results)
+_INT8_INDEX_SQL = _INT8_RERANK_SQL.replace(
+    "cents AS (",
+    f"lbl AS (SELECT vec_id FROM embeddings WHERE label = {_IVF_FLT_LABEL}),\ncents AS (",
+    1,
+).replace(
+    "JOIN cod cn ON cn.vec_id = s.neighbor_id",
+    "JOIN cod cn ON cn.vec_id = s.neighbor_id\n  JOIN lbl ON lbl.vec_id = s.neighbor_id",
+    1,
+)
 
 
 def _cleanup_ivf_flt_dirs() -> None:
@@ -2838,6 +2900,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "sim_int8_rerank": QuerySpec(
         _int8_rerank, _INT8_RERANK_SQL,
         "IVF probe cut -> int8 scalar-quantized screen -> exact re-rank",
+        ("similarity",),
+    ),
+    "sim_int8_index": QuerySpec(
+        _int8_index, _INT8_INDEX_SQL,
+        "persisted int8 index: sidecar scale, filtered partition-pruned "
+        "quantized screen + exact re-rank",
         ("similarity",),
     ),
     "sim_hard_negatives": QuerySpec(
