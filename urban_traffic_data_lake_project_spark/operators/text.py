@@ -464,9 +464,13 @@ def bpe_train(
     materialized rows; executor-local storage — the right durability
     trade for a driver-coordinated fit loop), so the live chain is
     bounded at K replaces and total work is O(K * num_merges) — linear in
-    merges for fixed K. Measured at num_merges=256 on sf0.01: 3.9x
-    faster than the unbounded chain with flat per-round cost
-    (SCALING.md)."""
+    merges for fixed K. Measured on a 200k-doc/1.1k-word synthetic corpus
+    (tools/stress.py bpe_train_256): 135 vs 179 s at 256 merges, 169 vs
+    210 s at 512 — at this small vocab the per-round job overhead
+    dominates and the chain tax is ~25-33%; the bounded plan DEPTH is the
+    structural win (the unbounded chain's analysis cost and expression
+    tree keep growing with every merge, the cliff at real 30k+-merge
+    vocab). Full rows in SCALING.md."""
     cur = bpe_word_table(df, text_col).persist()
     pinned = cur  # currently-materialized base (persisted or checkpointed)
     depth = 0  # replaces stacked since the last materialization
