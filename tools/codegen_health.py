@@ -60,6 +60,10 @@ FAMILY = [
     "sim_ivfpq_index_filtered",
     "sim_embedding_drift",
     "sim_ivfpq_index_trained",
+    # r9-born: the persisted int8 index's query path carries the 64-dim
+    # exact-rerank unroll plus the quantize transform over the probed
+    # postings scan
+    "sim_int8_index",
 ]
 
 
