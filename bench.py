@@ -238,37 +238,44 @@ def main() -> None:
     canary_after = run_canary(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                # the round-1 12-query subset, for like-for-like comparison
-                # against the BENCH_r01 baseline (11.53 s) as the headline
-                # set grows round over round
-                "baseline12_subtotal": round(
-                    sum(timings[n] for n in BASELINE_12 if n in timings), 3
-                ),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # measurement hygiene: per-query [min, max] across the
-                # measured repeats + 1/5/15-min loadavg before/after, so a
-                # loaded machine is visible in the artifact itself
-                "repeats_measured": repeats - 1,
-                "queries_minmax": spread,
-                # pure-CPU reference workload timed before/after the
-                # measured queries — divide a query's round-over-round
-                # ratio by the canary ratio to separate box drift from
-                # code regressions (r8 verdict item 2)
-                "canary_before_sec": canary_before,
-                "canary_after_sec": canary_after,
-                "loadavg_wait_sec": load_wait,
-                "loadavg_before": [round(x, 2) for x in load_before],
-                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        # the round-1 12-query subset, for like-for-like comparison
+        # against the BENCH_r01 baseline (11.53 s) as the headline
+        # set grows round over round
+        "baseline12_subtotal": round(
+            sum(timings[n] for n in BASELINE_12 if n in timings), 3
+        ),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # measurement hygiene: per-query [min, max] across the
+        # measured repeats + 1/5/15-min loadavg before/after, so a
+        # loaded machine is visible in the artifact itself
+        "repeats_measured": repeats - 1,
+        "queries_minmax": spread,
+        # pure-CPU reference workload timed before/after the
+        # measured queries — divide a query's round-over-round
+        # ratio by the canary ratio to separate box drift from
+        # code regressions (r8 verdict item 2)
+        "canary_before_sec": canary_before,
+        "canary_after_sec": canary_after,
+        "loadavg_wait_sec": load_wait,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+    }
+    print(json.dumps(payload))
+    # The driver keeps only a truncated TAIL of the stdout line, which
+    # loses the per-query medians at the front at today's query count —
+    # persist the full artifact next to the repo so round-over-round
+    # comparison (tools/bench_compare.py) always has a parseable source.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+            json.dump(payload, f, indent=1)
+    except OSError:
+        pass  # a read-only checkout must not fail the bench
 
 
 if __name__ == "__main__":
