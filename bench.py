@@ -111,6 +111,12 @@ BENCH_QUERIES: tuple[str, ...] = (
     # helper's per-sf cache; the measured number is the query-time path
     # — probed-partition scans only, no full-corpus scale aggregate)
     "sim_int8_index",
+    # round-9 session 2: the one-scan Arrow-GEMM covariance (the widest
+    # Python-boundary reduce in the engine) and the Hilbert code chain
+    # (the deepest pure-expression Project chain — 16 unrolled xy2d
+    # levels; a CollapseProject regression would show here first)
+    "sim_embedding_covariance",
+    "lakehouse_hilbert_codes",
 )
 
 

@@ -14,6 +14,10 @@ from urban_traffic_data_lake_project_spark.sources import load_table
 
 @pytest.mark.parametrize("name", sorted(ql.REGISTRY))
 def test_llm_query_matches_oracle(oracle, name):
+    if ql.REGISTRY[name].oracle is None:
+        # rows-only spec (no SQL-expressible oracle) — covered by its own
+        # property tests (e.g. sim_embedding_pca in test_embedding_stats)
+        pytest.skip("rows-only spec")
     oracle(name)
 
 

@@ -64,6 +64,14 @@ FAMILY = [
     # exact-rerank unroll plus the quantize transform over the probed
     # postings scan
     "sim_int8_index",
+    # r9-born: the PCA projection is k unrolled 64-term literal dot
+    # products in one Project (the widest pure-expression node in the
+    # engine at full rank k=d)
+    "sim_embedding_pca",
+    # r9-born: 16 chained simultaneous projections of multiply-referenced
+    # state columns — the shape that would blow up 6^16 if CollapseProject
+    # ever substituted them (and the deepest Project chain in the engine)
+    "lakehouse_hilbert_codes",
 ]
 
 

@@ -94,6 +94,10 @@ PLAN_ANNOTATIONS: dict[str, dict[str, str]] = {
             "agg_key_skew_profile",
             "privacy_k_anonymity",
             "mc_scenarios",
+            # the 1-row corpus count broadcast-attaches to the ≤ d²-row
+            # gram table (both sides are moment-table-sized, never
+            # corpus-sized)
+            "sim_embedding_covariance",
         )
     },
     "udf_surface": {

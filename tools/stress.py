@@ -578,6 +578,36 @@ def main() -> None:
 
     run_case("bpe_train_256", n12, bpe256)
 
+    # 13. embedding covariance + PCA-whitening lifecycle at 1M×64 (r9):
+    # the one-scan Arrow GEMM moment pass must stay scan-bound (its merge
+    # state is O(d²) regardless of rows), and the fit's collect is the
+    # bounded 2,145-row moment table — so fit+project should cost ~one
+    # corpus scan each at any scale.
+    n13 = int(1_000_000 * s)
+
+    def emb_cov():
+        from urban_traffic_data_lake_project_spark.operators.embedding_stats import (
+            embedding_covariance,
+        )
+
+        return embedding_covariance(synth_vectors(spark, n13, dim=64), "embedding", 64)
+
+    run_case("embedding_covariance_1m", n13, emb_cov)
+
+    def pca_whiten():
+        from urban_traffic_data_lake_project_spark.operators.embedding_stats import (
+            pca_fit,
+            pca_project,
+        )
+
+        v = synth_vectors(spark, n13, dim=64)
+        fit = pca_fit(v, "embedding", 64, k=8)
+        return pca_project(v, "embedding", fit, whiten=True).select(
+            *[f"pc{c}" for c in range(1, 9)]
+        )
+
+    run_case("pca_fit_whiten_1m", n13, pca_whiten)
+
 
 if __name__ == "__main__":
     main()

@@ -83,6 +83,84 @@ def column_bounds(df: DataFrame, cols: list) -> dict:
     return {c: (row[f"__lo_{c}"], row[f"__hi_{c}"]) for c in cols}
 
 
+def with_hilbert_code(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    bounds: dict,
+    bits: int = 16,
+    out_col: str = "hilbert",
+) -> DataFrame:
+    """Adds ``out_col`` = Hilbert-curve index of (col_a, col_b) under the
+    given bounds — the higher-locality alternative to the Morton code
+    (``with_morton_code``): consecutive Hilbert codes are always
+    grid-NEIGHBORS (Manhattan distance 1), where the Morton curve jumps
+    across the grid at power-of-two boundaries, so range predicates on
+    either key touch strictly fewer parquet row groups under a
+    Hilbert-clustered layout (the reason Delta's liquid clustering and
+    Iceberg moved past ZORDER). Standard xy2d bit-level rotation
+    (Wikipedia "Hilbert curve", public domain), unrolled as ``bits``
+    chained simultaneous projections — per level the (x, y, d) state
+    columns are rewritten from the previous level's, so the plan is a
+    linear Project chain (each state column is non-trivial and
+    multiply-referenced, which keeps CollapseProject from substituting
+    it into an exponential expression). Pure per-row arithmetic — no
+    shuffle; deterministic, replayed bit-for-bit by the DuckDB oracle."""
+    za = _scale_expr(col_a, *map(float, bounds[col_a]), bits)
+    zb = _scale_expr(col_b, *map(float, bounds[col_b]), bits)
+    n = 1 << bits
+    out = df.withColumns(
+        {
+            "__hx": F.expr(za).cast("long"),
+            "__hy": F.expr(zb).cast("long"),
+            "__hd": F.lit(0).cast("long"),
+        }
+    )
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        rx = F.shiftright("__hx", level).bitwiseAND(F.lit(1))
+        ry = F.shiftright("__hy", level).bitwiseAND(F.lit(1))
+        # (3*rx) XOR ry as pure arithmetic: 3rx + ry - 2*rx*ry
+        # (identical in both engines — no dialect-specific xor operator)
+        step = (F.lit(3) * rx + ry - F.lit(2) * rx * ry) * F.lit(s * s)
+        flipped_x = F.lit(n - 1) - F.col("__hx")
+        flipped_y = F.lit(n - 1) - F.col("__hy")
+        # ry==0: optionally flip (rx==1), then swap x<->y; ry==1: keep
+        new_x = F.when(ry == 1, F.col("__hx")).otherwise(
+            F.when(rx == 1, flipped_y).otherwise(F.col("__hy"))
+        )
+        new_y = F.when(ry == 1, F.col("__hy")).otherwise(
+            F.when(rx == 1, flipped_x).otherwise(F.col("__hx"))
+        )
+        out = out.withColumns(
+            {"__hd": F.col("__hd") + step, "__hx": new_x, "__hy": new_y}
+        )
+    return out.withColumn(out_col, F.col("__hd")).drop("__hx", "__hy", "__hd")
+
+
+def hilbert_write(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    bits: int = 16,
+    target_files: int = 16,
+) -> dict:
+    """``zorder_write`` with the Hilbert code as the clustering key —
+    same job shape (one bounds aggregate, one range shuffle, in-file
+    sort, write), strictly better two-key locality per file."""
+    bounds = column_bounds(df, [col_a, col_b])
+    coded = with_hilbert_code(df, col_a, col_b, bounds, bits)
+    (
+        coded.repartitionByRange(target_files, "hilbert")
+        .sortWithinPartitions("hilbert")
+        .drop("hilbert")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return bounds
+
+
 def zorder_write(
     df: DataFrame,
     path: str,

@@ -594,10 +594,85 @@ FROM coded GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# lakehouse_hilbert_codes — Hilbert-curve clustering codes (the
+# higher-locality sibling of lakehouse_zorder_codes: consecutive codes
+# are always grid NEIGHBORS, so a clustered write packs each file into a
+# compact 2-D region instead of Morton's power-of-two jump pattern —
+# the reason Delta liquid clustering / Iceberg moved past ZORDER). Same
+# deterministic scale step, then the standard xy2d rotation unrolled one
+# bit-level per projection; the oracle replays every level bit-for-bit
+# via MATERIALIZED per-level CTEs (each level references the previous
+# ONCE — materialization also stops column-expression inlining from
+# duplicating the 6-reference state columns into a 6^bits blowup).
+# ---------------------------------------------------------------------------
+def _hilbert_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.operators.layout import (
+        column_bounds,
+        with_hilbert_code,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bounds = column_bounds(li, ["l_partkey", "l_suppkey"])
+    coded = with_hilbert_code(li, "l_partkey", "l_suppkey", bounds, bits=_Z_BITS)
+    return coded.groupBy(
+        F.shiftright("hilbert", 2 * _Z_BITS - 8).alias("hbucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("hilbert").alias("hilbert_lo"),
+        F.max("hilbert").alias("hilbert_hi"),
+    )
+
+
+def _hilbert_levels_sql(bits: int) -> tuple[str, str]:
+    n = 1 << bits
+    ctes = []
+    prev = "l_init"
+    for k, level in enumerate(range(bits - 1, -1, -1)):
+        s = 1 << level
+        rx = f"((hx >> {level}) & 1)"
+        ry = f"((hy >> {level}) & 1)"
+        step = f"((3 * {rx} + {ry} - 2 * {rx} * {ry}) * {s * s})"
+        new_x = f"CASE WHEN {ry} = 1 THEN hx WHEN {rx} = 1 THEN {n - 1} - hy ELSE hy END"
+        new_y = f"CASE WHEN {ry} = 1 THEN hy WHEN {rx} = 1 THEN {n - 1} - hx ELSE hx END"
+        ctes.append(
+            f"l{k} AS MATERIALIZED (SELECT (hd + {step})::BIGINT AS hd, "
+            f"({new_x})::BIGINT AS hx, ({new_y})::BIGINT AS hy FROM {prev})"
+        )
+        prev = f"l{k}"
+    return ",\n".join(ctes), prev
+
+
+_HILBERT_LEVELS, _HILBERT_LAST = _hilbert_levels_sql(_Z_BITS)
+
+_HILBERT_SQL = f"""
+WITH b AS (
+  SELECT min(l_partkey) AS alo, max(l_partkey) AS ahi,
+         min(l_suppkey) AS blo, max(l_suppkey) AS bhi
+  FROM lineitem),
+l_init AS MATERIALIZED (
+  SELECT {_zorder_scale_sql('l_partkey', 'b.alo', 'b.ahi')} AS hx,
+         {_zorder_scale_sql('l_suppkey', 'b.blo', 'b.bhi')} AS hy,
+         0::BIGINT AS hd
+  FROM lineitem, b),
+{_HILBERT_LEVELS}
+SELECT (hd >> {2 * _Z_BITS - 8})::BIGINT AS hbucket,
+       count(*)::BIGINT AS n_rows,
+       min(hd)::BIGINT AS hilbert_lo,
+       max(hd)::BIGINT AS hilbert_hi
+FROM {_HILBERT_LAST} GROUP BY 1
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "lakehouse_zorder_codes": QuerySpec(
         _zorder_codes, _ZORDER_SQL,
         "Z-order (Morton) clustering codes for 2-D data skipping, per z-bucket",
+        ("lakehouse",),
+    ),
+    "lakehouse_hilbert_codes": QuerySpec(
+        _hilbert_codes, _HILBERT_SQL,
+        "Hilbert-curve clustering codes (higher-locality ZORDER sibling), per h-bucket",
         ("lakehouse",),
     ),
     "privacy_k_anonymity": QuerySpec(

@@ -553,6 +553,81 @@ def _hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sim_embedding_covariance — the d×d population covariance of the embedding
+# column in ONE corpus scan: per-batch Arrow GEMM partials (X^T X — BLAS,
+# not d(d+1)/2 JVM accumulators per row) merged by a tiny groupBy-sum whose
+# state is O(d²) regardless of corpus size. The fit input for PCA/whitening
+# (sim_embedding_pca) — strict-oracled against DuckDB's unnest formulation.
+# ---------------------------------------------------------------------------
+def _embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.operators import embedding_stats as E
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return E.embedding_covariance(emb, "embedding", _EMB_DIM, round_to=ROUND_STAT)
+
+
+_EMB_COV_SQL = f"""
+WITH dims AS (SELECT unnest(range(1, {_EMB_DIM} + 1))::BIGINT AS d),
+e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+means AS (SELECT d, avg(v[d]) AS m FROM e, dims GROUP BY d),
+pairs AS (SELECT a.d AS i, b.d AS j FROM dims a, dims b WHERE a.d <= b.d),
+prods AS (SELECT p.i, p.j, avg(v[p.i] * v[p.j]) AS exy
+          FROM e, pairs p GROUP BY p.i, p.j)
+SELECT pr.i AS i, pr.j AS j,
+       -- + 0.0 collapses IEEE -0.0 to +0.0 (mirrors the Spark side)
+       round(pr.exy - mi.m * mj.m, {ROUND_STAT}) + 0.0 AS cov
+FROM prods pr
+JOIN means mi ON mi.d = pr.i
+JOIN means mj ON mj.d = pr.j
+"""
+
+
+# ---------------------------------------------------------------------------
+# sim_embedding_pca — PCA/whitening over the embedding column with the M1
+# fit/score split: driver eigendecomposition of the distributed covariance
+# (bounded collect: ≤ 1 + d + d(d+1)/2 moment rows), distributed projection
+# as literal-coefficient Catalyst dot products. Rows-only (eigenvectors are
+# not SQL-expressible); pinned-sign fit + the whiten-variance≈1 invariant
+# are property-tested (tests/test_embedding_stats.py). Output: one row per
+# component with the eigenvalue, explained share, and the DISTRIBUTED
+# variance of the whitened coordinate (≈1 end-to-end check that the
+# literal-matrix projection matches the driver fit).
+# ---------------------------------------------------------------------------
+def _embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.operators import embedding_stats as E
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 8
+    fit = E.pca_fit(emb, "embedding", _EMB_DIM, k=k)
+    proj = E.pca_project(emb, "embedding", fit, whiten=True)
+    wide = proj.agg(
+        *[F.var_pop(f"pc{c + 1}").alias(f"__v{c}") for c in range(k)]
+    )
+    stack = ", ".join(f"{c + 1}, __v{c}" for c in range(k))
+    comp_vars = wide.select(
+        F.expr(f"stack({k}, {stack}) AS (component, whiten_var)")
+    )
+    total = fit["total_variance"]
+    spec = spark.createDataFrame(
+        [
+            (c + 1, float(fit["eigenvalues"][c]), float(fit["eigenvalues"][c] / total))
+            for c in range(k)
+        ],
+        "component int, eigenvalue double, explained_share double",
+    )
+    return (
+        comp_vars.join(F.broadcast(spec), "component")
+        .select(
+            "component",
+            F.round("eigenvalue", ROUND_STAT).alias("eigenvalue"),
+            F.round("explained_share", ROUND_STAT).alias("explained_share"),
+            F.round("whiten_var", 3).alias("whiten_var"),
+        )
+        .orderBy("component")
+    )
+
+
+# ---------------------------------------------------------------------------
 # sim_embedding_drift — embedding-distribution drift between two corpus
 # snapshots (even vs odd vec_id as the deterministic stand-ins): shared
 # ANN buckets from snapshot A's first-k centroids, PSI over the bucket
@@ -2886,6 +2961,16 @@ REGISTRY: dict[str, QuerySpec] = {
         _embedding_drift, _EMB_DRIFT_SQL,
         "embedding-distribution drift (PSI over shared ANN buckets) between snapshots",
         ("similarity", "diagnostics"),
+    ),
+    "sim_embedding_covariance": QuerySpec(
+        _embedding_covariance, _EMB_COV_SQL,
+        "one-scan d×d embedding covariance (Arrow GEMM partials + tiny merge)",
+        ("similarity", "stats"),
+    ),
+    "sim_embedding_pca": QuerySpec(
+        _embedding_pca, None,
+        "PCA/whitening fit-score split: driver eig over distributed moments, literal-matrix projection",
+        ("similarity", "ml"),
     ),
     "sim_matryoshka_rerank": QuerySpec(
         _matryoshka_rerank, _MRL_RERANK_SQL,

@@ -489,6 +489,32 @@ def _stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# stream_session_window — REAL streaming session windows: session_window()
+# merges gap-close events statefully as batches arrive (sessions can span
+# trigger boundaries), watermark bounds the open-session state. Oracle: the
+# same lag/cumsum session reconstruction SQL as the batch form
+# (win_session_events) — batch/streaming equivalence is the contract.
+# ---------------------------------------------------------------------------
+def _stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.streaming import windows as sw
+
+    stream = sw.read_events_stream(spark, sf_dir)
+    return sw.run_available_now(sw.session_counts(stream), spark)
+
+
+# ---------------------------------------------------------------------------
+# stream_sliding_window — REAL streaming sliding-window counts (1h windows
+# every 30min; each event lands in two). Same oracle SQL as the batch form
+# (win_sliding_events).
+# ---------------------------------------------------------------------------
+def _stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.streaming import windows as sw
+
+    stream = sw.read_events_stream(spark, sf_dir)
+    return sw.run_available_now(sw.sliding_counts(stream), spark)
+
+
+# ---------------------------------------------------------------------------
 # stream_dedup_redelivery — stateful exactly-once dedup under re-delivery:
 # the stream unioned with itself models an at-least-once source delivering
 # every event twice; watermarked dropDuplicates must emit each exactly
@@ -1207,6 +1233,15 @@ REGISTRY: dict[str, QuerySpec] = {
     "stream_tumbling_available_now": QuerySpec(
         _stream_tumbling, _WIN_TUMBLING_SQL,
         "real streaming job (AvailableNow) vs batch oracle", ("streaming",),
+    ),
+    "stream_session_window": QuerySpec(
+        _stream_session, _WIN_SESSION_SQL,
+        "streaming session windows (stateful gap-merge) vs batch oracle",
+        ("streaming", "stateful"),
+    ),
+    "stream_sliding_window": QuerySpec(
+        _stream_sliding, _WIN_SLIDING_SQL,
+        "streaming sliding windows (1h/30m) vs batch oracle", ("streaming",),
     ),
     "win_rollup_cube": QuerySpec(_rollup_cube, _ROLLUP_CUBE_SQL, "ROLLUP + CUBE grouping sets", ("agg", "defer")),
     "join_semi_anti": QuerySpec(_semi_anti, _SEMI_ANTI_SQL, "left-semi/left-anti joins", ("join", "defer")),
