@@ -88,6 +88,28 @@ def test_full_rank_projection_preserves_total_variance(emb, X):
     assert abs(total - fit["total_variance"]) < 1e-7
 
 
+def test_moment_merge_equals_full_recompute(emb):
+    # the incremental-maintenance property: moments of disjoint slices
+    # merge (plain sums) into the moments of the union — no rescan of the
+    # old slice, only float re-association noise
+    old = emb.filter("vec_id % 3 != 0")
+    batch = emb.filter("vec_id % 3 = 0")
+    merged = {
+        (r["kind"], r["pos"]): r["val"]
+        for r in E.merge_moments(
+            E.embedding_moments(old, "embedding", DIM),
+            E.embedding_moments(batch, "embedding", DIM),
+        ).collect()
+    }
+    full = {
+        (r["kind"], r["pos"]): r["val"]
+        for r in E.embedding_moments(emb, "embedding", DIM).collect()
+    }
+    assert merged.keys() == full.keys()
+    for k, v in full.items():
+        assert abs(merged[k] - v) <= 1e-9 * max(1.0, abs(v)), k
+
+
 def test_empty_corpus_raises(emb):
     with pytest.raises(Exception, match="empty corpus"):
         E.pca_fit(emb.filter("vec_id < 0"), "embedding", DIM, k=2)

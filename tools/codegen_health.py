@@ -72,6 +72,10 @@ FAMILY = [
     # state columns — the shape that would blow up 6^16 if CollapseProject
     # ever substituted them (and the deepest Project chain in the engine)
     "lakehouse_hilbert_codes",
+    # r9-born: DCT-hash HOF loops over a broadcast weight matrix — the
+    # unrolled literal form hard-failed janino (64 KB processNext); this
+    # pin keeps the compiled HOF form honest
+    "image_phash",
 ]
 
 

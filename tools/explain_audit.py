@@ -98,6 +98,10 @@ PLAN_ANNOTATIONS: dict[str, dict[str, str]] = {
             # gram table (both sides are moment-table-sized, never
             # corpus-sized)
             "sim_embedding_covariance",
+            # the 63×64 DCT weight matrix rides a broadcast 1-row spec
+            # (ADC-LUT idiom) — generated-code form blew janino's 64 KB
+            # processNext limit
+            "image_phash",
         )
     },
     "udf_surface": {

@@ -37,7 +37,9 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "embedding_moments",
+    "merge_moments",
     "embedding_covariance",
+    "covariance_from_moments",
     "pca_fit",
     "pca_project",
 ]
@@ -87,6 +89,19 @@ def embedding_moments(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     return parts.groupBy("kind", "pos").agg(F.sum("val").alias("val"))
 
 
+def merge_moments(*moment_tables: DataFrame) -> DataFrame:
+    """Merge moment tables from disjoint corpus slices into the moments
+    of their union — sums are associative, so a persisted moment sidecar
+    plus a new batch's moments equals a full recompute WITHOUT rescanning
+    the old data (the incremental-maintenance property; cost ∝ the new
+    batch + O(d²) merge, never the corpus)."""
+    it = iter(moment_tables)
+    out = next(it)
+    for m in it:
+        out = out.unionByName(m)
+    return out.groupBy("kind", "pos").agg(F.sum("val").alias("val"))
+
+
 def embedding_covariance(
     df: DataFrame, vec_col: str, dim: int, round_to: int | None = None
 ) -> DataFrame:
@@ -95,7 +110,14 @@ def embedding_covariance(
     cov(i,j) = E[x_i x_j] − E[x_i]E[x_j]. The count and the two mean
     lookups attach via broadcast joins on the ≤ d²-row moment table —
     no second corpus scan, no row-scale shuffle."""
-    m = embedding_moments(df, vec_col, dim)
+    return covariance_from_moments(embedding_moments(df, vec_col, dim), dim, round_to)
+
+
+def covariance_from_moments(
+    m: DataFrame, dim: int, round_to: int | None = None
+) -> DataFrame:
+    """Assembly half of ``embedding_covariance`` over an already-built
+    (or merged / persisted) moment table."""
     n = m.filter(F.col("kind") == "n").select(F.col("val").alias("__n"))
     means = m.filter(F.col("kind") == "s").select(
         F.col("pos").alias("__d"), F.col("val").alias("__s")

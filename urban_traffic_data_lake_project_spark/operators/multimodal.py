@@ -503,6 +503,172 @@ def decode_png_pixels(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=PIXEL_SCHEMA)
 
 
+def _dct_matrix(size: int) -> "np.ndarray":
+    """Orthonormal DCT-II matrix (the JPEG basis at size 8): D[k,n] =
+    a_k · cos(π(2n+1)k/(2·size)). Precomputed once per process; float64,
+    so the coefficient arithmetic is deterministic across hosts."""
+    n = np.arange(size)
+    D = np.cos(np.pi * (2 * n[None, :] + 1) * n[:, None] / (2.0 * size))
+    D[0] *= np.sqrt(1.0 / size)
+    D[1:] *= np.sqrt(2.0 / size)
+    return D
+
+
+_DCT8 = _dct_matrix(8)
+_DCT32 = _dct_matrix(32)
+
+
+def phash64(gray: "np.ndarray") -> int:
+    """DCT perceptual hash (the pHash family). Images ≥ 32×32 take the
+    canonical path: block-mean resample to 32×32, 2-D orthonormal
+    DCT-II, keep only the top-left 8×8 LOW-FREQUENCY coefficient block
+    (the strong low-pass the hash's robustness comes from); 8×8 inputs
+    take the degenerate full-DCT-8 path (the strict-oracle fixture
+    regime — ``with_phash_expr`` replays it in SQL). Bit i (row-major
+    over the 8×8 block) is set when the coefficient exceeds the MEDIAN
+    of the 63 non-DC coefficients; the DC bit is always 0. Excluding DC
+    and thresholding at the coefficient median makes the hash exactly
+    invariant to uniform brightness offset (DC-only change) and to
+    contrast scaling (coefficients and median scale together), and the
+    low-frequency crop makes it ~4-5× more stable than aHash under
+    smooth LIGHTING GRADIENTS (vignettes / directional light — the
+    classic aHash failure, where every local mean shifts against the
+    global mean; measured in tests/test_multimodal_phash.py). Plain
+    per-pixel noise is NOT its strength — the median threshold leaves
+    razor-thin margins on sparse-spectrum images, where aHash's
+    block-mean pooling wins (measured honestly in the same test). Same
+    signed 64-bit packing as ``ahash64``."""
+    h, w = gray.shape
+    if (h, w) == (8, 8):
+        C = _DCT8 @ gray.astype(np.float64) @ _DCT8.T
+    elif h % 32 == 0 and w % 32 == 0:
+        g = gray.reshape(32, h // 32, 32, w // 32).mean(axis=(1, 3))
+        C = (_DCT32 @ g.astype(np.float64) @ _DCT32.T)[:8, :8]
+    elif h % 8 == 0 and w % 8 == 0:
+        g = gray.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+        C = _DCT8 @ g @ _DCT8.T
+    else:
+        raise ValueError(f"phash64 requires 8-divisible dims, got {h}x{w}")
+    flat = C.ravel()
+    ref = float(np.median(flat[1:]))
+    raw = 0
+    for i in range(1, 64):
+        if flat[i] > ref:
+            raw |= 1 << i
+    return raw - (1 << 64) if raw >= (1 << 63) else raw
+
+
+def phash_weight_table() -> list[list[tuple[int, float]]]:
+    """Flattened DCT weight table: entry c (row-major coefficient index,
+    0..63) lists (pixel_index, weight) with weight = D[k,m]·D[l,n]
+    multiplied in PYTHON float64 — the single source of truth both the
+    Spark expression form and the DuckDB oracle SQL are generated from,
+    so the two engines evaluate bit-identical left-associated arithmetic
+    (same literals, same order) and even the > / median comparisons at
+    tie boundaries resolve identically."""
+    out = []
+    for k in range(8):
+        for ll in range(8):
+            terms = []
+            for m in range(8):
+                for n_ in range(8):
+                    terms.append((m * 8 + n_, float(_DCT8[k, m] * _DCT8[ll, n_])))
+            out.append(terms)
+    return out
+
+
+def with_phash_expr(df: DataFrame, px_col: str, out_col: str = "phash") -> DataFrame:
+    """pHash as PURE CATALYST expressions over an already-decoded pixel
+    array (row-major 8×8) — the strict-oracle path, bit-for-bit
+    replayable in ANSI SQL.
+
+    The 63×64 DCT weight matrix rides a broadcast 1-row spec table (the
+    ADC-LUT-as-broadcast-column idiom), NOT generated code: a first cut
+    unrolled the 4,032 literal multiply-adds into one Project and
+    janino's processNext() blew the 64 KB method limit under
+    ``codegen.fallback=false``. As higher-order-function loops over data
+    the generated code is constant-size whatever the matrix, and the
+    fold order (``aggregate``: ((0+t1)+t2)+…) matches DuckDB's
+    sequential ``list_sum`` exactly, so both engines compute
+    bit-identical doubles and every >-vs-median tie resolves the same
+    way. The bit PACK (exact integer math on already-agreed bits) needs
+    no cross-engine order pinning: Spark uses a Horner fold per 32-bit
+    half (shiftleft takes only literal counts; a single Σbit·2^c Horner
+    chain would overflow ANSI long arithmetic at bit 63), the oracle
+    sums HUGEINT shifts. The Arrow twin ``phash64`` exists for
+    hash-during-decode pipelines (numpy GEMM association differs at
+    ~1e-14, which can flip near-tie bits — fine for similarity, not for
+    cross-engine hash equality)."""
+    spark = df.sparkSession
+    wmat = [[w for _, w in terms] for terms in phash_weight_table()[1:]]
+    spec = spark.createDataFrame([(wmat,)], "__pw array<array<double>>")
+    px = F.col(px_col)
+    coeffs = F.transform(
+        F.sequence(F.lit(1), F.lit(63)),
+        lambda c: F.aggregate(
+            F.zip_with(px, F.element_at(F.col("__pw"), c), lambda p, w: p * w),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+    )
+    out = (
+        df.crossJoin(F.broadcast(spec))
+        .withColumn("__pc", coeffs)
+        .withColumn("__pmed", F.element_at(F.array_sort("__pc"), 32))
+    )
+
+    def bit(c):
+        return (
+            F.when(F.element_at(F.col("__pc"), c) > F.col("__pmed"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    def horner(hi, lo):
+        # Σ_{c=lo..hi} bit_c·2^(c-lo) without per-c shift literals: fold
+        # descending, acc*2 + bit — max < 2^32, safe under ANSI longs
+        return F.aggregate(
+            F.sequence(F.lit(hi), F.lit(lo), F.lit(-1)),
+            F.lit(0).cast("long"),
+            lambda a, c: a * F.lit(2).cast("long") + bit(c),
+        )
+
+    raw = F.shiftleft(horner(63, 32), 32).bitwiseOR(F.shiftleft(horner(31, 1), 1))
+    return out.withColumn(out_col, raw).drop("__pw", "__pc", "__pmed")
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("phash", LongType()),
+        StructField("ahash", LongType()),
+    ]
+)
+
+
+def decode_png_phash(df: DataFrame) -> DataFrame:
+    """Perceptual-hash decode stage: inflate + unfilter every PNG payload
+    (same real codec as ``decode_png_pixels``) and emit both perceptual
+    hashes — pHash (DCT) and aHash (spatial mean) — per image. Separate
+    stage so the existing pixel stage's schema/oracle stay untouched."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "phash", "ahash")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                dec = png_decode_gray(payload)
+                if dec is None:
+                    continue
+                _, _, gray = dec
+                out["media_id"].append(mid)
+                out["phash"].append(phash64(gray))
+                out["ahash"].append(ahash64(gray))
+            if out["media_id"]:
+                yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # REAL WAV PCM16 codec — the audio analogue of the PNG pixel codec: a
 # spec-valid RIFF/WAVE writer (fmt + an odd-sized LIST chunk, so the

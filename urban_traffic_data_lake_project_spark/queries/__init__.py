@@ -32,10 +32,10 @@ from urban_traffic_data_lake_project_spark.queries.base import QuerySpec
 # and (d) sentinels (historic driver-reds, the curation flagship, the
 # heavy sketch rep) plus r6-vintage prepay for the remaining slots. The
 # rest of the r6 vintage is covered by this round's full check_oracle
-# --strict sweep. The four late-r9-borns displaced the
-# ml_logistic_irls / json_extract_events / win_rollup_cube /
-# text_hybrid_rrf prepay slots (all r6-recorded-green, all strict-swept
-# every round). Pinning happens at round START (r8 verdict item 1) so
+# --strict sweep. The six late-r9-borns displaced the ml_logistic_irls
+# / json_extract_events / win_rollup_cube / text_hybrid_rrf /
+# core_corr_matrix / clean_full_kernel prepay slots (all
+# r6-recorded-green, all strict-swept every round). Pinning happens at round START (r8 verdict item 1) so
 # the repo is never left red after the driver records. The freshness
 # contract is enforced by
 # tests/test_core_queries.py::test_registry_driver_window_contract,
@@ -79,6 +79,8 @@ RECORD_WINDOW: tuple[str, ...] = (
     "stream_sliding_window",
     "sim_embedding_covariance",
     "lakehouse_hilbert_codes",
+    "image_phash",
+    "sim_embedding_cov_incremental",
     # (c) changed in round 9 — one representative per touched plan shape
     "sim_matryoshka_ivf",
     "sim_int8_rerank",
@@ -91,8 +93,6 @@ RECORD_WINDOW: tuple[str, ...] = (
     "quality_expectations",
     "curation_pipeline",
     "sketch_cm_heavy_hitters",
-    "clean_full_kernel",
-    "core_corr_matrix",
     "sim_ivfpq_index_persisted",
     "sim_cosine_topk_ivf_trained",
     "stream_interval_join",

@@ -583,6 +583,44 @@ JOIN means mj ON mj.d = pr.j
 
 
 # ---------------------------------------------------------------------------
+# sim_embedding_cov_incremental — incremental maintenance of the covariance:
+# the moment table is MERGEABLE (plain sums), so a persisted sidecar from
+# the old snapshot plus the new batch's moments equals a full recompute
+# without rescanning old data — cost ∝ new batch + O(d²) merge. Modeled
+# here as two disjoint slices merged via merge_moments; the oracle computes
+# the union covariance directly, so a merge bug (double count, lost slice,
+# wrong key) hash-mismatches.
+# ---------------------------------------------------------------------------
+def _embedding_cov_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.operators import embedding_stats as E
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 3 != 0)   # the "persisted snapshot"
+    batch = emb.filter(F.col("vec_id") % 3 == 0)  # the "new ingest"
+    merged = E.merge_moments(
+        E.embedding_moments(old, "embedding", _EMB_DIM),
+        E.embedding_moments(batch, "embedding", _EMB_DIM),
+    )
+    return E.covariance_from_moments(merged, _EMB_DIM, round_to=ROUND_STAT)
+
+
+_EMB_COV_INCR_SQL = f"""
+WITH dims AS (SELECT unnest(range(1, {_EMB_DIM} + 1))::BIGINT AS d),
+e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+means AS (SELECT d, avg(v[d]) AS m FROM e, dims GROUP BY d),
+pairs AS (SELECT a.d AS i, b.d AS j FROM dims a, dims b WHERE a.d <= b.d),
+prods AS (SELECT p.i, p.j, avg(v[p.i] * v[p.j]) AS exy
+          FROM e, pairs p GROUP BY p.i, p.j)
+SELECT pr.i AS i, pr.j AS j,
+       -- + 0.0 collapses IEEE -0.0 to +0.0 (mirrors the Spark side)
+       round(pr.exy - mi.m * mj.m, {ROUND_STAT}) + 0.0 AS cov
+FROM prods pr
+JOIN means mi ON mi.d = pr.i
+JOIN means mj ON mj.d = pr.j
+"""
+
+
+# ---------------------------------------------------------------------------
 # sim_embedding_pca — PCA/whitening over the embedding column with the M1
 # fit/score split: driver eigendecomposition of the distributed covariance
 # (bounded collect: ≤ 1 + d + d(d+1)/2 moment rows), distributed projection
@@ -2966,6 +3004,11 @@ REGISTRY: dict[str, QuerySpec] = {
         _embedding_covariance, _EMB_COV_SQL,
         "one-scan d×d embedding covariance (Arrow GEMM partials + tiny merge)",
         ("similarity", "stats"),
+    ),
+    "sim_embedding_cov_incremental": QuerySpec(
+        _embedding_cov_incremental, _EMB_COV_INCR_SQL,
+        "incremental covariance: persisted moments + new-batch moments == full recompute",
+        ("similarity", "stats", "incremental"),
     ),
     "sim_embedding_pca": QuerySpec(
         _embedding_pca, None,

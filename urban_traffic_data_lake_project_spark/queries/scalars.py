@@ -270,6 +270,63 @@ WHERE bit_count(xor(ha.ahash, hb.ahash)) <= {_IMG_MAX_HAMMING}
 
 
 # ---------------------------------------------------------------------------
+# image_phash — DCT perceptual hash, STRICT-ORACLED: pixels come out of
+# the real PNG codec (encode -> inflate -> unfilter, same chain as
+# multimodal_pixels), then the 63 non-DC DCT coefficients, their median,
+# and the bit pack are pure Catalyst expressions generated from the SAME
+# weight table as the DuckDB SQL below — identical literals in identical
+# left-assoc order, so both engines compute bit-identical doubles and
+# every >-vs-median comparison (including exact ties) resolves the same
+# way. The Arrow twin (operators.multimodal.phash64, numpy GEMM) serves
+# hash-during-decode pipelines and is parity/invariance-tested in
+# tests/test_multimodal_phash.py.
+# ---------------------------------------------------------------------------
+def _image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = _pixel_images(spark, sf_dir)
+    return MM.with_phash_expr(dec, "pixels").select("media_id", "phash", "ahash")
+
+
+def _phash_sql() -> str:
+    # the SAME weight table the Spark expression form broadcasts — here as
+    # a DOUBLE[][] literal (data, not generated arithmetic), consumed by
+    # sequential list_sum folds that match Spark's aggregate() order
+    # bit-for-bit
+    table = MM.phash_weight_table()
+    wmat = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(w) for _, w in terms) + "]" for terms in table[1:]
+        )
+        + "]::DOUBLE[][]"
+    )
+    return f"""
+WITH {_PIXEL_CTES},
+pxl AS (SELECT doc_id, list(pv ORDER BY i) AS px FROM px GROUP BY doc_id),
+w AS MATERIALIZED (SELECT {wmat} AS wmat),
+coeff AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(range(1, 64), c ->
+           list_sum(list_transform(range(1, 65), i -> wmat[c][i] * px[i]))) AS pc
+  FROM pxl, w),
+med AS MATERIALIZED (
+  SELECT doc_id, pc, list_sort(pc)[32] AS cmed FROM coeff),
+pbits AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(1, 64), c ->
+           CASE WHEN pc[c] > cmed THEN (1::HUGEINT << c) ELSE 0::HUGEINT END)) AS raw
+  FROM med)
+SELECT b.doc_id AS media_id,
+       (CASE WHEN raw >= 9223372036854775808::HUGEINT
+             THEN raw - 18446744073709551616::HUGEINT ELSE raw END)::BIGINT AS phash,
+       ah.ahash
+FROM pbits b JOIN ah ON ah.doc_id = b.doc_id
+"""
+
+
+_IMAGE_PHASH_SQL = _phash_sql()
+
+
+# ---------------------------------------------------------------------------
 # audio_features / audio_frame_energy — REAL WAV PCM16 round trip (the
 # audio analogue of multimodal_pixels). Spark builds deterministic int16
 # clips (md5-mixed samples, 64..127 per doc so durations vary), encodes
@@ -617,6 +674,11 @@ REGISTRY: dict[str, QuerySpec] = {
         _image_near_dup, _IMAGE_NEAR_DUP_SQL,
         "image near-dup pairs: 8x8 aHash + Hamming-banded bucket join",
         ("multimodal", "dedup"),
+    ),
+    "image_phash": QuerySpec(
+        _image_phash, _IMAGE_PHASH_SQL,
+        "DCT perceptual hash from real PNG decode — expression form, bit-identical oracle",
+        ("multimodal",),
     ),
     "audio_features": QuerySpec(
         _audio_features, _AUDIO_FEATURES_SQL,
