@@ -98,6 +98,9 @@ PLAN_ANNOTATIONS: dict[str, dict[str, str]] = {
             # gram table (both sides are moment-table-sized, never
             # corpus-sized)
             "sim_embedding_covariance",
+            # same moment-table scalar attach, reached via merge_moments
+            # (covariance_from_moments is shared by both cov queries)
+            "sim_embedding_cov_incremental",
             # the 63×64 DCT weight matrix rides a broadcast 1-row spec
             # (ADC-LUT idiom) — generated-code form blew janino's 64 KB
             # processNext limit
