@@ -870,3 +870,51 @@ def test_temperature_resample_identity_at_t1_and_flattens_at_high_t(spark, sf_di
     flat = ratio(temperature_resample(docs, "lang", "doc_id", temperature=100.0))
     assert flat <= mid <= natural
     assert flat < natural
+
+
+def test_keep_best_picks_max_quality_member(spark, sf_dir):
+    """The kept doc really is its cluster's argmax-quality member
+    (doc_id tiebreak), clusters partition the corpus, and the keep-first
+    policy would have chosen differently wherever quality order and id
+    order disagree (the policy is not vacuously keep-first)."""
+    from pyspark.sql import functions as F
+
+    from urban_traffic_data_lake_project_spark.operators import text as T
+    from urban_traffic_data_lake_project_spark.operators.dedup import (
+        dup_clusters,
+        minhash_lsh_dedup_pairs,
+    )
+    from urban_traffic_data_lake_project_spark.queries.base import ROUND_STAT
+    from urban_traffic_data_lake_project_spark.sources import load_table
+
+    out = {r["cluster_id"]: r for r in qc.REGISTRY["dedup_keep_best"].fn(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=qc._MINHASH_K,
+        bands=qc._MINHASH_BANDS, threshold=qc._JACCARD_THRESHOLD,
+    )
+    members = (
+        dup_clusters(docs, "doc_id", pairs)
+        .join(
+            docs.select(
+                "doc_id",
+                F.round(T.quality_score(F.col("text")), ROUND_STAT).alias("q"),
+            ),
+            "doc_id",
+        )
+        .collect()
+    )
+    by_cluster: dict = {}
+    for r in members:
+        by_cluster.setdefault(r["cluster_id"], []).append((r["q"], r["doc_id"]))
+    assert sum(r["n_members"] for r in out.values()) == docs.count()
+    assert set(by_cluster) == set(out)
+    diverges = 0
+    for cid, mem in by_cluster.items():
+        want_q, want_id = max((q, -i) for q, i in mem)
+        r = out[cid]
+        assert r["kept_doc_id"] == -want_id and r["kept_quality"] == want_q, cid
+        assert r["n_members"] == len(mem) and r["n_dropped"] == len(mem) - 1
+        if -want_id != min(i for _, i in mem):
+            diverges += 1
+    assert diverges > 0  # keep-best actually differs from keep-first here

@@ -149,3 +149,36 @@ def test_zorder_codes_cover_all_rows(spark, sf_dir):
     out = ql.REGISTRY["lakehouse_zorder_codes"].fn(spark, sf_dir).collect()
     n = sum(r["n_rows"] for r in out)
     assert n == load_table(spark, sf_dir, "lineitem").count()
+
+
+def test_l_diversity_flag_and_entropy_invariants(spark, sf_dir):
+    """Entropy is bounded by ln(distinct); the flags are consistent with
+    the reported counts; every customer row is accounted for."""
+    import math
+
+    out = ql.REGISTRY["privacy_l_diversity"].fn(spark, sf_dir).collect()
+    assert sum(r["n_rows"] for r in out) == load_table(
+        spark, sf_dir, "customer"
+    ).count()
+    for r in out:
+        assert 1 <= r["distinct_sensitive"] <= r["n_rows"]
+        assert -1e-9 <= r["entropy"] <= math.log(r["distinct_sensitive"]) + 1e-6
+        assert r["distinct_l_ok"] == (r["distinct_sensitive"] >= ql._LDIV_L)
+        # entropy-l implies nothing about distinct-l in general, but
+        # entropy-l CANNOT hold with fewer than l distinct values
+        if r["entropy_l_ok"]:
+            assert r["distinct_sensitive"] >= ql._LDIV_L
+
+
+def test_skipping_stats_clustered_layout_wins(spark, sf_dir):
+    """The zone-map advisor's core claim: the shipdate-clustered layout
+    prunes strictly more files than ingestion order for a shipdate range
+    predicate, and every scanned set covers the true matches."""
+    rows = {r["layout"]: r for r in ql.REGISTRY["lakehouse_skipping_stats"].fn(spark, sf_dir).collect()}
+    ing, clu = rows["ingest_orderkey"], rows["clustered_shipdate"]
+    for r in (ing, clu):
+        assert r["files_scanned"] <= r["n_files"]
+        assert r["rows_scanned"] >= r["rows_matched"]  # skipping is sound
+        assert r["read_amplification"] >= 1.0
+    assert clu["skip_ratio"] > ing["skip_ratio"]
+    assert clu["read_amplification"] < ing["read_amplification"]

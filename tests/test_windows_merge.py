@@ -316,3 +316,36 @@ def test_merge_upsert_actions_and_null_payloads(spark):
     assert out[2]["merge_action"] == "keep" and out[2]["n"] == 20
     assert out[3]["merge_action"] == "keep"
     assert out[4]["merge_action"] == "insert" and out[4]["n"] == 40
+
+
+def test_record_linkage_resolves_every_dirty_record_to_itself(spark, sf_dir):
+    """The corruption (one dropped digit, small balance offset, blanked
+    segments) must stay within Fellegi-Sunter's separation: the best
+    candidate is always the true record, high-agreement pairs classify
+    as links, and the score decomposes exactly into the three field
+    weights."""
+    from urban_traffic_data_lake_project_spark.queries import windows as qw
+
+    out = qw.REGISTRY["join_record_linkage"].fn(spark, sf_dir).collect()
+    from urban_traffic_data_lake_project_spark.sources import load_table
+
+    assert len(out) == load_table(spark, sf_dir, "customer").count()
+    for r in out:
+        assert r["correct"], r  # synthetic truth: self-match always wins
+        assert r["n_candidates"] >= 1
+        expected = round(
+            sum(
+                qw._FS_W[k][0] if r[f] else qw._FS_W[k][1]
+                for k, f in (("name", "name_agree"), ("bal", "bal_agree"), ("seg", "seg_agree"))
+            ),
+            6,
+        )
+        assert abs(r["score"] - expected) < 1e-9
+        want = (
+            "link" if r["score"] >= qw._FS_LINK
+            else "possible" if r["score"] >= qw._FS_POSSIBLE
+            else "non_link"
+        )
+        assert r["decision"] == want
+    # the dropped-digit name still agrees for every self pair
+    assert all(r["name_agree"] for r in out)

@@ -1792,7 +1792,89 @@ QUALIFY rank <= {_DSIR_KEEP}
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup_keep_best — representative selection: near-dup clusters keep their
+# HIGHEST-QUALITY member (composite quality score, doc_id tiebreak), not
+# the arbitrary first/lowest-id one that keep-first dedup policies
+# (dedup_apply_near) default to — the difference between "dedup dropped
+# the clean copy and kept the boilerplate-ridden mirror" and not.
+#
+# Scale shape: the LSH pair generation and min-label cluster propagation
+# are the production operators (banded equi-joins, iterations ∝ cluster
+# diameter); quality is one projection pass; the argmax is a single
+# map-side-combinable max-struct groupBy on cluster_id. Nothing new
+# materializes beyond the cluster assignment already needed for dedup.
+# ---------------------------------------------------------------------------
+def _dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.operators.dedup import (
+        dup_clusters,
+        minhash_lsh_dedup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=_MINHASH_K,
+        bands=_MINHASH_BANDS, threshold=_JACCARD_THRESHOLD,
+    )
+    clusters = dup_clusters(docs, "doc_id", pairs)
+    q = docs.select(
+        "doc_id", F.round(T.quality_score(F.col("text")), ROUND_STAT).alias("__q")
+    )
+    best = (
+        clusters.join(q, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(
+                F.struct(
+                    F.col("__q"), (-F.col("doc_id")).alias("__nk"), F.col("doc_id")
+                )
+            ).alias("__b"),
+        )
+    )
+    return best.select(
+        "cluster_id",
+        F.col("__b")["doc_id"].alias("kept_doc_id"),
+        "n_members",
+        (F.col("n_members") - 1).alias("n_dropped"),
+        F.col("__b")["__q"].alias("kept_quality"),
+    )
+
+
+_KEEP_BEST_SQL = f"""
+WITH RECURSIVE
+lsh_pairs AS (SELECT id_a, id_b FROM ({_DEDUP_MINHASH_SQL})),
+e AS (SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+      UNION SELECT id_b, id_a FROM lsh_pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+minreach AS (SELECT src AS doc_id, min(dst) AS min_reach FROM reach GROUP BY src),
+clustered AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(b.min_reach, d.doc_id)) AS cluster_id
+  FROM documents d LEFT JOIN minreach b ON b.doc_id = d.doc_id),
+q AS ({_quality_cte_sql()}),
+m AS (
+  SELECT c.cluster_id, c.doc_id, round(q.quality, {ROUND_STAT}) AS qr
+  FROM clustered c JOIN q ON q.doc_id = c.doc_id),
+agg AS (
+  SELECT cluster_id, count(*)::BIGINT AS n_members,
+         max({{'q': qr, 'nk': -doc_id, 'k': doc_id}}) AS b
+  FROM m GROUP BY cluster_id)
+SELECT cluster_id, b.k AS kept_doc_id, n_members,
+       (n_members - 1)::BIGINT AS n_dropped, b.q AS kept_quality
+FROM agg
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "dedup_keep_best": QuerySpec(
+        _dedup_keep_best, _KEEP_BEST_SQL,
+        "near-dup cluster representatives by argmax quality (keep-best, not keep-first)",
+        ("dedup", "curation"),
+    ),
     "sample_dsir": QuerySpec(
         _dsir, _DSIR_SQL,
         "DSIR importance resampling: hashed-ngram log ratios + Gumbel top-k",

@@ -10,6 +10,8 @@ SQL-expressible and carry full DuckDB oracles.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -473,6 +475,198 @@ GROUP BY step, change_type
 
 
 # ---------------------------------------------------------------------------
+# privacy_l_diversity — the audit k-anonymity alone cannot do: a group can
+# be k-large yet reveal everyone's sensitive value if the group is
+# homogeneous. Per quasi-identifier group (nation, market segment) over
+# the sensitive attribute (account-balance band), report group size,
+# distinct-l, Shannon entropy of the sensitive distribution, and both
+# distinct-l and entropy-l pass flags (entropy l-diversity per
+# Machanavajjhala et al. 2006: H(group) >= ln(l)).
+#
+# Scale shape: two chained aggregations (quasi+band counts, then a
+# per-quasi rollup) — both map-side-combinable shuffles keyed on the
+# quasi columns; no joins, no row materialization. At 100 TB this is
+# the same two-exchange plan.
+# ---------------------------------------------------------------------------
+_LDIV_L = 3
+_LDIV_BAND = 2000.0  # acctbal band width — the sensitive attribute
+
+
+def _l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    banded = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(_LDIV_BAND)).cast("int").alias("__band"),
+    )
+    per_band = banded.groupBy("c_nationkey", "c_mktsegment", "__band").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    c = F.col("__c").cast("double")
+    per_group = per_band.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("__c").alias("n_rows"),
+        F.count(F.lit(1)).alias("distinct_sensitive"),
+        F.sum(c * F.log(c)).alias("__clnc"),
+    )
+    n = F.col("n_rows").cast("double")
+    entropy = F.log(n) - F.col("__clnc") / n
+    return per_group.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n_rows",
+        "distinct_sensitive",
+        (F.round(entropy, ROUND_STAT) + F.lit(0.0)).alias("entropy"),
+        (F.col("distinct_sensitive") >= _LDIV_L).alias("distinct_l_ok"),
+        (entropy >= math.log(_LDIV_L) - 1e-9).alias("entropy_l_ok"),
+    )
+
+
+_LDIV_SQL = f"""
+WITH banded AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / {_LDIV_BAND}) AS INT) AS band
+  FROM customer),
+per_band AS (
+  SELECT c_nationkey, c_mktsegment, band, count(*) AS c
+  FROM banded GROUP BY 1, 2, 3),
+per_group AS (
+  SELECT c_nationkey, c_mktsegment,
+         sum(c)::BIGINT AS n_rows,
+         count(*)::BIGINT AS distinct_sensitive,
+         sum(c::DOUBLE * ln(c::DOUBLE)) AS clnc
+  FROM per_band GROUP BY 1, 2)
+SELECT c_nationkey, c_mktsegment, n_rows, distinct_sensitive,
+       round(ln(n_rows::DOUBLE) - clnc / n_rows, {ROUND_STAT}) + 0.0 AS entropy,
+       distinct_sensitive >= {_LDIV_L} AS distinct_l_ok,
+       (ln(n_rows::DOUBLE) - clnc / n_rows) >= ln({_LDIV_L}) - 1e-9 AS entropy_l_ok
+FROM per_group
+"""
+
+
+# ---------------------------------------------------------------------------
+# lakehouse_skipping_stats — the data-skipping effectiveness advisor: how
+# many "files" a range predicate can prune from the zone maps (per-file
+# min/max, what parquet footers / Delta-Iceberg manifests store), compared
+# across two physical layouts of the SAME rows — ingestion order
+# (orderkey-range files: shipdate correlates loosely, zone maps are wide)
+# vs shipdate-clustered files (what a ZORDER/OPTIMIZE maintenance job
+# produces: tight zones, most files prune). The read-amplification column
+# is the number the maintenance job is judged by.
+#
+# Scale shape: the file tag is arithmetic on each row (no shuffle); zone
+# maps are one map-side-combinable groupBy per layout over ~file-count
+# groups; the verdict is an aggregation over file-count rows. Bounds are
+# a bounded driver collect (3 scalars), the same fit/score split as
+# layout.column_bounds. At 100 TB: two scans, two tiny shuffles.
+# ---------------------------------------------------------------------------
+_SKIP_FILES = 32           # simulated file count per layout
+_SKIP_SEL_START_PCT = 45   # predicate window start, % into the day span
+_SKIP_SEL_DAYS = 30        # predicate window width (days)
+
+
+def _skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.datediff("l_shipdate", F.lit("1970-01-01").cast("date")).alias("__day"),
+    )
+    b = li.agg(
+        F.max("l_orderkey").alias("mx"),
+        F.min("__day").alias("d0"),
+        F.max("__day").alias("d1"),
+    ).first()
+    mx, d0, d1 = int(b["mx"]), int(b["d0"]), int(b["d1"])
+    span = d1 - d0 + 1
+    lo = d0 + (span * _SKIP_SEL_START_PCT) // 100
+    hi = lo + _SKIP_SEL_DAYS - 1
+    rows_matched = li.filter(F.col("__day").between(lo, hi)).count()
+
+    # integer range-bucket file ids — exact arithmetic, no float edge
+    layouts = {
+        "ingest_orderkey": F.expr(f"CAST(l_orderkey * {_SKIP_FILES} DIV {mx + 1} AS INT)"),
+        "clustered_shipdate": F.expr(
+            f"CAST((__day - {d0}) * {_SKIP_FILES} DIV {span} AS INT)"
+        ),
+    }
+    per_layout = []
+    for name, file_id in layouts.items():
+        zones = li.groupBy(file_id.alias("__file")).agg(
+            F.min("__day").alias("__mn"),
+            F.max("__day").alias("__mx"),
+            F.count(F.lit(1)).alias("__c"),
+        )
+        scanned = ~((F.col("__mx") < lo) | (F.col("__mn") > hi))
+        per_layout.append(
+            zones.agg(
+                F.lit(name).alias("layout"),
+                F.count(F.lit(1)).alias("n_files"),
+                F.sum(scanned.cast("bigint")).alias("files_scanned"),
+                F.sum(F.when(scanned, F.col("__c")).otherwise(F.lit(0))).alias(
+                    "rows_scanned"
+                ),
+            )
+        )
+    out = per_layout[0].unionByName(per_layout[1])
+    return out.select(
+        "layout",
+        "n_files",
+        "files_scanned",
+        F.round(
+            F.lit(1.0) - F.col("files_scanned") / F.col("n_files"), ROUND_STAT
+        ).alias("skip_ratio"),
+        "rows_scanned",
+        F.lit(rows_matched).alias("rows_matched"),
+        F.round(F.col("rows_scanned") / F.lit(float(rows_matched)), ROUND_STAT).alias(
+            "read_amplification"
+        ),
+    )
+
+
+_SKIPPING_SQL = f"""
+WITH li AS (
+  SELECT l_orderkey,
+         date_diff('day', DATE '1970-01-01', l_shipdate) AS day
+  FROM lineitem),
+b AS (
+  SELECT max(l_orderkey) AS mx, min(day) AS d0, max(day) AS d1,
+         max(day) - min(day) + 1 AS span
+  FROM li),
+sel AS (
+  SELECT d0 + (span * {_SKIP_SEL_START_PCT}) // 100 AS lo,
+         d0 + (span * {_SKIP_SEL_START_PCT}) // 100 + {_SKIP_SEL_DAYS} - 1 AS hi
+  FROM b),
+m AS (SELECT count(*)::BIGINT AS rows_matched FROM li, sel
+      WHERE day BETWEEN lo AND hi),
+tagged AS (
+  SELECT day,
+         CAST((l_orderkey * {_SKIP_FILES}) // (mx + 1) AS INT) AS f_ing,
+         CAST(((day - d0) * {_SKIP_FILES}) // span AS INT) AS f_clu
+  FROM li, b),
+z AS (
+  SELECT 'ingest_orderkey' AS layout, f_ing AS file_id,
+         min(day) AS mn, max(day) AS mx2, count(*) AS c
+  FROM tagged GROUP BY 2
+  UNION ALL
+  SELECT 'clustered_shipdate' AS layout, f_clu AS file_id,
+         min(day) AS mn, max(day) AS mx2, count(*) AS c
+  FROM tagged GROUP BY 2),
+agg AS (
+  SELECT layout,
+         count(*)::BIGINT AS n_files,
+         sum(CASE WHEN NOT (mx2 < lo OR mn > hi) THEN 1 ELSE 0 END)::BIGINT
+           AS files_scanned,
+         sum(CASE WHEN NOT (mx2 < lo OR mn > hi) THEN c ELSE 0 END)::BIGINT
+           AS rows_scanned
+  FROM z, sel GROUP BY layout)
+SELECT layout, n_files, files_scanned,
+       round(1.0 - files_scanned / n_files::DOUBLE, {ROUND_STAT}) AS skip_ratio,
+       rows_scanned, rows_matched,
+       round(rows_scanned / rows_matched::DOUBLE, {ROUND_STAT})
+         AS read_amplification
+FROM agg, m
+"""
+
+
+# ---------------------------------------------------------------------------
 # privacy_k_anonymity — suppression to a k-anonymity floor over the
 # customer quasi-identifiers (nation, market segment): after NULLing the
 # quasi-columns of rows in groups smaller than k, every remaining
@@ -679,6 +873,16 @@ REGISTRY: dict[str, QuerySpec] = {
         _k_anonymity, _KANON_SQL,
         "k-anonymity suppression over quasi-identifiers with invariant summary",
         ("lakehouse", "diagnostics", "cleaning"),
+    ),
+    "privacy_l_diversity": QuerySpec(
+        _l_diversity, _LDIV_SQL,
+        "entropy l-diversity audit per quasi-identifier group (distinct + entropy flags)",
+        ("lakehouse", "diagnostics"),
+    ),
+    "lakehouse_skipping_stats": QuerySpec(
+        _skipping_stats, _SKIPPING_SQL,
+        "zone-map data-skipping effectiveness: ingest vs clustered layout read amplification",
+        ("lakehouse", "diagnostics"),
     ),
     "lakehouse_cdc_diff": QuerySpec(
         _cdc_diff, _CDC_DIFF_SQL,

@@ -11,6 +11,8 @@ same logical plans with readStream + AvailableNow).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1186,7 +1188,146 @@ FROM filled
 """
 
 
+# ---------------------------------------------------------------------------
+# join_record_linkage — Fellegi–Sunter probabilistic record linkage
+# (Fellegi & Sunter 1969; the probabilistic big sibling of
+# join_fuzzy_blocked's rule-based resolve): a deterministically dirtied
+# registry (one name digit dropped, balance perturbed, ~9% of segments
+# blanked) is linked back to the clean registry. Per candidate pair the
+# three field comparisons (name edit-distance<=1, balance band, segment)
+# each contribute their log2(m/u) agreement weight or log2((1-m)/(1-u))
+# disagreement weight; the summed score classifies link / possible /
+# non_link at fixed thresholds, and the best candidate per dirty record
+# resolves by (score desc, key asc).
+#
+# Scale shape: blocking on (nation, last name char) — both preserved by
+# the corruption — makes candidate generation ONE equi-join with
+# ~n/(nations*10) rows per block (never all-pairs); scoring is a
+# projection; the best-match resolve is one map-side-combinable
+# min-struct groupBy. m/u parameters are fixed spec constants (a
+# production fit would EM them — that estimator is driver-side over the
+# same bounded agreement histogram).
+# ---------------------------------------------------------------------------
+_FS_PARAMS = {"name": (0.95, 0.002), "bal": (0.9, 0.01), "seg": (0.9, 0.2)}
+_FS_W = {
+    k: (round(math.log2(m / u), 6), round(math.log2((1 - m) / (1 - u)), 6))
+    for k, (m, u) in _FS_PARAMS.items()
+}
+_FS_LINK, _FS_POSSIBLE = 8.0, 0.0  # score thresholds
+
+
+def _record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    dirty = cust.select(
+        F.col("c_custkey").alias("d_key"),
+        "c_nationkey",
+        F.concat(
+            F.col("c_name").substr(1, 12),
+            F.col("c_name").substr(F.lit(14), F.length("c_name")),
+        ).alias("d_name"),
+        (F.col("c_acctbal") + (F.col("c_custkey") % 7 - 3)).alias("d_bal"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("d_seg"),
+    ).withColumn("__blk", F.expr("right(d_name, 1)"))
+    clean = cust.select(
+        "c_custkey", "c_nationkey", "c_name", "c_acctbal", "c_mktsegment"
+    ).withColumn("__blk", F.expr("right(c_name, 1)"))
+    cand = dirty.join(clean, ["c_nationkey", "__blk"])
+    agree = {
+        "name": F.levenshtein("d_name", "c_name") <= 1,
+        "bal": F.floor(F.col("d_bal") / 100) == F.floor(F.col("c_acctbal") / 100),
+        "seg": F.col("d_seg") == F.col("c_mktsegment"),
+    }
+    score = F.round(
+        sum(
+            F.when(agree[k], F.lit(_FS_W[k][0])).otherwise(F.lit(_FS_W[k][1]))
+            for k in _FS_W
+        ),
+        6,
+    )
+    scored = cand.select(
+        "d_key",
+        score.alias("__score"),
+        F.col("c_custkey").alias("__ck"),
+        agree["name"].alias("__na"),
+        agree["bal"].alias("__ba"),
+        agree["seg"].alias("__sa"),
+    )
+    best = scored.groupBy("d_key").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.max(
+            F.struct(
+                F.col("__score"),
+                (-F.col("__ck")).alias("__nk"),
+                F.col("__ck"),
+                "__na",
+                "__ba",
+                "__sa",
+            )
+        ).alias("__b"),
+    )
+    b = F.col("__b")
+    return best.select(
+        F.col("d_key").alias("dirty_custkey"),
+        b["__ck"].alias("matched_custkey"),
+        "n_candidates",
+        b["__na"].alias("name_agree"),
+        b["__ba"].alias("bal_agree"),
+        b["__sa"].alias("seg_agree"),
+        b["__score"].alias("score"),
+        F.when(b["__score"] >= _FS_LINK, F.lit("link"))
+        .when(b["__score"] >= _FS_POSSIBLE, F.lit("possible"))
+        .otherwise(F.lit("non_link"))
+        .alias("decision"),
+        (b["__ck"] == F.col("d_key")).alias("correct"),
+    )
+
+
+_RECORD_LINKAGE_SQL = f"""
+WITH dirty AS (
+  SELECT c_custkey AS d_key, c_nationkey,
+         substr(c_name, 1, 12) || substr(c_name, 14) AS d_name,
+         c_acctbal + (c_custkey % 7 - 3) AS d_bal,
+         CASE WHEN c_custkey % 11 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS d_seg
+  FROM customer),
+cand AS (
+  SELECT d.d_key, c.c_custkey,
+         (levenshtein(d.d_name, c.c_name) <= 1) AS na,
+         (floor(d.d_bal / 100) = floor(c.c_acctbal / 100)) AS ba,
+         (d.d_seg = c.c_mktsegment) AS sa
+  FROM dirty d JOIN customer c
+    ON d.c_nationkey = c.c_nationkey
+   AND right(d.d_name, 1) = right(c.c_name, 1)),
+scored AS (
+  SELECT d_key, c_custkey, na, ba, sa,
+         round(  CASE WHEN na THEN {_FS_W["name"][0]} ELSE {_FS_W["name"][1]} END
+               + CASE WHEN ba THEN {_FS_W["bal"][0]} ELSE {_FS_W["bal"][1]} END
+               + CASE WHEN sa THEN {_FS_W["seg"][0]} ELSE {_FS_W["seg"][1]} END, 6)
+           AS score
+  FROM cand),
+best AS (
+  SELECT d_key, count(*)::BIGINT AS n_candidates,
+         max({{'score': score, 'nk': -c_custkey, 'ck': c_custkey,
+              'na': na, 'ba': ba, 'sa': sa}}) AS b
+  FROM scored GROUP BY d_key)
+SELECT d_key AS dirty_custkey, b.ck AS matched_custkey, n_candidates,
+       b.na AS name_agree, b.ba AS bal_agree, b.sa AS seg_agree,
+       b.score AS score,
+       CASE WHEN b.score >= {_FS_LINK} THEN 'link'
+            WHEN b.score >= {_FS_POSSIBLE} THEN 'possible'
+            ELSE 'non_link' END AS decision,
+       b.ck = d_key AS correct
+FROM best
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "join_record_linkage": QuerySpec(
+        _record_linkage, _RECORD_LINKAGE_SQL,
+        "Fellegi-Sunter probabilistic record linkage: blocked candidates, m/u log-weights, link/possible/non-link",
+        ("join", "dedup"),
+    ),
     "join_fuzzy_blocked": QuerySpec(
         _fuzzy_join, _FUZZY_JOIN_SQL,
         "Levenshtein record linkage with q-gram blocking, best-match resolve",
