@@ -117,6 +117,12 @@ BENCH_QUERIES: tuple[str, ...] = (
     # levels; a CollapseProject regression would show here first)
     "sim_embedding_covariance",
     "lakehouse_hilbert_codes",
+    # round-9 session 3: the shingle-IDF inverted-index doc-doc cosine
+    # (posting self-join + pair-keyed agg — the engine's widest
+    # string-keyed shuffle) and the blocked Fellegi-Sunter linkage
+    # (levenshtein candidate scoring + max-struct resolve)
+    "text_docsim_topk",
+    "join_record_linkage",
 )
 
 

@@ -1079,3 +1079,38 @@ def test_ivfpq_filtered_search_pushes_predicate_and_matches_labels(spark, sf_dir
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan
     assert "label" in plan.split("PushedFilters", 1)[1][:300]
+
+
+def test_docsim_topk_sane_and_finds_near_duplicates(spark, sf_dir):
+    """Sparse TF-IDF cosine: scores bounded, rank dense per doc, and the
+    lexical path surfaces the same near-dup pairs the MinHash path finds
+    (high n-gram overlap implies high banded-TF-IDF cosine)."""
+    from urban_traffic_data_lake_project_spark.operators.dedup import (
+        minhash_lsh_dedup_pairs,
+    )
+    from urban_traffic_data_lake_project_spark.sources import load_table
+
+    out = ql.REGISTRY["text_docsim_topk"].fn(spark, sf_dir).collect()
+    assert out
+    by_doc: dict = {}
+    for r in out:
+        assert 0.0 < r["cos_sim"] <= 1.0 + 1e-9, r
+        assert r["neighbor_id"] != r["doc_id"]
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["cos_sim"]))
+    for doc, rows in by_doc.items():
+        rows.sort()
+        assert [rk for rk, _ in rows] == list(range(1, len(rows) + 1)), doc
+        sims = [s for _, s in rows]
+        assert sims == sorted(sims, reverse=True), doc
+    docs = load_table(spark, sf_dir, "documents")
+    dup_pairs = minhash_lsh_dedup_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=ql._MINHASH_K,
+        bands=ql._MINHASH_BANDS, threshold=ql._JACCARD_THRESHOLD,
+    ).collect()
+    assert dup_pairs
+    neighbors = {(r["doc_id"], r["neighbor_id"]) for r in out}
+    hit = sum(
+        1 for p in dup_pairs
+        if (p["id_a"], p["id_b"]) in neighbors or (p["id_b"], p["id_a"]) in neighbors
+    )
+    assert hit / len(dup_pairs) >= 0.8, (hit, len(dup_pairs))

@@ -349,3 +349,42 @@ def test_record_linkage_resolves_every_dirty_record_to_itself(spark, sf_dir):
         assert r["decision"] == want
     # the dropped-digit name still agrees for every self pair
     assert all(r["name_agree"] for r in out)
+
+
+def test_linkage_em_fit_separates_match_class(spark, sf_dir):
+    """The unsupervised EM must land where the synthetic corruption put
+    the truth: every field separates (m >> u), weights decompose from
+    m/u, prevalence matches the true-pair share of the blocked candidate
+    set, and the fitted m_seg reflects the ~1/11 segment blanking."""
+    import math
+
+    from urban_traffic_data_lake_project_spark.queries import windows as qw
+
+    out = {r["field"]: r for r in qw.REGISTRY["join_linkage_em_fit"].fn(spark, sf_dir).collect()}
+    assert set(out) == {"name", "bal", "seg"}
+    prev = {r["prevalence"] for r in out.values()}
+    assert len(prev) == 1
+    p = prev.pop()
+    assert 0.0 < p < 1.0
+    for f, r in out.items():
+        # m can round to exactly 1.0 at tiny SF (clamped at 1 - 1e-9)
+        assert 0.0 < r["u"] < r["m"] <= 1.0, f
+        assert r["m"] - r["u"] > 0.5, f  # real separation, not a degenerate fit
+        # reconstruction from the 6-dp-rounded m/u drifts by up to the
+        # rounding step's relative effect on each log argument
+        tol = 1e-6 * (1 / r["m"] + 1 / r["u"])
+        assert abs(r["w_agree"] - math.log2(r["m"] / r["u"])) < tol, f
+        if r["m"] < 1.0:  # else the 6-dp rounding hides the clamped 1-m
+            tol_d = 1e-6 * (1 / (1 - r["m"]) + 1 / (1 - r["u"]))
+            assert (
+                abs(r["w_disagree"] - math.log2((1 - r["m"]) / (1 - r["u"]))) < tol_d
+            ), f
+        else:
+            assert r["w_disagree"] < -20, f  # clamped: hugely negative
+    # true pairs = one self-match per customer; prevalence = that share
+    cand = qw._linkage_candidates(spark, sf_dir)
+    n_pairs = cand.count()
+    n_true = cand.filter("d_key = __ck").count()
+    assert abs(p - n_true / n_pairs) < 0.05
+    # segment blanking hits 1/11 of records, so m_seg ~ 10/11
+    assert abs(out["seg"]["m"] - 10 / 11) < 0.03

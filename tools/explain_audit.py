@@ -76,6 +76,8 @@ PLAN_ANNOTATIONS: dict[str, dict[str, str]] = {
             "text_hybrid_rrf",
             "decontam_embedding",
             "text_tfidf",
+            # same 1-row corpus-count attach (the df-band threshold)
+            "text_docsim_topk",
             "sim_cosine_topk",
             "sim_hard_negatives",
             # coarse stage broadcasts the bounded query set against the

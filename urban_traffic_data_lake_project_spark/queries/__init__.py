@@ -92,15 +92,18 @@ RECORD_WINDOW: tuple[str, ...] = (
     "lakehouse_skipping_stats",
     "join_record_linkage",
     "dedup_keep_best",
+    "text_docsim_topk",
+    "join_linkage_em_fit",
     # (c) changed in round 9 — one representative per touched plan shape
     "sim_matryoshka_ivf",
     "sim_int8_rerank",
-    "text_bpe_train",
+    # text_bpe_encode represents BOTH r9-touched BPE plans (its encode
+    # replays the train loop end-to-end); text_bpe_train's slot went to
+    # the docsim newborn
     "text_bpe_encode",
     "dedup_embedding_srp",
     "sim_ivfpq_topk",
     # (d) sentinels (historic reds, heavy reps) + r6-vintage prepay
-    "text_boilerplate_lines",
     "quality_expectations",
     "curation_pipeline",
 )

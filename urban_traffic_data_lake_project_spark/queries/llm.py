@@ -2164,6 +2164,61 @@ def _text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "term", F.round("tfidf", ROUND_STAT).alias("tfidf"))
 
 
+# ---------------------------------------------------------------------------
+# text_docsim_topk — sparse lexical doc-doc similarity: exact IDF-weighted
+# cosine over distinct word 3-gram shingles (the same shingle space the
+# MinHash family bands) via an inverted-index self-join, per-doc top-k
+# neighbors. The lexical counterpart of sim_cosine_topk (dense), for
+# document-level dedup triage rather than query retrieval.
+# ---------------------------------------------------------------------------
+_DOCSIM_K = 5
+_DOCSIM_MIN_DF = 2
+_DOCSIM_MAX_DF_FRAC = 0.5
+
+
+def _text_docsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.tfidf_docsim_topk(
+        docs, "doc_id", "text",
+        k=_DOCSIM_K, min_df=_DOCSIM_MIN_DF, max_df_frac=_DOCSIM_MAX_DF_FRAC,
+    )
+
+
+_DOCSIM_SQL = f"""
+WITH {_SHINGLE_CTE},
+dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+n_docs AS (SELECT count(*) AS n FROM documents),
+p AS (
+  SELECT s.doc_id, s.shingle AS term, ln(n_docs.n::DOUBLE / d.df) AS w
+  FROM sh s
+  JOIN dfreq d ON d.shingle = s.shingle
+  CROSS JOIN n_docs
+  WHERE d.df >= {_DOCSIM_MIN_DF}
+    AND d.df <= floor({_DOCSIM_MAX_DF_FRAC} * n_docs.n::DOUBLE)),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nn FROM p GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, sum(a.w * b.w) AS dot
+  FROM p a JOIN p b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sym AS (
+  SELECT da AS doc_id, db AS neighbor_id, dot FROM pairs
+  UNION ALL
+  SELECT db, da, dot FROM pairs),
+sims AS (
+  SELECT s.doc_id, s.neighbor_id,
+         round(s.dot / (na.nn * nb.nn), 6) AS cos_sim
+  FROM sym s
+  JOIN norms na ON na.doc_id = s.doc_id
+  JOIN norms nb ON nb.doc_id = s.neighbor_id)
+SELECT doc_id, neighbor_id, cos_sim, rank FROM (
+  SELECT doc_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM sims)
+WHERE rank <= {_DOCSIM_K}
+"""
+
+
 _TFIDF_SQL = f"""
 WITH norm AS (SELECT doc_id, {_NORM.format(c='text')} AS nt FROM documents),
 terms AS (
@@ -2937,6 +2992,11 @@ REGISTRY: dict[str, QuerySpec] = {
         ("dedup", "similarity", "defer"),
     ),
     "text_tfidf": QuerySpec(_text_tfidf, _TFIDF_SQL, "smooth TF-IDF table", ("text",)),
+    "text_docsim_topk": QuerySpec(
+        _text_docsim, _DOCSIM_SQL,
+        "sparse TF-IDF doc-doc cosine top-k via inverted-index self-join (df-banded vocab)",
+        ("text", "similarity", "dedup"),
+    ),
     "text_bpe_train": QuerySpec(
         _text_bpe_train, _TEXT_BPE_TRAIN_SQL,
         "the learned BPE merge table: step, pair, merged symbol, pair frequency",

@@ -1216,7 +1216,10 @@ _FS_W = {
 _FS_LINK, _FS_POSSIBLE = 8.0, 0.0  # score thresholds
 
 
-def _record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _linkage_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked candidate pairs with the three field-agreement flags —
+    shared by the scorer (join_record_linkage) and the parameter fit
+    (join_linkage_em_fit)."""
     cust = load_table(spark, sf_dir, "customer")
     dirty = cust.select(
         F.col("c_custkey").alias("d_key"),
@@ -1239,20 +1242,25 @@ def _record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bal": F.floor(F.col("d_bal") / 100) == F.floor(F.col("c_acctbal") / 100),
         "seg": F.col("d_seg") == F.col("c_mktsegment"),
     }
-    score = F.round(
-        sum(
-            F.when(agree[k], F.lit(_FS_W[k][0])).otherwise(F.lit(_FS_W[k][1]))
-            for k in _FS_W
-        ),
-        6,
-    )
-    scored = cand.select(
+    return cand.select(
         "d_key",
-        score.alias("__score"),
         F.col("c_custkey").alias("__ck"),
         agree["name"].alias("__na"),
         agree["bal"].alias("__ba"),
         agree["seg"].alias("__sa"),
+    )
+
+
+def _record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    score = F.round(
+        sum(
+            F.when(F.col(flag), F.lit(_FS_W[k][0])).otherwise(F.lit(_FS_W[k][1]))
+            for k, flag in (("name", "__na"), ("bal", "__ba"), ("seg", "__sa"))
+        ),
+        6,
+    )
+    scored = _linkage_candidates(spark, sf_dir).select(
+        "d_key", score.alias("__score"), "__ck", "__na", "__ba", "__sa"
     )
     best = scored.groupBy("d_key").agg(
         F.count(F.lit(1)).alias("n_candidates"),
@@ -1282,6 +1290,156 @@ def _record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("decision"),
         (b["__ck"] == F.col("d_key")).alias("correct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# join_linkage_em_fit — the parameter estimation join_record_linkage's
+# docstring promises: fit the Fellegi-Sunter m/u probabilities by EM over
+# the agreement-pattern histogram (Winkler's unsupervised fit — no labeled
+# pairs needed). The distributed work is ONE groupBy over the blocked
+# candidate pairs producing <= 2^3 pattern counts; the EM runs on the
+# driver over that bounded histogram (the fit/score split, same as
+# pca_fit), and the fitted weights are what a production deployment would
+# feed back into the scorer in place of _FS_W's spec constants.
+#
+# The oracle replays the SAME 20 EM iterations as 20 unrolled SQL CTEs
+# over the same histogram — a fully strict-checked iterative ML fit (the
+# per-iteration arithmetic is identically ordered; the only cross-engine
+# freedom is the 8-term aggregation order, which the EM contraction keeps
+# below the 6-dp rounding edge).
+# ---------------------------------------------------------------------------
+_EM_ITERS = 20
+_EM_INIT_P, _EM_INIT_M, _EM_INIT_U = 0.1, 0.9, 0.1
+_EM_EPS = 1e-9
+_EM_FIELDS = (("name", "__na"), ("bal", "__ba"), ("seg", "__sa"))
+
+
+def _linkage_em_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist = (
+        _linkage_candidates(spark, sf_dir)
+        .groupBy("__na", "__ba", "__sa")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    pats = sorted(
+        (bool(r["__na"]), bool(r["__ba"]), bool(r["__sa"]), float(r["c"]))
+        for r in hist
+    )
+    p, m, u = _EM_INIT_P, [_EM_INIT_M] * 3, [_EM_INIT_U] * 3
+    for _ in range(_EM_ITERS):
+        tot_c = agg_w = agg_u = 0.0
+        agg_wf, agg_uf = [0.0] * 3, [0.0] * 3
+        for na, ba, sa, c in pats:
+            g = (na, ba, sa)
+            pm, pu = p, 1.0 - p
+            for i, gi in enumerate(g):
+                pm = pm * (m[i] if gi else 1.0 - m[i])
+                pu = pu * (u[i] if gi else 1.0 - u[i])
+            w = pm / (pm + pu)
+            tot_c += c
+            agg_w += c * w
+            agg_u += c * (1.0 - w)
+            for i, gi in enumerate(g):
+                if gi:
+                    agg_wf[i] += c * w
+                    agg_uf[i] += c * (1.0 - w)
+        # clamp into the open interval (standard EM smoothing): a field
+        # the separation makes perfect would otherwise drive u (or 1-m)
+        # to exact 0 and the log-weights to infinity
+        clamp = lambda x: min(max(x, _EM_EPS), 1.0 - _EM_EPS)  # noqa: E731
+        p = clamp(agg_w / tot_c)
+        m = [clamp(agg_wf[i] / agg_w) for i in range(3)]
+        u = [clamp(agg_uf[i] / agg_u) for i in range(3)]
+    rows = [
+        (
+            name,
+            round(m[i], 6),
+            round(u[i], 6),
+            round(math.log2(m[i] / u[i]), 6),
+            round(math.log2((1.0 - m[i]) / (1.0 - u[i])), 6),
+            round(p, 6),
+        )
+        for i, (name, _) in enumerate(_EM_FIELDS)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "field string, m double, u double, w_agree double, "
+        "w_disagree double, prevalence double",
+    )
+
+
+def _em_iteration_ctes() -> str:
+    ctes = [
+        f"it0 AS (SELECT {_EM_INIT_P}::DOUBLE AS p,"
+        + ", ".join(f"{_EM_INIT_M}::DOUBLE AS m{i}" for i in (1, 2, 3))
+        + ", "
+        + ", ".join(f"{_EM_INIT_U}::DOUBLE AS u{i}" for i in (1, 2, 3))
+        + ")"
+    ]
+    flags = ("na", "ba", "sa")
+    for k in range(1, _EM_ITERS + 1):
+        pm = " * ".join(
+            f"(CASE WHEN g.{f} THEN prev.m{i+1} ELSE 1 - prev.m{i+1} END)"
+            for i, f in enumerate(flags)
+        )
+        pu = " * ".join(
+            f"(CASE WHEN g.{f} THEN prev.u{i+1} ELSE 1 - prev.u{i+1} END)"
+            for i, f in enumerate(flags)
+        )
+        def _cl(expr: str) -> str:
+            return f"greatest(least({expr}, 1 - {_EM_EPS}), {_EM_EPS})"
+
+        ms = ", ".join(
+            _cl(f"sum(CASE WHEN {f} THEN c * w ELSE 0 END) / sum(c * w)")
+            + f" AS m{i+1}"
+            for i, f in enumerate(flags)
+        )
+        us = ", ".join(
+            _cl(f"sum(CASE WHEN {f} THEN c * (1 - w) ELSE 0 END) / sum(c * (1 - w))")
+            + f" AS u{i+1}"
+            for i, f in enumerate(flags)
+        )
+        ctes.append(
+            f"""it{k} AS (
+  SELECT {_cl("sum(c * w) / sum(c)")} AS p, {ms}, {us}
+  FROM (SELECT c, na, ba, sa, pm / (pm + pu) AS w
+        FROM (SELECT g.c, g.na, g.ba, g.sa,
+                     prev.p * {pm} AS pm,
+                     (1 - prev.p) * {pu} AS pu
+              FROM hist g CROSS JOIN it{k-1} prev)))"""
+        )
+    return ",\n".join(ctes)
+
+
+_LINKAGE_EM_SQL = f"""
+WITH dirty AS (
+  SELECT c_custkey AS d_key, c_nationkey,
+         substr(c_name, 1, 12) || substr(c_name, 14) AS d_name,
+         c_acctbal + (c_custkey % 7 - 3) AS d_bal,
+         CASE WHEN c_custkey % 11 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS d_seg
+  FROM customer),
+cand AS (
+  SELECT (levenshtein(d.d_name, c.c_name) <= 1) AS na,
+         (floor(d.d_bal / 100) = floor(c.c_acctbal / 100)) AS ba,
+         (d.d_seg = c.c_mktsegment) AS sa
+  FROM dirty d JOIN customer c
+    ON d.c_nationkey = c.c_nationkey
+   AND right(d.d_name, 1) = right(c.c_name, 1)),
+hist AS (SELECT na, ba, sa, count(*) AS c FROM cand GROUP BY 1, 2, 3),
+{_em_iteration_ctes()}
+SELECT f.field,
+       round(CASE f.i WHEN 1 THEN m1 WHEN 2 THEN m2 ELSE m3 END, 6) AS m,
+       round(CASE f.i WHEN 1 THEN u1 WHEN 2 THEN u2 ELSE u3 END, 6) AS u,
+       round(log2((CASE f.i WHEN 1 THEN m1 WHEN 2 THEN m2 ELSE m3 END)
+                / (CASE f.i WHEN 1 THEN u1 WHEN 2 THEN u2 ELSE u3 END)), 6)
+         AS w_agree,
+       round(log2((1 - CASE f.i WHEN 1 THEN m1 WHEN 2 THEN m2 ELSE m3 END)
+                / (1 - CASE f.i WHEN 1 THEN u1 WHEN 2 THEN u2 ELSE u3 END)), 6)
+         AS w_disagree,
+       round(p, 6) AS prevalence
+FROM (VALUES ('name', 1), ('bal', 2), ('seg', 3)) f(field, i)
+CROSS JOIN it{_EM_ITERS}
+"""
 
 
 _RECORD_LINKAGE_SQL = f"""
@@ -1327,6 +1485,11 @@ REGISTRY: dict[str, QuerySpec] = {
         _record_linkage, _RECORD_LINKAGE_SQL,
         "Fellegi-Sunter probabilistic record linkage: blocked candidates, m/u log-weights, link/possible/non-link",
         ("join", "dedup"),
+    ),
+    "join_linkage_em_fit": QuerySpec(
+        _linkage_em_fit, _LINKAGE_EM_SQL,
+        "EM-fitted Fellegi-Sunter m/u parameters from the agreement-pattern histogram",
+        ("join", "ml"),
     ),
     "join_fuzzy_blocked": QuerySpec(
         _fuzzy_join, _FUZZY_JOIN_SQL,
