@@ -608,6 +608,21 @@ def main() -> None:
 
     run_case("pca_fit_whiten_1m", n13, pca_whiten)
 
+    # 14. shingle-IDF doc-doc cosine at 200k docs (same corpus shape as
+    # the minhash_lsh case — 10% engineered near-dups): the posting
+    # self-join is the widest string-keyed shuffle in the engine; the df
+    # band keeps pair fan-out ∝ shared-shingle density, never n².
+    n14 = int(200_000 * s)
+
+    def docsim():
+        from urban_traffic_data_lake_project_spark.operators.text import (
+            tfidf_docsim_topk,
+        )
+
+        return tfidf_docsim_topk(synth_docs(spark, n14), "doc_id", "text", k=5)
+
+    run_case("docsim_topk", n14, docsim)
+
 
 if __name__ == "__main__":
     main()
