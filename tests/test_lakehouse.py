@@ -182,3 +182,27 @@ def test_skipping_stats_clustered_layout_wins(spark, sf_dir):
         assert r["read_amplification"] >= 1.0
     assert clu["skip_ratio"] > ing["skip_ratio"]
     assert clu["read_amplification"] < ing["read_amplification"]
+
+
+def test_compaction_plan_bins_cover_and_fill(spark, sf_dir):
+    """The plan partitions the file inventory in key order: groups are
+    disjoint ordered spans, every row is assigned, and every non-final
+    output file lands within one input-file of the target size."""
+    plan = sorted(
+        ql.REGISTRY["lakehouse_compaction_plan"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["out_file"],
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    assert sum(r["n_rows"] for r in plan) == li.count()
+    max_file = (
+        li.groupBy(F.expr(f"l_orderkey DIV {ql._COMPACT_SLIVER}"))
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    for prev, nxt in zip(plan, plan[1:]):
+        assert prev["last_input"] < nxt["first_input"]  # key order kept
+    for r in plan[:-1]:
+        assert abs(r["n_rows"] - ql._COMPACT_TARGET) < max_file, r
+        assert r["fill_ratio"] > 0.5
+    assert all(r["first_input"] <= r["last_input"] for r in plan)

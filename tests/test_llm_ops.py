@@ -1114,3 +1114,41 @@ def test_docsim_topk_sane_and_finds_near_duplicates(spark, sf_dir):
         if (p["id_a"], p["id_b"]) in neighbors or (p["id_b"], p["id_a"]) in neighbors
     )
     assert hit / len(dup_pairs) >= 0.8, (hit, len(dup_pairs))
+
+
+def test_kcenter_coreset_matches_numpy_reference(spark, sf_dir):
+    """Greedy farthest-point traversal: exact agreement with a local
+    numpy replay, monotone non-increasing selection distances, and the
+    coverage radius bounded by the last selection distance."""
+    import numpy as np
+
+    from urban_traffic_data_lake_project_spark.sources import load_table
+
+    out = sorted(
+        ql.REGISTRY["sample_coreset_kcenter"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["round"],
+    )
+    ids = [r["vec_id"] for r in out]
+    assert len(set(ids)) == len(ids)
+    dists = [r["sel_dist"] for r in out[1:]]
+    assert dists == sorted(dists, reverse=True)
+    assert all(r["coverage_radius"] <= dists[-1] + 1e-9 for r in out)
+
+    rows = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r["vec_id"])
+    V = np.array([[float(x) for x in r["embedding"]] for r in rows], dtype=np.float64)
+    vid = np.array([r["vec_id"] for r in rows])
+    sel = [0]  # smallest id seeds
+    md = ((V - V[0]) ** 2).sum(axis=1)
+    want = [(1, int(vid[0]), 0.0)]
+    for rnd in range(2, len(out) + 1):
+        key = np.round(md, 9)
+        best = np.lexsort((vid, -key))[0]
+        want.append((rnd, int(vid[best]), round(float(md[best]), 6)))
+        md = np.minimum(md, ((V - V[best]) ** 2).sum(axis=1))
+    got = [(r["round"], r["vec_id"], r["sel_dist"]) for r in out]
+    # numpy's vectorized sums reassociate, so compare distances loosely
+    for (gr, gi, gd), (wr, wi, wd) in zip(got, want):
+        assert (gr, gi) == (wr, wi)
+        assert abs(gd - wd) < 1e-5
+    assert abs(out[0]["coverage_radius"] - round(float(md.max()), 6)) < 1e-5

@@ -76,6 +76,11 @@ FAMILY = [
     # unrolled literal form hard-failed janino (64 KB processNext); this
     # pin keeps the compiled HOF form honest
     "image_phash",
+    # r9-born: per-round 64-term literal distance unrolls; the
+    # localCheckpoint per round is what keeps each stage at one round's
+    # terms — this pin would catch a regression that lets the least-chain
+    # accumulate back into a single >64 KB stage
+    "sample_coreset_kcenter",
 ]
 
 

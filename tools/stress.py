@@ -623,6 +623,18 @@ def main() -> None:
 
     run_case("docsim_topk", n14, docsim)
 
+    # 15. greedy k-center coreset at 1M vectors: k argmax passes (each a
+    # TakeOrderedAndProject of one row) + literal-center distance
+    # projections, lineage truncated per round by localCheckpoint.
+    def kcenter():
+        from urban_traffic_data_lake_project_spark.operators.sampling import (
+            kcenter_coreset,
+        )
+
+        return kcenter_coreset(synth_vectors(spark, n5, dim=32), "vec_id", "embedding", 32, k=8)
+
+    run_case("kcenter_coreset_1m", n5, kcenter)
+
 
 if __name__ == "__main__":
     main()

@@ -434,3 +434,67 @@ def dsir_importance_weights(
     return kept.withColumn("rank", F.row_number().over(rank_w)).select(
         id_col, "n_grams", "logw", "resample_key", "rank"
     )
+
+
+def kcenter_coreset(
+    df: DataFrame, id_col: str, vec_col: str, dim: int, k: int = 8
+) -> DataFrame:
+    """Greedy k-center coreset over an embedding column — the classic
+    data-pruning selection (farthest-point traversal, a 2-approximation
+    of the k-center objective; the geometric cousin of SemDeDup's
+    keep-farthest rule): start from the smallest id, then k-1 times pick
+    the point FARTHEST from everything selected so far. The selected
+    rows maximize coverage diversity — the opposite end of the dial from
+    dedup, for building small evaluation/calibration subsets.
+
+    Scale shape: one distributed argmax pass per round (TakeOrderedAndProject
+    of exactly 1 row — never a collect of the corpus) plus a literal-center
+    distance projection; the running min-distance column is
+    localCheckpoint-ed each round so the expression tree stays at one
+    round's 64 terms (the accumulated `least` chain would cross janino's
+    64 KB method limit by round ~8, the BPE merge-loop lesson). k passes
+    over the corpus is the algorithm's honest cost — at 100 TB pick k
+    small or seed with a pre-clustered sample.
+
+    Determinism: distances fold left-associatively over dims (identical
+    to the SQL oracle's unrolled form), the per-round argmax orders by
+    (round(dist, 9) DESC, id ASC) so a sub-9dp cross-engine ulp cannot
+    flip the selection.
+
+    Returns one row per selected center: (round, id, sel_dist — the
+    min-distance that made it the farthest point, 0 for the seed) plus
+    the post-selection coverage radius (max remaining min-distance, the
+    k-center objective value) repeated on every row.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+
+    def dist_to(center: list[float]):
+        # d*d, not pow(d, 2): Math.pow is not guaranteed ulp-identical to
+        # the multiplication the SQL oracle uses
+        diffs = [
+            F.element_at("__v", i + 1) - F.lit(float(center[i])) for i in range(dim)
+        ]
+        terms = [d * d for d in diffs]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    first = base.orderBy(id_col).first()
+    selected = [(1, first[id_col], 0.0)]
+    cur = base.withColumn("__md", dist_to(first["__v"])).localCheckpoint()
+    for rnd in range(2, k + 1):
+        nxt = cur.orderBy(F.desc(F.round("__md", 9)), F.asc(id_col)).first()
+        selected.append((rnd, nxt[id_col], round(float(nxt["__md"]), 6)))
+        cur = cur.withColumn(
+            "__md", F.least("__md", dist_to(nxt["__v"]))
+        ).localCheckpoint()
+    radius = round(float(cur.agg(F.max(F.round("__md", 9))).first()[0]), 6)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(r, i, d, radius) for r, i, d in selected],
+        f"round int, {id_col} bigint, sel_dist double, coverage_radius double",
+    )

@@ -94,9 +94,13 @@ RECORD_WINDOW: tuple[str, ...] = (
     "dedup_keep_best",
     "text_docsim_topk",
     "join_linkage_em_fit",
+    "lakehouse_compaction_plan",
+    "sample_coreset_kcenter",
     # (c) changed in round 9 — one representative per touched plan shape
-    "sim_matryoshka_ivf",
-    "sim_int8_rerank",
+    # (sim_int8_rerank and sim_matryoshka_ivf gave their slots to late-r9
+    # newborns: the ADVICE-r8 scorer hardening they carried is exercised
+    # by sim_int8_index's shared Arrow path, recorded in this same
+    # window, and strict-swept at 3 SFs)
     # text_bpe_encode represents BOTH r9-touched BPE plans (its encode
     # replays the train loop end-to-end); text_bpe_train's slot went to
     # the docsim newborn

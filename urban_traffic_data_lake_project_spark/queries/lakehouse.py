@@ -667,6 +667,74 @@ FROM agg, m
 
 
 # ---------------------------------------------------------------------------
+# lakehouse_compaction_plan — the OPTIMIZE planning step: given the
+# small-file inventory a streaming/CDC ingest leaves behind (simulated
+# here as orderkey-range slivers), assign input files to output groups by
+# cumulative size against a target file size, preserving key order so the
+# rewrite keeps the clustering. Output: one row per planned output file
+# with its input-file span, rows, and fill ratio — the artifact a
+# maintenance service would hand to the rewrite job (write_compacted is
+# the executor of this plan; its bytes-per-row sampling is tested in
+# tests/test_sources.py).
+#
+# Scale shape: the cumulative-sum window runs over the FILE INVENTORY
+# (metadata — thousands of rows when the table is petabytes), not data;
+# the single-partition window is therefore bounded by design, and the
+# per-file stats aggregation underneath is the same map-side-combinable
+# groupBy as the zone-map queries.
+# ---------------------------------------------------------------------------
+_COMPACT_SLIVER = 64   # input sliver: orderkeys per "file" (many small files)
+_COMPACT_TARGET = 8192  # target rows per compacted output file
+
+
+def _compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    files = li.groupBy(
+        F.expr(f"l_orderkey DIV {_COMPACT_SLIVER}").alias("file_id")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    w = Window.orderBy("file_id").rowsBetween(Window.unboundedPreceding, -1)
+    # integer division end-to-end — no float cast/round edge cross-engine
+    planned = files.select(
+        "file_id",
+        "n_rows",
+        F.coalesce(F.sum("n_rows").over(w), F.lit(0)).alias("__cum"),
+    ).select(
+        "file_id",
+        "n_rows",
+        F.expr(f"__cum DIV {_COMPACT_TARGET}").alias("out_file"),
+    )
+    return planned.groupBy("out_file").agg(
+        F.count(F.lit(1)).alias("n_input_files"),
+        F.sum("n_rows").alias("n_rows"),
+        F.min("file_id").alias("first_input"),
+        F.max("file_id").alias("last_input"),
+        F.round(F.sum("n_rows") / F.lit(float(_COMPACT_TARGET)), ROUND_STAT).alias(
+            "fill_ratio"
+        ),
+    )
+
+
+_COMPACTION_SQL = f"""
+WITH files AS (
+  SELECT l_orderkey // {_COMPACT_SLIVER} AS file_id,
+         count(*) AS n_rows
+  FROM lineitem GROUP BY 1),
+planned AS (
+  SELECT file_id, n_rows,
+         -- ::BIGINT: the window sum is HUGEINT, which pandas would
+         -- surface as float64 (the r4 driver-red drift)
+         (coalesce(sum(n_rows) OVER (ORDER BY file_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              // {_COMPACT_TARGET})::BIGINT AS out_file
+  FROM files)
+SELECT out_file, count(*)::BIGINT AS n_input_files, sum(n_rows)::BIGINT AS n_rows,
+       min(file_id) AS first_input, max(file_id) AS last_input,
+       round(sum(n_rows) / {float(_COMPACT_TARGET)}, {ROUND_STAT}) AS fill_ratio
+FROM planned GROUP BY out_file
+"""
+
+
+# ---------------------------------------------------------------------------
 # privacy_k_anonymity — suppression to a k-anonymity floor over the
 # customer quasi-identifiers (nation, market segment): after NULLing the
 # quasi-columns of rows in groups smaller than k, every remaining
@@ -883,6 +951,11 @@ REGISTRY: dict[str, QuerySpec] = {
         _skipping_stats, _SKIPPING_SQL,
         "zone-map data-skipping effectiveness: ingest vs clustered layout read amplification",
         ("lakehouse", "diagnostics"),
+    ),
+    "lakehouse_compaction_plan": QuerySpec(
+        _compaction_plan, _COMPACTION_SQL,
+        "OPTIMIZE planning: key-ordered bin-packing of small files to a target size",
+        ("lakehouse",),
     ),
     "lakehouse_cdc_diff": QuerySpec(
         _cdc_diff, _CDC_DIFF_SQL,

@@ -2165,6 +2165,67 @@ def _text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sample_coreset_kcenter — greedy k-center coreset over the embeddings
+# (farthest-point traversal): the data-pruning selection that maximizes
+# coverage diversity, the opposite dial from dedup. Strict-oracled: the
+# SQL replays every greedy round as unrolled CTEs (select farthest ->
+# update running min-distance), with the same left-assoc distance folds
+# and the same (round(d,9) DESC, id ASC) argmax keys as the Spark side.
+# ---------------------------------------------------------------------------
+_KCENTER_K = 8
+
+
+def _kcenter_coreset_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.operators.sampling import (
+        kcenter_coreset,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_coreset(emb, "vec_id", "embedding", _EMB_DIM, k=_KCENTER_K)
+
+
+def _kcenter_sql(k: int, dim: int) -> str:
+    def dist(v: str, c: str) -> str:
+        return " + ".join(
+            f"({v}[{i}] - {c}[{i}]) * ({v}[{i}] - {c}[{i}])"
+            for i in range(1, dim + 1)
+        )
+
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "s1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)",
+        f"d1 AS (SELECT e.vec_id, e.v, {dist('e.v', 's1.v')} AS md FROM e, s1)",
+    ]
+    sel_rows = ["SELECT 1 AS round, vec_id, 0.0 AS sel_dist FROM s1"]
+    for r in range(2, k + 1):
+        prev = f"d{r-1}"
+        ctes.append(
+            f"s{r} AS (SELECT vec_id, v, md FROM {prev} "
+            f"ORDER BY round(md, 9) DESC, vec_id LIMIT 1)"
+        )
+        ctes.append(
+            f"d{r} AS (SELECT p.vec_id, p.v, "
+            f"least(p.md, {dist('p.v', f's{r}.v')}) AS md "
+            f"FROM {prev} p, s{r})"
+        )
+        sel_rows.append(
+            f"SELECT {r}, vec_id, round(md, 6) FROM s{r}"
+        )
+    ctes.append(
+        f"radius AS (SELECT round(max(round(md, 9)), 6) AS r FROM d{k})"
+    )
+    ctes.append("sel AS (" + "\nUNION ALL\n".join(sel_rows) + ")")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT round, vec_id, sel_dist, radius.r AS coverage_radius "
+        "FROM sel, radius"
+    )
+
+
+_KCENTER_SQL = _kcenter_sql(_KCENTER_K, _EMB_DIM)
+
+
+# ---------------------------------------------------------------------------
 # text_docsim_topk — sparse lexical doc-doc similarity: exact IDF-weighted
 # cosine over distinct word 3-gram shingles (the same shingle space the
 # MinHash family bands) via an inverted-index self-join, per-doc top-k
@@ -2992,6 +3053,11 @@ REGISTRY: dict[str, QuerySpec] = {
         ("dedup", "similarity", "defer"),
     ),
     "text_tfidf": QuerySpec(_text_tfidf, _TFIDF_SQL, "smooth TF-IDF table", ("text",)),
+    "sample_coreset_kcenter": QuerySpec(
+        _kcenter_coreset_q, _KCENTER_SQL,
+        "greedy k-center coreset (farthest-point traversal) with coverage radius",
+        ("sampling", "similarity"),
+    ),
     "text_docsim_topk": QuerySpec(
         _text_docsim, _DOCSIM_SQL,
         "sparse TF-IDF doc-doc cosine top-k via inverted-index self-join (df-banded vocab)",
