@@ -263,3 +263,47 @@ def test_logistic_irls_recovers_known_coefficients(spark):
     )
     beta = np.array(logistic_irls(df, "y", ["x1", "x2"], iters=8))
     assert np.all(np.abs(beta - true) < 0.15), beta
+
+
+def _analytics_oracle_names():
+    from urban_traffic_data_lake_project_spark.queries import analytics as qa
+
+    return sorted(n for n, s in qa.REGISTRY.items() if s.oracle is not None)
+
+
+@pytest.mark.parametrize("name", _analytics_oracle_names())
+def test_analytics_query_matches_oracle(oracle, name):
+    """The analytics module was the one domain module without pytest
+    oracle parity (it leaned on the check_oracle sweeps alone)."""
+    oracle(name)
+
+
+def test_forecast_backtest_scores_are_consistent(spark, sf_dir):
+    from urban_traffic_data_lake_project_spark.queries.analytics import REGISTRY
+    from urban_traffic_data_lake_project_spark.sources import load_table
+
+    out = {r["event_type"]: r for r in REGISTRY["events_forecast_backtest"].fn(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    types = {r["event_type"] for r in ev.select("event_type").distinct().collect()}
+    assert set(out) == types
+    span_hours = ev.agg(
+        (F.unix_timestamp(F.date_trunc("hour", F.max("ts")))
+         - F.unix_timestamp(F.date_trunc("hour", F.min("ts")))) / 3600
+    ).first()[0]
+    for t, r in out.items():
+        assert 0 < r["n_hours"] <= span_hours - 23, t  # 24h burn-in excluded
+        assert 0.0 <= r["smape"] <= 2.0, t  # sMAPE's hard bounds
+        assert r["mae"] >= abs(r["bias"]) - 1e-9, t  # |E[err]| <= E[|err|]
+
+
+def test_join_cardinality_estimator_is_calibrated(spark, sf_dir):
+    from urban_traffic_data_lake_project_spark.queries.analytics import REGISTRY
+    from urban_traffic_data_lake_project_spark.sources import load_table
+
+    r = REGISTRY["profile_join_cardinality"].fn(spark, sf_dir).first()
+    # FK integrity: every lineitem has an order, so the exact join count
+    # is the lineitem row count
+    assert r["exact_rows"] == load_table(spark, sf_dir, "lineitem").count()
+    assert r["estimated_rows"] % 64 == 0  # scaled sample count
+    # ~n_orders/64 sampled keys; tolerance sized for the smallest fixture
+    assert r["rel_err"] < 0.5, r

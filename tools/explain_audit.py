@@ -78,6 +78,9 @@ PLAN_ANNOTATIONS: dict[str, dict[str, str]] = {
             "text_tfidf",
             # same 1-row corpus-count attach (the df-band threshold)
             "text_docsim_topk",
+            # the exact-count 1-row aggregate attaches to the 1-row
+            # sampled-estimate aggregate
+            "profile_join_cardinality",
             "sim_cosine_topk",
             "sim_hard_negatives",
             # coarse stage broadcasts the bounded query set against the

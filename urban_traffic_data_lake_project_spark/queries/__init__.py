@@ -96,6 +96,8 @@ RECORD_WINDOW: tuple[str, ...] = (
     "join_linkage_em_fit",
     "lakehouse_compaction_plan",
     "sample_coreset_kcenter",
+    "events_forecast_backtest",
+    "profile_join_cardinality",
     # (c) changed in round 9 — one representative per touched plan shape
     # (sim_int8_rerank and sim_matryoshka_ivf gave their slots to late-r9
     # newborns: the ADVICE-r8 scorer hardening they carried is exercised
@@ -106,9 +108,12 @@ RECORD_WINDOW: tuple[str, ...] = (
     # the docsim newborn
     "text_bpe_encode",
     "dedup_embedding_srp",
-    "sim_ivfpq_topk",
-    # (d) sentinels (historic reds, heavy reps) + r6-vintage prepay
-    "quality_expectations",
+    # (d) sentinels: the curation flagship keeps its slot; the other
+    # standing sentinels (quality_expectations, sketch_cm_heavy_hitters,
+    # text_boilerplate_lines — all r8-recorded green) and the second
+    # perf-bisect target sim_ivfpq_topk (adjudicated environmental, r8
+    # green, canary-normalized in BENCH_LOCAL) gave way to late-r9
+    # newborns — never-recorded beats re-proof
     "curation_pipeline",
 )
 

@@ -450,6 +450,120 @@ GROUP BY dow, hod, g.gm
 
 
 # ---------------------------------------------------------------------------
+# events_forecast_backtest — forecast evaluation, the dashboard number a
+# traffic-analytics deployment (the reference's domain) actually ships:
+# the seasonal-naive forecast (this hour's count = the count 24 hours
+# ago) backtested over every hour where both sides exist, scored per
+# event type with MAE / sMAPE / bias. Seasonal-naive is the canonical
+# baseline any trained model must beat; a strict-oracled backtest of it
+# is the harness the model comparison plugs into.
+#
+# Scale shape: one grouped count to hourly grain (map-side combinable),
+# one self-equi-join on (type, hour+24h), one small grouped rollup —
+# all shuffles on (type, hour), output ∝ event types.
+# ---------------------------------------------------------------------------
+def _forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    fc = hourly.select(
+        "event_type",
+        (F.col("h") + F.expr("INTERVAL 24 HOURS")).alias("h"),
+        F.col("n").alias("f"),
+    )
+    j = hourly.join(fc, ["event_type", "h"])
+    err = F.col("f") - F.col("n")
+    smape_term = 2.0 * F.abs(err) / (F.col("f") + F.col("n"))  # counts >= 1
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.round(F.avg(F.abs(err)), ROUND_STAT).alias("mae"),
+        F.round(F.avg(smape_term), ROUND_STAT).alias("smape"),
+        F.round(F.avg(err), ROUND_STAT).alias("bias"),
+    )
+
+
+_FORECAST_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+  FROM events GROUP BY 1, 2),
+j AS (
+  SELECT a.event_type, a.n, f.n AS f
+  FROM hourly a
+  JOIN hourly f ON f.event_type = a.event_type
+               AND f.h + INTERVAL 24 HOURS = a.h)
+SELECT event_type, count(*)::BIGINT AS n_hours,
+       round(avg(abs(f - n)), {ROUND_STAT}) AS mae,
+       round(avg(2.0 * abs(f - n) / (f + n)), {ROUND_STAT}) AS smape,
+       round(avg(f - n), {ROUND_STAT}) AS bias
+FROM j GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# profile_join_cardinality — join-size estimation by key-hash sampling:
+# run the join restricted to a deterministic 1/64 hash slice of the JOIN
+# KEY (the SAME slice on both sides — every surviving key keeps its full
+# multiplicity product, so scaling by 64 is unbiased for the total), and
+# report the estimate against the exact count. At 100 TB this is the
+# planner probe you run INSTEAD of the exact join — the sampled shuffle
+# is 64x cheaper; here the exact side is computed too so the error is
+# part of the artifact.
+# ---------------------------------------------------------------------------
+_JCARD_RATE = 64
+
+
+def _join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.functions import stable_hash64
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    keep_o = stable_hash64(F.col("o_orderkey").cast("string"), salt="jc") % _JCARD_RATE == 0
+    keep_l = stable_hash64(F.col("l_orderkey").cast("string"), salt="jc") % _JCARD_RATE == 0
+    sampled = (
+        o.where(keep_o)
+        .join(li.where(keep_l), o["o_orderkey"] == li["l_orderkey"])
+        .agg((F.count(F.lit(1)) * _JCARD_RATE).alias("estimated_rows"))
+    )
+    exact = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .agg(F.count(F.lit(1)).alias("exact_rows"))
+    )
+    return sampled.crossJoin(F.broadcast(exact)).select(
+        "estimated_rows",
+        "exact_rows",
+        F.round(
+            F.abs(F.col("estimated_rows") - F.col("exact_rows"))
+            / F.col("exact_rows"),
+            ROUND_STAT,
+        ).alias("rel_err"),
+    )
+
+
+def _jcard_hash(col: str) -> str:
+    return (
+        f"(('0x' || substr(md5('jc' || CAST({col} AS VARCHAR)), 1, 15))"
+        f"::UBIGINT)::BIGINT"
+    )
+
+
+_JCARD_SQL = f"""
+WITH s AS (
+  SELECT (count(*) * {_JCARD_RATE})::BIGINT AS estimated_rows
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE {_jcard_hash('o.o_orderkey')} % {_JCARD_RATE} = 0
+    AND {_jcard_hash('l.l_orderkey')} % {_JCARD_RATE} = 0),
+e AS (
+  SELECT count(*)::BIGINT AS exact_rows
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+SELECT estimated_rows, exact_rows,
+       round(abs(estimated_rows - exact_rows) / exact_rows::DOUBLE, {ROUND_STAT})
+         AS rel_err
+FROM s, e
+"""
+
+
+# ---------------------------------------------------------------------------
 # table_diff_unkeyed — migration validation without a key: row-multiset
 # diff of two relations via grouped row-hash counts. The check a
 # platform team runs after rewriting a pipeline: same rows, same
@@ -657,6 +771,16 @@ FROM scored GROUP BY 1, 2, 3
 
 
 REGISTRY: dict[str, QuerySpec] = {
+    "events_forecast_backtest": QuerySpec(
+        _forecast_backtest, _FORECAST_SQL,
+        "seasonal-naive forecast backtest per event type: MAE / sMAPE / bias",
+        ("analytics", "agg"),
+    ),
+    "profile_join_cardinality": QuerySpec(
+        _join_cardinality, _JCARD_SQL,
+        "join-size estimation by 1/64 key-hash sampling vs the exact count",
+        ("analytics", "diagnostics", "join"),
+    ),
     "events_markov_transitions": QuerySpec(
         _markov_transitions, _MARKOV_SQL,
         "first-order event-type transition matrix per user timeline",
