@@ -353,6 +353,9 @@ def fuzzy_join_blocked(
     lg = left.withColumn("__g", F.explode(grams(F.col(l_col))))
     rg = right.withColumn("__g", F.explode(grams(F.col(r_col))))
     cand = lg.join(rg, "__g").drop("__g").distinct()
-    return cand.withColumn("dist", F.levenshtein(F.col(l_col), F.col(r_col))).filter(
-        F.col("dist") <= max_dist
-    )
+    # thresholded levenshtein: banded DP, O(len * max_dist) per pair
+    # instead of O(len^2); returns -1 past the threshold, which the
+    # filter drops exactly like the unbounded form did
+    return cand.withColumn(
+        "dist", F.levenshtein(F.col(l_col), F.col(r_col), max_dist)
+    ).filter(F.col("dist") >= 0)

@@ -1238,7 +1238,11 @@ def _linkage_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("__blk", F.expr("right(c_name, 1)"))
     cand = dirty.join(clean, ["c_nationkey", "__blk"])
     agree = {
-        "name": F.levenshtein("d_name", "c_name") <= 1,
+        # thresholded levenshtein (banded DP, O(len) per pair instead of
+        # O(len^2)): returns the distance when <= 1, else -1 — so >= 0
+        # IS "distance <= 1". The oracle's plain levenshtein(a,b) <= 1
+        # computes the same predicate.
+        "name": F.levenshtein("d_name", "c_name", 1) >= 0,
         "bal": F.floor(F.col("d_bal") / 100) == F.floor(F.col("c_acctbal") / 100),
         "seg": F.col("d_seg") == F.col("c_mktsegment"),
     }
