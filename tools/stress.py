@@ -635,6 +635,57 @@ def main() -> None:
 
     run_case("kcenter_coreset_1m", n5, kcenter)
 
+    # 16. Fellegi-Sunter linkage shape at 500k records with
+    # scale-appropriate blocking: the registry query blocks on
+    # (nation, last name char) — fine at 15k customers, quadratic-in-block
+    # at millions. Here the block key carries TWO preserved name chars
+    # (25k blocks at 500k rows -> ~20 records/side/block -> ~10M candidate
+    # pairs), demonstrating the rule the operator docstring states: the
+    # blocking-key cardinality must scale with n.
+    n16 = int(500_000 * s)
+
+    def linkage():
+        base = spark.range(n16).select(
+            F.col("id"),
+            F.concat(F.lit("P"), F.lpad(F.col("id").cast("string"), 9, "0")).alias("name"),
+            F.pmod(F.xxhash64("id"), F.lit(250)).alias("nation"),
+            (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10_000)) * 1.0).alias("bal"),
+            F.element_at(
+                F.array(*[F.lit(x) for x in "ABCDE"]),
+                (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(5)) + 1).cast("int"),
+            ).alias("seg"),
+        )
+        dirty = base.select(
+            F.col("id").alias("d_key"),
+            "nation",
+            F.concat(
+                F.col("name").substr(1, 5),
+                F.col("name").substr(F.lit(7), F.length("name")),
+            ).alias("d_name"),
+            (F.col("bal") + F.pmod("id", F.lit(7)) - 3).alias("d_bal"),
+            F.when(F.col("id") % 11 == 0, F.lit("X"))
+            .otherwise(F.col("seg"))
+            .alias("d_seg"),
+        ).withColumn("__blk", F.expr("right(d_name, 2)"))
+        clean = base.withColumn("__blk", F.expr("right(name, 2)"))
+        cand = dirty.join(clean, ["nation", "__blk"])
+        na = F.levenshtein("d_name", "name", 1) >= 0
+        ba = F.floor(F.col("d_bal") / 100) == F.floor(F.col("bal") / 100)
+        sa = F.col("d_seg") == F.col("seg")
+        score = (
+            F.when(na, F.lit(8.9)).otherwise(F.lit(-4.3))
+            + F.when(ba, F.lit(6.5)).otherwise(F.lit(-3.3))
+            + F.when(sa, F.lit(2.2)).otherwise(F.lit(-3.0))
+        )
+        scored = cand.select("d_key", score.alias("sc"), F.col("id").alias("ck"))
+        return scored.groupBy("d_key").agg(
+            F.max(
+                F.struct(F.col("sc"), (-F.col("ck")).alias("nk"), F.col("ck"))
+            ).alias("b")
+        )
+
+    run_case("record_linkage_500k", n16, linkage)
+
 
 if __name__ == "__main__":
     main()
