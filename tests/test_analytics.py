@@ -307,3 +307,34 @@ def test_join_cardinality_estimator_is_calibrated(spark, sf_dir):
     assert r["estimated_rows"] % 64 == 0  # scaled sample count
     # ~n_orders/64 sampled keys; tolerance sized for the smallest fixture
     assert r["rel_err"] < 0.5, r
+
+
+def test_cusum_fires_on_injected_shift_and_stays_quiet_without(spark):
+    """Detection semantics the registry hash can't express: a +4-sigma
+    mean shift injected halfway must alarm at (or just after) the shift
+    hour; the identical series without the shift must stay silent."""
+    import datetime as dt
+
+    from urban_traffic_data_lake_project_spark.operators.stats import (
+        cusum_changepoints,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    hours = [t0 + dt.timedelta(hours=i) for i in range(200)]
+    # deterministic pseudo-noise around 100, amplitude +-3
+    noise = [((i * 37) % 7) - 3 for i in range(200)]
+    steady = [(("s",), h, 100.0 + n) for h, n in zip(hours, noise)]
+    shifted = [
+        (("x",), h, 100.0 + n + (12.0 if i >= 150 else 0.0))
+        for i, (h, n) in enumerate(zip(hours, noise))
+    ]
+    df = spark.createDataFrame(
+        [(g[0], h, v) for g, h, v in steady + shifted],
+        "grp string, h timestamp, n double",
+    )
+    out = {r["grp"]: r for r in cusum_changepoints(df, "grp", "h", "n").collect()}
+    assert out["s"]["n_alarms"] == 0
+    assert out["x"]["n_alarms"] > 0
+    assert out["x"]["first_alarm_ts"] >= hours[150]
+    assert out["x"]["first_alarm_ts"] <= hours[156]  # fires within ~6h
+    assert out["x"]["max_stat_sigmas"] > out["s"]["max_stat_sigmas"]

@@ -522,3 +522,70 @@ def logistic_irls(
         if persisted:
             proj.unpersist()
     return beta
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    fit_frac: float = 0.25,
+    k_sigmas: float = 0.5,
+    h_sigmas: float = 5.0,
+) -> DataFrame:
+    """One-sided (upward) CUSUM mean-shift detection per group — the
+    streaming-monitoring classic (Page 1954): alarm when the cumulative
+    exceedance of the baseline mean crosses h sigmas.
+
+    The textbook recursion s_t = max(0, s_{t-1} + x_t - mu - k) is not a
+    window function, but its closed form IS: with c_t the running sum of
+    (x - mu - k), s_t = c_t - min(0, min_{tau<=t} c_tau). So the whole
+    detector is two ordered window passes per group (cumsum + running
+    min) — no recursion, no UDF, shuffles only on the group key; the
+    same plan at any horizon length.
+
+    The baseline (mu, sigma) fits on the chronologically FIRST
+    ``fit_frac`` of each group's span (a fit/score split in time); k and
+    h are in sigma units. Returns one row per group: points evaluated,
+    alarm count, first alarm timestamp, max statistic (in sigmas),
+    all deterministic.
+    """
+    span = df.groupBy(group_col).agg(
+        F.min(ts_col).alias("__t0"), F.max(ts_col).alias("__t1")
+    )
+    with_span = df.join(span, group_col)
+    fit_cut = F.timestamp_micros(
+        (
+            F.unix_micros(F.col("__t0"))
+            + (
+                (F.unix_micros(F.col("__t1")) - F.unix_micros(F.col("__t0")))
+                * F.lit(fit_frac)
+            ).cast("long")
+        )
+    )
+    tagged = with_span.withColumn("__infit", F.col(ts_col) <= fit_cut)
+    base = (
+        tagged.filter("__infit")
+        .groupBy(group_col)
+        .agg(
+            F.avg(value_col).alias("__mu"),
+            F.stddev_pop(value_col).alias("__sd"),
+        )
+    )
+    scored = tagged.join(base, group_col).filter(~F.col("__infit"))
+    dev = F.col(value_col) - F.col("__mu") - F.lit(k_sigmas) * F.col("__sd")
+    w = Window.partitionBy(group_col).orderBy(ts_col)
+    run = scored.withColumn("__c", F.sum(dev).over(w)).withColumn(
+        "__m", F.least(F.lit(0.0), F.min("__c").over(w))
+    )
+    # greatest(sd, eps): a constant fit window must not divide by zero
+    stat = (F.col("__c") - F.col("__m")) / F.greatest(F.col("__sd"), F.lit(1e-12))
+    flagged = run.withColumn("__s", stat).withColumn(
+        "__alarm", F.col("__s") > h_sigmas
+    )
+    return flagged.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum(F.col("__alarm").cast("bigint")).alias("n_alarms"),
+        F.min(F.when(F.col("__alarm"), F.col(ts_col))).alias("first_alarm_ts"),
+        F.round(F.max(F.round("__s", 9)), 6).alias("max_stat_sigmas"),
+    )

@@ -98,15 +98,16 @@ RECORD_WINDOW: tuple[str, ...] = (
     "sample_coreset_kcenter",
     "events_forecast_backtest",
     "profile_join_cardinality",
+    "events_cusum_changepoints",
     # (c) changed in round 9 — one representative per touched plan shape
     # (sim_int8_rerank and sim_matryoshka_ivf gave their slots to late-r9
     # newborns: the ADVICE-r8 scorer hardening they carried is exercised
     # by sim_int8_index's shared Arrow path, recorded in this same
     # window, and strict-swept at 3 SFs)
-    # text_bpe_encode represents BOTH r9-touched BPE plans (its encode
-    # replays the train loop end-to-end); text_bpe_train's slot went to
-    # the docsim newborn
-    "text_bpe_encode",
+    # text_bpe_encode / text_bpe_train also gave way: the r9 BPE change
+    # is the >32-merge checkpoint path, which the 12-merge registry
+    # queries never enter — a driver record adds nothing the strict
+    # sweep and the 256-merge equivalence test don't already give
     "dedup_embedding_srp",
     # (d) sentinels: the curation flagship keeps its slot; the other
     # standing sentinels (quality_expectations, sketch_cm_heavy_hitters,

@@ -501,6 +501,64 @@ FROM j GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# events_cusum_changepoints — mean-shift monitoring over the hourly
+# traffic series (Page 1954 one-sided CUSUM; the incident-detection
+# primitive a traffic deployment runs on every sensor stream): baseline
+# (mu, sigma) fitted on the chronologically first 25% of each type's
+# span, then the CUSUM statistic via its closed form — running cumsum of
+# exceedances minus the running minimum — two ordered window passes per
+# group, no recursion, no UDF (operators.stats.cusum_changepoints).
+# ---------------------------------------------------------------------------
+def _cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.operators.stats import (
+        cusum_changepoints,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return cusum_changepoints(
+        hourly, "event_type", "h", "n", fit_frac=0.25, k_sigmas=0.5, h_sigmas=5.0
+    )
+
+
+_CUSUM_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*)::DOUBLE AS n
+  FROM events GROUP BY 1, 2),
+span AS (
+  SELECT event_type, min(h) AS t0, max(h) AS t1 FROM hourly GROUP BY 1),
+tagged AS (
+  SELECT hy.event_type, hy.h, hy.n,
+         hy.h <= make_timestamp(
+             epoch_us(s.t0)
+             + CAST((epoch_us(s.t1) - epoch_us(s.t0)) * 0.25 AS BIGINT))
+           AS infit
+  FROM hourly hy JOIN span s ON s.event_type = hy.event_type),
+base AS (
+  SELECT event_type, avg(n) AS mu, stddev_pop(n) AS sd
+  FROM tagged WHERE infit GROUP BY 1),
+run AS (
+  SELECT t.event_type, t.h, b.sd,
+         sum(t.n - b.mu - 0.5 * b.sd)
+           OVER (PARTITION BY t.event_type ORDER BY t.h) AS c
+  FROM tagged t JOIN base b ON b.event_type = t.event_type
+  WHERE NOT t.infit),
+stat AS (
+  SELECT event_type, h,
+         (c - least(0.0, min(c) OVER (PARTITION BY event_type ORDER BY h)))
+           / greatest(sd, 1e-12) AS s
+  FROM run)
+SELECT event_type, count(*)::BIGINT AS n_scored,
+       sum(CASE WHEN s > 5.0 THEN 1 ELSE 0 END)::BIGINT AS n_alarms,
+       min(CASE WHEN s > 5.0 THEN h END) AS first_alarm_ts,
+       round(max(round(s, 9)), 6) AS max_stat_sigmas
+FROM stat GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # profile_join_cardinality — join-size estimation by key-hash sampling:
 # run the join restricted to a deterministic 1/64 hash slice of the JOIN
 # KEY (the SAME slice on both sides — every surviving key keeps its full
@@ -771,6 +829,11 @@ FROM scored GROUP BY 1, 2, 3
 
 
 REGISTRY: dict[str, QuerySpec] = {
+    "events_cusum_changepoints": QuerySpec(
+        _cusum_changepoints, _CUSUM_SQL,
+        "CUSUM mean-shift monitor per event type (closed-form windows, no recursion)",
+        ("analytics", "window", "diagnostics"),
+    ),
     "events_forecast_backtest": QuerySpec(
         _forecast_backtest, _FORECAST_SQL,
         "seasonal-naive forecast backtest per event type: MAE / sMAPE / bias",
