@@ -338,3 +338,40 @@ def test_cusum_fires_on_injected_shift_and_stays_quiet_without(spark):
     assert out["x"]["first_alarm_ts"] >= hours[150]
     assert out["x"]["first_alarm_ts"] <= hours[156]  # fires within ~6h
     assert out["x"]["max_stat_sigmas"] > out["s"]["max_stat_sigmas"]
+
+
+def test_benford_shares_sum_to_one_and_chi_square_decomposes(spark, sf_dir):
+    out = sorted(
+        REGISTRY_ALL()["quality_benford"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["digit"],
+    )
+    assert [r["digit"] for r in out] == list(range(1, 10))
+    assert abs(sum(r["observed_share"] for r in out) - 1.0) < 1e-4
+    assert abs(sum(r["benford_share"] for r in out) - 1.0) < 1e-4
+    chi = {r["chi_square"] for r in out}
+    assert len(chi) == 1 and chi.pop() >= 0.0
+
+
+def test_gini_matches_numpy_and_bounds(spark, sf_dir):
+    import numpy as np
+
+    from urban_traffic_data_lake_project_spark.sources import load_table
+
+    r = REGISTRY_ALL()["analytics_gini_concentration"].fn(spark, sf_dir).first()
+    o = load_table(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("s")
+    ).collect()
+    x = np.sort(np.array([row["s"] for row in o]))
+    n = len(x)
+    want = 2.0 * np.sum(np.arange(1, n + 1) * x) / (n * x.sum()) - (n + 1) / n
+    assert r["n_customers"] == n
+    assert abs(r["gini"] - want) < 1e-5
+    assert 0.0 <= r["gini"] <= 1.0
+    assert 0.0 < r["top1pct_share"] < r["top10pct_share"] < 1.0
+    assert r["top10pct_share"] >= 0.1 - 1e-9  # at least proportional
+
+
+def REGISTRY_ALL():
+    from urban_traffic_data_lake_project_spark.queries.analytics import REGISTRY
+
+    return REGISTRY

@@ -81,6 +81,9 @@ PLAN_ANNOTATIONS: dict[str, dict[str, str]] = {
             # the exact-count 1-row aggregate attaches to the 1-row
             # sampled-estimate aggregate
             "profile_join_cardinality",
+            # two chained 1-row attaches on a 9-row digit frame (the
+            # total count and the chi-square statistic)
+            "quality_benford",
             "sim_cosine_topk",
             "sim_hard_negatives",
             # coarse stage broadcasts the bounded query set against the

@@ -99,6 +99,8 @@ RECORD_WINDOW: tuple[str, ...] = (
     "events_forecast_backtest",
     "profile_join_cardinality",
     "events_cusum_changepoints",
+    "quality_benford",
+    "analytics_gini_concentration",
     # (c) changed in round 9 — one representative per touched plan shape
     # (sim_int8_rerank and sim_matryoshka_ivf gave their slots to late-r9
     # newborns: the ADVICE-r8 scorer hardening they carried is exercised
@@ -107,15 +109,18 @@ RECORD_WINDOW: tuple[str, ...] = (
     # text_bpe_encode / text_bpe_train also gave way: the r9 BPE change
     # is the >32-merge checkpoint path, which the 12-merge registry
     # queries never enter — a driver record adds nothing the strict
-    # sweep and the 256-merge equivalence test don't already give
-    "dedup_embedding_srp",
-    # (d) sentinels: the curation flagship keeps its slot; the other
-    # standing sentinels (quality_expectations, sketch_cm_heavy_hitters,
-    # text_boilerplate_lines — all r8-recorded green) and the second
-    # perf-bisect target sim_ivfpq_topk (adjudicated environmental, r8
-    # green, canary-normalized in BENCH_LOCAL) gave way to late-r9
-    # newborns — never-recorded beats re-proof
-    "curation_pipeline",
+    # sweep and the 256-merge equivalence test don't already give.
+    # dedup_embedding_srp (the remaining perf-bisect target) finally
+    # yielded too: adjudicated environmental, r8-recorded green, and
+    # every local bench run now carries its canary-normalized timing
+    # (d) no sentinel slots remain this round: the 30-query r5 vintage
+    # plus the 20 never-recorded r9-borns fill the window exactly (both
+    # categories are REQUIRED by the freshness contract; sentinels are
+    # not). Every former sentinel (quality_expectations,
+    # sketch_cm_heavy_hitters, text_boilerplate_lines,
+    # curation_pipeline) and both perf-bisect targets are r8-recorded
+    # green and strict-swept at sf0.01 every session — never-recorded
+    # beats re-proof for driver slots.
 )
 
 

@@ -501,6 +501,126 @@ FROM j GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# quality_benford — Benford's-law first-digit audit of the order amounts:
+# the classic fraud / synthetic-data / unit-mixup screen (naturally
+# occurring multi-scale amounts follow P(d) = log10(1 + 1/d); manual or
+# fabricated figures rarely do). One aggregate pass to 9 digit rows with
+# observed vs expected shares and the chi-square contribution; the total
+# chi-square statistic rides every row (scalar attach on a 9-row frame).
+# ---------------------------------------------------------------------------
+def _benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    per = o.groupBy(digit.alias("digit")).agg(F.count(F.lit(1)).alias("n"))
+    tot = per.agg(F.sum("n").cast("double").alias("__t"))
+    expected = F.log10(1.0 + 1.0 / F.col("digit"))
+    scored = per.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        (F.col("n") / F.col("__t")).alias("__share"),
+        expected.alias("__exp"),
+        # d*d, not pow(d,2): JVM Math.pow and C pow are not guaranteed
+        # ulp-identical
+        (
+            (F.col("n") / F.col("__t") - expected)
+            * (F.col("n") / F.col("__t") - expected)
+            / expected
+            * F.col("__t")
+        ).alias("__chi"),
+    )
+    chi_tot = scored.agg(F.round(F.sum("__chi"), ROUND_STAT).alias("chi_square"))
+    return scored.crossJoin(F.broadcast(chi_tot)).select(
+        "digit",
+        "n",
+        F.round("__share", ROUND_STAT).alias("observed_share"),
+        F.round("__exp", ROUND_STAT).alias("benford_share"),
+        F.round(F.col("__share") - F.col("__exp"), ROUND_STAT).alias("deviation"),
+        "chi_square",
+    )
+
+
+_BENFORD_SQL = f"""
+WITH per AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INT) AS digit,
+         count(*) AS n
+  FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+tot AS (SELECT sum(n)::DOUBLE AS t FROM per),
+scored AS (
+  SELECT digit, n, n / t AS share, log10(1.0 + 1.0 / digit) AS exp_share,
+         (n / t - log10(1.0 + 1.0 / digit))
+           * (n / t - log10(1.0 + 1.0 / digit))
+           / log10(1.0 + 1.0 / digit) * t AS chi
+  FROM per, tot),
+c AS (SELECT round(sum(chi), {ROUND_STAT}) AS chi_square FROM scored)
+SELECT digit, n::BIGINT AS n,
+       round(share, {ROUND_STAT}) AS observed_share,
+       round(exp_share, {ROUND_STAT}) AS benford_share,
+       round(share - exp_share, {ROUND_STAT}) AS deviation,
+       c.chi_square
+FROM scored, c
+"""
+
+
+# ---------------------------------------------------------------------------
+# analytics_gini_concentration — spend-concentration profile: the Gini
+# coefficient of per-customer spend via the exact rank formula
+# G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n (x ascending, deterministic
+# (spend, key) tiebreak), plus the top-1% / top-10% revenue shares — the
+# whale-curve numbers a revenue dashboard leads with.
+#
+# Scale note: the rank runs over the per-customer AGGREGATE (one row per
+# customer, already reduced from the fact table); at billions of
+# customers the exact rank would move to a quantile-bucketed two-pass
+# form — the aggregation below is the part that touches fact-table scale
+# and it is one map-side-combinable groupBy.
+# ---------------------------------------------------------------------------
+def _gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("__s"))
+    w = Window.orderBy(F.asc("__s"), F.asc("o_custkey"))
+    ranked = spend.select("__s", F.row_number().over(w).alias("__i")).withColumn(
+        "__n", F.max("__i").over(Window.partitionBy())
+    )
+    n = F.max("__n").cast("double")
+    tot = F.sum("__s")
+    top = lambda frac: F.sum(  # noqa: E731
+        F.when(
+            F.col("__i") > F.ceil(F.col("__n") * F.lit(1.0 - frac)), F.col("__s")
+        ).otherwise(F.lit(0.0))
+    )
+    return ranked.agg(
+        n.cast("bigint").alias("n_customers"),
+        F.round(
+            2.0 * F.sum(F.col("__i") * F.col("__s")) / (n * tot) - (n + 1.0) / n,
+            ROUND_STAT,
+        ).alias("gini"),
+        F.round(top(0.01) / tot, ROUND_STAT).alias("top1pct_share"),
+        F.round(top(0.10) / tot, ROUND_STAT).alias("top10pct_share"),
+    )
+
+
+_GINI_SQL = f"""
+WITH spend AS (
+  SELECT o_custkey, sum(o_totalprice) AS s FROM orders GROUP BY 1),
+ranked AS (
+  SELECT s, row_number() OVER (ORDER BY s ASC, o_custkey ASC) AS i FROM spend),
+agg AS (
+  SELECT max(i)::DOUBLE AS n, sum(s) AS tot, sum(i * s) AS isum,
+         sum(CASE WHEN i > ceil(max_i * 0.99) THEN s ELSE 0.0 END) AS top1,
+         sum(CASE WHEN i > ceil(max_i * 0.90) THEN s ELSE 0.0 END) AS top10
+  FROM (SELECT *, max(i) OVER () AS max_i FROM ranked))
+SELECT CAST(n AS BIGINT) AS n_customers,
+       round(2.0 * isum / (n * tot) - (n + 1.0) / n, {ROUND_STAT}) AS gini,
+       round(top1 / tot, {ROUND_STAT}) AS top1pct_share,
+       round(top10 / tot, {ROUND_STAT}) AS top10pct_share
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # events_cusum_changepoints — mean-shift monitoring over the hourly
 # traffic series (Page 1954 one-sided CUSUM; the incident-detection
 # primitive a traffic deployment runs on every sensor stream): baseline
@@ -829,6 +949,16 @@ FROM scored GROUP BY 1, 2, 3
 
 
 REGISTRY: dict[str, QuerySpec] = {
+    "quality_benford": QuerySpec(
+        _benford, _BENFORD_SQL,
+        "Benford first-digit audit of order amounts with chi-square statistic",
+        ("analytics", "diagnostics"),
+    ),
+    "analytics_gini_concentration": QuerySpec(
+        _gini_concentration, _GINI_SQL,
+        "Gini coefficient + top-1%/10% revenue shares of per-customer spend",
+        ("analytics", "agg", "window"),
+    ),
     "events_cusum_changepoints": QuerySpec(
         _cusum_changepoints, _CUSUM_SQL,
         "CUSUM mean-shift monitor per event type (closed-form windows, no recursion)",
