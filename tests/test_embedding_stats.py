@@ -113,3 +113,38 @@ def test_moment_merge_equals_full_recompute(emb):
 def test_empty_corpus_raises(emb):
     with pytest.raises(Exception, match="empty corpus"):
         E.pca_fit(emb.filter("vec_id < 0"), "embedding", DIM, k=2)
+
+
+def test_mahalanobis_topk_matches_numpy_exactly(spark, sf_dir):
+    """The Arrow-GEMM scoring must reproduce the local numpy Mahalanobis
+    computation, rank deterministically, and actually differ from plain
+    L2-to-centroid ranking (the reason the operator exists)."""
+    import numpy as np
+
+    from urban_traffic_data_lake_project_spark.operators.embedding_stats import (
+        mahalanobis_topk,
+    )
+    from urban_traffic_data_lake_project_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sorted(
+        mahalanobis_topk(emb, "vec_id", "embedding", 64, k_out=20).collect(),
+        key=lambda r: r["rank"],
+    )
+    rows = emb.select("vec_id", "embedding").collect()
+    V = np.array([[float(x) for x in r["embedding"]] for r in rows], dtype=np.float64)
+    vid = np.array([r["vec_id"] for r in rows])
+    mean = V.mean(axis=0)
+    cov = np.cov(V.T, bias=True)
+    L = np.linalg.cholesky((cov + cov.T) / 2.0 + 1e-6 * np.eye(64))
+    Y = np.linalg.inv(L) @ (V - mean).T
+    m2 = (Y * Y).sum(axis=0)
+    order = np.lexsort((vid, -np.round(m2, 9)))[:20]
+    assert [r["vec_id"] for r in out] == [int(vid[i]) for i in order]
+    for r, i in zip(out, order):
+        assert abs(r["mahal_sq"] - m2[i]) < 1e-4, (r, m2[i])
+    assert [r["rank"] for r in out] == list(range(1, 21))
+    # covariance-aware ranking must disagree with plain L2 somewhere
+    l2 = ((V - mean) ** 2).sum(axis=1)
+    l2_order = np.lexsort((vid, -np.round(l2, 9)))[:20]
+    assert [int(vid[i]) for i in order] != [int(vid[i]) for i in l2_order]

@@ -42,6 +42,7 @@ __all__ = [
     "covariance_from_moments",
     "pca_fit",
     "pca_project",
+    "mahalanobis_topk",
 ]
 
 
@@ -230,3 +231,92 @@ def pca_project(
             expr = expr + v[d] * F.lit(float(w[d]))
         proj_cols.append(expr.alias(f"{out_prefix}{c + 1}"))
     return df.select("*", *proj_cols)
+
+
+def mahalanobis_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k_out: int = 20,
+    ridge: float = 1e-6,
+) -> DataFrame:
+    """Mahalanobis outlier scoring over the embedding column — the
+    covariance-aware outlier screen (equivalently: the squared norm in
+    the fully-whitened space), the curation filter for encoder glitches
+    and out-of-distribution vectors that plain L2-to-centroid misses
+    when dimensions are correlated.
+
+    Fit/score split: mean + covariance from the ONE-scan moment pass
+    (bounded driver collect), ridge-regularized Cholesky on the driver,
+    then a vectorized Arrow stage computes m² = ||L⁻¹(x − μ)||² per
+    batch (one GEMM against the driver-inverted factor — BLAS, no
+    generated code: the 4,096-term full-rank literal projection this
+    replaces would cross janino's 64 KB method limit, the
+    sim_embedding_pca k=8 form scaled 8×). Top-k outliers resolve by
+    (score desc, id asc) through TakeOrderedAndProject — the corpus is
+    never collected.
+
+    Rows-only by nature (Cholesky factors are not SQL-expressible);
+    tests/test_embedding_stats.py pins exact numpy parity.
+    """
+    import numpy as np
+
+    rows = embedding_moments(df, vec_col, dim).collect()
+    n = 0.0
+    s = np.zeros(dim)
+    G = np.zeros((dim, dim))
+    for r in rows:
+        if r["kind"] == "n":
+            n = r["val"]
+        elif r["kind"] == "s":
+            s[int(r["pos"])] = r["val"]
+        else:
+            i, j = divmod(int(r["pos"]), dim)
+            G[i, j] = r["val"]
+            G[j, i] = r["val"]
+    if n <= 0:
+        raise ValueError("empty corpus: cannot fit the covariance")
+    mean = s / n
+    cov = G / n - np.outer(mean, mean)
+    L = np.linalg.cholesky((cov + cov.T) / 2.0 + ridge * np.eye(dim))
+    # driver-inverted once (64x64); the Arrow stage is then one GEMM per
+    # batch (no scipy in the runtime, so no triangular solve)
+    Linv = np.linalg.inv(L)
+
+    id_type = df.schema[id_col].dataType
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64) - mean
+            Y = Linv @ X.T
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "mahal_sq": (Y * Y).sum(axis=0)}
+            )
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    scored = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(vec_col),
+    ).mapInPandas(
+        score,
+        StructType(
+            [StructField(id_col, id_type), StructField("mahal_sq", DoubleType())]
+        ),
+    )
+    from pyspark.sql import Window as _W
+
+    top = scored.orderBy(
+        F.desc(F.round("mahal_sq", 9)), F.asc(id_col)
+    ).limit(k_out)
+    rank_w = _W.orderBy(F.desc(F.round("mahal_sq", 9)), F.asc(id_col))
+    return top.select(
+        id_col,
+        F.round("mahal_sq", 6).alias("mahal_sq"),
+        F.row_number().over(rank_w).alias("rank"),
+    )

@@ -666,6 +666,21 @@ def _embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sim_mahalanobis_outliers — covariance-aware outlier screen: top-k by
+# Mahalanobis distance (the whitened-space norm), the curation filter
+# for encoder glitches / OOD vectors that plain L2-to-centroid misses on
+# correlated dimensions. Rows-only (the Cholesky factor is not
+# SQL-expressible); exact numpy parity pinned in
+# tests/test_embedding_stats.py.
+# ---------------------------------------------------------------------------
+def _mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.operators import embedding_stats as E
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return E.mahalanobis_topk(emb, "vec_id", "embedding", _EMB_DIM, k_out=20)
+
+
+# ---------------------------------------------------------------------------
 # sim_embedding_drift — embedding-distribution drift between two corpus
 # snapshots (even vs odd vec_id as the deterministic stand-ins): shared
 # ANN buckets from snapshot A's first-k centroids, PSI over the bucket
@@ -3140,6 +3155,11 @@ REGISTRY: dict[str, QuerySpec] = {
         _embedding_pca, None,
         "PCA/whitening fit-score split: driver eig over distributed moments, literal-matrix projection",
         ("similarity", "ml"),
+    ),
+    "sim_mahalanobis_outliers": QuerySpec(
+        _mahalanobis_outliers, None,
+        "covariance-aware outlier top-k: Mahalanobis distance via Arrow GEMM scoring",
+        ("similarity", "ml", "diagnostics"),
     ),
     "sim_matryoshka_rerank": QuerySpec(
         _matryoshka_rerank, _MRL_RERANK_SQL,
