@@ -100,7 +100,15 @@ def test_registry_driver_window_contract():
     import re
 
     from urban_traffic_data_lake_project_spark.queries import RECORD_WINDOW, REGISTRY
+    from urban_traffic_data_lake_project_spark.queries.window import derive_record_window
 
+    # Since round 10 the window is DERIVED from the CORRECTNESS_r*.json
+    # vintage map at import time (queries/window.py), so this contract
+    # holds by construction even immediately after a driver record — the
+    # hand-pinned tuple went red after every end-of-round record (r8/r9
+    # verdicts). Re-derive here to pin the import-time value.
+    oracle_order = [n for n, s in REGISTRY.items() if s.oracle is not None]
+    assert RECORD_WINDOW == derive_record_window(sorted(oracle_order))
     assert len(RECORD_WINDOW) <= 50, "window must fit the driver's ~50-entry recording"
     assert len(set(RECORD_WINDOW)) == len(RECORD_WINDOW)
     # window entries are exactly the first len(RECORD_WINDOW) registry keys
@@ -171,3 +179,26 @@ def test_histogram_matches_numpy(spark, sf_dir):
     hi = max(r["bin_hi"] for r in out if r["col_name"] == "l_quantity")
     assert abs(lo - pdf["l_quantity"].min()) < 1e-6
     assert abs(hi - pdf["l_quantity"].max()) < 1e-6
+
+
+def test_derive_record_window_policy():
+    """Unit contract for the window derivation itself (synthetic vintages)."""
+    import pytest as _pytest
+
+    from urban_traffic_data_lake_project_spark.queries.window import derive_record_window
+
+    names = [f"q{i:02d}" for i in range(8)]
+    vint = {"q00": 3, "q01": 2, "q02": 2, "q03": 5, "q04": 5, "q05": 4}
+    # q06/q07 never recorded -> lead (name-sorted); then oldest vintage
+    # first, name-sorted within a vintage.
+    got = derive_record_window(names, vint, max_slots=6)
+    assert got == ("q06", "q07", "q01", "q02", "q00", "q05")
+    # full fit keeps every name, freshest last
+    assert derive_record_window(names, vint, max_slots=50) == (
+        "q06", "q07", "q01", "q02", "q00", "q05", "q03", "q04"
+    )
+    # registration order of the input never changes the result
+    assert derive_record_window(list(reversed(names)), vint, max_slots=6) == got
+    # more newborns than slots is an authoring error, not silent truncation
+    with _pytest.raises(ValueError):
+        derive_record_window(names, {}, max_slots=4)

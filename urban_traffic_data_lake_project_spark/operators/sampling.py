@@ -483,18 +483,31 @@ def kcenter_coreset(
             out = out + t
         return out
 
+    def round6(x: float) -> float:
+        # HALF_UP like SQL round() / F.round — Python round() is
+        # banker's half-even, a divergence at exact .xxxxxx5 ties
+        # (ADVICE r9); distances are >= 0 so half-up == half-away
+        import decimal
+
+        return float(
+            decimal.Decimal(repr(float(x))).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
     first = base.orderBy(id_col).first()
     selected = [(1, first[id_col], 0.0)]
     cur = base.withColumn("__md", dist_to(first["__v"])).localCheckpoint()
     for rnd in range(2, k + 1):
         nxt = cur.orderBy(F.desc(F.round("__md", 9)), F.asc(id_col)).first()
-        selected.append((rnd, nxt[id_col], round(float(nxt["__md"]), 6)))
+        selected.append((rnd, nxt[id_col], round6(nxt["__md"])))
         cur = cur.withColumn(
             "__md", F.least("__md", dist_to(nxt["__v"]))
         ).localCheckpoint()
-    radius = round(float(cur.agg(F.max(F.round("__md", 9))).first()[0]), 6)
+    radius = round6(cur.agg(F.max(F.round("__md", 9))).first()[0])
     spark = df.sparkSession
+    id_type = df.schema[id_col].dataType.simpleString()
     return spark.createDataFrame(
         [(r, i, d, radius) for r, i, d in selected],
-        f"round int, {id_col} bigint, sel_dist double, coverage_radius double",
+        f"round int, {id_col} {id_type}, sel_dist double, coverage_radius double",
     )

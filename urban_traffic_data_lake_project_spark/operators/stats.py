@@ -557,7 +557,12 @@ def cusum_changepoints(
     fit_cut = F.timestamp_micros(
         (
             F.unix_micros(F.col("__t0"))
-            + (
+            # F.floor, not a bare cast: cast("long") truncates toward
+            # zero while DuckDB CAST(.. AS BIGINT) rounds — pinning
+            # floor() on BOTH sides keeps boundary rows on the same side
+            # of the fit/score split for non-integral fit_frac*span
+            # (ADVICE r9)
+            + F.floor(
                 (F.unix_micros(F.col("__t1")) - F.unix_micros(F.col("__t0")))
                 * F.lit(fit_frac)
             ).cast("long")

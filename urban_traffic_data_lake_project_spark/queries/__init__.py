@@ -17,124 +17,32 @@ from urban_traffic_data_lake_project_spark.queries import (
     windows,
 )
 from urban_traffic_data_lake_project_spark.queries.base import QuerySpec
+from urban_traffic_data_lake_project_spark.queries.window import derive_record_window
 
 # The driver's correctness gate records the FIRST ~50 oracle entries in
-# registration order. Every oracle query has at least one driver-recorded
-# green row; the rotation policy is freshness-first (since r6): the
-# window carries (a) the entire least-recently-recorded vintage — after
-# the r8 recording that is the 30 r5-vintage queries, (b) every
-# never-recorded query (r9-borns, filled as they land), (c)
-# changed-THIS-round implementations — round 9 touches the Matryoshka
-# coarse screen (zero-norm sentinel, ADVICE r8), the int8 rerank
-# (empty-corpus guard + index-persisted scale), the BPE merge loop
-# (checkpointed symbol column, kills the O(merges²) plan growth), and
-# the two perf-bisect targets (dedup_embedding_srp, sim_ivfpq_topk) —
-# and (d) sentinels (historic driver-reds, the curation flagship, the
-# heavy sketch rep) plus r6-vintage prepay for the remaining slots. The
-# rest of the r6 vintage is covered by this round's full check_oracle
-# --strict sweep. The six late-r9-borns displaced the ml_logistic_irls
-# / json_extract_events / win_rollup_cube / text_hybrid_rrf /
-# core_corr_matrix / clean_full_kernel prepay slots (all
-# r6-recorded-green, all strict-swept every round); the four
-# end-of-round-9-borns (privacy_l_diversity, lakehouse_skipping_stats,
-# join_record_linkage, dedup_keep_best) displaced the remaining prepay
-# (sim_ivfpq_index_persisted, sim_cosine_topk_ivf_trained,
-# stream_interval_join — all r6-recorded-green) and one sentinel
-# (sketch_cm_heavy_hitters — r8-recorded-green, strict-swept every
-# round; never-recorded beats re-proof for the one slot left).
-# Pinning happens at round START (r8 verdict item 1) so
-# the repo is never left red after the driver records. The freshness
-# contract is enforced by
-# tests/test_core_queries.py::test_registry_driver_window_contract,
-# which discovers recorded rounds by GLOB (no hardcoded round list to
-# rot). Full ledger: COVERAGE.md.
-RECORD_WINDOW: tuple[str, ...] = (
-    # (a) the full r5 vintage — least-recently-recorded queries alive
-    "analytics_rfm_segments",
-    "core_equidepth_histogram",
-    "core_grand_aggs",
-    "core_pricing_summary",
-    "corpus_datacard",
-    "curation_source_quality",
-    "decontam_embedding",
-    "dedup_cluster_sizes",
-    "dedup_embedding_srp_auto",
-    "events_cohort_retention",
-    "events_cooccurrence_lift",
-    "events_markov_transitions",
-    "events_seasonality",
-    "join_bucketed_colocated",
-    "lakehouse_cdc_diff",
-    "multimodal_pixels",
-    "profile_functional_deps",
-    "sample_leakage_safe_split",
-    "sketch_hist_quantiles",
-    "sketch_kmv_rollup",
-    "sketch_kmv_setops",
-    "source_python_datasource",
-    "stream_sketch_quantiles",
-    "table_diff_unkeyed",
-    "text_profile",
-    "text_zipf_fit",
-    "udf_surface",
-    "video_frame_index",
-    "win_ewma",
-    "win_resample_ffill",
-    # (b) born in round 9, never recorded (filled as queries land)
-    "sim_int8_index",
-    "stream_session_window",
-    "stream_sliding_window",
-    "sim_embedding_covariance",
-    "lakehouse_hilbert_codes",
-    "image_phash",
-    "sim_embedding_cov_incremental",
-    "privacy_l_diversity",
-    "lakehouse_skipping_stats",
-    "join_record_linkage",
-    "dedup_keep_best",
-    "text_docsim_topk",
-    "join_linkage_em_fit",
-    "lakehouse_compaction_plan",
-    "sample_coreset_kcenter",
-    "events_forecast_backtest",
-    "profile_join_cardinality",
-    "events_cusum_changepoints",
-    "quality_benford",
-    "analytics_gini_concentration",
-    # (c) changed in round 9 — one representative per touched plan shape
-    # (sim_int8_rerank and sim_matryoshka_ivf gave their slots to late-r9
-    # newborns: the ADVICE-r8 scorer hardening they carried is exercised
-    # by sim_int8_index's shared Arrow path, recorded in this same
-    # window, and strict-swept at 3 SFs)
-    # text_bpe_encode / text_bpe_train also gave way: the r9 BPE change
-    # is the >32-merge checkpoint path, which the 12-merge registry
-    # queries never enter — a driver record adds nothing the strict
-    # sweep and the 256-merge equivalence test don't already give.
-    # dedup_embedding_srp (the remaining perf-bisect target) finally
-    # yielded too: adjudicated environmental, r8-recorded green, and
-    # every local bench run now carries its canary-normalized timing
-    # (d) no sentinel slots remain this round: the 30-query r5 vintage
-    # plus the 20 never-recorded r9-borns fill the window exactly (both
-    # categories are REQUIRED by the freshness contract; sentinels are
-    # not). Every former sentinel (quality_expectations,
-    # sketch_cm_heavy_hitters, text_boilerplate_lines,
-    # curation_pipeline) and both perf-bisect targets are r8-recorded
-    # green and strict-swept at sf0.01 every session — never-recorded
-    # beats re-proof for driver slots.
-)
+# registration order. The window is DERIVED (round 10, verdict item 1):
+# queries/window.py computes it from the CORRECTNESS_r*.json vintage map
+# at import time — never-recorded oracle queries first, then entire
+# least-recently-recorded vintages, name-sorted within a vintage. The
+# moment the driver writes a new record the window recomputes, so the
+# freshness contract (tests/test_core_queries.py::
+# test_registry_driver_window_contract) holds by construction and can
+# never go red after a driver record — the failure mode the r8 and r9
+# verdicts both flagged against the old hand-pinned tuple.
+# Full ledger: COVERAGE.md.
 
 
-def _assemble() -> dict[str, QuerySpec]:
+def _assemble() -> tuple[dict[str, QuerySpec], tuple[str, ...]]:
     registry: dict[str, QuerySpec] = {}
     for m in (core, cleaning, llm, windows, analytics, scalars, curation, lakehouse):
         overlap = registry.keys() & m.REGISTRY.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         registry.update(m.REGISTRY)
-    missing = [n for n in RECORD_WINDOW if n not in registry]
-    if missing:
-        raise ValueError(f"RECORD_WINDOW names not in registry: {missing}")
-    window_index = {n: i for i, n in enumerate(RECORD_WINDOW)}
+
+    oracle_names = [n for n, s in registry.items() if s.oracle is not None]
+    window = derive_record_window(oracle_names)
+    window_index = {n: i for i, n in enumerate(window)}
 
     # Window queries FIRST (stable order), then remaining oracle-backed
     # queries (locally verified), then rows-only (stochastic/ML) specs.
@@ -143,9 +51,11 @@ def _assemble() -> dict[str, QuerySpec]:
             return (0, window_index[kv[0]])
         return (2, 0) if kv[1].oracle is None else (1, 0)
 
-    return dict(sorted(registry.items(), key=_key))
+    return dict(sorted(registry.items(), key=_key)), window
 
 
-REGISTRY: dict[str, QuerySpec] = _assemble()
+REGISTRY: dict[str, QuerySpec]
+RECORD_WINDOW: tuple[str, ...]
+REGISTRY, RECORD_WINDOW = _assemble()
 
 __all__ = ["RECORD_WINDOW", "REGISTRY", "QuerySpec"]

@@ -509,7 +509,9 @@ FROM j GROUP BY event_type
 # chi-square statistic rides every row (scalar attach on a 9-row frame).
 # ---------------------------------------------------------------------------
 def _benford(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    # >= 1, not > 0: amounts in (0,1) floor to first digit 0, where the
+    # expected share log10(1 + 1/0) is null/error (ADVICE r9)
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
     digit = F.substring(
         F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
     ).cast("int")
@@ -546,7 +548,7 @@ WITH per AS (
   SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
               AS INT) AS digit,
          count(*) AS n
-  FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+  FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
 tot AS (SELECT sum(n)::DOUBLE AS t FROM per),
 scored AS (
   SELECT digit, n, n / t AS share, log10(1.0 + 1.0 / digit) AS exp_share,
@@ -653,7 +655,7 @@ tagged AS (
   SELECT hy.event_type, hy.h, hy.n,
          hy.h <= make_timestamp(
              epoch_us(s.t0)
-             + CAST((epoch_us(s.t1) - epoch_us(s.t0)) * 0.25 AS BIGINT))
+             + CAST(floor((epoch_us(s.t1) - epoch_us(s.t0)) * 0.25) AS BIGINT))
            AS infit
   FROM hourly hy JOIN span s ON s.event_type = hy.event_type),
 base AS (

@@ -1,0 +1,83 @@
+"""Derive the driver RECORD_WINDOW from recorded correctness vintages.
+
+The driver's correctness gate records the FIRST ~50 registry entries each
+round into ``CORRECTNESS_r{N}.json`` at the repo root. Through round 9 the
+window was hand-pinned at round start, which left the repo red after every
+end-of-round driver record (the r8 and r9 verdicts both flagged exactly
+this). This module makes the window *derived*: it reads the vintage map
+from the ``CORRECTNESS_r*.json`` files themselves, so the instant the
+driver writes a new record the window recomputes and the freshness
+contract holds by construction.
+
+Policy (freshness-first, unchanged since r6):
+
+1. every oracle-backed query NEVER driver-recorded enters the window
+   (newborns must get a recorded green row before anything is re-proved);
+2. remaining slots fill oldest-vintage-first (entire least-recently-
+   recorded vintages rotate in before any fresher query), name-sorted
+   within a vintage for determinism;
+3. the window is exactly ``min(max_slots, available)`` entries — the
+   driver records ~50, so leaving slots empty wastes recording capacity.
+
+If the never-recorded set alone exceeds ``max_slots`` the derivation
+raises: that means more new oracle queries landed in one round than the
+driver can record, and the author must stage them across rounds.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+# Repo root = parent of the package directory (CORRECTNESS files live there).
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+MAX_SLOTS = 50
+
+
+def load_vintages(root: str = _REPO_ROOT) -> dict[str, int]:
+    """Map query name -> last round the driver recorded it, from
+    ``CORRECTNESS_r*.json``. Missing files -> empty map (round 1)."""
+    last: dict[str, int] = {}
+    rounds = sorted(
+        int(m.group(1))
+        for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    )
+    for r in rounds:
+        path = os.path.join(root, f"CORRECTNESS_r{r:02d}.json")
+        with open(path) as f:
+            d = json.load(f)
+        qs = d.get("queries") or d.get("results") or d
+        names = qs if isinstance(qs, dict) else [q.get("name") for q in qs]
+        for n in names:
+            last[n] = r
+    return last
+
+
+def derive_record_window(
+    oracle_names: list[str],
+    vintages: dict[str, int] | None = None,
+    max_slots: int = MAX_SLOTS,
+) -> tuple[str, ...]:
+    """Freshness-first window over ``oracle_names`` — name-sorted within
+    each tier (never-recorded, then vintage-then-name for recorded ones)
+    so the result is independent of registration order."""
+    if vintages is None:
+        vintages = load_vintages()
+    never = sorted(n for n in oracle_names if n not in vintages)
+    if len(never) > max_slots:
+        raise ValueError(
+            f"{len(never)} never-recorded oracle queries exceed the "
+            f"{max_slots}-slot driver window; stage new queries across rounds"
+        )
+    recorded = sorted(
+        (n for n in oracle_names if n in vintages),
+        key=lambda n: (vintages[n], n),
+    )
+    window = never + recorded[: max_slots - len(never)]
+    return tuple(window)
