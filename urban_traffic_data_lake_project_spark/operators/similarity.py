@@ -542,14 +542,20 @@ def cosine_topk_coarse_rerank(
     # zero-norm d_coarse prefixes (an all-zero leading block is plausible
     # even for a nonzero vector) get the -2.0 sentinel — below any cosine
     # and identical on both engines (ADVICE r8; same guard as the Arrow
-    # scorer and the int8 screen)
+    # scorer and the int8 screen). coalesce(dot/nullif(den,0), -2.0), not
+    # when(den>0,...): conditional branch values defeat codegen common-
+    # subexpression elimination, so the when-form evaluated the two
+    # unrolled d_coarse-term norms TWICE per pair on the all-pairs screen
+    # (~10% on sim_matryoshka_rerank at sf0.1, r9 bench regression)
     coarse_den = _norm("__qv", d_coarse) * _norm("__cv", d_coarse)
     coarse = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine_sim",
-            F.when(coarse_den > 0, _dot("__qv", "__cv", d_coarse) / coarse_den)
-            .otherwise(F.lit(-2.0)),
+            F.coalesce(
+                _dot("__qv", "__cv", d_coarse) / F.nullif(coarse_den, F.lit(0.0)),
+                F.lit(-2.0),
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
