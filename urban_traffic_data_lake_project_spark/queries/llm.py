@@ -624,12 +624,20 @@ JOIN means mj ON mj.d = pr.j
 # sim_embedding_pca — PCA/whitening over the embedding column with the M1
 # fit/score split: driver eigendecomposition of the distributed covariance
 # (bounded collect: ≤ 1 + d + d(d+1)/2 moment rows), distributed projection
-# as literal-coefficient Catalyst dot products. Rows-only (eigenvectors are
-# not SQL-expressible); pinned-sign fit + the whiten-variance≈1 invariant
-# are property-tested (tests/test_embedding_stats.py). Output: one row per
-# component with the eigenvalue, explained share, and the DISTRIBUTED
-# variance of the whitened coordinate (≈1 end-to-end check that the
-# literal-matrix projection matches the driver fit).
+# as literal-coefficient Catalyst dot products. STRICT-ORACLED since r10
+# (verdict item 3): the oracle replays the eigenvalues with a
+# parallel-ordering cyclic JACOBI eigensolver as a recursive CTE over the
+# list-packed 64x64 covariance — each recursion step applies one
+# round-robin round of 32 DISJOINT rotations (partner list, tangent /
+# cos / sin helper lists, then one list_transform over the 4096 cells:
+# analytic forms for same-pair cells so annihilation is exact, a
+# 4-source-cell row-then-column composition elsewhere). 8 sweeps x 63
+# rounds = 504 steps converge the off-diagonal mass to ~1e-25; measured
+# eigenvalue agreement with numpy.linalg.eigh is ~4e-16 — absorbed by
+# the round(·,6) output. whiten_var is the end-to-end check: Spark
+# computes the DISTRIBUTED var_pop of each whitened coordinate (≈1 iff
+# the literal-matrix projection matches the fit); the oracle pins the
+# literal 1.0 it must round to.
 # ---------------------------------------------------------------------------
 def _embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     from urban_traffic_data_lake_project_spark.operators import embedding_stats as E
@@ -665,19 +673,170 @@ def _embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JAC_R = _EMB_DIM - 1  # round-robin rounds per Jacobi sweep
+_JAC_SWEEPS = 8
+# shorthand used inside the 4096-cell lambda: row i = idx // D, col j = idx % D
+_JI = f"(idx // {_EMB_DIM})"
+_JJ = f"(idx % {_EMB_DIM})"
+_PCA_SQL = f"""
+WITH RECURSIVE
+dims AS (SELECT unnest(range(0, {_EMB_DIM}))::BIGINT AS d),
+e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+means AS (SELECT d, avg(v[d + 1]) AS m FROM e, dims GROUP BY d),
+prods AS (SELECT a.d AS i, b.d AS j, avg(v[a.d + 1] * v[b.d + 1]) AS exy
+          FROM e, dims a, dims b GROUP BY 1, 2),
+cov0 AS (
+  SELECT list(exy - mi.m * mj.m ORDER BY i, j) AS a
+  FROM prods JOIN means mi ON mi.d = i JOIN means mj ON mj.d = j),
+jac(step, m) AS (
+  SELECT 0, a FROM cov0
+  UNION ALL
+  SELECT step + 1,
+    list_transform(range(0, {_EMB_DIM * _EMB_DIM}), idx ->
+      CASE
+        WHEN oL[{_JI} + 1] = {_JJ} AND {_JI} <> {_JJ} THEN 0.0
+        WHEN {_JI} = {_JJ} THEN
+          CASE WHEN {_JI} < oL[{_JI} + 1]
+            THEN cL[{_JI} + 1] * cL[{_JI} + 1] * m[idx + 1]
+                 - 2.0 * cL[{_JI} + 1] * sL[{_JI} + 1]
+                       * m[{_JI} * {_EMB_DIM} + oL[{_JI} + 1] + 1]
+                 + sL[{_JI} + 1] * sL[{_JI} + 1]
+                       * m[oL[{_JI} + 1] * {_EMB_DIM} + oL[{_JI} + 1] + 1]
+            ELSE sL[{_JI} + 1] * sL[{_JI} + 1]
+                       * m[oL[{_JI} + 1] * {_EMB_DIM} + oL[{_JI} + 1] + 1]
+                 + 2.0 * cL[{_JI} + 1] * sL[{_JI} + 1]
+                       * m[oL[{_JI} + 1] * {_EMB_DIM} + {_JI} + 1]
+                 + cL[{_JI} + 1] * cL[{_JI} + 1] * m[idx + 1]
+          END
+        ELSE
+          cL[{_JJ} + 1]
+          * (CASE WHEN {_JI} < oL[{_JI} + 1]
+               THEN cL[{_JI} + 1] * m[idx + 1]
+                    - sL[{_JI} + 1] * m[oL[{_JI} + 1] * {_EMB_DIM} + {_JJ} + 1]
+               ELSE sL[{_JI} + 1] * m[oL[{_JI} + 1] * {_EMB_DIM} + {_JJ} + 1]
+                    + cL[{_JI} + 1] * m[idx + 1] END)
+          + (CASE WHEN {_JJ} < oL[{_JJ} + 1] THEN -sL[{_JJ} + 1] ELSE sL[{_JJ} + 1] END)
+          * (CASE WHEN {_JI} < oL[{_JI} + 1]
+               THEN cL[{_JI} + 1] * m[{_JI} * {_EMB_DIM} + oL[{_JJ} + 1] + 1]
+                    - sL[{_JI} + 1] * m[oL[{_JI} + 1] * {_EMB_DIM} + oL[{_JJ} + 1] + 1]
+               ELSE sL[{_JI} + 1] * m[oL[{_JI} + 1] * {_EMB_DIM} + oL[{_JJ} + 1] + 1]
+                    + cL[{_JI} + 1] * m[{_JI} * {_EMB_DIM} + oL[{_JJ} + 1] + 1] END)
+      END)
+  FROM (
+    SELECT step, m, oL,
+           list_transform(range(0, {_EMB_DIM}), i -> 1.0 / sqrt(tL[i + 1] * tL[i + 1] + 1.0)) AS cL,
+           list_transform(range(0, {_EMB_DIM}), i -> tL[i + 1] / sqrt(tL[i + 1] * tL[i + 1] + 1.0)) AS sL
+    FROM (
+      SELECT step, m, oL,
+             list_transform(range(0, {_EMB_DIM}), i ->
+               CASE WHEN m[least(i, oL[i + 1]) * {_EMB_DIM} + greatest(i, oL[i + 1]) + 1] = 0.0 THEN 0.0
+                    ELSE (
+                      CASE WHEN (m[greatest(i, oL[i + 1]) * {_EMB_DIM} + greatest(i, oL[i + 1]) + 1]
+                                 - m[least(i, oL[i + 1]) * {_EMB_DIM} + least(i, oL[i + 1]) + 1])
+                                / (2.0 * m[least(i, oL[i + 1]) * {_EMB_DIM} + greatest(i, oL[i + 1]) + 1]) >= 0
+                           THEN 1.0 ELSE -1.0 END)
+                         / (abs((m[greatest(i, oL[i + 1]) * {_EMB_DIM} + greatest(i, oL[i + 1]) + 1]
+                                 - m[least(i, oL[i + 1]) * {_EMB_DIM} + least(i, oL[i + 1]) + 1])
+                                / (2.0 * m[least(i, oL[i + 1]) * {_EMB_DIM} + greatest(i, oL[i + 1]) + 1]))
+                            + sqrt(((m[greatest(i, oL[i + 1]) * {_EMB_DIM} + greatest(i, oL[i + 1]) + 1]
+                                     - m[least(i, oL[i + 1]) * {_EMB_DIM} + least(i, oL[i + 1]) + 1])
+                                    / (2.0 * m[least(i, oL[i + 1]) * {_EMB_DIM} + greatest(i, oL[i + 1]) + 1]))
+                                   * ((m[greatest(i, oL[i + 1]) * {_EMB_DIM} + greatest(i, oL[i + 1]) + 1]
+                                       - m[least(i, oL[i + 1]) * {_EMB_DIM} + least(i, oL[i + 1]) + 1])
+                                      / (2.0 * m[least(i, oL[i + 1]) * {_EMB_DIM} + greatest(i, oL[i + 1]) + 1]))
+                                   + 1.0)) END) AS tL
+      FROM (
+        SELECT step, m,
+               list_transform(range(0, {_EMB_DIM}), i ->
+                 CASE WHEN i = 0 THEN 1 + (step % {_JAC_R})
+                      WHEN (2 * (step % {_JAC_R}) - (i - 1) + 2 * {_JAC_R}) % {_JAC_R} = i - 1 THEN 0
+                      ELSE 1 + (2 * (step % {_JAC_R}) - (i - 1) + 2 * {_JAC_R}) % {_JAC_R} END) AS oL
+        FROM jac WHERE step < {_JAC_SWEEPS * _JAC_R})))),
+diag AS (
+  SELECT d.d, fin.m[d.d * {_EMB_DIM} + d.d + 1] AS lam
+  FROM (SELECT m FROM jac WHERE step = {_JAC_SWEEPS * _JAC_R}) fin, dims d),
+tr AS (
+  SELECT list_sum(list_transform(range(0, {_EMB_DIM}),
+                                 i -> a[i * {_EMB_DIM} + i + 1])) AS t
+  FROM cov0),
+ranked AS (
+  SELECT greatest(lam, 0.0) AS lam,
+         row_number() OVER (ORDER BY lam DESC) AS component
+  FROM diag)
+SELECT component::INT AS component,
+       round(lam, {ROUND_STAT}) AS eigenvalue,
+       round(lam / t, {ROUND_STAT}) AS explained_share,
+       1.0 AS whiten_var
+FROM ranked, tr WHERE component <= 8 ORDER BY component
+"""
+
+
 # ---------------------------------------------------------------------------
 # sim_mahalanobis_outliers — covariance-aware outlier screen: top-k by
 # Mahalanobis distance (the whitened-space norm), the curation filter
 # for encoder glitches / OOD vectors that plain L2-to-centroid misses on
-# correlated dimensions. Rows-only (the Cholesky factor is not
-# SQL-expressible); exact numpy parity pinned in
-# tests/test_embedding_stats.py.
+# correlated dimensions. STRICT-ORACLED since r10 (verdict item 3): the
+# oracle replays the whole fit in SQL — ridge-regularized covariance
+# from the moment pass, then the 64-step Gauss-Jordan inversion of the
+# list-packed augmented [Σ|I] matrix as a recursive CTE (no pivoting —
+# SPD matrices don't need it), then the quadratic form per vector.
+# Spark computes ||L⁻¹(x−μ)||² via driver Cholesky + Arrow GEMM; both
+# equal (x−μ)ᵀΣ⁻¹(x−μ) to ~1e-12, absorbed by the round(·,9) order key
+# and round(·,6) output the engine uses everywhere.
 # ---------------------------------------------------------------------------
 def _mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from urban_traffic_data_lake_project_spark.operators import embedding_stats as E
 
     emb = load_table(spark, sf_dir, "embeddings")
     return E.mahalanobis_topk(emb, "vec_id", "embedding", _EMB_DIM, k_out=20)
+
+
+_MAHAL_W = 2 * _EMB_DIM  # augmented [Σ | I] row width
+_MAHAL_SQL = f"""
+WITH RECURSIVE
+dims AS (SELECT unnest(range(0, {_EMB_DIM}))::BIGINT AS d),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+means AS (SELECT d, avg(v[d + 1]) AS m FROM e, dims GROUP BY d),
+prods AS (SELECT a.d AS i, b.d AS j, avg(v[a.d + 1] * v[b.d + 1]) AS exy
+          FROM e, dims a, dims b GROUP BY 1, 2),
+covl AS (
+  SELECT list(exy - mi.m * mj.m
+              + CASE WHEN i = j THEN 1e-6 ELSE 0.0 END ORDER BY i, j) AS a
+  FROM prods JOIN means mi ON mi.d = i JOIN means mj ON mj.d = j),
+aug0 AS (
+  SELECT list_transform(range(0, {_EMB_DIM * _MAHAL_W}), idx ->
+    CASE WHEN idx % {_MAHAL_W} < {_EMB_DIM}
+           THEN a[(idx // {_MAHAL_W}) * {_EMB_DIM} + (idx % {_MAHAL_W}) + 1]
+         WHEN idx % {_MAHAL_W} - {_EMB_DIM} = idx // {_MAHAL_W} THEN 1.0
+         ELSE 0.0 END) AS m
+  FROM covl),
+gj(step, m) AS (
+  SELECT 0, m FROM aug0
+  UNION ALL
+  SELECT step + 1,
+    list_transform(range(0, {_EMB_DIM * _MAHAL_W}), idx ->
+      CASE WHEN idx // {_MAHAL_W} = step
+             THEN m[idx + 1] / m[step * {_MAHAL_W} + step + 1]
+           ELSE m[idx + 1] - m[(idx // {_MAHAL_W}) * {_MAHAL_W} + step + 1]
+                * (m[step * {_MAHAL_W} + (idx % {_MAHAL_W}) + 1]
+                   / m[step * {_MAHAL_W} + step + 1])
+      END)
+  FROM gj WHERE step < {_EMB_DIM}),
+prec AS (SELECT m AS p FROM gj WHERE step = {_EMB_DIM}),
+mul AS (SELECT list(m ORDER BY d) AS mu FROM means),
+scored AS (
+  SELECT vec_id,
+         list_sum(list_transform(range(0, {_EMB_DIM}), i ->
+           (v[i + 1] - mu[i + 1])
+           * list_sum(list_transform(range(0, {_EMB_DIM}), j ->
+               p[i * {_MAHAL_W} + {_EMB_DIM} + j + 1] * (v[j + 1] - mu[j + 1]))))) AS d2
+  FROM e, prec, mul),
+ranked AS (
+  SELECT vec_id, d2,
+         row_number() OVER (ORDER BY round(d2, 9) DESC, vec_id) AS rank
+  FROM scored)
+SELECT vec_id, round(d2, 6) AS mahal_sq, rank FROM ranked WHERE rank <= 20
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -3152,13 +3311,13 @@ REGISTRY: dict[str, QuerySpec] = {
         ("similarity", "stats", "incremental"),
     ),
     "sim_embedding_pca": QuerySpec(
-        _embedding_pca, None,
-        "PCA/whitening fit-score split: driver eig over distributed moments, literal-matrix projection",
+        _embedding_pca, _PCA_SQL,
+        "PCA/whitening fit-score split; oracle replays eigenvalues via a parallel-Jacobi recursive CTE",
         ("similarity", "ml"),
     ),
     "sim_mahalanobis_outliers": QuerySpec(
-        _mahalanobis_outliers, None,
-        "covariance-aware outlier top-k: Mahalanobis distance via Arrow GEMM scoring",
+        _mahalanobis_outliers, _MAHAL_SQL,
+        "covariance-aware outlier top-k: Mahalanobis via Arrow GEMM; oracle replays the Gauss-Jordan inverse",
         ("similarity", "ml", "diagnostics"),
     ),
     "sim_matryoshka_rerank": QuerySpec(
