@@ -382,9 +382,61 @@ def test_linkage_em_fit_separates_match_class(spark, sf_dir):
         else:
             assert r["w_disagree"] < -20, f  # clamped: hugely negative
     # true pairs = one self-match per customer; prevalence = that share
-    cand = qw._linkage_candidates(spark, sf_dir)
+    # (width=1: the same fixed-width histogram the EM fit uses)
+    cand = qw._linkage_candidates(spark, sf_dir, width=1)
     n_pairs = cand.count()
     n_true = cand.filter("d_key = __ck").count()
     assert abs(p - n_true / n_pairs) < 0.05
     # segment blanking hits 1/11 of records, so m_seg ~ 10/11
     assert abs(out["seg"]["m"] - 10 / 11) < 0.03
+
+
+def test_choose_block_width_policy(spark, sf_dir):
+    """The auto-sized linkage block (r10 verdict item 5): occupancy mass
+    is monotone non-increasing in width, the chooser picks the narrowest
+    width under target (parity with an explicit-width run), and extreme
+    targets hit the two boundary widths."""
+    from pyspark.sql import functions as F
+
+    from urban_traffic_data_lake_project_spark.operators.merge import (
+        choose_block_width,
+    )
+    from urban_traffic_data_lake_project_spark.queries import windows as qw
+    from urban_traffic_data_lake_project_spark.sources import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+
+    def mass(w: int) -> float:
+        occ = cust.groupBy(
+            "c_nationkey", F.expr(f"right(c_name, {w})")
+        ).agg(F.count(F.lit(1)).alias("c"))
+        r = occ.agg(
+            F.sum("c").alias("n"), F.sum(F.col("c") * F.col("c")).alias("sq")
+        ).first()
+        return float(r["sq"]) / float(r["n"])
+
+    masses = [mass(w) for w in range(1, 5)]
+    # monotonicity: finer blocks never increase the pairs-per-probe mass
+    assert all(a >= b for a, b in zip(masses, masses[1:])), masses
+    # the chooser picks exactly the narrowest width under target
+    target = qw._LINKAGE_BLOCK_TARGET
+    expected = next(
+        (w for w, m in enumerate(masses, start=1) if m <= target), 4
+    )
+    got = choose_block_width(
+        cust, "c_name", ["c_nationkey"], max_width=4,
+        target_pairs_per_row=target,
+    )
+    assert got == expected, (got, expected, masses)
+    # a huge target always yields width 1; an impossible one caps at max
+    assert choose_block_width(
+        cust, "c_name", ["c_nationkey"], 4, target_pairs_per_row=1e18
+    ) == 1
+    assert choose_block_width(
+        cust, "c_name", ["c_nationkey"], 4, target_pairs_per_row=0.0
+    ) == 4
+    # parity: the auto-width candidate set IS the explicit-width one
+    auto = qw._linkage_candidates(spark, sf_dir)
+    explicit = qw._linkage_candidates(spark, sf_dir, width=got)
+    assert auto.exceptAll(explicit).count() == 0
+    assert explicit.exceptAll(auto).count() == 0

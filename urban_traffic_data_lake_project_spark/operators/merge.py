@@ -359,3 +359,60 @@ def fuzzy_join_blocked(
     return cand.withColumn(
         "dist", F.levenshtein(F.col(l_col), F.col(r_col), max_dist)
     ).filter(F.col("dist") >= 0)
+
+
+def choose_block_width(
+    df: DataFrame,
+    name_col: str,
+    part_cols: Sequence[str],
+    max_width: int = 4,
+    target_pairs_per_row: float = 32.0,
+) -> int:
+    """Auto-size the blocking-key width for blocked record linkage — the
+    ``srp_choose_bands`` idea (operators/dedup.py) applied to suffix
+    blocking: ONE aggregation pass over block occupancy at every
+    candidate width (1..max_width trailing chars of ``name_col``, on top
+    of the exact ``part_cols`` block keys), then the driver picks the
+    NARROWEST width whose expected candidate pairs per probe row stays
+    under ``target_pairs_per_row``.
+
+    With both linkage sides drawn from the same population, candidate
+    pairs per probe at width w are ~ sum_b(n_b^2) / n over the blocks b
+    of (part_cols, right(name, w)) — the same sum-of-squares occupancy
+    mass the SRP chooser bounds. The profile pass explodes each row into
+    max_width (width, suffix) keys, so the whole decision costs one
+    shuffle on the profiling side and a driver collect of max_width
+    rows; everything downstream is unchanged equi-join plumbing.
+
+    Deterministic given the data (integer counts, exact comparison), so
+    an auto-tuned run is reproducible — and SQL-replayable: the DuckDB
+    oracle recomputes the same profile and the same min-width pick
+    (queries/windows.py::_RECORD_LINKAGE_SQL). Monotonicity (occupancy
+    mass never increases with width) and parity with an explicit-width
+    run are property-tested in tests/test_window_queries.py.
+    """
+    if max_width < 1:
+        raise ValueError(f"max_width must be >= 1 (got {max_width})")
+    widths = F.explode(
+        F.array(*[F.lit(w) for w in range(1, max_width + 1)])
+    ).alias("__w")
+    occ = (
+        df.select(*part_cols, F.col(name_col).alias("__nm"))
+        .select(*part_cols, "__nm", widths)
+        .groupBy(F.col("__w"), *part_cols, F.expr("right(__nm, __w)").alias("__blk"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    prof = {
+        int(r["__w"]): (float(r["n"]), float(r["sq"]))
+        for r in occ.groupBy("__w")
+        .agg(
+            F.sum("__c").alias("n"),
+            F.sum(F.col("__c") * F.col("__c")).alias("sq"),
+        )
+        .collect()
+    }
+    for w in range(1, max_width + 1):
+        n, sq = prof[w]
+        if sq <= target_pairs_per_row * n:
+            return w
+    return max_width
