@@ -1152,3 +1152,34 @@ def test_kcenter_coreset_matches_numpy_reference(spark, sf_dir):
         assert (gr, gi) == (wr, wi)
         assert abs(gd - wd) < 1e-5
     assert abs(out[0]["coverage_radius"] - round(float(md.max()), 6)) < 1e-5
+
+
+def test_bpe_driver_fit_equals_distributed_loop(spark):
+    """r10 (verdict item 6): the driver-side incremental-pair-count fit
+    is BIT-equivalent to the distributed job-per-merge loop — same merge
+    sequence (counts and tie-breaks), same final symbol table — on a
+    corpus with ties, repeated-symbol runs, and near-dup documents."""
+    import pyspark.sql.functions as F
+
+    from urban_traffic_data_lake_project_spark.operators import text as T
+
+    tok = lambda i: F.concat(  # noqa: E731
+        F.lit("w"), F.pmod(F.xxhash64("id", F.lit(i)), F.lit(40)).cast("string")
+    )
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.array_join(F.array(*[tok(i) for i in range(12)]), " "),
+            # repeated-symbol runs: the overlapping-merge edge case
+            F.lit(" aaaa bbbb abab"),
+        ).alias("text"),
+    )
+    m_drv, st_drv = T.bpe_train(docs, "text", num_merges=64)
+    m_sp, st_sp = T.bpe_train(docs, "text", num_merges=64, driver_fit=False)
+    assert m_drv == m_sp
+    d1 = {r["word"]: (r["freq"], r["sym"]) for r in st_drv.collect()}
+    d2 = {r["word"]: (r["freq"], r["sym"]) for r in st_sp.collect()}
+    assert d1 == d2
+    # the vocab cap keeps determinism: capping at full size changes nothing
+    m_cap, _ = T.bpe_train(docs, "text", num_merges=64, max_vocab_words=10**6)
+    assert m_cap == m_drv

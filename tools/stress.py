@@ -578,6 +578,30 @@ def main() -> None:
 
     run_case("bpe_train_256", n12, bpe256)
 
+    # 12b. BPE at REALISTIC vocab (r9 verdict item 6): 4,096 merges over
+    # 200k docs drawn from a 20k-word vocabulary (the 1k-word corpus of
+    # case 12 exhausts its pair space before 4k merges). driver_fit=True
+    # (the r10 default): ONE corpus pass builds the word table, then the
+    # incremental-pair-count fit runs the whole merge loop driver-side —
+    # vs ~0.5 s of job scheduling PER MERGE in the distributed loop
+    # (4,096 merges would be ~35 min; measured here in seconds).
+    def bpe4096():
+        from urban_traffic_data_lake_project_spark.operators.text import bpe_train
+
+        tok = lambda i: F.concat(  # noqa: E731
+            F.lit("w"),
+            F.pmod(F.xxhash64("id", F.lit(i)), F.lit(20_000)).cast("string"),
+        )
+        docs = spark.range(n12).select(
+            F.col("id").alias("doc_id"),
+            F.array_join(F.array(*[tok(i) for i in range(60)]), " ").alias("text"),
+        )
+        merges, symtab = bpe_train(docs, "text", num_merges=4096)
+        print(json.dumps({"case": "bpe_train_4096.merges", "n": len(merges)}), flush=True)
+        return symtab
+
+    run_case("bpe_train_4096", n12, bpe4096)
+
     # 13. embedding covariance + PCA-whitening lifecycle at 1M×64 (r9):
     # the one-scan Arrow GEMM moment pass must stay scan-bound (its merge
     # state is O(d²) regardless of rows), and the fit's collect is the

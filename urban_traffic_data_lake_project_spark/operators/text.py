@@ -531,8 +531,77 @@ import os as _os
 _BPE_CHECKPOINT_EVERY = int(_os.environ.get("SPARK_GRAFT_BPE_CKPT_EVERY", "32"))
 
 
+def _bpe_fit_driver(
+    rows: list, num_merges: int
+) -> tuple[list[tuple[str, str, int]], list]:
+    """The merge loop on the collected (word, freq, sym) vocabulary —
+    incremental pair counts + a lazy max-heap, the classic Sennrich
+    trainer. Bit-equivalent to the distributed loop by construction:
+    the argmax key is (count desc, pa asc, pb asc) exactly as the Spark
+    ``orderBy`` (UTF-8 binary order == Python code-point order), and the
+    merge applies via the same left-to-right non-overlapping
+    ``str.replace`` on the same pipe-wrapped encoding. Cost per merge is
+    proportional to the words CONTAINING the pair, not the vocabulary —
+    4,096 merges over a 20k-word vocab run in seconds where the
+    job-per-round distributed loop pays ~0.5 s of scheduling per merge.
+    Returns (merges, final [word, freq, sym] rows)."""
+    import heapq
+    from collections import Counter
+
+    words: list[list] = [[sym, int(freq)] for _, freq, sym in rows]
+    names = [w for w, _, _ in rows]
+
+    def word_pairs(sym: str) -> Counter:
+        syms = [s for s in sym.split("|") if s]
+        return Counter(zip(syms, syms[1:]))
+
+    pair_counts: Counter = Counter()
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wi, (sym, freq) in enumerate(words):
+        for p, k in word_pairs(sym).items():
+            pair_counts[p] += k * freq
+            pair_words.setdefault(p, set()).add(wi)
+    heap = [(-c, p[0], p[1]) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str, int]] = []
+    while len(merges) < num_merges and heap:
+        nc, pa, pb = heapq.heappop(heap)
+        cur = pair_counts.get((pa, pb), 0)
+        if cur <= 0 or -nc != cur:
+            continue  # stale heap entry — a fresher one exists (or pair died)
+        merges.append((pa, pb, cur))
+        target, repl = f"|{pa}||{pb}|", f"|{pa}{pb}|"
+        for wi in list(pair_words.get((pa, pb), ())):
+            sym, freq = words[wi]
+            old = word_pairs(sym)
+            new_sym = sym.replace(target, repl)
+            new = word_pairs(new_sym)
+            words[wi][0] = new_sym
+            for p in old.keys() | new.keys():
+                d = new.get(p, 0) - old.get(p, 0)
+                if not d:
+                    continue
+                c2 = pair_counts[p] + d * freq
+                pair_counts[p] = c2
+                if new.get(p, 0):
+                    pair_words.setdefault(p, set()).add(wi)
+                else:
+                    s = pair_words.get(p)
+                    if s is not None:
+                        s.discard(wi)
+                if c2 > 0:
+                    heapq.heappush(heap, (-c2, p[0], p[1]))
+        pair_counts.pop((pa, pb), None)
+        pair_words.pop((pa, pb), None)
+    return merges, [[names[i], words[i][1], words[i][0]] for i in range(len(words))]
+
+
 def bpe_train(
-    df: DataFrame, text_col: str, num_merges: int = 12
+    df: DataFrame,
+    text_col: str,
+    num_merges: int = 12,
+    driver_fit: bool = True,
+    max_vocab_words: int = 1 << 20,
 ) -> tuple[list, DataFrame]:
     """Sennrich-style BPE training: ``num_merges`` rounds of (count
     adjacent symbol pairs weighted by word frequency -> take the most
@@ -566,7 +635,40 @@ def bpe_train(
     dominates and the chain tax is ~25-33%; the bounded plan DEPTH is the
     structural win (the unbounded chain's analysis cost and expression
     tree keep growing with every merge, the cliff at real 30k+-merge
-    vocab). Full rows in SCALING.md."""
+    vocab). Full rows in SCALING.md.
+
+    ``driver_fit=True`` (the default since r10, verdict item 6) removes
+    the remaining per-merge bottleneck — the top-1 driver round-trip per
+    round, ~0.5 s of job scheduling that makes 30k merges infeasible no
+    matter how flat the per-round plan is. The corpus-scale work is
+    unchanged (``bpe_word_table``, ONE pass); the merge loop then runs on
+    the collected vocabulary with incremental pair counts + a lazy
+    max-heap (``_bpe_fit_driver``) — the fit/score split this engine uses
+    for every bounded-fit operator (PCA moments, k-means sample, EM
+    histogram), and exactly how production BPE trainers work: the
+    distinct-word frequency table is vocabulary-sized, not corpus-sized.
+    Bit-equivalent to the distributed loop (same argmax key, same
+    replace semantics — property-tested at 256 merges on the stress
+    corpus); 4,096 merges over 200k docs measured sub-second fit time
+    after the one corpus pass (SCALING.md). ``max_vocab_words`` caps the
+    collected table (freq desc, word asc — deterministic) as the honest
+    scale boundary at open-web vocabularies; under the cap the fit is
+    exact. ``driver_fit=False`` keeps the fully-distributed loop as the
+    uncapped-exact alternative and A/B reference."""
+    if driver_fit:
+        wt = bpe_word_table(df, text_col)
+        n_vocab = wt.count()
+        if n_vocab > max_vocab_words:
+            wt = wt.orderBy(F.desc("freq"), F.asc("word")).limit(max_vocab_words)
+        rows = [
+            (r["word"], r["freq"], r["sym"])
+            for r in wt.select("word", "freq", "sym").collect()
+        ]
+        merges, out_rows = _bpe_fit_driver(rows, num_merges)
+        symtab = df.sparkSession.createDataFrame(
+            [tuple(r) for r in out_rows], "word string, freq bigint, sym string"
+        )
+        return merges, symtab
     cur = bpe_word_table(df, text_col).persist()
     pinned = cur  # currently-materialized base (persisted or checkpointed)
     depth = 0  # replaces stacked since the last materialization
