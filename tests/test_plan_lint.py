@@ -28,3 +28,35 @@ from tools.explain_audit import lint_registry_plans  # noqa: E402
 def test_registry_plans_obey_policy(spark, sf_dir):
     violations = lint_registry_plans(spark, sf_dir)
     assert not violations, "\n".join(violations)
+
+
+def test_global_sort_detector_on_known_shapes():
+    """Unit contract for has_global_sort_exchange (r10, verdict item 4):
+    Sort/Window-fed single-partition exchanges flag; the 1-row final
+    aggregate (HashAggregate-fed) does not."""
+    from tools.explain_audit import has_global_sort_exchange
+
+    window_plan = """AdaptiveSparkPlan isFinalPlan=false
++- HashAggregate(keys=[decile], functions=[count(1)])
+   +- Project [price, decile]
+      +- Window [ntile(10) windowspecdefinition(price ASC)], [price ASC]
+         +- Sort [price ASC NULLS FIRST], false, 0
+            +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=25]
+               +- FileScan parquet [price]"""
+    hits = has_global_sort_exchange(window_plan)
+    assert hits == ["Window <- Sort"], hits
+
+    agg_plan = """AdaptiveSparkPlan isFinalPlan=false
++- HashAggregate(keys=[], functions=[sum(x)])
+   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=9]
+      +- HashAggregate(keys=[], functions=[partial_sum(x)])
+         +- FileScan parquet [x]"""
+    assert has_global_sort_exchange(agg_plan) == []
+
+    # Window directly over the exchange (no Sort — e.g. sum() OVER ())
+    bare_window = """AdaptiveSparkPlan isFinalPlan=false
++- Project [share]
+   +- Window [sum(n) windowspecdefinition(...)]
+      +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=3]
+         +- HashAggregate(keys=[src], functions=[count(1)])"""
+    assert has_global_sort_exchange(bare_window) == ["Project <- Window"]

@@ -39,6 +39,14 @@ _RESTRICTED: tuple[str, ...] = ("BroadcastNestedLoopJoin", "BatchEvalPython")
 # query name -> {node -> reason}. Reasons are reviewable claims; the test
 # fails on any restricted node without an entry AND on any entry whose
 # node no longer appears (stale annotations rot the policy).
+# Pseudo-node for the global-sort rule below: an `Exchange SinglePartition`
+# whose structural parent is a Sort/Window moves ALL rows to one task — the
+# one plan shape that cannot survive a 100x scale-up no matter how wide the
+# cluster is. Unlike the real nodes above it is detected structurally, so
+# stale-checking uses the same detector.
+GLOBAL_SORT_NODE = "GlobalSortExchange"
+
+
 _SCALAR_ATTACH = (
     "broadcast 1-row scalar/spec attach: crossJoin with a no-grouping-key "
     "aggregate (or literal spec frame) under IdentityBroadcastMode — "
@@ -115,6 +123,62 @@ PLAN_ANNOTATIONS: dict[str, dict[str, str]] = {
             "image_phash",
         )
     },
+    # ------------------------------------------------------------------
+    # Global-sort annotations (r10, verdict item 4). Two legitimate
+    # classes: (a) exactness references whose at-scale sibling is the
+    # mergeable-sketch form, (b) windows over provably bounded frames
+    # (aggregate outputs / file metadata), where "all rows to one task"
+    # is a handful of rows at any corpus size.
+    "core_equidepth_histogram": {
+        GLOBAL_SORT_NODE: (
+            "exact ntile(10) over all of lineitem — the EXACTNESS REFERENCE "
+            "for equi-depth binning; the at-scale sibling is "
+            "sketch_hist_quantiles (mergeable fixed-edge histogram sketch, "
+            "bins-only shuffle)"
+        )
+    },
+    "analytics_rfm_segments": {
+        GLOBAL_SORT_NODE: (
+            "exact global ntile(4) quartiles over the per-customer "
+            "aggregate (already reduced from the fact table) — exactness "
+            "reference; at scale the R/F/M quartile edges come from "
+            "sketch_hist_quantiles-style mergeable quantiles and the "
+            "scoring becomes a literal-threshold projection"
+        )
+    },
+    "analytics_gini_concentration": {
+        GLOBAL_SORT_NODE: (
+            "exact rank-formula Gini over per-customer spend (one row per "
+            "customer after the map-side-combinable aggregate) — exactness "
+            "reference; the at-scale form is quantile-bucketed two-pass "
+            "Lorenz integration over sketch_hist_quantiles edges"
+        )
+    },
+    "corpus_datacard": {
+        # keeps its comprehension-tier scalar-attach note too — a later
+        # explicit dict key REPLACES the comprehension entry wholesale
+        "BroadcastNestedLoopJoin": _SCALAR_ATTACH,
+        GLOBAL_SORT_NODE: (
+            "share-of-total window over the BOUNDED per-source aggregate "
+            "(one row per source label, ~10 rows at any corpus size) — "
+            "the single partition holds the datacard itself, not the corpus"
+        ),
+    },
+    "lakehouse_compaction_plan": {
+        GLOBAL_SORT_NODE: (
+            "bin-packing window over FILE METADATA (one row per data file; "
+            "input is listing-sized, not data-sized) — at lakehouse scale "
+            "the planner runs per table partition, keeping each frame at "
+            "the partition's file count"
+        )
+    },
+    "sim_embedding_drift": {
+        GLOBAL_SORT_NODE: (
+            "share normalization window over the BOUNDED bucket histogram "
+            "(one row per centroid, n_centroids=16) — the corpus was "
+            "already reduced by the assignment aggregate"
+        )
+    },
     "udf_surface": {
         "BatchEvalPython": (
             "deliberate policy-fenced row-at-a-time F.udf surface demo "
@@ -130,15 +194,54 @@ PLAN_ANNOTATIONS: dict[str, dict[str, str]] = {
 }
 
 
+def _node_depth(line: str) -> int:
+    """Character offset of the node text in a physical-plan tree line —
+    children print strictly deeper than their parent."""
+    i = 0
+    while i < len(line) and not (line[i].isalnum() or line[i] in "*("):
+        i += 1
+    return i
+
+
+def has_global_sort_exchange(plan: str) -> list[str]:
+    """Occurrences of `Exchange SinglePartition` feeding a Sort/Window
+    parent (up to 2 structural ancestors up, so the Window above the
+    order-satisfying Sort is seen). 1-row final aggregates also exchange
+    to a single partition but feed HashAggregate — not flagged."""
+    lines = plan.splitlines()
+    hits: list[str] = []
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        depth = _node_depth(ln)
+        ancestors: list[str] = []
+        cur = depth
+        for j in range(i - 1, -1, -1):
+            dj = _node_depth(lines[j])
+            if dj < cur:
+                ancestors.append(lines[j][dj:].split("[")[0].strip())
+                cur = dj
+            if len(ancestors) >= 2 or cur == 0:
+                break
+        if any(a.startswith(("Sort", "Window")) for a in ancestors):
+            hits.append(" <- ".join(reversed(ancestors)))
+    return hits
+
+
 def lint_registry_plans(spark, sf_dir: str) -> list[str]:
     """Plan every registry query (no execution) and return policy
     violations: forbidden nodes, un-annotated restricted nodes, stale
-    annotations, and queries that fail to plan at all."""
+    annotations, and queries that fail to plan at all. The global-sort
+    rule (r9 verdict item 4) uses the POST-EnsureRequirements plan
+    (executedPlan before execution) because Exchange nodes don't exist
+    in sparkPlan()."""
     violations: list[str] = []
     for name, spec in sorted(REGISTRY.items()):
         try:
             df = spec.fn(spark, sf_dir)
-            plan = df._jdf.queryExecution().sparkPlan().toString()
+            qe = df._jdf.queryExecution()
+            plan = qe.sparkPlan().toString()
+            prepared = qe.executedPlan().toString()
         except Exception as e:  # a registry query must at least plan
             violations.append(f"{name}: failed to plan: {type(e).__name__}: {e}")
             continue
@@ -152,8 +255,17 @@ def lint_registry_plans(spark, sf_dir: str) -> list[str]:
                     f"{name}: un-annotated {node} — add a PLAN_ANNOTATIONS entry "
                     "with the reason it is deliberate, or fix the plan"
                 )
+        gsw = has_global_sort_exchange(prepared)
+        if gsw and GLOBAL_SORT_NODE not in notes:
+            violations.append(
+                f"{name}: un-annotated global-sort shape ({gsw[0]} over "
+                "Exchange SinglePartition) — every row moves to ONE task; "
+                "add a PLAN_ANNOTATIONS entry naming the at-scale sibling, "
+                "or restructure the plan"
+            )
         for node in notes:
-            if node not in plan:
+            found = bool(gsw) if node == GLOBAL_SORT_NODE else node in plan
+            if not found:
                 violations.append(
                     f"{name}: stale annotation — {node} no longer in the plan; "
                     "remove the PLAN_ANNOTATIONS entry"
