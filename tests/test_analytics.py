@@ -375,3 +375,44 @@ def REGISTRY_ALL():
     from urban_traffic_data_lake_project_spark.queries.analytics import REGISTRY
 
     return REGISTRY
+
+
+def test_gini_sketch_approximates_exact(spark, sf_dir):
+    """The at-scale binned-Lorenz Gini (r10) tracks the exact rank-formula
+    query closely at 512 bins, and its shares stay in [0, 1] and ordered."""
+    from urban_traffic_data_lake_project_spark.queries.analytics import REGISTRY as AR
+
+    exact = AR["analytics_gini_concentration"].fn(spark, sf_dir).first()
+    sk = AR["analytics_gini_sketch"].fn(spark, sf_dir).first()
+    assert sk["n_customers"] == exact["n_customers"]
+    assert abs(sk["gini_binned"] - exact["gini"]) < 0.02, (sk, exact)
+    assert abs(sk["top1pct_share"] - exact["top1pct_share"]) < 0.02
+    assert abs(sk["top10pct_share"] - exact["top10pct_share"]) < 0.02
+    assert 0.0 < sk["top1pct_share"] < sk["top10pct_share"] <= 1.0
+
+
+def test_rfm_sketch_tracks_exact_segments(spark, sf_dir):
+    """The histogram-edge RFM (r10) reproduces the exact ntile segment
+    populations up to edge-bin boundary effects: total preserved, every
+    score in 1..4, per-dimension marginals within 10% of n/4."""
+    from urban_traffic_data_lake_project_spark.queries.analytics import REGISTRY as AR
+
+    rows = AR["analytics_rfm_sketch"].fn(spark, sf_dir).collect()
+    total = sum(r["n_customers"] for r in rows)
+    exact_total = sum(
+        r["n_customers"]
+        for r in AR["analytics_rfm_segments"].fn(spark, sf_dir).collect()
+    )
+    assert total == exact_total
+    for r in rows:
+        assert 1 <= r["r_score"] <= 4 and 1 <= r["f_score"] <= 4 and 1 <= r["m_score"] <= 4
+    for dim in ("r_score", "f_score", "m_score"):
+        marg = {}
+        for r in rows:
+            marg[r[dim]] = marg.get(r[dim], 0) + r["n_customers"]
+        for q in (1, 2, 3, 4):
+            # quartile marginals: within 10% of n/4 (plus a small-n floor
+            # for coarse frequency bins at tiny SFs)
+            assert abs(marg.get(q, 0) - total / 4) <= max(0.10 * total, 30), (
+                dim, q, marg, total,
+            )

@@ -141,18 +141,36 @@ PLAN_ANNOTATIONS: dict[str, dict[str, str]] = {
         GLOBAL_SORT_NODE: (
             "exact global ntile(4) quartiles over the per-customer "
             "aggregate (already reduced from the fact table) — exactness "
-            "reference; at scale the R/F/M quartile edges come from "
-            "sketch_hist_quantiles-style mergeable quantiles and the "
-            "scoring becomes a literal-threshold projection"
+            "reference; the at-scale sibling is analytics_rfm_sketch "
+            "(histogram-derived quartile edges + broadcast-threshold "
+            "scoring, no global sort), in-registry and strict-oracled"
         )
     },
     "analytics_gini_concentration": {
         GLOBAL_SORT_NODE: (
             "exact rank-formula Gini over per-customer spend (one row per "
             "customer after the map-side-combinable aggregate) — exactness "
-            "reference; the at-scale form is quantile-bucketed two-pass "
-            "Lorenz integration over sketch_hist_quantiles edges"
+            "reference; the at-scale sibling is analytics_gini_sketch "
+            "(binned trapezoidal Lorenz over a mergeable fixed-edge "
+            "histogram), in-registry and strict-oracled"
         )
+    },
+    "analytics_gini_sketch": {
+        GLOBAL_SORT_NODE: (
+            "cumulative-share window over the BOUNDED fixed-edge spend "
+            "histogram (<= 512 bins at any corpus size) — this IS the "
+            "at-scale Gini; the corpus reduced in the map-side-combinable "
+            "per-customer aggregate + bins-only shuffle before it"
+        )
+    },
+    "analytics_rfm_sketch": {
+        "BroadcastNestedLoopJoin": _SCALAR_ATTACH,
+        GLOBAL_SORT_NODE: (
+            "cumulative-count windows over the BOUNDED per-dimension "
+            "histograms (<= 8192 bins) that derive the quartile edges — "
+            "the at-scale RFM; customer-scale data only flows through "
+            "hash aggregates and the broadcast-threshold projection"
+        ),
     },
     "corpus_datacard": {
         # keeps its comprehension-tier scalar-attach note too — a later

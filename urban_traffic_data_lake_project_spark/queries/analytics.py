@@ -623,6 +623,96 @@ FROM agg
 
 
 # ---------------------------------------------------------------------------
+# analytics_gini_sketch — the AT-SCALE sibling of
+# analytics_gini_concentration (the exact rank-formula query keeps a
+# documented global-sort exchange; the plan lint points here). Instead
+# of a global row_number over every customer, the per-customer spends
+# reduce to a FIXED-EDGE histogram (the sketch_hist_quantiles idiom —
+# mergeable, bins-only shuffle, no global sort anywhere near
+# customer-scale data), and the Gini comes from the grouped-data
+# trapezoidal Lorenz form G = 1 − Σ_b p_b·(L_{b−1} + L_b); the top-1% /
+# top-10% revenue shares interpolate uniformly inside the covering bin
+# from the top. Deterministic given the data — the oracle replays the
+# binning, cumulative shares, and interpolation arithmetic exactly.
+# Approximation quality vs the exact query is pinned in
+# tests/test_analytics.py (|Δgini| and |Δshares| small at 512 bins).
+# The only window runs over the ≤512-bin histogram — a bounded frame
+# (PLAN_ANNOTATIONS class b).
+# ---------------------------------------------------------------------------
+_GS_LO, _GS_HI, _GS_BINS = 0.0, 6_000_000.0, 512
+
+
+def _gini_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("__s"))
+    bin_ = F.least(
+        F.greatest(
+            F.floor((F.col("__s") - _GS_LO) * _GS_BINS / (_GS_HI - _GS_LO)),
+            F.lit(0),
+        ),
+        F.lit(_GS_BINS - 1),
+    ).cast("int")
+    hist = spend.groupBy(bin_.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__s").alias("s")
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    c = hist.select(
+        "bin", "n", "s",
+        F.sum("n").over(w).alias("cn"), F.sum("s").over(w).alias("cs"),
+        F.sum("n").over(tot).alias("nn"), F.sum("s").over(tot).alias("ss"),
+    )
+    # trapezoidal Lorenz: each bin contributes p_b * (L_{b-1} + L_b)
+    term = (F.col("n") / F.col("nn")) * (
+        (F.col("cs") - F.col("s")) / F.col("ss") + F.col("cs") / F.col("ss")
+    )
+
+    def top_share(frac: float):
+        target = F.lit(frac) * F.col("nn")
+        above_excl = F.col("nn") - F.col("cn")  # customers strictly above bin
+        above_incl = above_excl + F.col("n")
+        covered = (above_excl < target) & (target <= above_incl)
+        share = (
+            F.col("ss") - F.col("cs")
+            + (target - above_excl) / F.col("n") * F.col("s")
+        ) / F.col("ss")
+        return F.sum(F.when(covered, share).otherwise(F.lit(0.0)))
+
+    return c.agg(
+        F.max("nn").cast("bigint").alias("n_customers"),
+        F.round(F.lit(1.0) - F.sum(term), ROUND_STAT).alias("gini_binned"),
+        F.round(top_share(0.01), ROUND_STAT).alias("top1pct_share"),
+        F.round(top_share(0.10), ROUND_STAT).alias("top10pct_share"),
+    )
+
+
+_GINI_SKETCH_SQL = f"""
+WITH spend AS (
+  SELECT o_custkey, sum(o_totalprice) AS s FROM orders GROUP BY 1),
+hist AS (
+  SELECT (least(greatest(floor((s - {_GS_LO}) * {_GS_BINS} / ({_GS_HI} - {_GS_LO})), 0),
+                {_GS_BINS - 1}))::INT AS bin,
+         count(*) AS n, sum(s) AS s
+  FROM spend GROUP BY 1),
+c AS (
+  SELECT bin, n, s,
+         sum(n) OVER (ORDER BY bin) AS cn, sum(s) OVER (ORDER BY bin) AS cs,
+         sum(n) OVER () AS nn, sum(s) OVER () AS ss
+  FROM hist)
+SELECT max(nn)::BIGINT AS n_customers,
+       round(1.0 - sum((n::DOUBLE / nn) * ((cs - s) / ss + cs / ss)),
+             {ROUND_STAT}) AS gini_binned,
+       round(sum(CASE WHEN nn - cn < 0.01 * nn AND 0.01 * nn <= nn - cn + n
+                 THEN (ss - cs + (0.01 * nn - (nn - cn)) / n * s) / ss
+                 ELSE 0.0 END), {ROUND_STAT}) AS top1pct_share,
+       round(sum(CASE WHEN nn - cn < 0.10 * nn AND 0.10 * nn <= nn - cn + n
+                 THEN (ss - cs + (0.10 * nn - (nn - cn)) / n * s) / ss
+                 ELSE 0.0 END), {ROUND_STAT}) AS top10pct_share
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
 # events_cusum_changepoints — mean-shift monitoring over the hourly
 # traffic series (Page 1954 one-sided CUSUM; the incident-detection
 # primitive a traffic deployment runs on every sensor stream): baseline
@@ -950,6 +1040,128 @@ FROM scored GROUP BY 1, 2, 3
 """
 
 
+# ---------------------------------------------------------------------------
+# analytics_rfm_sketch — the AT-SCALE sibling of analytics_rfm_segments
+# (whose three chained global ntile(4)s carry documented global-sort
+# exchanges; the plan lint points here). Quartile EDGES per dimension
+# come from fixed-edge histograms (bins-only shuffles, integer exact:
+# edge bin b_q = min bin with 4·cum ≥ q·4·N), then scoring is a pure
+# projection against the three broadcast 1-row edge frames — score
+# 4 − Σ(bin > b_q), matching the exact query's DESC ntile convention
+# (score 1 = top quartile). Boundary customers inside an edge bin may
+# score one off the exact ntile (the honest sketch trade, bounded by
+# bin width); the population distribution parity is pinned in
+# tests/test_analytics.py. No customer-scale sort anywhere: histograms,
+# bounded-frame windows (≤512 bins), three scalar attaches.
+# ---------------------------------------------------------------------------
+# recency at DAILY resolution (4096 1-day bins): the last-order dates
+# clump near the dataset end, and 8-day bins put the whole top quartile
+# in one bin at small SFs — an edge bin the threshold scorer cannot
+# split. hi=8192: order dates run past day 4096 of the 1990 epoch, and
+# clamped values collapse the whole top quartile into the last bin. Frequency keeps width-1 bins (integer counts tie by nature).
+_RFM_SK = {"r": (0.0, 8192.0, 8192), "f": (0.0, 64.0, 64), "m": (0.0, 6_000_000.0, 1024)}
+_RFM_EPOCH = "1990-01-01"
+
+
+def _rfm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+
+    def bin_expr(c: F.Column, lo: float, hi: float, b: int) -> F.Column:
+        return F.least(
+            F.greatest(F.floor((c - lo) * b / (hi - lo)), F.lit(0)), F.lit(b - 1)
+        ).cast("int")
+
+    binned = per.select(
+        "o_custkey",
+        bin_expr(
+            F.datediff("last_order", F.lit(_RFM_EPOCH).cast("date")).cast("double"),
+            *_RFM_SK["r"],
+        ).alias("rb"),
+        bin_expr(F.col("frequency").cast("double"), *_RFM_SK["f"]).alias("fb"),
+        bin_expr(F.col("monetary"), *_RFM_SK["m"]).alias("mb"),
+    )
+
+    def edges(bin_col: str, key: str) -> DataFrame:
+        h = binned.groupBy(F.col(bin_col).alias("bin")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        c = h.select(
+            "bin",
+            F.sum("n").over(w).alias("cum"),
+            F.sum("n").over(Window.partitionBy()).alias("nn"),
+        )
+        return c.agg(
+            F.min(F.when(F.col("cum") * 4 >= F.col("nn"), F.col("bin"))).alias(f"{key}25"),
+            F.min(F.when(F.col("cum") * 2 >= F.col("nn"), F.col("bin"))).alias(f"{key}50"),
+            F.min(F.when(F.col("cum") * 4 >= F.col("nn") * 3, F.col("bin"))).alias(f"{key}75"),
+        )
+
+    scored = (
+        binned.crossJoin(F.broadcast(edges("rb", "r")))
+        .crossJoin(F.broadcast(edges("fb", "f")))
+        .crossJoin(F.broadcast(edges("mb", "m")))
+    )
+
+    def score(bin_col: str, key: str) -> F.Column:
+        b = F.col(bin_col)
+        return (
+            F.lit(4)
+            - (b > F.col(f"{key}25")).cast("int")
+            - (b > F.col(f"{key}50")).cast("int")
+            - (b > F.col(f"{key}75")).cast("int")
+        )
+
+    return scored.select(
+        score("rb", "r").alias("r_score"),
+        score("fb", "f").alias("f_score"),
+        score("mb", "m").alias("m_score"),
+    ).groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+def _rfm_sk_sql_dim(expr: str, key: str, lo: float, hi: float, b: int) -> str:
+    return f"""h_{key} AS (
+  SELECT (least(greatest(floor(({expr} - {lo}) * {b} / ({hi} - {lo})), 0), {b - 1}))::INT AS bin,
+         count(*) AS n
+  FROM per GROUP BY 1),
+c_{key} AS (
+  SELECT bin, sum(n) OVER (ORDER BY bin) AS cum, sum(n) OVER () AS nn FROM h_{key}),
+e_{key} AS (
+  SELECT min(CASE WHEN cum * 4 >= nn THEN bin END) AS {key}25,
+         min(CASE WHEN cum * 2 >= nn THEN bin END) AS {key}50,
+         min(CASE WHEN cum * 4 >= nn * 3 THEN bin END) AS {key}75
+  FROM c_{key})"""
+
+
+_RFM_SKETCH_SQL = f"""
+WITH per AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order,
+         count(*) AS frequency, sum(o_totalprice) AS monetary
+  FROM orders GROUP BY 1),
+{_rfm_sk_sql_dim(f"datediff('day', DATE '{_RFM_EPOCH}', last_order)::DOUBLE", "r", *_RFM_SK["r"])},
+{_rfm_sk_sql_dim("frequency::DOUBLE", "f", *_RFM_SK["f"])},
+{_rfm_sk_sql_dim("monetary", "m", *_RFM_SK["m"])},
+binned AS (
+  SELECT (least(greatest(floor((datediff('day', DATE '{_RFM_EPOCH}', last_order)::DOUBLE - {_RFM_SK["r"][0]}) * {_RFM_SK["r"][2]} / ({_RFM_SK["r"][1]} - {_RFM_SK["r"][0]})), 0), {_RFM_SK["r"][2] - 1}))::INT AS rb,
+         (least(greatest(floor((frequency::DOUBLE - {_RFM_SK["f"][0]}) * {_RFM_SK["f"][2]} / ({_RFM_SK["f"][1]} - {_RFM_SK["f"][0]})), 0), {_RFM_SK["f"][2] - 1}))::INT AS fb,
+         (least(greatest(floor((monetary - {_RFM_SK["m"][0]}) * {_RFM_SK["m"][2]} / ({_RFM_SK["m"][1]} - {_RFM_SK["m"][0]})), 0), {_RFM_SK["m"][2] - 1}))::INT AS mb
+  FROM per)
+SELECT (4 - (rb > r25)::INT - (rb > r50)::INT - (rb > r75)::INT) AS r_score,
+       (4 - (fb > f25)::INT - (fb > f50)::INT - (fb > f75)::INT) AS f_score,
+       (4 - (mb > m25)::INT - (mb > m50)::INT - (mb > m75)::INT) AS m_score,
+       count(*)::BIGINT AS n_customers
+FROM binned, e_r, e_f, e_m
+GROUP BY 1, 2, 3
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "quality_benford": QuerySpec(
         _benford, _BENFORD_SQL,
@@ -960,6 +1172,11 @@ REGISTRY: dict[str, QuerySpec] = {
         _gini_concentration, _GINI_SQL,
         "Gini coefficient + top-1%/10% revenue shares of per-customer spend",
         ("analytics", "agg", "window"),
+    ),
+    "analytics_gini_sketch": QuerySpec(
+        _gini_sketch, _GINI_SKETCH_SQL,
+        "at-scale Gini: binned trapezoidal Lorenz over a mergeable fixed-edge spend histogram",
+        ("analytics", "agg", "sketch"),
     ),
     "events_cusum_changepoints": QuerySpec(
         _cusum_changepoints, _CUSUM_SQL,
@@ -985,6 +1202,11 @@ REGISTRY: dict[str, QuerySpec] = {
         _rfm_segments, _RFM_SQL,
         "RFM quartile segmentation of customers with population counts",
         ("analytics", "window", "agg"),
+    ),
+    "analytics_rfm_sketch": QuerySpec(
+        _rfm_sketch, _RFM_SKETCH_SQL,
+        "at-scale RFM: histogram-derived quartile edges + broadcast-threshold scoring, no global sort",
+        ("analytics", "agg", "sketch"),
     ),
     "events_cooccurrence_lift": QuerySpec(
         _cooccurrence_lift, _COOCCUR_SQL,
