@@ -1183,3 +1183,45 @@ def test_bpe_driver_fit_equals_distributed_loop(spark):
     # the vocab cap keeps determinism: capping at full size changes nothing
     m_cap, _ = T.bpe_train(docs, "text", num_merges=64, max_vocab_words=10**6)
     assert m_cap == m_drv
+
+
+def test_bpe_apply_merges_paths_and_oov_semantics(spark):
+    """r10 tokenizer inference: (1) the Catalyst replace-chain path and
+    the Arrow closure path of bpe_apply_merges are bit-equivalent; (2)
+    applying the ordered merge list to an in-vocab word reproduces the
+    trained symbol string exactly; (3) bpe_encode_with_oov tokenizes
+    unseen words into learned subwords and counts them as OOV."""
+    import pyspark.sql.functions as F
+
+    from urban_traffic_data_lake_project_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat " * 3) for i in range(6)]
+        + [(6, "the catalog sat here unseen catnip")],
+        "doc_id long, text string",
+    )
+    train = docs.filter("doc_id < 6")
+    merges, symtab = T.bpe_train(train, "text", num_merges=80)
+    assert len(merges) > 64 or len(merges) > 0  # corpus may exhaust early
+    words = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter("word != ''").distinct()
+        .withColumn("sym", F.regexp_replace("word", "(.)", "|$1|"))
+    )
+    expr_path = {r["word"]: r["sym"] for r in T.bpe_apply_merges(words, merges).collect()}
+    # force the Arrow path by padding the merge list past 64 with inert
+    # pairs that can never match (symbols outside the alphabet)
+    padded = list(merges) + [(f"\x01{i}", f"\x02{i}", 0) for i in range(70)]
+    arrow_path = {r["word"]: r["sym"] for r in T.bpe_apply_merges(words, padded).collect()}
+    assert expr_path == arrow_path
+    # in-vocab words reproduce the trained symbol table bit-for-bit
+    trained = {r["word"]: r["sym"] for r in symtab.collect()}
+    for w, sym in trained.items():
+        assert expr_path[w] == sym, (w, expr_path[w], sym)
+    # OOV encode: doc 6 has unseen words that still tokenize (n_tokens>0)
+    out = {r["doc_id"]: r for r in T.bpe_encode_with_oov(
+        docs, "doc_id", "text", merges, train_vocab=symtab).collect()}
+    assert out[6]["n_oov_words"] >= 2  # catalog, unseen, catnip, here
+    assert out[6]["n_tokens"] > 0 and out[6]["n_words"] == 6
+    for i in range(6):
+        assert out[i]["n_oov_words"] == 0

@@ -1256,3 +1256,119 @@ def naive_bayes_lang_confusion(
         .groupBy("true_label", "pred_label")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def bpe_apply_merges(
+    words: DataFrame, merges: list, sym_col: str = "sym"
+) -> DataFrame:
+    """Apply an ORDERED trained merge list to pipe-wrapped symbol strings
+    — the shared kernel of tokenizer inference. Sequential left-to-right
+    non-overlapping replace per merge, exactly the operation training
+    performed, so an in-vocabulary word reproduces its trained symbol
+    string bit-for-bit and an unseen word tokenizes the way a shipped
+    tokenizer would.
+
+    Two paths, equivalence property-tested: <= 64 merges run as a pure
+    Catalyst ``replace`` chain (localCheckpoint every
+    ``_BPE_CHECKPOINT_EVERY`` keeps plan depth bounded — the bpe_train
+    lesson); larger merge lists (realistic 4k-32k vocab) run as ONE
+    Arrow stage with the merge list riding the task closure — per
+    distinct word, not per corpus row, so the inference cost is
+    vocabulary-sized at any corpus scale."""
+    reps = [(f"|{pa}||{pb}|", f"|{pa}{pb}|") for pa, pb, *_ in merges]
+    if len(reps) <= 64:
+        cur = words
+        for i, (t, r) in enumerate(reps):
+            cur = cur.withColumn(sym_col, F.replace(F.col(sym_col), F.lit(t), F.lit(r)))
+            if (i + 1) % _BPE_CHECKPOINT_EVERY == 0:
+                cur = cur.localCheckpoint(eager=True)
+        return cur
+
+    schema = words.schema
+
+    def apply(batches):
+        for pdf in batches:
+            if len(pdf):
+                def run(s: str) -> str:
+                    for t, r in reps:
+                        s = s.replace(t, r)
+                    return s
+
+                pdf = pdf.assign(**{sym_col: pdf[sym_col].map(run)})
+            yield pdf
+
+    return words.mapInPandas(apply, schema)
+
+
+def bpe_encode_with_oov(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list,
+    train_vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Tokenizer INFERENCE over a corpus that may contain words never
+    seen at training: every distinct word is char-split and run through
+    the ordered merge list (``bpe_apply_merges``), so out-of-vocabulary
+    words tokenize into learned subword units instead of silently
+    counting zero tokens (what ``bpe_encode``'s vocab join does to
+    them). Returns (id, n_words, n_tokens, n_oov_words, token_fp);
+    ``n_oov_words`` counts words absent from ``train_vocab`` (0
+    everywhere when no vocab is given).
+
+    Scale shape: one distinct-word aggregation (vocabulary-sized), the
+    merge application on that table only, then the same broadcast
+    word->tokens join + order-free fingerprint as ``bpe_encode``."""
+    w = F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda x: x != "")
+    distinct_words = (
+        df.select(F.explode(w).alias("word")).distinct()
+        .withColumn("sym", F.regexp_replace(F.col("word"), "(.)", "|$1|"))
+    )
+    applied = bpe_apply_merges(distinct_words, merges)
+    syms = _bpe_symbols("sym")
+    wordtok = applied.select(
+        "word",
+        F.array_join(syms, " ").alias("__toks"),
+        F.size(syms).alias("__n_sub"),
+    )
+    if train_vocab is not None:
+        known = train_vocab.select("word", F.lit(True).alias("__known"))
+        wordtok = wordtok.join(F.broadcast(known), "word", "left").withColumn(
+            "__oov", F.coalesce(~F.col("__known"), F.lit(True))
+        ).drop("__known")
+    else:
+        wordtok = wordtok.withColumn("__oov", F.lit(False))
+    doc_words = df.select(
+        F.col(id_col),
+        F.posexplode(w).alias("__pos", "word"),
+    )
+    per_doc = (
+        doc_words.join(F.broadcast(wordtok), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__n_sub").alias("n_tokens"),
+            F.sum(F.col("__oov").cast("bigint")).alias("n_oov_words"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("__pos", "__toks"))),
+                        lambda s: s["__toks"],
+                    ),
+                    " ",
+                )
+            ).alias("token_fp"),
+        )
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_words", zero).alias("n_words"),
+            F.coalesce(F.col("n_tokens").cast("bigint"), zero).alias("n_tokens"),
+            F.coalesce(F.col("n_oov_words").cast("bigint"), zero).alias("n_oov_words"),
+            F.coalesce("token_fp", F.md5(F.lit(""))).alias("token_fp"),
+        )
+    )

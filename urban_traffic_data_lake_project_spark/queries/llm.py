@@ -346,7 +346,7 @@ def _text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bpe_token_counts(docs, "doc_id", "text", num_merges=_BPE_MERGES)
 
 
-def _bpe_train_ctes(num_merges: int) -> str:
+def _bpe_train_ctes(num_merges: int, doc_where: str = "") -> str:
     """w0..wN training chain. Each round: adjacent-pair frequencies over
     the current symbol strings, deterministic argmax (count DESC, pair
     ASC), merge applied via literal replace. LEFT JOIN ON TRUE so an
@@ -364,7 +364,7 @@ w0 AS MATERIALIZED (
   SELECT w AS word, count(*) AS freq,
          regexp_replace(w, '(.)', '|\\1|', 'g') AS sym
   FROM (SELECT unnest(string_split({_NORM.format(c='text')}, ' ')) AS w
-        FROM documents)
+        FROM documents{doc_where})
   WHERE w <> '' GROUP BY w)"""]
     for k in range(num_merges):
         blocks.append(f"""
@@ -468,6 +468,83 @@ per AS (
 SELECT d.doc_id,
        coalesce(per.n_words, 0) AS n_words,
        coalesce(per.n_tokens, 0) AS n_tokens,
+       coalesce(per.token_fp, md5('')) AS token_fp
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_oov_encode — tokenizer INFERENCE with out-of-vocabulary words
+# (r10): merges train on the EVEN doc_ids only, then ALL documents
+# encode — unseen words char-split and run through the ordered merge
+# list (operators/text.py::bpe_apply_merges) instead of silently
+# counting zero tokens the way a vocab join would. The oracle replays
+# training on the even half AND the merge application to every distinct
+# corpus word (one replace CTE per merge, identical left-to-right
+# semantics), plus the OOV membership count against the trained vocab.
+# Completes the tokenizer lifecycle: train -> counts -> encode ->
+# inference-on-new-text.
+# ---------------------------------------------------------------------------
+def _text_bpe_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    merges, symtab = T.bpe_train(train, "text", num_merges=_BPE_MERGES)
+    return T.bpe_encode_with_oov(
+        docs, "doc_id", "text", merges, train_vocab=symtab
+    )
+
+
+def _bpe_apply_ctes(num_merges: int) -> str:
+    """a0..aN: every distinct corpus word char-split, then the trained
+    merges applied one replace-CTE per step (LEFT JOIN ON TRUE so an
+    early-exhausted merge table passes words through unchanged —
+    mirroring the Spark loop)."""
+    blocks = [f"""
+a0 AS MATERIALIZED (
+  SELECT w AS word, regexp_replace(w, '(.)', '|\\1|', 'g') AS sym
+  FROM (SELECT unnest(string_split({_NORM.format(c='text')}, ' ')) AS w
+        FROM documents)
+  WHERE w <> '' GROUP BY w)"""]
+    for k in range(num_merges):
+        blocks.append(f"""
+a{k + 1} AS MATERIALIZED (
+  SELECT word,
+         CASE WHEN pa IS NULL THEN sym
+              ELSE replace(sym, '|' || pa || '||' || pb || '|',
+                                '|' || pa || pb || '|') END AS sym
+  FROM a{k} LEFT JOIN m{k} ON TRUE)""")
+    return ",".join(blocks)
+
+
+_TEXT_BPE_OOV_SQL = f"""
+WITH {_bpe_train_ctes(_BPE_MERGES, doc_where=" WHERE doc_id % 2 = 0")},
+{_bpe_apply_ctes(_BPE_MERGES)},
+wt AS (
+  SELECT a.word,
+         array_to_string(list_filter(string_split(a.sym, '|'), x -> x != ''), ' ') AS toks,
+         len(list_filter(string_split(a.sym, '|'), x -> x != '')) AS n_sub,
+         (tv.word IS NULL) AS oov
+  FROM a{_BPE_MERGES} a LEFT JOIN w{_BPE_MERGES} tv ON tv.word = a.word),
+dw AS (
+  SELECT doc_id, t.i AS pos, arr[t.i] AS w
+  FROM (SELECT doc_id,
+               list_filter(string_split({_NORM.format(c='text')}, ' '), x -> x != '') AS arr
+        FROM documents),
+       LATERAL unnest(range(1, len(arr) + 1)) AS t(i)),
+per AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_words,
+         sum(n_sub)::BIGINT AS n_tokens,
+         sum(CASE WHEN oov THEN 1 ELSE 0 END)::BIGINT AS n_oov_words,
+         md5(array_to_string(
+             list_transform(list_sort(list(struct_pack(pos := pos, toks := toks))),
+                            s -> s.toks), ' ')) AS token_fp
+  FROM dw JOIN wt ON wt.word = dw.w
+  GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(per.n_words, 0) AS n_words,
+       coalesce(per.n_tokens, 0) AS n_tokens,
+       coalesce(per.n_oov_words, 0) AS n_oov_words,
        coalesce(per.token_fp, md5('')) AS token_fp
 FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
 """
@@ -3245,6 +3322,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "text_bpe_encode": QuerySpec(
         _text_bpe_encode, _TEXT_BPE_ENCODE_SQL,
         "full BPE tokenization: per-doc token counts + exact-sequence fingerprint",
+        ("text", "curation"),
+    ),
+    "text_bpe_oov_encode": QuerySpec(
+        _text_bpe_oov, _TEXT_BPE_OOV_SQL,
+        "tokenizer inference with OOV words: train on half the corpus, merge-apply to unseen words",
         ("text", "curation"),
     ),
     "text_bpe_tokens": QuerySpec(
