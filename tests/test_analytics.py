@@ -416,3 +416,43 @@ def test_rfm_sketch_tracks_exact_segments(spark, sf_dir):
             assert abs(marg.get(q, 0) - total / 4) <= max(0.10 * total, 30), (
                 dim, q, marg, total,
             )
+
+
+def test_pagerank_properties(spark, sf_dir):
+    """PageRank invariants: scores sum to 1, every node present, rank
+    follows (score desc, name) order."""
+    from urban_traffic_data_lake_project_spark.queries.analytics import REGISTRY as AR
+
+    rows = AR["events_pagerank"].fn(spark, sf_dir).orderBy("rank").collect()
+    assert len(rows) == 5
+    assert abs(sum(r["pagerank"] for r in rows) - 1.0) < 1e-4
+    scores = [r["pagerank"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r["pagerank"] > 0 for r in rows)
+
+
+def test_ks_drift_null_case_and_sensitivity(spark, sf_dir):
+    """Even/odd order-key slices come from the same distribution — the
+    KS statistic must sit under the 5% critical value; a synthetic
+    location shift must trip it."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from urban_traffic_data_lake_project_spark.queries.analytics import REGISTRY as AR
+    from urban_traffic_data_lake_project_spark.sources import load_table
+
+    null = AR["quality_ks_drift"].fn(spark, sf_dir).first()
+    assert null["n_a"] + null["n_b"] > 0
+    assert not null["drift"], null
+    # shifted copy: odd keys get +40% price — must drift
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 2 == 1, F.col("o_totalprice") * 1.4)
+        .otherwise(F.col("o_totalprice")),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        o.write.parquet(os.path.join(d, "orders.parquet"))
+        shifted = AR["quality_ks_drift"].fn(spark, d).first()
+    assert shifted["drift"] and shifted["ks_d"] > null["ks_d"]

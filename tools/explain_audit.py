@@ -172,6 +172,13 @@ PLAN_ANNOTATIONS: dict[str, dict[str, str]] = {
             "hash aggregates and the broadcast-threshold projection"
         ),
     },
+    "quality_ks_drift": {
+        GLOBAL_SORT_NODE: (
+            "cumulative-CDF window over the BOUNDED fixed-edge histogram "
+            "(<= 512 bins) — the histogram-form KS statistic; row-scale "
+            "data reduced by the bins-only aggregate before it"
+        )
+    },
     "corpus_datacard": {
         # keeps its comprehension-tier scalar-attach note too — a later
         # explicit dict key REPLACES the comprehension entry wholesale

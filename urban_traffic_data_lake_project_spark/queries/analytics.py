@@ -1162,6 +1162,174 @@ GROUP BY 1, 2, 3
 """
 
 
+# ---------------------------------------------------------------------------
+# events_pagerank — PageRank over the event-type transition graph (r10):
+# the graph-analytics companion of events_markov_transitions. The
+# corpus-scale work is the SAME per-user lead() + groupBy that builds
+# the transition counts; the graph itself is TYPE-level (|event types|
+# nodes — bounded at any corpus size), so the 20 power iterations run
+# on the driver over the collected edge table — the engine's standard
+# fit/score split (EM histogram, PCA moments, k-means sample). Dangling
+# mass redistributes uniformly. The oracle replays all 20 iterations as
+# materialized CTEs over the same transition counts; the contraction
+# keeps cross-engine sum-order ulps far below the 6-dp output rounding
+# (the join_linkage_em_fit argument).
+# ---------------------------------------------------------------------------
+_PR_D, _PR_ITERS = 0.85, 20
+
+
+def _events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+    )
+    edges = {
+        (r["event_type"], r["next_type"]): float(r["n"])
+        for r in steps.groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    nodes = sorted(r["event_type"] for r in ev.select("event_type").distinct().collect())
+    n = len(nodes)
+    out = {u: 0.0 for u in nodes}
+    for (u, _), c in edges.items():
+        out[u] += c
+    p = {v: 1.0 / n for v in nodes}
+    for _ in range(_PR_ITERS):
+        dang = sum(p[u] for u in nodes if out[u] == 0.0)
+        contrib = {v: 0.0 for v in nodes}
+        for (u, v), c in sorted(edges.items()):
+            contrib[v] += p[u] * c / out[u]
+        p = {
+            v: (1.0 - _PR_D) / n + _PR_D * (contrib[v] + dang / n)
+            for v in nodes
+        }
+    ranked = sorted(nodes, key=lambda v: (-round(p[v], 9), v))
+    return spark.createDataFrame(
+        [(v, round(p[v], 6), i + 1) for i, v in enumerate(ranked)],
+        "event_type string, pagerank double, rank int",
+    )
+
+
+def _pr_iteration_ctes() -> str:
+    ctes = [f"""
+r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS p FROM nodes)"""]
+    for k in range(1, _PR_ITERS + 1):
+        ctes.append(f"""
+r{k} AS MATERIALIZED (
+  SELECT nd.node,
+         (1.0 - {_PR_D}) / nn.n
+         + {_PR_D} * (coalesce(c.s, 0.0) + dg.s / nn.n) AS p
+  FROM nodes nd
+  CROSS JOIN nn
+  CROSS JOIN (SELECT coalesce(sum(p.p), 0.0) AS s FROM r{k - 1} p
+              WHERE p.node NOT IN (SELECT from_type FROM outdeg)) dg
+  LEFT JOIN (SELECT e.to_type AS node, sum(p.p * e.n / od.o) AS s
+             FROM edges e
+             JOIN r{k - 1} p ON p.node = e.from_type
+             JOIN outdeg od ON od.from_type = e.from_type
+             GROUP BY 1) c ON c.node = nd.node)""")
+    return ",".join(ctes)
+
+
+_PAGERANK_SQL = f"""
+WITH steps AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events),
+edges AS MATERIALIZED (
+  SELECT from_type, to_type, count(*)::DOUBLE AS n
+  FROM steps WHERE to_type IS NOT NULL GROUP BY 1, 2),
+nodes AS MATERIALIZED (SELECT DISTINCT event_type AS node FROM events),
+nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
+outdeg AS MATERIALIZED (SELECT from_type, sum(n) AS o FROM edges GROUP BY 1),
+{_pr_iteration_ctes()}
+SELECT node AS event_type, round(p, {ROUND_STAT}) AS pagerank,
+       row_number() OVER (ORDER BY round(p, 9) DESC, node)::INT AS rank
+FROM r{_PR_ITERS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality_ks_drift — two-sample Kolmogorov-Smirnov drift test between
+# corpus slices (even vs odd order keys as the deterministic stand-ins)
+# in its HISTOGRAM form: D = max |cdf_A − cdf_B| evaluated at the 512
+# fixed bin edges — the mergeable-sketch KS (a lower bound of the exact
+# statistic, tight at this resolution), so no global sort ever touches
+# row-scale data; the only window runs over the bounded bin table. The
+# classic distribution-shift monitor between corpus snapshots. Output
+# pins D, the 5%-level critical value 1.358·sqrt((na+nb)/(na·nb)), and
+# the drift verdict.
+# ---------------------------------------------------------------------------
+_KS_LO, _KS_HI, _KS_BINS = 0.0, 500_000.0, 512
+
+
+def _ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bin_ = F.least(
+        F.greatest(
+            F.floor((F.col("o_totalprice") - _KS_LO) * _KS_BINS / (_KS_HI - _KS_LO)),
+            F.lit(0),
+        ),
+        F.lit(_KS_BINS - 1),
+    ).cast("int")
+    binned = o.select(bin_.alias("bin"), (F.col("o_orderkey") % 2 == 0).alias("__a"))
+    hist = binned.groupBy("bin").agg(
+        F.sum(F.col("__a").cast("bigint")).alias("na"),
+        F.sum((~F.col("__a")).cast("bigint")).alias("nb"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    c = hist.select(
+        F.sum("na").over(w).alias("ca"), F.sum("nb").over(w).alias("cb"),
+        F.sum("na").over(tot).alias("ta"), F.sum("nb").over(tot).alias("tb"),
+    )
+    d = F.max(
+        F.abs(
+            F.col("ca") / F.col("ta") - F.col("cb") / F.col("tb")
+        )
+    )
+    crit = F.lit(1.358) * F.sqrt(
+        (F.max("ta") + F.max("tb")).cast("double") / (F.max("ta") * F.max("tb"))
+    )
+    return c.agg(
+        F.max("ta").cast("bigint").alias("n_a"),
+        F.max("tb").cast("bigint").alias("n_b"),
+        F.round(d, ROUND_STAT).alias("ks_d"),
+        F.round(crit, ROUND_STAT).alias("crit_5pct"),
+        (F.round(d, 9) > F.round(crit, 9)).alias("drift"),
+    )
+
+
+_KS_SQL = f"""
+WITH binned AS (
+  SELECT (least(greatest(floor((o_totalprice - {_KS_LO}) * {_KS_BINS} / ({_KS_HI} - {_KS_LO})), 0),
+                {_KS_BINS - 1}))::INT AS bin,
+         (o_orderkey % 2 = 0) AS a
+  FROM orders),
+hist AS (
+  SELECT bin, sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS na,
+              sum(CASE WHEN a THEN 0 ELSE 1 END)::BIGINT AS nb
+  FROM binned GROUP BY 1),
+c AS (
+  SELECT sum(na) OVER (ORDER BY bin) AS ca, sum(nb) OVER (ORDER BY bin) AS cb,
+         sum(na) OVER () AS ta, sum(nb) OVER () AS tb
+  FROM hist)
+SELECT max(ta)::BIGINT AS n_a, max(tb)::BIGINT AS n_b,
+       round(max(abs(ca::DOUBLE / ta - cb::DOUBLE / tb)), {ROUND_STAT}) AS ks_d,
+       round(1.358 * sqrt((max(ta) + max(tb))::DOUBLE / (max(ta) * max(tb))),
+             {ROUND_STAT}) AS crit_5pct,
+       round(max(abs(ca::DOUBLE / ta - cb::DOUBLE / tb)), 9)
+         > round(1.358 * sqrt((max(ta) + max(tb))::DOUBLE / (max(ta) * max(tb))), 9)
+         AS drift
+FROM c
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "quality_benford": QuerySpec(
         _benford, _BENFORD_SQL,
@@ -1197,6 +1365,16 @@ REGISTRY: dict[str, QuerySpec] = {
         _markov_transitions, _MARKOV_SQL,
         "first-order event-type transition matrix per user timeline",
         ("analytics", "window"),
+    ),
+    "events_pagerank": QuerySpec(
+        _events_pagerank, _PAGERANK_SQL,
+        "PageRank over the type-level transition graph; oracle replays all 20 power iterations",
+        ("analytics", "graph", "ml"),
+    ),
+    "quality_ks_drift": QuerySpec(
+        _ks_drift, _KS_SQL,
+        "two-sample KS drift test in histogram form: D statistic, 5% critical value, verdict",
+        ("analytics", "diagnostics", "sketch"),
     ),
     "analytics_rfm_segments": QuerySpec(
         _rfm_segments, _RFM_SQL,
