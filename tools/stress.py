@@ -20,6 +20,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from urban_traffic_data_lake_project_spark.session import get_spark  # noqa: E402
@@ -768,6 +769,63 @@ def main() -> None:
         )
 
     run_case("linkage_auto_5m", n17, linkage_auto)
+
+    # 18. Exact vs sketch Gini at 20M rows (r10): the exact rank formula
+    # needs a global sort (every row to ONE task — the shape the plan
+    # lint polices); the binned-Lorenz sketch needs one hash aggregate +
+    # a 512-bin window. Run both to quantify the gap the annotation
+    # claims. Spend distribution: lognormal-ish via exp of summed hashes.
+    n18 = int(20_000_000 * s)
+
+    def gini_exact():
+        v = spark.range(n18).select(
+            F.col("id"),
+            F.exp(
+                (F.pmod(F.xxhash64("id"), F.lit(1000)) / 250.0)
+            ).alias("spend"),
+        )
+        w_rank = Window.orderBy(F.asc("spend"), F.asc("id"))
+        ranked = v.select(
+            "spend", F.row_number().over(w_rank).alias("i")
+        ).withColumn("n", F.max("i").over(Window.partitionBy()))
+        n = F.max("n").cast("double")
+        return ranked.agg(
+            F.round(
+                2.0 * F.sum(F.col("i") * F.col("spend")) / (n * F.sum("spend"))
+                - (n + 1.0) / n,
+                6,
+            ).alias("gini")
+        )
+
+    def gini_sketch():
+        v = spark.range(n18).select(
+            F.col("id"),
+            F.exp(
+                (F.pmod(F.xxhash64("id"), F.lit(1000)) / 250.0)
+            ).alias("spend"),
+        )
+        lo, hi, b = 0.0, 60.0, 512
+        bin_ = F.least(
+            F.greatest(F.floor((F.col("spend") - lo) * b / (hi - lo)), F.lit(0)),
+            F.lit(b - 1),
+        ).cast("int")
+        hist = v.groupBy(bin_.alias("bin")).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("spend").alias("sv")
+        )
+        w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        tot = Window.partitionBy()
+        c = hist.select(
+            "n", "sv",
+            F.sum("sv").over(w).alias("cs"),
+            F.sum("n").over(tot).alias("nn"), F.sum("sv").over(tot).alias("ss"),
+        )
+        term = (F.col("n") / F.col("nn")) * (
+            (F.col("cs") - F.col("sv")) / F.col("ss") + F.col("cs") / F.col("ss")
+        )
+        return c.agg(F.round(F.lit(1.0) - F.sum(term), 6).alias("gini"))
+
+    run_case("gini_exact_20m", n18, gini_exact)
+    run_case("gini_sketch_20m", n18, gini_sketch)
 
 
 if __name__ == "__main__":
