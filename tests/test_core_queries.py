@@ -88,11 +88,12 @@ def test_registry_driver_window_contract():
     """The driver's correctness gate records ~50 entries in registration
     order. As of round 5 every oracle query has at least one recorded
     green row, so the round-6+ rotation contract is freshness-first: (1)
-    any oracle query never driver-recorded must be in the window (none
-    currently — guards future query additions); (2) the window must
-    contain the ENTIRE least-recently-recorded vintage, so no query's
-    recorded evidence can rot indefinitely while slots go to fresher
-    ones. A regression here silently drops queries out of the recorded
+    any oracle query never driver-recorded must be in the window; (2)
+    recorded slots fill oldest-vintage-first — no query outside the
+    window may be staler than any recorded query inside it, and a
+    vintage may only spill when the window is at full capacity (it then
+    leads the next round's derivation, so evidence still cannot rot).
+    A regression here silently drops queries out of the recorded
     window."""
     import glob
     import json
@@ -140,13 +141,24 @@ def test_registry_driver_window_contract():
     assert never <= set(RECORD_WINDOW), (
         f"never-recorded but outside window: {never - set(RECORD_WINDOW)}"
     )
-    # (2) the entire oldest vintage rotates in (freshness-first)
-    if oracle_qs & set(last):
-        oldest = min(last[n] for n in oracle_qs & set(last))
-        stale = {n for n in oracle_qs if last.get(n) == oldest}
-        assert stale <= set(RECORD_WINDOW), (
-            f"r{oldest}-vintage queries left outside window: "
-            f"{stale - set(RECORD_WINDOW)}"
+    # (2) freshness-first under CAPACITY: recorded entries fill oldest-
+    # vintage-first (name-sorted within a vintage), so every recorded
+    # query OUTSIDE the window must sort strictly after every recorded
+    # query INSIDE it by (vintage, name). When never-recorded newborns +
+    # the oldest vintage exceed the 50 slots (first hit in r10: 7
+    # newborns + the 45-query r6 vintage), the tail of the oldest
+    # vintage spills — and is first in line next round, so nothing rots.
+    # A spill is only legitimate at FULL capacity.
+    recorded_in = [n for n in RECORD_WINDOW if n in last]
+    recorded_out = [n for n in oracle_qs if n in last and n not in set(RECORD_WINDOW)]
+    if recorded_in and recorded_out:
+        newest_in = max((last[n], n) for n in recorded_in)
+        oldest_out = min((last[n], n) for n in recorded_out)
+        assert newest_in < oldest_out, (
+            f"freshness order violated: {newest_in} inside vs {oldest_out} outside"
+        )
+        assert len(RECORD_WINDOW) == 50, (
+            "recorded queries spilled while window slots were free"
         )
     # rows-only specs sort last, after all oracle-backed queries
     tiers = [0 if s.oracle is not None else 1 for s in REGISTRY.values()]
