@@ -456,3 +456,13 @@ def test_ks_drift_null_case_and_sensitivity(spark, sf_dir):
         o.write.parquet(os.path.join(d, "orders.parquet"))
         shifted = AR["quality_ks_drift"].fn(spark, d).first()
     assert shifted["drift"] and shifted["ks_d"] > null["ks_d"]
+
+
+def test_stream_ks_drift_equals_batch(spark, sf_dir):
+    """The streaming-histogram KS monitor drains (AvailableNow) to the
+    exact batch result — sketch state is mergeable by construction."""
+    from urban_traffic_data_lake_project_spark.queries.analytics import REGISTRY as AR
+
+    batch = AR["quality_ks_drift"].fn(spark, sf_dir).first()
+    stream = AR["stream_ks_drift"].fn(spark, sf_dir).first()
+    assert batch == stream

@@ -179,6 +179,13 @@ PLAN_ANNOTATIONS: dict[str, dict[str, str]] = {
             "data reduced by the bins-only aggregate before it"
         )
     },
+    "stream_ks_drift": {
+        GLOBAL_SORT_NODE: (
+            "same bounded-bin CDF window as quality_ks_drift, over the "
+            "histogram MATERIALIZED by the streaming aggregation "
+            "(AvailableNow drain) — state and frame both <= 512 rows"
+        )
+    },
     "corpus_datacard": {
         # keeps its comprehension-tier scalar-attach note too — a later
         # explicit dict key REPLACES the comprehension entry wholesale

@@ -1268,8 +1268,9 @@ FROM r{_PR_ITERS}
 _KS_LO, _KS_HI, _KS_BINS = 0.0, 500_000.0, 512
 
 
-def _ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+def _ks_binned_orders(df: DataFrame) -> DataFrame:
+    """(bin, even-slice flag) projection shared by the batch and
+    streaming forms."""
     bin_ = F.least(
         F.greatest(
             F.floor((F.col("o_totalprice") - _KS_LO) * _KS_BINS / (_KS_HI - _KS_LO)),
@@ -1277,11 +1278,20 @@ def _ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(_KS_BINS - 1),
     ).cast("int")
-    binned = o.select(bin_.alias("bin"), (F.col("o_orderkey") % 2 == 0).alias("__a"))
-    hist = binned.groupBy("bin").agg(
+    return df.select(bin_.alias("bin"), (F.col("o_orderkey") % 2 == 0).alias("__a"))
+
+
+def _ks_hist_agg(binned: DataFrame) -> DataFrame:
+    """Per-bin slice counts — a plain (streaming-legal) grouped sum."""
+    return binned.groupBy("bin").agg(
         F.sum(F.col("__a").cast("bigint")).alias("na"),
         F.sum((~F.col("__a")).cast("bigint")).alias("nb"),
     )
+
+
+def _ks_from_hist(hist: DataFrame) -> DataFrame:
+    """KS statistic + 5% critical value + verdict from the bounded bin
+    table (the only window in the plan runs over <= _KS_BINS rows)."""
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     tot = Window.partitionBy()
     c = hist.select(
@@ -1303,6 +1313,31 @@ def _ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(crit, ROUND_STAT).alias("crit_5pct"),
         (F.round(d, 9) > F.round(crit, 9)).alias("drift"),
     )
+
+
+def _ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return _ks_from_hist(_ks_hist_agg(_ks_binned_orders(o)))
+
+
+# ---------------------------------------------------------------------------
+# stream_ks_drift — the SAME drift monitor maintained by Structured
+# Streaming (r10): the per-bin slice counts are a plain streaming
+# groupBy (mergeable histogram state — bounded at <= _KS_BINS rows
+# regardless of stream length), drained with AvailableNow; the KS math
+# then runs batch-side on the materialized sketch. Shares the batch
+# oracle: batch equivalence is the whole point (the
+# stream_sketch_quantiles pattern).
+# ---------------------------------------------------------------------------
+def _stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.streaming.windows import (
+        read_table_stream,
+        run_available_now,
+    )
+
+    stream = read_table_stream(spark, sf_dir, "orders")
+    hist = run_available_now(_ks_hist_agg(_ks_binned_orders(stream)), spark)
+    return _ks_from_hist(hist)
 
 
 _KS_SQL = f"""
@@ -1375,6 +1410,11 @@ REGISTRY: dict[str, QuerySpec] = {
         _ks_drift, _KS_SQL,
         "two-sample KS drift test in histogram form: D statistic, 5% critical value, verdict",
         ("analytics", "diagnostics", "sketch"),
+    ),
+    "stream_ks_drift": QuerySpec(
+        _stream_ks_drift, _KS_SQL,
+        "the KS drift monitor maintained by a streaming histogram aggregation (AvailableNow == batch)",
+        ("analytics", "streaming", "sketch"),
     ),
     "analytics_rfm_segments": QuerySpec(
         _rfm_segments, _RFM_SQL,
