@@ -123,6 +123,15 @@ BENCH_QUERIES: tuple[str, ...] = (
     # (levenshtein candidate scoring + max-struct resolve)
     "text_docsim_topk",
     "join_record_linkage",
+    # round-10: tokenizer inference over OOV words (driver-fit training +
+    # the Arrow/Catalyst merge-application over the distinct-word table),
+    # the at-scale binned-Lorenz Gini (bins-only shuffle — benched next
+    # to the global-sort exactness reference it replaces at scale), and
+    # the streaming-histogram KS drift monitor (AvailableNow lifecycle
+    # cost visible round-over-round)
+    "text_bpe_oov_encode",
+    "analytics_gini_sketch",
+    "stream_ks_drift",
 )
 
 
