@@ -466,3 +466,74 @@ def test_stream_ks_drift_equals_batch(spark, sf_dir):
     batch = AR["quality_ks_drift"].fn(spark, sf_dir).first()
     stream = AR["stream_ks_drift"].fn(spark, sf_dir).first()
     assert batch == stream
+
+
+def test_attribution_semantics(spark):
+    """Last-touch attribution on a hand-built timeline: in-window touch
+    credited, stale touch (>7 days) unattributed, purchase-only user
+    unattributed, the touch nearest the purchase wins."""
+    import datetime as dt
+
+    from urban_traffic_data_lake_project_spark.queries import analytics as qa
+
+    t0 = dt.datetime(2024, 1, 10)
+
+    def row(eid, uid, days_off, etype):
+        return (eid, t0 + dt.timedelta(days=days_off), uid, etype, 0.0, "{}")
+
+    rows = [
+        # u1: view then click then purchase -> click (last touch)
+        row(1, 1, 0.0, "view"), row(2, 1, 0.5, "click"), row(3, 1, 1.0, "purchase"),
+        # u2: touch 10 days before purchase -> unattributed
+        row(4, 2, 0.0, "view"), row(5, 2, 10.0, "purchase"),
+        # u3: purchase with no prior events -> unattributed
+        row(6, 3, 0.0, "purchase"),
+        # u4: purchase then later another purchase; only a signup between
+        row(7, 4, 0.0, "purchase"), row(8, 4, 1.0, "signup"), row(9, 4, 2.0, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = {r["channel"]: r["n_conversions"]
+               for r in qa.REGISTRY["events_attribution"].fn(spark, d).collect()}
+    assert out == {"click": 1, "signup": 1, "unattributed": 3}, out
+
+
+def test_seasonal_anomalies_flags_injected_spike(spark, sf_dir):
+    """An injected 50x single-hour spike must take rank 1; the null
+    output is internally consistent (|z| descending, k rows)."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from urban_traffic_data_lake_project_spark.queries import analytics as qa
+    from urban_traffic_data_lake_project_spark.sources import load_table
+
+    base = qa.REGISTRY["events_seasonal_anomalies"].fn(spark, sf_dir).collect()
+    assert len(base) == 20
+    zs = [abs(r["z"]) for r in base]
+    assert zs == sorted(zs, reverse=True)
+    ev = load_table(spark, sf_dir, "events")
+    spike_hour = ev.agg(F.date_trunc("hour", F.min("ts")).alias("h")).first()["h"]
+    spike = ev.limit(1).crossJoin(spark.range(800).select(F.col("id").alias("__i")))
+    spike = spike.select(
+        (F.col("event_id") + 10_000_000 + F.col("__i")).alias("event_id"),
+        F.lit(spike_hour).cast("timestamp").alias("ts"),
+        "user_id", F.lit("view").alias("event_type"), "value", "props",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.select("event_id", "ts", "user_id", "event_type", "value", "props").unionByName(
+            spike
+        ).write.parquet(os.path.join(d, "events.parquet"))
+        out = qa.REGISTRY["events_seasonal_anomalies"].fn(spark, d).collect()
+    # leave-one-out baseline: the spike cannot mask itself, so it takes
+    # rank 1 outright (a same-cell z would cap at sqrt(k-1) sigmas)
+    top = out[0]
+    assert top["rank"] == 1 and top["event_type"] == "view", out[:3]
+    assert top["hour_ts"] == spike_hour and top["n"] >= 800 and top["z"] > 10

@@ -1365,6 +1365,168 @@ FROM c
 """
 
 
+# ---------------------------------------------------------------------------
+# events_attribution — last-touch conversion attribution (r10): each
+# purchase is credited to the user's most recent NON-purchase event
+# within a 7-day lookback, else 'unattributed' — the marketing-analytics
+# rollup every event warehouse serves. One ordered window per user
+# carries the (ts, type) struct of the last touch (ignore-nulls last()
+# over rows-preceding — no self-join, no range explosion), then one
+# grouped count. Deterministic tie order (ts, event_id).
+# ---------------------------------------------------------------------------
+_ATTR_LOOKBACK_DAYS = 7
+
+
+def _events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type") != "purchase",
+            F.struct(F.col("ts").alias("t"), F.col("event_type").alias("ch")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    conv = (
+        ev.withColumn("__touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("__touch").isNotNull()
+                & (
+                    F.unix_micros("ts") - F.unix_micros(F.col("__touch.t"))
+                    <= _ATTR_LOOKBACK_DAYS * 86_400_000_000
+                ),
+                F.col("__touch.ch"),
+            )
+            .otherwise(F.lit("unattributed"))
+            .alias("channel"),
+        )
+    )
+    counts = conv.groupBy("channel").agg(F.count(F.lit(1)).alias("n_conversions"))
+    tot = Window.partitionBy()
+    return counts.select(
+        "channel",
+        "n_conversions",
+        F.round(
+            F.col("n_conversions") / F.sum("n_conversions").over(tot), ROUND_STAT
+        ).alias("share"),
+    )
+
+
+_ATTRIBUTION_SQL = f"""
+WITH touched AS (
+  SELECT event_type, ts,
+         last_value(CASE WHEN event_type <> 'purchase'
+                         THEN struct_pack(t := ts, ch := event_type) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM events),
+conv AS (
+  SELECT CASE WHEN touch IS NOT NULL
+              AND epoch_us(ts) - epoch_us(touch.t) <= {_ATTR_LOOKBACK_DAYS} * 86400000000
+              THEN touch.ch ELSE 'unattributed' END AS channel
+  FROM touched WHERE event_type = 'purchase'),
+counts AS (SELECT channel, count(*)::BIGINT AS n_conversions FROM conv GROUP BY 1)
+SELECT channel, n_conversions,
+       round(n_conversions::DOUBLE / sum(n_conversions) OVER (), {ROUND_STAT}) AS share
+FROM counts
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_seasonal_anomalies — seasonal-residual anomaly screen (r10):
+# hourly traffic per event type, a (type, dow, hour-of-day) seasonal
+# baseline (the events_seasonality profile put to work), then the top-20
+# hours by |z| residual — the incident shortlist a traffic dashboard
+# opens with. The baseline is LEAVE-ONE-OUT: an hour's own count is
+# excluded from its cell's mean/stddev (closed form from the cell's
+# (count, sum, sumsq) — no second pass), because a naive z against a
+# cell containing the outlier is self-masked with a hard ceiling of
+# sqrt(k−1) sigmas no matter how large the spike (total masking at
+# small-k cells). Cells with a single observation carry no evidence
+# (z = 0). Two map-side-combinable aggregates + a profile join; z pins
+# greatest(var, 1e-12) like the CUSUM monitor.
+# ---------------------------------------------------------------------------
+_ANOM_TOPK = 20
+
+
+def _seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    keyed = hourly.select(
+        "*",
+        F.dayofweek("h").alias("__dow"),
+        F.hour("h").alias("__hod"),
+    )
+    prof = keyed.groupBy("event_type", "__dow", "__hod").agg(
+        F.count(F.lit(1)).cast("double").alias("__k"),
+        F.sum("n").alias("__s"),
+        F.sum(F.col("n") * F.col("n")).alias("__q"),
+    )
+    j = keyed.join(prof, ["event_type", "__dow", "__hod"])
+    loo_mu = (F.col("__s") - F.col("n")) / (F.col("__k") - 1.0)
+    loo_var = (F.col("__q") - F.col("n") * F.col("n")) / (F.col("__k") - 1.0) - loo_mu * loo_mu
+    z = F.when(
+        F.col("__k") >= 2.0,
+        (F.col("n") - loo_mu) / F.sqrt(F.greatest(loo_var, F.lit(1e-12))),
+    ).otherwise(F.lit(0.0))
+    scored = j.select(
+        "event_type", F.col("h").alias("hour_ts"), F.col("n").cast("bigint").alias("n"),
+        F.round(F.when(F.col("__k") >= 2.0, loo_mu).otherwise(F.col("n")), ROUND_STAT).alias("expected"),
+        F.round(z, ROUND_STAT).alias("z"),
+        F.abs(F.round(z, 9)).alias("__absz"),
+    )
+    rank_w = Window.orderBy(F.desc("__absz"), F.asc("event_type"), F.asc("hour_ts"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= _ANOM_TOPK)
+        .drop("__absz")
+    )
+
+
+_SEASONAL_ANOM_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*)::DOUBLE AS n
+  FROM events GROUP BY 1, 2),
+keyed AS (
+  SELECT *, dayofweek(h) + 1 AS dow, hour(h) AS hod FROM hourly),
+prof AS (
+  SELECT event_type, dow, hod,
+         count(*)::DOUBLE AS k, sum(n) AS s, sum(n * n) AS q
+  FROM keyed GROUP BY 1, 2, 3),
+scored AS (
+  SELECT ky.event_type, ky.h AS hour_ts, ky.n::BIGINT AS n,
+         round(CASE WHEN p.k >= 2 THEN (p.s - ky.n) / (p.k - 1) ELSE ky.n END,
+               {ROUND_STAT}) AS expected,
+         round(CASE WHEN p.k >= 2
+               THEN (ky.n - (p.s - ky.n) / (p.k - 1))
+                    / sqrt(greatest((p.q - ky.n * ky.n) / (p.k - 1)
+                                    - ((p.s - ky.n) / (p.k - 1))
+                                      * ((p.s - ky.n) / (p.k - 1)), 1e-12))
+               ELSE 0.0 END, {ROUND_STAT}) AS z,
+         abs(round(CASE WHEN p.k >= 2
+               THEN (ky.n - (p.s - ky.n) / (p.k - 1))
+                    / sqrt(greatest((p.q - ky.n * ky.n) / (p.k - 1)
+                                    - ((p.s - ky.n) / (p.k - 1))
+                                      * ((p.s - ky.n) / (p.k - 1)), 1e-12))
+               ELSE 0.0 END, 9)) AS absz
+  FROM keyed ky JOIN prof p
+    ON p.event_type = ky.event_type AND p.dow = ky.dow AND p.hod = ky.hod),
+ranked AS (
+  SELECT event_type, hour_ts, n, expected, z,
+         row_number() OVER (ORDER BY absz DESC, event_type, hour_ts)::INT AS rank
+  FROM scored)
+SELECT * FROM ranked WHERE rank <= {_ANOM_TOPK}
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "quality_benford": QuerySpec(
         _benford, _BENFORD_SQL,
@@ -1400,6 +1562,16 @@ REGISTRY: dict[str, QuerySpec] = {
         _markov_transitions, _MARKOV_SQL,
         "first-order event-type transition matrix per user timeline",
         ("analytics", "window"),
+    ),
+    "events_attribution": QuerySpec(
+        _events_attribution, _ATTRIBUTION_SQL,
+        "last-touch conversion attribution with a 7-day lookback: conversions + share per channel",
+        ("analytics", "window"),
+    ),
+    "events_seasonal_anomalies": QuerySpec(
+        _seasonal_anomalies, _SEASONAL_ANOM_SQL,
+        "seasonal-residual anomaly screen: top-20 hours by |z| vs the (type, dow, hour) baseline",
+        ("analytics", "diagnostics", "window"),
     ),
     "events_pagerank": QuerySpec(
         _events_pagerank, _PAGERANK_SQL,
