@@ -172,6 +172,14 @@ PLAN_ANNOTATIONS: dict[str, dict[str, str]] = {
             "hash aggregates and the broadcast-threshold projection"
         ),
     },
+    "events_attribution": {
+        GLOBAL_SORT_NODE: (
+            "share-of-total window over the BOUNDED per-channel conversion "
+            "counts (one row per event type) — the user-timeline window "
+            "upstream partitions by user_id; only the grouped rollup "
+            "crosses a single partition"
+        )
+    },
     "quality_ks_drift": {
         GLOBAL_SORT_NODE: (
             "cumulative-CDF window over the BOUNDED fixed-edge histogram "
