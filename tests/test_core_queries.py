@@ -212,5 +212,26 @@ def test_derive_record_window_policy():
     # registration order of the input never changes the result
     assert derive_record_window(list(reversed(names)), vint, max_slots=6) == got
     # more newborns than slots is an authoring error, not silent truncation
+    # (the staging contract applies when vintage data exists, i.e. in the
+    # driver/CI tree where staging across rounds is actionable)
     with _pytest.raises(ValueError):
-        derive_record_window(names, {}, max_slots=4)
+        derive_record_window(names, {"q00": 3}, max_slots=4)
+    # NO vintage data at all (installed wheel / fresh clone, ADVICE r10
+    # medium): deterministic name-sorted truncation, never an import error
+    assert derive_record_window(names, {}, max_slots=4) == (
+        "q00", "q01", "q02", "q03"
+    )
+
+
+def test_load_vintages_unpadded_filename(tmp_path):
+    """load_vintages opens the path it globbed — an unpadded
+    CORRECTNESS_r5.json (or a 3-digit round) must not be re-derived into a
+    zero-padded name that doesn't exist (ADVICE r10, low)."""
+    import json as _json
+
+    from urban_traffic_data_lake_project_spark.queries.window import load_vintages
+
+    (tmp_path / "CORRECTNESS_r5.json").write_text(_json.dumps({"qa": {}}))
+    (tmp_path / "CORRECTNESS_r06.json").write_text(_json.dumps({"qa": {}, "qb": {}}))
+    (tmp_path / "CORRECTNESS_r123.json").write_text(_json.dumps({"qc": {}}))
+    assert load_vintages(str(tmp_path)) == {"qa": 6, "qb": 6, "qc": 123}

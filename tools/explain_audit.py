@@ -268,15 +268,26 @@ def has_global_sort_exchange(plan: str) -> list[str]:
     return hits
 
 
-def lint_registry_plans(spark, sf_dir: str) -> list[str]:
-    """Plan every registry query (no execution) and return policy
-    violations: forbidden nodes, un-annotated restricted nodes, stale
-    annotations, and queries that fail to plan at all. The global-sort
-    rule (r9 verdict item 4) uses the POST-EnsureRequirements plan
-    (executedPlan before execution) because Exchange nodes don't exist
-    in sparkPlan()."""
+def lint_registry_plans(
+    spark, sf_dir: str, include_driver_fit: bool = False
+) -> list[str]:
+    """Plan every registry query and return policy violations: forbidden
+    nodes, un-annotated restricted nodes, stale annotations, and queries
+    that fail to plan at all. The global-sort rule (r9 verdict item 4)
+    uses the POST-EnsureRequirements plan (executedPlan before execution)
+    because Exchange nodes don't exist in sparkPlan().
+
+    Execution honesty (ADVICE r10): "plan" is not "no execution" — many
+    registry fns run BOUNDED fit jobs while building the DataFrame
+    (cleaning fill stats, k-means/PCA/EM moments, index builds). Queries
+    whose construction runs corpus-scale driver loops or a full streaming
+    lifecycle carry the explicit ``driver_fit`` tag and are SKIPPED here
+    unless ``include_driver_fit=True`` (their plans are covered by the
+    PLANS.md regeneration pass and their own plan tests)."""
     violations: list[str] = []
     for name, spec in sorted(REGISTRY.items()):
+        if "driver_fit" in spec.tags and not include_driver_fit:
+            continue
         try:
             df = spec.fn(spark, sf_dir)
             qe = df._jdf.queryExecution()
@@ -318,15 +329,32 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--lint", action="store_true", help="run the plan-policy lint over ALL registry queries instead of regenerating PLANS.md")
     ap.add_argument("--out", default=os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"))
+    ap.add_argument(
+        "--include-driver-fit",
+        action="store_true",
+        help="lint driver_fit-tagged queries too (executes their corpus-scale fits / streaming lifecycle)",
+    )
     args = ap.parse_args()
 
     if args.lint:
         spark = get_spark("plan-lint")
         spark.sparkContext.setLogLevel("ERROR")
-        bad = lint_registry_plans(spark, args.sf_dir)
+        bad = lint_registry_plans(
+            spark, args.sf_dir, include_driver_fit=args.include_driver_fit
+        )
+        skipped = (
+            []
+            if args.include_driver_fit
+            else sorted(n for n, s in REGISTRY.items() if "driver_fit" in s.tags)
+        )
         for v in bad:
             print("LINT", v)
-        print(f"{len(REGISTRY) - len(set(v.split(':')[0] for v in bad))}/{len(REGISTRY)} queries clean")
+        linted = len(REGISTRY) - len(skipped)
+        print(
+            f"{linted - len(set(v.split(':')[0] for v in bad))}/{linted} "
+            f"queries clean"
+            + (f" (skipped driver_fit: {', '.join(skipped)})" if skipped else "")
+        )
         raise SystemExit(1 if bad else 0)
 
     spark = get_spark("explain-audit")

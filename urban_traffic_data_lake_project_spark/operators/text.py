@@ -656,14 +656,23 @@ def bpe_train(
     exact. ``driver_fit=False`` keeps the fully-distributed loop as the
     uncapped-exact alternative and A/B reference."""
     if driver_fit:
+        # ONE corpus-scale action (ADVICE r10: the count()-then-collect()
+        # pair executed the word aggregation twice): collect cap+1 rows in
+        # the deterministic (freq desc, word asc) order — a TakeOrdered
+        # over the agg, not a full sort — and detect overflow by whether
+        # the sentinel row came back. Under the cap this is the exact
+        # vocabulary; over it, dropping the sentinel leaves exactly the
+        # top max_vocab_words, identical to the old two-action path.
         wt = bpe_word_table(df, text_col)
-        n_vocab = wt.count()
-        if n_vocab > max_vocab_words:
-            wt = wt.orderBy(F.desc("freq"), F.asc("word")).limit(max_vocab_words)
         rows = [
             (r["word"], r["freq"], r["sym"])
-            for r in wt.select("word", "freq", "sym").collect()
+            for r in wt.select("word", "freq", "sym")
+            .orderBy(F.desc("freq"), F.asc("word"))
+            .limit(max_vocab_words + 1)
+            .collect()
         ]
+        if len(rows) > max_vocab_words:
+            rows = rows[:max_vocab_words]
         merges, out_rows = _bpe_fit_driver(rows, num_merges)
         symtab = df.sparkSession.createDataFrame(
             [tuple(r) for r in out_rows], "word string, freq bigint, sym string"
