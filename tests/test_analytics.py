@@ -112,6 +112,48 @@ def test_fa_em_recovers_low_rank_structure():
     assert psi.mean() < 0.1
 
 
+def test_fa_em_exact_deterministic_and_reconstructs():
+    """The oracle-replayable EM (rational init, fixed iterations, adjugate
+    3x3 inverses) must (a) be bit-deterministic across calls, (b) still
+    reconstruct the sample covariance about as well as the random-init
+    path on a well-specified FA problem."""
+    rng = np.random.default_rng(3)
+    n, p, k = 5000, 6, 3
+    W_true = rng.standard_normal((p, k))
+    Z = rng.standard_normal((n, k))
+    X = Z @ W_true.T + 0.1 * rng.standard_normal((n, p))
+    # this synthetic converges slowly (even the tol-break random-init path
+    # only reaches rel~0.1); the registry's lineitem fit reaches ~5e-10 by
+    # iter 100 — iteration count is a per-dataset dial, fixed for replay
+    mu1, W1, psi1 = FA.fit_factor_analysis_em_exact(X, n_factors=k, n_iter=3000)
+    mu2, W2, psi2 = FA.fit_factor_analysis_em_exact(X, n_factors=k, n_iter=3000)
+    assert (W1 == W2).all() and (psi1 == psi2).all()
+    C_model = W1 @ W1.T + np.diag(psi1)
+    Xc = X - X.mean(axis=0)
+    C_sample = (Xc.T @ Xc) / n
+    rel = np.linalg.norm(C_model - C_sample) / np.linalg.norm(C_sample)
+    assert rel < 0.05, rel
+
+
+def test_fa_hash_sampled_fit_unbiased_on_sorted_data(spark):
+    """The stable_hash64 fit subset must be unbiased under adversarial
+    ordering, exactly like the seeded-random path (hash rank is
+    independent of data order)."""
+    rng = np.random.default_rng(13)
+    import pandas as pd
+
+    a = rng.standard_normal((4000, 3)) + [0.0, 0.0, 0.0]
+    b = rng.standard_normal((4000, 3)) + [50.0, 50.0, 50.0]
+    pdf = pd.DataFrame(np.vstack([a, b]), columns=["x", "y", "z"]).sort_values("x")
+    pdf["rid"] = np.arange(len(pdf))
+    df = spark.createDataFrame(pdf).coalesce(8)
+    model = FA.fit_on_sample(
+        df, cols=["x", "y", "z"], n_factors=1, fit_sample_rows=1000,
+        hash_key=F.col("rid").cast("string"), exact_iters=100,
+    )
+    assert all(10.0 < m < 40.0 for m in model.mean), model.mean
+
+
 def test_fa_distributed_scoring_matches_driver(spark):
     rng = np.random.default_rng(5)
     X = rng.standard_normal((500, 4)) * [1, 2, 3, 4] + [10, 0, -5, 2]

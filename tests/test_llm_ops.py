@@ -144,6 +144,73 @@ def test_ivf_recall_against_brute_force(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall too low: {recall}"
 
 
+def test_ivf_join_regime_matches_closure_bit_for_bit(spark, sf_dir):
+    """The large-query-set JOIN regime must return the identical result
+    (ids, ranks, AND cosine doubles — both scorers use the same left-assoc
+    float64 sweep) as the driver-collect closure regime."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    a = sorted(
+        tuple(r) for r in S.cosine_topk_ivf(
+            emb, q, k=5, n_centroids=16, nprobe=4, query_regime="closure"
+        ).collect()
+    )
+    b = sorted(
+        tuple(r) for r in S.cosine_topk_ivf(
+            emb, q, k=5, n_centroids=16, nprobe=4, query_regime="join"
+        ).collect()
+    )
+    assert a == b
+
+
+def test_ivf_join_regime_never_collects_query_side(spark, sf_dir, monkeypatch):
+    """In the join regime the closure scorer (the only consumer of a
+    driver-collected query set) must never run, and the query vectors must
+    flow through a JOIN in the physical plan instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+
+    def boom(*a, **k):
+        raise AssertionError("closure scorer called in join regime")
+
+    monkeypatch.setattr(S, "_score_local_topk_arrow", boom)
+    out = S.cosine_topk_ivf(
+        emb, q, k=5, n_centroids=16, nprobe=4, query_regime="join"
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the query-vector column is join output, not a task-closure literal
+    assert "__qv" in plan
+
+
+def test_ivf_auto_regime_picks_by_budget(spark, sf_dir, monkeypatch):
+    """auto -> closure under the budget, join above it (budget forced to 5
+    with 10 queries)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+
+    def boom(*a, **k):
+        raise AssertionError("closure scorer called above broadcast budget")
+
+    monkeypatch.setattr(S, "_score_local_topk_arrow", boom)
+    out = S.cosine_topk_ivf(
+        emb, q, k=5, n_centroids=16, nprobe=4,
+        query_regime="auto", query_broadcast_budget=5,
+    ).collect()
+    assert len(out) > 0
+    monkeypatch.undo()
+    # and under the default budget, auto must take the closure path
+    joined_boom = lambda *a, **k: (_ for _ in ()).throw(  # noqa: E731
+        AssertionError("join scorer called under broadcast budget")
+    )
+    monkeypatch.setattr(S, "_score_local_topk_arrow_joined", joined_boom)
+    out2 = S.cosine_topk_ivf(
+        emb, q, k=5, n_centroids=16, nprobe=4, query_regime="auto"
+    ).collect()
+    assert len(out2) > 0
+
+
 def test_bucketed_near_dup_subset_of_brute_force_and_finds_true_dups(spark, sf_dir):
     import numpy as np
 
@@ -788,6 +855,29 @@ def test_matryoshka_rerank_recall_and_exact_at_full_depth(spark, sf_dir):
     }
     recall = len(shallow & exact) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_matryoshka_coarse_nan_embedding_gets_sentinel(spark):
+    """A NaN component in a corpus embedding makes the coarse denominator
+    NaN; the screen must map it to the -2.0 below-any-cosine sentinel
+    (nanvl wrap, ADVICE r10) rather than propagate NaN into the rank
+    window — the NaN row ranks LAST, so clean neighbors still surface."""
+    import urban_traffic_data_lake_project_spark.operators.similarity as S
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [float("nan"), 1.0, 1.0, 1.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = S.cosine_topk_coarse_rerank(
+        emb, emb.filter(F.col("vec_id") == 0), "vec_id", "embedding",
+        k=2, dim=4, d_coarse=2, depth=2,
+    ).collect()
+    got = [r["neighbor_id"] for r in out]
+    assert 2 not in got, got  # NaN row screened out, not ranked first
+    assert got[0] == 1, got
 
 
 def test_filtered_index_search_respects_predicate_and_pushes_down(spark, sf_dir):

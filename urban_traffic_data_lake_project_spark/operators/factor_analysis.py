@@ -53,7 +53,10 @@ class FAModel:
         """(p, k) matrix M with scores = (X - mean) @ M  (posterior mean)."""
         W, psi = self.loadings, self.psi
         wp = W / psi[:, None]                       # Ψ⁻¹W
-        G = np.linalg.inv(np.eye(self.n_factors) + W.T @ wp)
+        M1 = np.eye(self.n_factors) + W.T @ wp
+        # adjugate form for k=3 so the SQL oracle's closed-form projection
+        # matches ulp-for-ulp (see fit_factor_analysis_em_exact)
+        G = _inv3(M1) if self.n_factors == 3 else np.linalg.inv(M1)
         return wp @ G.T
 
 
@@ -92,6 +95,71 @@ def fit_factor_analysis_em(
     return mu, W, psi
 
 
+def rational_init(p: int, k: int, var: np.ndarray) -> np.ndarray:
+    """Deterministic, SQL-replayable init for the EM loop:
+    ``W0[j,i] = sqrt(var_j / k) * ((((j+1)*31 + (i+1)*17) % 19 - 9) / 9)``.
+    Integer arithmetic + one division + one sqrt — every operation is
+    IEEE-exact, so a SQL oracle reproduces the init bit-for-bit (no RNG
+    to replay). The pattern is full-rank for the (p, k) shapes used here
+    and EM converges from any non-degenerate init."""
+    r = np.array(
+        [
+            [((((j + 1) * 31 + (i + 1) * 17) % 19) - 9) / 9.0 for i in range(k)]
+            for j in range(p)
+        ]
+    )
+    return np.sqrt(var[:, None] / k) * r
+
+
+def _inv3(m: np.ndarray) -> np.ndarray:
+    """Closed-form adjugate/det inverse of a 3x3 — the SAME expression the
+    SQL oracle evaluates (queries/analytics.py _fa_inv3), so the two
+    engines' EM trajectories agree to the last few ulps instead of
+    LAPACK-LU-vs-adjugate differences compounding over 100 iterations."""
+    (a, b, c), (d, e, f), (g, h, i) = m
+    det = a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    return (
+        np.array(
+            [
+                [e * i - f * h, c * h - b * i, b * f - c * e],
+                [f * g - d * i, a * i - c * g, c * d - a * f],
+                [d * h - e * g, b * g - a * h, a * e - b * d],
+            ]
+        )
+        / det
+    )
+
+
+def fit_factor_analysis_em_exact(
+    X: np.ndarray, n_factors: int, n_iter: int = 100
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Oracle-replayable EM for ML factor analysis: ``rational_init`` and a
+    FIXED iteration count (no log-likelihood convergence break — a break
+    decision near the tolerance could resolve differently across engines
+    at the last ulp, desynchronizing the replay). Same update equations as
+    :func:`fit_factor_analysis_em`; S is the two-pass centered covariance,
+    matching the SQL side's ``avg((x_i - m_i) * (x_j - m_j))`` (the
+    one-pass E[xy] - mx*my form loses ~9 digits to cancellation on
+    wide-scale columns — enough to flip a 4dp rounding). Returns
+    (mean, W, psi)."""
+    n, p = X.shape
+    mu = X.mean(axis=0)
+    Xc = X - mu
+    S = (Xc.T @ Xc) / n
+    W = rational_init(p, n_factors, np.diag(S).copy())
+    psi = np.diag(S).copy()
+    inv = _inv3 if n_factors == 3 else np.linalg.inv
+    for _ in range(n_iter):
+        wp = W / psi[:, None]
+        G = inv(np.eye(n_factors) + W.T @ wp)
+        B = G @ wp.T
+        SB_T = S @ B.T
+        Ezz = G + B @ SB_T
+        W = SB_T @ inv(Ezz)
+        psi = np.maximum(np.diag(S) - np.einsum("pk,pk->p", W, SB_T), 1e-8)
+    return mu, W, psi
+
+
 def fit_on_sample(
     df: DataFrame,
     cols: Sequence[str] | None = None,
@@ -99,6 +167,8 @@ def fit_on_sample(
     fit_sample_rows: int = 100_000,
     min_std: float = 0.01,
     seed: int = 42,
+    hash_key=None,
+    exact_iters: int | None = None,
 ) -> FAModel:
     """Reference prep (factor_analysis.py:176-196): numeric projection ->
     median imputation -> variance filter -> n_factors = min(5, p-1) ->
@@ -106,7 +176,16 @@ def fit_on_sample(
     a ``limit`` would take the first rows of the first partitions — biased
     whenever the data is ordered (by date, by source) and partition-order
     dependent across cluster runs. At 100 TB the sample is still at most
-    ``fit_sample_rows`` rows."""
+    ``fit_sample_rows`` rows.
+
+    ``hash_key`` (a Column): switch the subsample to the smallest
+    ``fit_sample_rows`` rows by ``stable_hash64`` of that key — equally
+    unbiased (the hash is pseudorandom and independent of data order),
+    but fully DETERMINISTIC across engines and cluster layouts, so a SQL
+    oracle can replay the exact fit set (``ORDER BY hash LIMIT n`` — a
+    TakeOrdered, no full sort materialization). ``exact_iters`` switches
+    the EM to :func:`fit_factor_analysis_em_exact` (deterministic init,
+    fixed iterations) — together these make the whole fit replayable."""
     if cols is None:
         from pyspark.sql.types import NumericType
 
@@ -124,14 +203,28 @@ def fit_on_sample(
         raise ValueError("need at least 2 usable numeric columns")
     if n_factors is None:
         n_factors = min(5, len(cols) - 1)
-    proj = proj.select(*cols)
-    if total > fit_sample_rows:
-        # 10% oversample so the Bernoulli draw rarely undershoots, then trim
-        frac = min(1.0, 1.1 * fit_sample_rows / total)
-        proj = proj.sample(fraction=frac, seed=seed).limit(fit_sample_rows)
+    if hash_key is not None:
+        from urban_traffic_data_lake_project_spark.functions.core import stable_hash64
+
+        proj = (
+            df.na.fill(med)
+            .select(stable_hash64(hash_key).alias("__h"), *cols)
+            .orderBy("__h")
+            .limit(fit_sample_rows)
+            .select(*cols)
+        )
+    else:
+        proj = proj.select(*cols)
+        if total > fit_sample_rows:
+            # 10% oversample so the Bernoulli draw rarely undershoots, then trim
+            frac = min(1.0, 1.1 * fit_sample_rows / total)
+            proj = proj.sample(fraction=frac, seed=seed).limit(fit_sample_rows)
     sample = proj.toPandas()
-    X = sample.to_numpy(dtype="float64")
-    mu, W, psi = fit_factor_analysis_em(X, n_factors, seed=seed)
+    X = sample[list(cols)].to_numpy(dtype="float64")
+    if exact_iters is not None:
+        mu, W, psi = fit_factor_analysis_em_exact(X, n_factors, n_iter=exact_iters)
+    else:
+        mu, W, psi = fit_factor_analysis_em(X, n_factors, seed=seed)
     return FAModel(tuple(cols), mu, W, psi, tuple(float(med[c]) for c in cols))
 
 
@@ -168,11 +261,16 @@ def attach_factor_scores(df: DataFrame, model: FAModel, prefix: str = "Factor") 
 
 def loadings_table(spark, model: FAModel, prefix: str = "Factor") -> DataFrame:
     """Per-variable loadings, reference shape (factor_analysis.py:204-209):
-    one row per variable, ``{prefix}_i_loading`` columns rounded to 4dp."""
+    one row per variable, ``{prefix}_i_loading`` columns rounded to 4dp.
+    Rounding happens IN the DataFrame (``F.round`` = half-away-from-zero,
+    the engine-wide convention matching DuckDB/ANSI ``round``) — Python's
+    ``round`` is banker's rounding and would diverge on exact halves."""
     rows = []
     for j, c in enumerate(model.columns):
-        rows.append((c, *[round(float(model.loadings[j, i]), 4) for i in range(model.n_factors)]))
-    schema = "variable string, " + ", ".join(
-        f"{prefix}_{i + 1}_loading double" for i in range(model.n_factors)
+        rows.append((c, *[float(model.loadings[j, i]) for i in range(model.n_factors)]))
+    names = [f"{prefix}_{i + 1}_loading" for i in range(model.n_factors)]
+    schema = "variable string, " + ", ".join(f"{n} double" for n in names)
+    raw = spark.createDataFrame(rows, schema)
+    return raw.select(
+        "variable", *[(F.round(n, 4) + F.lit(0.0)).alias(n) for n in names]
     )
-    return spark.createDataFrame(rows, schema)

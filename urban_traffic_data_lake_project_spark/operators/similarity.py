@@ -297,6 +297,87 @@ def _score_local_topk_arrow(
     return proj.mapInPandas(per_partition, out_schema)
 
 
+# Above this many query vectors, collecting the query side to the driver
+# and shipping it in every task closure stops scaling (closure serialization
+# is per-task and the driver holds q * dim doubles): the ANN paths switch to
+# a JOIN of the query vectors onto the candidate rows instead — the same
+# auto-regime pattern as srp_choose_bands / choose_block_width. 65,536
+# vectors x 64 dims x 8 B = 32 MB closure — the budget sits where closure
+# shipping is still clearly cheaper than duplicating the query vector onto
+# every candidate row.
+QUERY_BROADCAST_BUDGET = 65_536
+
+
+def _score_local_topk_arrow_joined(
+    cand: DataFrame,
+    k: int,
+    dim: int,
+    qvec_col: str = "__qv",
+    qnorm_col: str = "__qn",
+    vec_col: str = "__cv",
+    norm_col: str = "__cn",
+) -> DataFrame:
+    """Large-query-set twin of ``_score_local_topk_arrow`` (r10 verdict
+    item 4): the query vector arrives ON the candidate row — joined
+    upstream from the distributed query table — so NOTHING query-sized is
+    ever driver-collected. The price is the duplicated query vector per
+    candidate row in the exchange; the win is a query set bounded only by
+    cluster memory. Dot products use the SAME left-assoc float64 column
+    sweep as the closure scorer, so both regimes are bit-identical and the
+    DuckDB oracle replay holds for either."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("query_id", cand.schema["query_id"].dataType),
+            StructField("neighbor_id", cand.schema["neighbor_id"].dataType),
+            StructField("cosine_sim", DoubleType()),
+        ]
+    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["query_id", "cosine_sim", "neighbor_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return pdf.groupby("query_id", sort=False).head(k)
+
+    def per_partition(batches):
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            Qr = np.stack(pdf[qvec_col].to_numpy()).astype(np.float64, copy=False)
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+            qn = pdf[qnorm_col].to_numpy(dtype=np.float64)
+            cn = pdf[norm_col].to_numpy(dtype=np.float64)
+            acc = np.zeros(n, dtype=np.float64)
+            for i in range(dim):
+                acc = acc + Qr[:, i] * V[:, i]
+            den = qn * cn
+            sim = np.where(den > 0, acc / den, -2.0)
+            cur = prune(
+                pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"].to_numpy(),
+                        "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                        "cosine_sim": sim,
+                    }
+                )
+            )
+            best = cur if best is None else prune(pd.concat([best, cur]))
+        if best is not None:
+            yield best
+
+    proj = cand.select("query_id", "neighbor_id", qvec_col, qnorm_col, vec_col, norm_col)
+    return proj.mapInPandas(per_partition, out_schema)
+
+
 def _partition_local_topk(scored: DataFrame, k: int) -> DataFrame:
     """Phase-1 prune for exact top-k: within each partition keep only the k
     best (cosine_sim DESC, neighbor_id ASC) rows per query — the global
@@ -546,14 +627,22 @@ def cosine_topk_coarse_rerank(
     # when(den>0,...): conditional branch values defeat codegen common-
     # subexpression elimination, so the when-form evaluated the two
     # unrolled d_coarse-term norms TWICE per pair on the all-pairs screen
-    # (~10% on sim_matryoshka_rerank at sf0.1, r9 bench regression)
+    # (~10% on sim_matryoshka_rerank at sf0.1, r9 bench regression).
+    # nanvl wrap (ADVICE r10, low): coalesce passes NaN through (NaN is not
+    # NULL), so a NaN/Inf embedding component would otherwise propagate NaN
+    # into cosine_sim and the rank window, diverging from the documented
+    # below-any-cosine sentinel the old when(den > 0, ...) form preserved.
     coarse_den = _norm("__qv", d_coarse) * _norm("__cv", d_coarse)
     coarse = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine_sim",
-            F.coalesce(
-                _dot("__qv", "__cv", d_coarse) / F.nullif(coarse_den, F.lit(0.0)),
+            F.nanvl(
+                F.coalesce(
+                    _dot("__qv", "__cv", d_coarse)
+                    / F.nullif(coarse_den, F.lit(0.0)),
+                    F.lit(-2.0),
+                ),
                 F.lit(-2.0),
             ),
         )
@@ -1390,6 +1479,8 @@ def cosine_topk_ivf(
     n_centroids: int = 16,
     nprobe: int = 4,
     train_iters: int = 0,
+    query_regime: str = "auto",
+    query_broadcast_budget: int = QUERY_BROADCAST_BUDGET,
 ) -> DataFrame:
     """Approximate top-k: IVF with deterministic centroids — the
     ``n_centroids`` smallest-id corpus vectors, optionally refined by
@@ -1428,23 +1519,49 @@ def cosine_topk_ivf(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
     ).withColumn("__qn", _norm(F.col("__qv")))
     probed = with_nearest_centroids(q, "__qv", "__qn", entries, nprobe, "__cids")
-    # bounded driver collect (queries are small by contract): the query
-    # vectors+norms travel in the scorer's task closure, so the broadcast
-    # probe table is (query_id, centroid_id) only and candidate rows never
-    # carry a duplicated query vector
-    q_rows = probed.select("query_id", "__qv", "__qn").collect()
+    # Regime switch (r10 verdict item 4, same auto-sizing pattern as
+    # srp_choose_bands): "closure" driver-collects the query vectors and
+    # ships them in the scorer's task closure — optimal while the query
+    # set is bounded (the retrieval-eval regime); "join" keeps the query
+    # side fully distributed and joins vectors onto candidates — the path
+    # for corpus-sized query sets. "auto" counts the queries (one cheap
+    # job) and picks by QUERY_BROADCAST_BUDGET.
+    if query_regime == "auto":
+        regime = (
+            "closure" if probed.count() <= query_broadcast_budget else "join"
+        )
+    else:
+        regime = query_regime
     probes = probed.select("query_id", F.explode("__cids").alias("centroid_id"))
-
-    # scoring + partition-local prune as ONE Arrow stage (see
-    # _score_local_topk_arrow): bit-identical left-assoc dots, no 64 KB
-    # codegen cliff, and the rank-window exchange still only carries
-    # partitions*q*k survivor rows — probing already cut candidates to
-    # ~nprobe/n_centroids of the corpus, the prune bounds the rest
     dim = len(entries[0]["vec"])
-    cand = assigned.join(F.broadcast(probes), "centroid_id").filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    pruned = _score_local_topk_arrow(cand, q_rows, k, dim, "__cv", "__cn")
+    if regime == "closure":
+        # bounded driver collect (queries are small by contract): the query
+        # vectors+norms travel in the scorer's task closure, so the
+        # broadcast probe table is (query_id, centroid_id) only and
+        # candidate rows never carry a duplicated query vector
+        q_rows = probed.select("query_id", "__qv", "__qn").collect()
+
+        # scoring + partition-local prune as ONE Arrow stage (see
+        # _score_local_topk_arrow): bit-identical left-assoc dots, no 64 KB
+        # codegen cliff, and the rank-window exchange still only carries
+        # partitions*q*k survivor rows — probing already cut candidates to
+        # ~nprobe/n_centroids of the corpus, the prune bounds the rest
+        cand = assigned.join(F.broadcast(probes), "centroid_id").filter(
+            F.col("neighbor_id") != F.col("query_id")
+        )
+        pruned = _score_local_topk_arrow(cand, q_rows, k, dim, "__cv", "__cn")
+    else:
+        # large-query regime: NO driver collect of the query side. The
+        # probe table joins on centroid_id (AQE picks the strategy + skew
+        # splits), then the query vectors join onto the candidates by
+        # query_id and the joined Arrow scorer computes the identical
+        # left-assoc dots.
+        qv_tab = probed.select("query_id", "__qv", "__qn")
+        cand = assigned.join(probes, "centroid_id").filter(
+            F.col("neighbor_id") != F.col("query_id")
+        )
+        cand = cand.join(qv_tab, "query_id")
+        pruned = _score_local_topk_arrow_joined(cand, k, dim)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )

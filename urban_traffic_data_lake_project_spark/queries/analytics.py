@@ -59,51 +59,371 @@ def _mc_scenarios(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# bootstrap_ci — Poisson bootstrap over lineitem measures (rows-only)
+# bootstrap_ci / bootstrap_ci_grouped — Poisson bootstrap, STRICT-ORACLED
+# since r11 (verdict item 3): replicate weights come from the EXACT
+# counter-based path (stable_hash64 of the row key + SplitMix64 per
+# replicate, operators/bootstrap.py), so the oracle replays the identical
+# weight matrix — md5 + integer-mod-2^64 arithmetic is bit-equal across
+# numpy uint64 and DuckDB UBIGINT (the 64x64 multiply is done as split-32
+# limbs because int128 would overflow). The distributional pytest
+# (CI coverage) stays as the second line of defense.
 # ---------------------------------------------------------------------------
+_BS_REPS = 1000
+_BS_SEED = 42
+_BS_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
 def _bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return B.bootstrap_ci(
         li,
-        cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
-        n_replicates=1000,
-        seed=42,
+        cols=_BS_COLS,
+        n_replicates=_BS_REPS,
+        seed=_BS_SEED,
+        hash_key=F.concat_ws("|", "l_orderkey", "l_linenumber"),
     )
 
 
-# ---------------------------------------------------------------------------
-# bootstrap_ci_grouped — per-language bootstrap CIs over document stats
-# (rows-only; pytest asserts group CIs cover per-group true means)
-# ---------------------------------------------------------------------------
 def _bootstrap_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return B.grouped_bootstrap_ci(
-        docs, "lang", cols=["n_chars"], n_replicates=1000, seed=42
+        docs, "lang", cols=["n_chars"], n_replicates=_BS_REPS, seed=_BS_SEED,
+        hash_key=F.col("doc_id").cast("string"),
     )
 
 
+def _sm64_mul_sql(a: str, b: int) -> str:
+    """(a * b) mod 2^64 on UBIGINT via split-32 limbs (int128 can't hold a
+    64x64 product). ``b`` is a compile-time constant."""
+    b0, b1 = b & 0xFFFFFFFF, b >> 32
+    lo = f"(({a}) % 4294967296)"
+    hi = f"(({a}) >> 32)"
+    mid = f"((({lo} * {b1}) % 4294967296 + ({hi} * {b0}) % 4294967296) % 4294967296)"
+    return (
+        f"((({lo} * {b0})::HUGEINT + {mid}::HUGEINT * 4294967296)"
+        f" % 18446744073709551616)::UBIGINT"
+    )
+
+
+def _bs_weight_cells(base_cols: str) -> str:
+    """Nested subquery chain computing the SplitMix64 draw z and the
+    truncated-Poisson(1) weight w for each (row, replicate) cell; carries
+    ``base_cols`` through. Mirrors operators/bootstrap.py
+    _poisson1_weights_exact step for step."""
+    import math as _math
+
+    import numpy as _np
+
+    G = 0x9E3779B97F4A7C15
+    M1 = 0xBF58476D1CE4E5B9
+    M2 = 0x94D049BB133111EB
+    cdf = _np.cumsum(
+        [_math.exp(-1.0) / _math.factorial(k) for k in range(8)]
+    ).astype(_np.float32)
+    w = " + ".join(f"(u > {float(c)!r})::INT" for c in cdf)
+    z1 = f"((h::HUGEINT + (r::HUGEINT + 1) * {G} % 18446744073709551616) % 18446744073709551616)::UBIGINT"
+    z2 = _sm64_mul_sql("xor(z1, z1 >> 30)", M1)
+    z3 = _sm64_mul_sql("xor(z2, z2 >> 27)", M2)
+    return f"""
+  SELECT {base_cols}, r, ({w})::DOUBLE AS w FROM (
+    SELECT {base_cols}, r, xor(z3, z3 >> 31)::DOUBLE / 18446744073709551616.0 AS u FROM (
+      SELECT {base_cols}, r, {z3} AS z3 FROM (
+        SELECT {base_cols}, r, {z2} AS z2 FROM (
+          SELECT {base_cols}, r, {z1} AS z1
+          FROM base, reps
+  ) ) ) )"""
+
+
+def _bootstrap_sql() -> str:
+    xs = ", ".join(f"{c}::DOUBLE AS x{j}" for j, c in enumerate(_BS_COLS))
+    xcols = ", ".join(f"x{j}" for j in range(len(_BS_COLS)))
+    rms = ", ".join(
+        f"sum(w * x{j}) / sum(w) AS m{j}" for j in range(len(_BS_COLS))
+    )
+    long = "\n  UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, m{j} AS rm FROM rmeans"
+        for j, c in enumerate(_BS_COLS)
+    )
+    return f"""
+WITH base AS (
+  SELECT {xs},
+         ('0x' || substr(md5('bs{_BS_SEED}|' || l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR), 1, 15))::UBIGINT AS h
+  FROM lineitem),
+reps AS (SELECT unnest(range({_BS_REPS}))::UBIGINT AS r),
+cells AS ({_bs_weight_cells(xcols)}),
+rmeans AS (SELECT r, {rms} FROM cells GROUP BY r),
+long AS ({long})
+SELECT column_name,
+       round(avg(rm), 4) AS mean_estimate,
+       round(stddev_pop(rm), 4) AS std_estimate,
+       round(quantile_cont(rm, 0.025), 4) AS ci_lower_95,
+       round(quantile_cont(rm, 0.975), 4) AS ci_upper_95,
+       {_BS_REPS} AS simulations
+FROM long GROUP BY column_name
+"""
+
+
+def _bootstrap_grouped_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT lang, n_chars::DOUBLE AS x0,
+         ('0x' || substr(md5('bs{_BS_SEED}|' || doc_id::VARCHAR), 1, 15))::UBIGINT AS h
+  FROM documents),
+reps AS (SELECT unnest(range({_BS_REPS}))::UBIGINT AS r),
+cells AS ({_bs_weight_cells("lang, x0")}),
+rmeans AS (SELECT lang, r, sum(w * x0) / sum(w) AS rm FROM cells GROUP BY lang, r)
+SELECT lang, 'n_chars' AS column_name,
+       round(avg(rm), 4) AS mean_estimate,
+       round(stddev_pop(rm), 4) AS std_estimate,
+       round(quantile_cont(rm, 0.025), 4) AS ci_lower_95,
+       round(quantile_cont(rm, 0.975), 4) AS ci_upper_95,
+       {_BS_REPS} AS simulations
+FROM rmeans GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
-# fa_loadings / fa_scores_summary — factor analysis (rows-only: loadings are
-# rotation/sign ambiguous; pytest checks reconstruction + shapes)
+# fa_loadings / fa_scores_summary — factor analysis, STRICT-ORACLED since
+# r11 (verdict item 2, the last §2 operator without a hash-matched row).
+# The fit is made fully replayable: (a) the fit subset is the smallest
+# 50k rows by stable_hash64(l_orderkey|l_linenumber) — deterministic and
+# SQL-expressible (ORDER BY hash LIMIT n), unlike df.sample's partition-
+# seeded RNG; (b) the EM uses rational_init + a FIXED 100 iterations (no
+# ll convergence break whose last-ulp decision could desynchronize the
+# engines) — fit_factor_analysis_em_exact. The oracle replays all 100 EM
+# iterations as a recursive CTE over list-packed (p=4)x(k=3) matrices with
+# closed-form adjugate 3x3 inverses — the join_linkage_em_fit /
+# sim_embedding_pca recipe. Covariances on BOTH sides are two-pass
+# centered (avg((x-m)(y-m'))), never E[xy]-mm': the one-pass form loses
+# ~9 digits to cancellation on l_extendedprice and would flip 4dp
+# roundings. The scores summary avoids per-row replay via linearity:
+# scores are (x-mu)@M, so mean_f = (mean(x)-mu)@M and
+# var_samp(f_b) = M_b' S_samp M_b — full-table moments only.
 # ---------------------------------------------------------------------------
 _FA_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_FA_P = len(_FA_COLS)
+_FA_K = 3  # min(5, p-1)
+_FA_ITERS = 100
+_FA_CAP = 50_000
+_FA_KEY_SQL = "l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR"
+
+
+def _fa_hash_key():
+    return F.concat_ws("|", "l_orderkey", "l_linenumber")
+
+
+def _fa_fit_model(spark: SparkSession, sf_dir: str):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li, FA.fit_on_sample(
+        li,
+        cols=_FA_COLS,
+        fit_sample_rows=_FA_CAP,
+        hash_key=_fa_hash_key(),
+        exact_iters=_FA_ITERS,
+    )
 
 
 def _fa_loadings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    model = FA.fit_on_sample(li, cols=_FA_COLS, fit_sample_rows=50_000)
+    _, model = _fa_fit_model(spark, sf_dir)
     return FA.loadings_table(spark, model)
 
 
 def _fa_scores_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    model = FA.fit_on_sample(li, cols=_FA_COLS, fit_sample_rows=50_000)
+    li, model = _fa_fit_model(spark, sf_dir)
     scored = FA.attach_factor_scores(li.select(*_FA_COLS), model)
     aggs = []
     for i in range(model.n_factors):
-        aggs.append(F.round(F.avg(f"Factor_{i + 1}_score"), 3).alias(f"mean_f{i + 1}"))
-        aggs.append(F.round(F.stddev_samp(f"Factor_{i + 1}_score"), 3).alias(f"std_f{i + 1}"))
+        aggs.append(
+            (F.round(F.avg(f"Factor_{i + 1}_score"), 3) + F.lit(0.0)).alias(f"mean_f{i + 1}")
+        )
+        aggs.append(
+            (F.round(F.stddev_samp(f"Factor_{i + 1}_score"), 3) + F.lit(0.0)).alias(f"std_f{i + 1}")
+        )
     return scored.agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
+
+
+def _fa_inv3(m: str, det: str) -> list[str]:
+    """9 SQL exprs: adjugate/det inverse of the 3x3 row-major list col
+    ``m`` given a det column ``det`` (same closed form as the numpy-side
+    _inv3 in fit_factor_analysis_em_exact)."""
+    cof = [
+        f"({m}[5]*{m}[9]-{m}[6]*{m}[8])", f"({m}[3]*{m}[8]-{m}[2]*{m}[9])",
+        f"({m}[2]*{m}[6]-{m}[3]*{m}[5])", f"({m}[6]*{m}[7]-{m}[4]*{m}[9])",
+        f"({m}[1]*{m}[9]-{m}[3]*{m}[7])", f"({m}[3]*{m}[4]-{m}[1]*{m}[6])",
+        f"({m}[4]*{m}[8]-{m}[5]*{m}[7])", f"({m}[2]*{m}[7]-{m}[1]*{m}[8])",
+        f"({m}[1]*{m}[5]-{m}[2]*{m}[4])",
+    ]
+    return [f"{c} / {det}" for c in cof]
+
+
+def _fa_det3(m: str) -> str:
+    return (
+        f"({m}[1]*({m}[5]*{m}[9]-{m}[6]*{m}[8]) - {m}[2]*({m}[4]*{m}[9]-{m}[6]*{m}[7])"
+        f" + {m}[3]*({m}[4]*{m}[8]-{m}[5]*{m}[7]))"
+    )
+
+
+def _fa_em_cte() -> str:
+    """The shared WITH RECURSIVE prefix: fit subset -> fit means -> two-pass
+    centered covariance S (row-major p*p list) -> rational init -> 100
+    unrolled-matrix EM steps. Exposes CTEs: fmean(m1..), smat(s), and
+    fin(w, psi) — the converged model."""
+    P, K = _FA_P, _FA_K
+    xs = [f"x{j}" for j in range(P)]
+    sel_cols = ", ".join(f"{c}::DOUBLE AS x{j}" for j, c in enumerate(_FA_COLS))
+    # population covariance of the fit subset, two-pass centered
+    s_elems = ", ".join(
+        f"avg((f.x{a} - fm.m{a}) * (f.x{b} - fm.m{b}))"
+        for a in range(P) for b in range(P)
+    )
+    fmeans = ", ".join(f"avg(x{j}) AS m{j}" for j in range(P))
+    # deterministic rational init: the (j,i) rational is a compile-time
+    # Python float literal, identical to rational_init's value
+    w0 = ", ".join(
+        f"sqrt(s[{j * P + j + 1}] / {float(K)!r}) * ({((((j + 1) * 31 + (i + 1) * 17) % 19) - 9) / 9.0!r})"
+        for j in range(P) for i in range(K)
+    )
+    psi0 = ", ".join(f"s[{j * P + j + 1}]" for j in range(P))
+
+    def dot(terms: list[str]) -> str:
+        return " + ".join(terms)
+
+    # one EM step, innermost-out (same op order as the numpy side)
+    wp = ", ".join(f"w[{j * K + i + 1}] / psi[{j + 1}]" for j in range(P) for i in range(K))
+    m1 = ", ".join(
+        f"{'1.0 + ' if a == b else ''}"
+        + dot([f"w[{j * K + a + 1}]*wp[{j * K + b + 1}]" for j in range(P)])
+        for a in range(K) for b in range(K)
+    )
+    g = ", ".join(_fa_inv3("m1", "d1"))
+    bm = ", ".join(
+        dot([f"g[{a * K + l + 1}]*wp[{j * K + l + 1}]" for l in range(K)])
+        for a in range(K) for j in range(P)
+    )
+    sbt = ", ".join(
+        dot([f"s[{j * P + j2 + 1}]*bm[{a * P + j2 + 1}]" for j2 in range(P)])
+        for j in range(P) for a in range(K)
+    )
+    ezz = ", ".join(
+        f"g[{a * K + b + 1}] + "
+        + dot([f"bm[{a * P + j + 1}]*sbt[{j * K + b + 1}]" for j in range(P)])
+        for a in range(K) for b in range(K)
+    )
+    iezz = ", ".join(_fa_inv3("ezz", "d2"))
+    wn = ", ".join(
+        dot([f"sbt[{j * K + l + 1}]*iezz[{l * K + b + 1}]" for l in range(K)])
+        for j in range(P) for b in range(K)
+    )
+    psin = ", ".join(
+        f"greatest(s[{j * P + j + 1}] - ("
+        + dot([f"wn[{j * K + b + 1}]*sbt[{j * K + b + 1}]" for b in range(K)])
+        + "), 1e-8)"
+        for j in range(P)
+    )
+    return f"""
+WITH RECURSIVE
+fitset AS (
+  SELECT {sel_cols}
+  FROM lineitem
+  ORDER BY ('0x' || substr(md5({_FA_KEY_SQL}), 1, 15))::UBIGINT
+  LIMIT {_FA_CAP}),
+fmean AS (SELECT {fmeans} FROM fitset),
+smat AS (SELECT [{s_elems}] AS s FROM fitset f, fmean fm),
+init AS (SELECT [{w0}] AS w, [{psi0}] AS psi FROM smat),
+em(step, w, psi) AS (
+  SELECT 0, w, psi FROM init
+  UNION ALL
+  SELECT step + 1, wn, [{psin}]
+  FROM (
+    SELECT step, s, sbt, [{wn}] AS wn FROM (
+      SELECT step, s, sbt, [{iezz}] AS iezz FROM (
+        SELECT step, s, sbt, ezz, {_fa_det3("ezz")} AS d2 FROM (
+          SELECT step, s, g, bm, sbt, [{ezz}] AS ezz FROM (
+            SELECT step, s, g, bm, [{sbt}] AS sbt FROM (
+              SELECT step, s, wp, g, [{bm}] AS bm FROM (
+                SELECT step, s, wp, [{g}] AS g FROM (
+                  SELECT step, s, wp, m1, {_fa_det3("m1")} AS d1 FROM (
+                    SELECT step, s, wp, [{m1}] AS m1 FROM (
+                      SELECT step, w, psi, s, [{wp}] AS wp
+                      FROM em, smat WHERE step < {_FA_ITERS}
+  ) ) ) ) ) ) ) ) ) )
+),
+fin AS (SELECT w, psi FROM em WHERE step = {_FA_ITERS})"""
+
+
+def _fa_loadings_sql() -> str:
+    K = _FA_K
+    vals = ", ".join(f"({j}, '{c}')" for j, c in enumerate(_FA_COLS))
+    load_cols = ", ".join(
+        f'round(w[vidx * {K} + {b + 1}], 4) + 0.0 AS "Factor_{b + 1}_loading"'
+        for b in range(K)
+    )
+    return (
+        _fa_em_cte()
+        + f""",
+vars(vidx, vname) AS (SELECT * FROM (VALUES {vals}))
+SELECT vname AS variable, {load_cols}
+FROM fin, vars
+"""
+    )
+
+
+def _fa_scores_sql() -> str:
+    P, K = _FA_P, _FA_K
+    # posterior-mean projection M = Ψ⁻¹W (I + W'Ψ⁻¹W)⁻¹ᵀ from the converged
+    # model — the same closed form FAModel.projection() computes
+    wpf = ", ".join(f"w[{j * K + i + 1}] / psi[{j + 1}]" for j in range(P) for i in range(K))
+    m1f = ", ".join(
+        f"{'1.0 + ' if a == b else ''}"
+        + " + ".join(f"w[{j * K + a + 1}]*wpf[{j * K + b + 1}]" for j in range(P))
+        for a in range(K) for b in range(K)
+    )
+    gf = ", ".join(_fa_inv3("m1f", "d1f"))
+    mm = ", ".join(
+        " + ".join(f"wpf[{j * K + l + 1}]*gf[{b * K + l + 1}]" for l in range(K))
+        for j in range(P) for b in range(K)
+    )
+    fsel = ", ".join(f"{c}::DOUBLE AS x{j}" for j, c in enumerate(_FA_COLS))
+    fstats = "count(*) AS n, " + ", ".join(f"avg(x{j}) AS fm{j}" for j in range(P))
+    # full-table population covariance, two-pass centered
+    fcov = ", ".join(
+        f"avg((f.x{a} - fs.fm{a}) * (f.x{b} - fs.fm{b})) AS c{a}_{b}"
+        for a in range(P) for b in range(P) if a <= b
+    )
+
+    def cv(a: int, b: int) -> str:
+        return f"c{min(a, b)}_{max(a, b)}"
+
+    outs = []
+    for b in range(K):
+        mean_terms = " + ".join(
+            f"(fm{j} - m{j}) * mm[{j * K + b + 1}]" for j in range(P)
+        )
+        var_terms = " + ".join(
+            f"mm[{a * K + b + 1}] * mm[{b2 * K + b + 1}] * {cv(a, b2)}"
+            for a in range(P) for b2 in range(P)
+        )
+        outs.append(f"round({mean_terms}, 3) + 0.0 AS mean_f{b + 1}")
+        outs.append(
+            f"round(sqrt((n / (n - 1.0)) * ({var_terms})), 3) + 0.0 AS std_f{b + 1}"
+        )
+    return (
+        _fa_em_cte()
+        + f""",
+proj AS (
+  SELECT [{mm}] AS mm FROM (
+    SELECT wpf, [{gf}] AS gf FROM (
+      SELECT wpf, m1f, {_fa_det3("m1f")} AS d1f FROM (
+        SELECT w, wpf, [{m1f}] AS m1f FROM (
+          SELECT w, psi, [{wpf}] AS wpf FROM fin
+  ) ) ) ) ),
+full_t AS (SELECT {fsel} FROM lineitem),
+fstat AS (SELECT {fstats} FROM full_t),
+fcov AS (SELECT {fcov} FROM full_t f, fstat fs)
+SELECT n AS n_rows, {", ".join(outs)}
+FROM proj, fstat, fcov, fmean
+"""
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1576,7 +1896,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "events_pagerank": QuerySpec(
         _events_pagerank, _PAGERANK_SQL,
         "PageRank over the type-level transition graph; oracle replays all 20 power iterations",
-        ("analytics", "graph", "ml"),
+        # driver_fit: building the DataFrame collects the (bounded,
+        # |event_type|^2) type-graph and iterates on the driver — plan
+        # lint skips it by default (tools/explain_audit.py)
+        ("analytics", "graph", "ml", "driver_fit"),
     ),
     "quality_ks_drift": QuerySpec(
         _ks_drift, _KS_SQL,
@@ -1586,7 +1909,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "stream_ks_drift": QuerySpec(
         _stream_ks_drift, _KS_SQL,
         "the KS drift monitor maintained by a streaming histogram aggregation (AvailableNow == batch)",
-        ("analytics", "streaming", "sketch"),
+        # driver_fit: building the DataFrame drains an AvailableNow
+        # streaming query (full lifecycle) — plan lint skips it by default
+        ("analytics", "streaming", "sketch", "driver_fit"),
     ),
     "analytics_rfm_segments": QuerySpec(
         _rfm_segments, _RFM_SQL,
@@ -1635,8 +1960,24 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "mc_scenario_expectations": QuerySpec(_mc_expectations, _MC_EXPECTATIONS_SQL, "M2 deterministic scenario core", ("analytics",)),
     "mc_scenarios": QuerySpec(_mc_scenarios, None, "M2 Monte Carlo scenario simulation", ("analytics", "stochastic")),
-    "bootstrap_ci": QuerySpec(_bootstrap, None, "M3 Poisson bootstrap CIs", ("analytics", "stochastic")),
-    "bootstrap_ci_grouped": QuerySpec(_bootstrap_grouped, None, "per-group Poisson bootstrap CIs", ("analytics", "stochastic")),
-    "fa_loadings": QuerySpec(_fa_loadings, None, "M1 factor loadings", ("analytics", "ml")),
-    "fa_scores_summary": QuerySpec(_fa_scores_summary, None, "M1 distributed factor scoring summary", ("analytics", "ml")),
+    "bootstrap_ci": QuerySpec(
+        _bootstrap, _bootstrap_sql(),
+        "M3 Poisson bootstrap CIs; oracle replays the SplitMix64 counter-RNG weight matrix bit-for-bit",
+        ("analytics", "stochastic"),
+    ),
+    "bootstrap_ci_grouped": QuerySpec(
+        _bootstrap_grouped, _bootstrap_grouped_sql(),
+        "per-group Poisson bootstrap CIs; same exact counter-RNG weights per doc_id",
+        ("analytics", "stochastic"),
+    ),
+    "fa_loadings": QuerySpec(
+        _fa_loadings, _fa_loadings_sql(),
+        "M1 factor loadings; oracle replays the 100-iteration EM fit as a recursive CTE with closed-form 3x3 inverses",
+        ("analytics", "ml"),
+    ),
+    "fa_scores_summary": QuerySpec(
+        _fa_scores_summary, _fa_scores_sql(),
+        "M1 distributed factor scoring summary; oracle replays the EM fit then uses score linearity (mean/var from full-table moments)",
+        ("analytics", "ml"),
+    ),
 }

@@ -1231,7 +1231,12 @@ FROM ranked WHERE rank <= 5
 def _cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    out = S.cosine_topk_ivf(emb, queries, "vec_id", "embedding", k=5, n_centroids=16, nprobe=4)
+    # query_regime pinned: the registry ships 10 query vectors (bounded by
+    # contract) — skip auto's count job; the join regime is parity-tested
+    out = S.cosine_topk_ivf(
+        emb, queries, "vec_id", "embedding", k=5, n_centroids=16, nprobe=4,
+        query_regime="closure",
+    )
     return out.select(
         "query_id", "neighbor_id", F.round("cosine_sim", ROUND_STAT).alias("cosine_sim"), "rank"
     )
@@ -1590,6 +1595,7 @@ def _cosine_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = S.cosine_topk_ivf(
         emb, queries, "vec_id", "embedding",
         k=5, n_centroids=_KM_K, nprobe=2, train_iters=_KM_ITERS,
+        query_regime="closure",  # 10 query vectors, bounded by contract
     )
     return out.select(
         "query_id", "neighbor_id", F.round("cosine_sim", ROUND_STAT).alias("cosine_sim"), "rank"
@@ -2229,7 +2235,8 @@ def _ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id"
     )
     approx = S.cosine_topk_ivf(
-        emb, queries, "vec_id", "embedding", k=5, n_centroids=16, nprobe=4
+        emb, queries, "vec_id", "embedding", k=5, n_centroids=16, nprobe=4,
+        query_regime="closure",  # 10 query vectors, bounded by contract
     ).select("query_id", "neighbor_id")
     base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
     hits = (
@@ -2266,7 +2273,8 @@ def _retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", F.lit(1).alias("__hit")
     )
     approx = S.cosine_topk_ivf(
-        emb, queries, "vec_id", "embedding", k=5, n_centroids=16, nprobe=4
+        emb, queries, "vec_id", "embedding", k=5, n_centroids=16, nprobe=4,
+        query_regime="closure",  # 10 query vectors, bounded by contract
     ).select("query_id", "neighbor_id", "rank")
     j = approx.join(exact, ["query_id", "neighbor_id"], "left")
     hit = F.coalesce(F.col("__hit"), F.lit(0))

@@ -89,6 +89,72 @@ def _random_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# scalar_random_moments_exact — the F3 surface's strict companion (r10
+# verdict item 5): the same moments query over DETERMINISTIC seeded-hash
+# uniforms instead of Spark's partition-seeded rand/randn. u = md5-hash /
+# 2^60 (bit-equal across engines), z = Box-Muller from two independent
+# hash streams (sqrt/ln/cos are correctly-rounded-or-1ulp in both libms —
+# differences ~1e-16 per value, absorbed by the 1-2dp rounding), pick =
+# floor(u*4) bucket. scalar_random_moments itself stays rows-only by
+# design — its JOB is to exercise Spark's own F.rand/F.randn generators,
+# which no other engine can replay.
+# ---------------------------------------------------------------------------
+_RND_N = 100_000
+_TWO_PI = 6.283185307179586
+_POW60 = float(1 << 60)
+
+
+def _random_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.functions.core import stable_hash64
+
+    ids = spark.range(_RND_N).select(F.col("id").cast("string").alias("s"))
+    choices = F.array(F.lit("a"), F.lit("b"), F.lit("c"), F.lit("d"))
+
+    def u(salt: str):
+        return stable_hash64(F.col("s"), salt=salt).cast("double") / F.lit(_POW60)
+
+    df = ids.select(
+        u("u1|").alias("u"),
+        (
+            F.sqrt(F.lit(-2.0) * F.log(u("u1|")))
+            * F.cos(F.lit(_TWO_PI) * u("u2|"))
+        ).alias("z"),
+        F.element_at(choices, (F.floor(u("u3|") * 4) + 1).cast("int")).alias("pick"),
+    )
+    return df.agg(
+        (F.round(F.avg("u"), 2) + F.lit(0.0)).alias("mean_u"),
+        F.round(F.stddev_pop("u"), 2).alias("std_u"),
+        # + 0.0 collapses IEEE -0.0 to +0.0 (a mean rounding to zero from
+        # below differs across engines otherwise)
+        (F.round(F.avg("z"), 1) + F.lit(0.0)).alias("mean_z"),
+        F.round(F.stddev_pop("z"), 1).alias("std_z"),
+        F.countDistinct("pick").alias("n_choices"),
+    )
+
+
+def _rnd_u_sql(salt: str) -> str:
+    return (
+        f"(('0x' || substr(md5('{salt}' || t.id::VARCHAR), 1, 15))::UBIGINT"
+        f"::DOUBLE / {_POW60!r})"
+    )
+
+
+_RANDOM_MOMENTS_EXACT_SQL = f"""
+WITH vals AS (
+  SELECT {_rnd_u_sql("u1|")} AS u,
+         sqrt(-2.0 * ln({_rnd_u_sql("u1|")})) * cos({_TWO_PI!r} * {_rnd_u_sql("u2|")}) AS z,
+         (['a', 'b', 'c', 'd'])[(floor({_rnd_u_sql("u3|")} * 4) + 1)::INT] AS pick
+  FROM range({_RND_N}) t(id))
+SELECT round(avg(u), 2) + 0.0 AS mean_u,
+       round(stddev_pop(u), 2) AS std_u,
+       round(avg(z), 1) + 0.0 AS mean_z,
+       round(stddev_pop(z), 1) AS std_z,
+       count(DISTINCT pick) AS n_choices
+FROM vals
+"""
+
+
+# ---------------------------------------------------------------------------
 # multimodal_ingest — binary payload + typed metadata contract (oracle on
 # the deterministic parts: byte length + content digest)
 # ---------------------------------------------------------------------------
@@ -663,6 +729,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "scalar_subquery": QuerySpec(_scalar_subquery, _SCALAR_SUBQUERY_SQL, "correlated scalar subquery", ("scalar", "join", "defer")),
     "scalar_functions": QuerySpec(_scalar_functions, _SCALAR_FUNCTIONS_SQL, "F1/F2/F4 date+string+math scalars", ("scalar", "defer")),
     "scalar_random_moments": QuerySpec(_random_moments, None, "F3 random generators (moments)", ("scalar", "stochastic")),
+    "scalar_random_moments_exact": QuerySpec(
+        _random_moments_exact, _RANDOM_MOMENTS_EXACT_SQL,
+        "F3 strict companion: seeded-hash uniforms + Box-Muller, oracle replays the exact stream",
+        ("scalar", "stochastic"),
+    ),
     "multimodal_ingest": QuerySpec(_mm_ingest, _MM_INGEST_SQL, "binary payload + typed metadata", ("multimodal",)),
     "multimodal_decode": QuerySpec(_mm_decode, _MM_DECODE_SQL, "real PNG header decode roundtrip", ("multimodal",)),
     "multimodal_pixels": QuerySpec(
