@@ -211,6 +211,31 @@ def test_ivf_auto_regime_picks_by_budget(spark, sf_dir, monkeypatch):
     assert len(out2) > 0
 
 
+def test_persisted_index_join_regime_matches_closure(spark, sf_dir, tmp_path, monkeypatch):
+    """query_ivf_index: the join regime must (a) return the identical
+    result as the closure regime, (b) never run the closure scorer, and
+    (c) KEEP the probed-bucket partition pruning (the bucket-id collect is
+    bounded by n_centroids in either regime)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = str(tmp_path / "ivf_idx_regime")
+    S.build_ivf_index(emb, d, "vec_id", "embedding", n_centroids=16)
+    q = emb.filter(F.col("vec_id") < 10)
+    a = sorted(
+        tuple(r) for r in S.query_ivf_index(
+            spark, d, q, k=5, nprobe=4, query_regime="closure"
+        ).collect()
+    )
+    monkeypatch.setattr(
+        S, "_score_local_topk_arrow",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("closure scorer ran")),
+    )
+    out = S.query_ivf_index(spark, d, q, k=5, nprobe=4, query_regime="join")
+    b = sorted(tuple(r) for r in out.collect())
+    assert a == b
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "centroid_id" in plan and "__qv" in plan
+
+
 def test_bucketed_near_dup_subset_of_brute_force_and_finds_true_dups(spark, sf_dir):
     import numpy as np
 

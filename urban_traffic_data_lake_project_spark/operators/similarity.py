@@ -2311,6 +2311,8 @@ def query_ivf_index(
     k: int = 5,
     nprobe: int = 4,
     where: str | None = None,
+    query_regime: str = "auto",
+    query_broadcast_budget: int = QUERY_BROADCAST_BUDGET,
 ) -> DataFrame:
     """Query a persisted IVF index (``build_ivf_index``): probe selection
     against the sidecar centroids, then a scan of ONLY the probed
@@ -2318,7 +2320,10 @@ def query_ivf_index(
     scan's PartitionFilters (plan-asserted in tests), so a 32-bucket
     index with nprobe=4 reads ~1/8 of the postings bytes; non-probed
     buckets are never opened. Scoring/prune/rank identical to the live
-    ``cosine_topk_ivf`` — same expressions, same results."""
+    ``cosine_topk_ivf`` — same expressions, same results, including the
+    closure/join ``query_regime`` switch (the probed-bucket id collect is
+    bounded by n_centroids in EITHER regime, so partition pruning is kept
+    for corpus-sized query sets too)."""
     import json
     import os
 
@@ -2330,9 +2335,12 @@ def query_ivf_index(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
     ).withColumn("__qn", _norm(F.col("__qv")))
     probed_df = with_nearest_centroids(q, "__qv", "__qn", entries, nprobe, "__cids")
-    # bounded driver collect — query vectors ride the scorer's closure
-    # (see cosine_topk_ivf), so the broadcast probe table stays narrow
-    q_rows = probed_df.select("query_id", "__qv", "__qn").collect()
+    if query_regime == "auto":
+        regime = (
+            "closure" if probed_df.count() <= query_broadcast_budget else "join"
+        )
+    else:
+        regime = query_regime
     probes = probed_df.select("query_id", F.explode("__cids").alias("centroid_id"))
     probed = sorted(
         int(r["centroid_id"])
@@ -2349,10 +2357,26 @@ def query_ivf_index(
         # filter prunes bytes read, not just scored candidates; recall
         # within the filtered slice is exact for the probed buckets
         postings = postings.filter(F.expr(where))
-    cand = postings.join(F.broadcast(probes), "centroid_id").filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    pruned = _score_local_topk_arrow(cand, q_rows, k, dim, "vec", "norm")
+    if regime == "closure":
+        # bounded driver collect — query vectors ride the scorer's closure
+        # (see cosine_topk_ivf), so the broadcast probe table stays narrow
+        q_rows = probed_df.select("query_id", "__qv", "__qn").collect()
+        cand = postings.join(F.broadcast(probes), "centroid_id").filter(
+            F.col("neighbor_id") != F.col("query_id")
+        )
+        pruned = _score_local_topk_arrow(cand, q_rows, k, dim, "vec", "norm")
+    else:
+        # large-query regime: query vectors join onto the probed postings;
+        # nothing query-sized is driver-collected (see
+        # _score_local_topk_arrow_joined)
+        qv_tab = probed_df.select("query_id", "__qv", "__qn")
+        cand = postings.join(probes, "centroid_id").filter(
+            F.col("neighbor_id") != F.col("query_id")
+        )
+        cand = cand.join(qv_tab, "query_id")
+        pruned = _score_local_topk_arrow_joined(
+            cand, k, dim, vec_col="vec", norm_col="norm"
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )

@@ -1280,7 +1280,10 @@ def _ivf_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _IVF_INDEX_DIRS[key] = d
     queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
-    out = S.query_ivf_index(spark, d, queries, "vec_id", "embedding", k=5, nprobe=4)
+    out = S.query_ivf_index(
+        spark, d, queries, "vec_id", "embedding", k=5, nprobe=4,
+        query_regime="closure",  # 10 query vectors, bounded by contract
+    )
     return out.select(
         "query_id", "neighbor_id", F.round("cosine_sim", ROUND_STAT).alias("cosine_sim"), "rank"
     )
@@ -1389,6 +1392,7 @@ def _ivf_index_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = S.query_ivf_index(
         spark, d, queries, "vec_id", "embedding", k=5, nprobe=4,
         where=f"label = {_IVF_FLT_LABEL}",
+        query_regime="closure",  # 10 query vectors, bounded by contract
     )
     return out.select(
         "query_id", "neighbor_id", F.round("cosine_sim", ROUND_STAT).alias("cosine_sim"), "rank"
@@ -1480,7 +1484,10 @@ def _ivf_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _IVF_INCR_DIRS[key] = d
     queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
-    out = S.query_ivf_index(spark, d, queries, "vec_id", "embedding", k=5, nprobe=4)
+    out = S.query_ivf_index(
+        spark, d, queries, "vec_id", "embedding", k=5, nprobe=4,
+        query_regime="closure",  # 10 query vectors, bounded by contract
+    )
     return out.select(
         "query_id", "neighbor_id", F.round("cosine_sim", ROUND_STAT).alias("cosine_sim"), "rank"
     )
