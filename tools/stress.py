@@ -157,6 +157,40 @@ def main() -> None:
 
     run_case("session_window", n3, sessions)
 
+    # 3b. attribution + seasonal screen at 20M events with a HEAVY-USER
+    # skew: one user owns 1% of all events (~200k rows in one window
+    # partition — r10 verdict item 6). The per-user ordered window is a
+    # streaming running-last over a sorted partition (O(rows log rows) in
+    # ONE task for the whale); this case proves the wall-time holds and
+    # the plan shape stays fixed under that skew.
+    n3b = int(20_000_000 * s)
+
+    def synth_events_skewed(n: int):
+        df = synth_events(spark, n)
+        return df.withColumn(
+            "user_id",
+            F.when(F.pmod(F.xxhash64("event_id", F.lit(9)), F.lit(100)) == 0, F.lit(0))
+            .otherwise(F.col("user_id")),
+        )
+
+    def attribution_skew():
+        from urban_traffic_data_lake_project_spark.queries.analytics import (
+            attribution_rollup,
+        )
+
+        return attribution_rollup(synth_events_skewed(n3b))
+
+    run_case("attribution_skew", n3b, attribution_skew)
+
+    def seasonal_skew():
+        from urban_traffic_data_lake_project_spark.queries.analytics import (
+            seasonal_anomaly_screen,
+        )
+
+        return seasonal_anomaly_screen(synth_events_skewed(n3b))
+
+    run_case("seasonal_anomalies_skew", n3b, seasonal_skew)
+
     # 4. MinHash-LSH near-dedup at 200k docs (true near-dups present)
     n4 = int(200_000 * s)
 

@@ -1698,7 +1698,13 @@ _ATTR_LOOKBACK_DAYS = 7
 
 
 def _events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    return attribution_rollup(load_table(spark, sf_dir, "events"))
+
+
+def attribution_rollup(ev: DataFrame) -> DataFrame:
+    """Core of events_attribution over any events-shaped DataFrame
+    (event_id, ts, user_id, event_type) — shared with tools/stress.py's
+    heavy-user skew case."""
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -1776,7 +1782,12 @@ _ANOM_TOPK = 20
 
 
 def _seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    return seasonal_anomaly_screen(load_table(spark, sf_dir, "events"))
+
+
+def seasonal_anomaly_screen(ev: DataFrame) -> DataFrame:
+    """Core of events_seasonal_anomalies over any events-shaped DataFrame —
+    shared with tools/stress.py."""
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
     ).agg(F.count(F.lit(1)).cast("double").alias("n"))
