@@ -112,6 +112,67 @@ def test_fa_em_recovers_low_rank_structure():
     assert psi.mean() < 0.1
 
 
+def test_huber_irls_resists_outliers(spark):
+    """On y = 2 + 3x with 5% gross outliers (+500), the Huber fit must
+    recover the true slope where OLS is dragged away."""
+    from urban_traffic_data_lake_project_spark.operators.stats import huber_irls
+
+    df = spark.range(2000).select(
+        (F.col("id") % 100 / 10.0).alias("x"),
+        (
+            F.lit(2.0)
+            + 3.0 * (F.col("id") % 100 / 10.0)
+            + F.when(F.col("id") % 20 == 0, 500.0).otherwise(0.0)
+            + F.pmod(F.xxhash64("id"), F.lit(1000)) / 1000.0  # noise in [0,1)
+        ).alias("y"),
+    )
+    b_huber = huber_irls(df, "y", ["x"], delta=2.0, iters=8)
+    ols = df.agg(
+        F.covar_pop("x", "y").alias("cxy"), F.var_pop("x").alias("vx")
+    ).first()
+    b1_ols = ols["cxy"] / ols["vx"]
+    assert abs(b_huber[1] - 3.0) < 0.2, b_huber
+    # the outliers are uncorrelated with x here, so OLS slope survives but
+    # its intercept absorbs the +25 mean shift; Huber's must not
+    assert abs(b_huber[0] - 2.5) < 0.5, b_huber  # 2.0 + ~0.5 noise mean
+    b0_ols = (
+        df.agg(F.avg("y")).first()[0] - b1_ols * df.agg(F.avg("x")).first()[0]
+    )
+    assert abs(b0_ols - 2.5) > 10.0, b0_ols  # OLS intercept dragged ~+25
+
+
+def test_multitouch_attribution_invariants(spark):
+    """Total credit must equal total conversions (per-conversion credits
+    normalize to 1; untouched conversions credit 'unattributed' with 1);
+    with a 1-day half-life the touch closest to the conversion earns the
+    most credit."""
+    from datetime import datetime
+
+    from urban_traffic_data_lake_project_spark.queries.analytics import (
+        multitouch_attribution,
+    )
+
+    rows = [
+        # user 1: two touches (view 3 days out, click 1 hour out) + purchase
+        (1, datetime(2024, 1, 7, 0, 0), 1, "view"),
+        (2, datetime(2024, 1, 9, 23, 0), 1, "click"),
+        (3, datetime(2024, 1, 10, 0, 0), 1, "purchase"),
+        # user 2: a purchase with NO touch in the 7-day lookback
+        (4, datetime(2023, 12, 1, 0, 0), 2, "view"),
+        (5, datetime(2024, 1, 10, 0, 0), 2, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r["channel"]: r for r in multitouch_attribution(ev).collect()}
+    total_credit = sum(r["credit"] for r in out.values())
+    assert total_credit == pytest.approx(2.0, abs=1e-3)  # 2 conversions
+    assert out["unattributed"]["credit"] == pytest.approx(1.0, abs=1e-6)
+    # click (1 hour before) outweighs view (3 days before) under decay
+    assert out["click"]["credit"] > out["view"]["credit"] > 0
+    assert out["click"]["credit"] + out["view"]["credit"] == pytest.approx(1.0, abs=1e-3)
+
+
 def test_fa_em_exact_deterministic_and_reconstructs():
     """The oracle-replayable EM (rational init, fixed iterations, adjugate
     3x3 inverses) must (a) be bit-deterministic across calls, (b) still

@@ -524,6 +524,58 @@ def logistic_irls(
     return beta
 
 
+def huber_irls(
+    df: DataFrame,
+    y_col: str,
+    x_cols: Sequence[str],
+    delta: float = 10.0,
+    iters: int = 6,
+) -> list[float]:
+    """Distributed HUBER robust regression by IRLS — the outlier-resistant
+    sibling of ``logistic_irls`` with the identical scale shape: each
+    round is ONE codegen aggregation computing the weighted normal
+    equations X'WX / X'Wy with the current coefficients inlined as
+    literals (w_i = 1 when |r_i| <= delta, else delta/|r_i| — the
+    standard Huber psi/r weight), and the (p+1)x(p+1) solve runs on the
+    driver. Starts at beta = 0; Huber IRLS is convex so the fixed
+    iteration count is a deterministic, oracle-replayable trajectory
+    (no convergence break — the logistic/FA/bootstrap replay contract).
+    |r| is floored at 1e-12 so a perfectly-fit row cannot divide by zero.
+    Returns [intercept, beta_x1, ...]."""
+    import numpy as np
+
+    k = len(x_cols) + 1
+    beta = [0.0] * k
+    proj = df.select(
+        F.col(y_col).cast("double").alias(y_col),
+        *[F.col(c).cast("double").alias(c) for c in x_cols],
+    )
+
+    def feats():
+        return [F.lit(1.0)] + [F.col(c) for c in x_cols]
+
+    for _ in range(iters):
+        fs = feats()
+        pred = sum((F.lit(b) * f for b, f in zip(beta, fs)), F.lit(0.0))
+        r = F.col(y_col) - pred
+        absr = F.greatest(F.abs(r), F.lit(1e-12))
+        w = F.when(absr <= F.lit(delta), F.lit(1.0)).otherwise(F.lit(delta) / absr)
+        aggs = []
+        for i in range(k):
+            for j in range(i, k):
+                aggs.append(F.sum(w * fs[i] * fs[j]).alias(f"s{i}{j}"))
+        for i in range(k):
+            aggs.append(F.sum(w * fs[i] * F.col(y_col)).alias(f"r{i}"))
+        row = proj.agg(*aggs).first()
+        A = np.empty((k, k))
+        for i in range(k):
+            for j in range(i, k):
+                A[i, j] = A[j, i] = row[f"s{i}{j}"]
+        rhs = np.array([row[f"r{i}"] for i in range(k)])
+        beta = [float(b) for b in np.linalg.solve(A, rhs)]
+    return beta
+
+
 def cusum_changepoints(
     df: DataFrame,
     group_col: str,

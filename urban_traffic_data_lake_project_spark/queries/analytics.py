@@ -16,7 +16,11 @@ from pyspark.sql import functions as F
 from urban_traffic_data_lake_project_spark.operators import bootstrap as B
 from urban_traffic_data_lake_project_spark.operators import factor_analysis as FA
 from urban_traffic_data_lake_project_spark.operators import monte_carlo as MC
-from urban_traffic_data_lake_project_spark.queries.base import ROUND_STAT, QuerySpec
+from urban_traffic_data_lake_project_spark.queries.base import (
+    ROUND_STAT,
+    ROUND_SUM,
+    QuerySpec,
+)
 from urban_traffic_data_lake_project_spark.sources import load_table
 
 _MEASURE = "l_extendedprice"  # the 'traffic volume' analog on the star schema
@@ -724,6 +728,102 @@ SELECT count(*)::BIGINT AS n,
        round(sum(d.y * (p.b0 + p.b1*d.x1 + p.b2*d.x2)
                  - ln(1.0 + exp(p.b0 + p.b1*d.x1 + p.b2*d.x2))), 4) AS loglik
 FROM data d, it{_IRLS_ITERS} p
+GROUP BY p.b0, p.b1, p.b2
+"""
+
+
+# ---------------------------------------------------------------------------
+# ml_huber_regression — outlier-robust regression (r11): l_extendedprice
+# (in $k) on quantity and discount under the Huber loss, fitted by the
+# same one-aggregation-per-round IRLS shape as ml_logistic_irls; the
+# oracle replays all 6 rounds (weights w = min(1, delta/|r|), Cramer 3x3
+# solve) as a CTE chain, so the coefficients hash-match. Goodness of fit
+# reported as the MEAN Huber loss (a grand sum at price scale would
+# carry FP-reorder error past the 4dp rounding).
+# ---------------------------------------------------------------------------
+_HUBER_DELTA = 10.0
+_HUBER_ITERS = 6
+
+
+def _huber_data(df: DataFrame) -> DataFrame:
+    return df.select(
+        (F.col("l_extendedprice") / 1000.0).alias("y"),
+        F.col("l_quantity").cast("double").alias("x1"),
+        F.col("l_discount").cast("double").alias("x2"),
+    )
+
+
+def _huber_regression_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.operators.stats import huber_irls
+
+    data = _huber_data(load_table(spark, sf_dir, "lineitem"))
+    beta = huber_irls(data, "y", ["x1", "x2"], delta=_HUBER_DELTA, iters=_HUBER_ITERS)
+    b = [F.lit(x) for x in beta]
+    r = F.col("y") - (b[0] + b[1] * F.col("x1") + b[2] * F.col("x2"))
+    d = F.lit(_HUBER_DELTA)
+    loss = F.when(
+        F.abs(r) <= d, F.lit(0.5) * r * r
+    ).otherwise(d * (F.abs(r) - F.lit(0.5) * d))
+    return data.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(b[0], 4).alias("b0"),
+        F.round(b[1], 4).alias("b1"),
+        F.round(b[2], 4).alias("b2"),
+        F.round(F.avg(loss), 4).alias("mean_huber_loss"),
+    )
+
+
+def _huber_round_sql(prev: str, out: str) -> str:
+    det = (
+        "(s00*(s11*s22 - s12*s12) - s01*(s01*s22 - s12*s02)"
+        " + s02*(s01*s12 - s11*s02))"
+    )
+    d0 = (
+        "(r0*(s11*s22 - s12*s12) - s01*(r1*s22 - s12*r2)"
+        " + s02*(r1*s12 - s11*r2))"
+    )
+    d1 = (
+        "(s00*(r1*s22 - s12*r2) - r0*(s01*s22 - s12*s02)"
+        " + s02*(s01*r2 - r1*s02))"
+    )
+    d2 = (
+        "(s00*(s11*r2 - r1*s12) - s01*(s01*r2 - r1*s02)"
+        " + r0*(s01*s12 - s11*s02))"
+    )
+    return f"""{out}_sums AS (
+  SELECT sum(w) AS s00, sum(w*x1) AS s01, sum(w*x2) AS s02,
+         sum(w*x1*x1) AS s11, sum(w*x1*x2) AS s12, sum(w*x2*x2) AS s22,
+         sum(w*y) AS r0, sum(w*x1*y) AS r1, sum(w*x2*y) AS r2
+  FROM (
+    SELECT y, x1, x2,
+           CASE WHEN greatest(abs(y - (p.b0 + p.b1*x1 + p.b2*x2)), 1e-12)
+                     <= {_HUBER_DELTA!r} THEN 1.0
+                ELSE {_HUBER_DELTA!r}
+                     / greatest(abs(y - (p.b0 + p.b1*x1 + p.b2*x2)), 1e-12)
+           END AS w
+    FROM data d, {prev} p)),
+{out} AS (
+  SELECT {d0} / {det} AS b0, {d1} / {det} AS b1, {d2} / {det} AS b2
+  FROM {out}_sums)"""
+
+
+_HUBER_SQL = f"""
+WITH data AS (
+  SELECT l_extendedprice / 1000.0 AS y,
+         l_quantity::DOUBLE AS x1, l_discount::DOUBLE AS x2
+  FROM lineitem),
+it0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+{",".join(_huber_round_sql(f"it{i}", f"it{i + 1}") for i in range(_HUBER_ITERS))}
+SELECT count(*)::BIGINT AS n,
+       round(p.b0, 4) AS b0, round(p.b1, 4) AS b1, round(p.b2, 4) AS b2,
+       round(avg(CASE WHEN abs(d.y - (p.b0 + p.b1*d.x1 + p.b2*d.x2))
+                           <= {_HUBER_DELTA!r}
+                      THEN 0.5 * (d.y - (p.b0 + p.b1*d.x1 + p.b2*d.x2))
+                           * (d.y - (p.b0 + p.b1*d.x1 + p.b2*d.x2))
+                      ELSE {_HUBER_DELTA!r}
+                           * (abs(d.y - (p.b0 + p.b1*d.x1 + p.b2*d.x2))
+                              - 0.5 * {_HUBER_DELTA!r}) END), 4) AS mean_huber_loss
+FROM data d, it{_HUBER_ITERS} p
 GROUP BY p.b0, p.b1, p.b2
 """
 
@@ -1744,6 +1844,123 @@ def attribution_rollup(ev: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# events_attribution_multitouch — time-decay MULTI-touch attribution
+# (r11): every non-purchase touch within the 7-day lookback of a purchase
+# earns credit w = 0.5^(Δt / half_life), normalized to sum 1 per
+# conversion; conversions with no touch credit 'unattributed' with 1.0 —
+# so total credit == total conversions (the invariant the pytest pins).
+# Scale shape: NOT a range join — the conversion side explodes its 8
+# candidate day-keys (bounded fan-out) and equi-joins touches on
+# (user_id, day), then the exact time window filters; per-conversion
+# normalization is one window sum over already-aggregated
+# (conversion, channel) rows. A whale user's join cell is bounded by
+# per-(user, day) volume, not their total history.
+# ---------------------------------------------------------------------------
+_MTA_HALF_LIFE_US = 86_400_000_000  # 1-day half-life
+
+
+def _events_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multitouch_attribution(load_table(spark, sf_dir, "events"))
+
+
+def multitouch_attribution(ev: DataFrame) -> DataFrame:
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("channel"),
+        F.to_date("ts").alias("d"),
+    )
+    convs = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")
+    )
+    days = convs.withColumn(
+        "d",
+        F.explode(
+            F.sequence(
+                F.date_sub(F.to_date("c_ts"), _ATTR_LOOKBACK_DAYS), F.to_date("c_ts")
+            )
+        ),
+    )
+    dt = F.unix_micros("c_ts") - F.unix_micros("t_ts")
+    before = (F.col("t_ts") < F.col("c_ts")) | (
+        (F.col("t_ts") == F.col("c_ts")) & (F.col("t_id") < F.col("c_id"))
+    )
+    pairs = (
+        days.join(touches, ["user_id", "d"])
+        .filter(before & (dt <= _ATTR_LOOKBACK_DAYS * 86_400_000_000))
+        .select(
+            "user_id", "c_id", "channel",
+            F.pow(F.lit(0.5), dt / F.lit(float(_MTA_HALF_LIFE_US))).alias("w"),
+        )
+    )
+    per_ch = pairs.groupBy("user_id", "c_id", "channel").agg(F.sum("w").alias("wch"))
+    wtot = Window.partitionBy("user_id", "c_id")
+    credits = per_ch.select(
+        "channel", (F.col("wch") / F.sum("wch").over(wtot)).alias("credit")
+    )
+    ch_credit = credits.groupBy("channel").agg(F.sum("credit").alias("credit"))
+    # conversions with NO in-window touch, as a lazy anti-join (one row,
+    # no driver-side count actions — the whole query stays one plan)
+    unattr = (
+        convs.join(
+            per_ch.select("user_id", "c_id").distinct(),
+            ["user_id", "c_id"],
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("credit"))
+        .select(F.lit("unattributed").alias("channel"), "credit")
+    )
+    allc = ch_credit.unionByName(unattr)
+    share_w = Window.partitionBy()
+    return allc.select(
+        "channel",
+        F.round("credit", ROUND_SUM).alias("credit"),
+        F.round(F.col("credit") / F.sum("credit").over(share_w), ROUND_STAT).alias(
+            "share"
+        ),
+    )
+
+
+_MTA_SQL = f"""
+WITH touches AS (
+  SELECT user_id, ts AS t_ts, event_id AS t_id, event_type AS channel,
+         ts::DATE AS d
+  FROM events WHERE event_type <> 'purchase'),
+convs AS (
+  SELECT user_id, ts AS c_ts, event_id AS c_id
+  FROM events WHERE event_type = 'purchase'),
+days AS (
+  SELECT user_id, c_ts, c_id, unnest(generate_series(
+           c_ts::DATE - {_ATTR_LOOKBACK_DAYS}, c_ts::DATE, INTERVAL 1 DAY))::DATE AS d
+  FROM convs),
+pairs AS (
+  SELECT dy.user_id, dy.c_id, t.channel,
+         pow(0.5, (epoch_us(dy.c_ts) - epoch_us(t.t_ts))
+                  / {float(_MTA_HALF_LIFE_US)!r}) AS w
+  FROM days dy JOIN touches t ON t.user_id = dy.user_id AND t.d = dy.d
+  WHERE (t.t_ts < dy.c_ts OR (t.t_ts = dy.c_ts AND t.t_id < dy.c_id))
+    AND epoch_us(dy.c_ts) - epoch_us(t.t_ts) <= {_ATTR_LOOKBACK_DAYS} * 86400000000),
+per_ch AS (
+  SELECT user_id, c_id, channel, sum(w) AS wch
+  FROM pairs GROUP BY 1, 2, 3),
+credits AS (
+  SELECT channel, wch / sum(wch) OVER (PARTITION BY user_id, c_id) AS credit
+  FROM per_ch),
+ch_credit AS (SELECT channel, sum(credit) AS credit FROM credits GROUP BY 1),
+unattr AS (
+  SELECT 'unattributed' AS channel,
+         ((SELECT count(*) FROM convs)
+          - (SELECT count(*) FROM (SELECT DISTINCT user_id, c_id FROM per_ch)))::DOUBLE
+           AS credit),
+allc AS (SELECT * FROM ch_credit UNION ALL SELECT * FROM unattr)
+SELECT channel, round(credit, {ROUND_SUM}) AS credit,
+       round(credit / sum(credit) OVER (), {ROUND_STAT}) AS share
+FROM allc
+"""
+
+
 _ATTRIBUTION_SQL = f"""
 WITH touched AS (
   SELECT event_type, ts,
@@ -1894,6 +2111,11 @@ REGISTRY: dict[str, QuerySpec] = {
         "first-order event-type transition matrix per user timeline",
         ("analytics", "window"),
     ),
+    "events_attribution_multitouch": QuerySpec(
+        _events_attribution_multitouch, _MTA_SQL,
+        "time-decay multi-touch attribution: per-conversion-normalized 0.5^(dt/day) credits via a bounded day-bucket join",
+        ("analytics", "window", "join"),
+    ),
     "events_attribution": QuerySpec(
         _events_attribution, _ATTRIBUTION_SQL,
         "last-touch conversion attribution with a 7-day lookback: conversions + share per channel",
@@ -1948,6 +2170,11 @@ REGISTRY: dict[str, QuerySpec] = {
         _table_diff_unkeyed, _TABLE_DIFF_SQL,
         "row-multiset diff via grouped row-hash counts (keyless migration check)",
         ("diagnostics",),
+    ),
+    "ml_huber_regression": QuerySpec(
+        _huber_regression_q, _HUBER_SQL,
+        "Huber robust regression by IRLS; oracle replays all 6 weighted normal-equation rounds via Cramer CTEs",
+        ("analytics", "ml"),
     ),
     "ml_logistic_irls": QuerySpec(
         _logistic_irls_q, _IRLS_SQL,
