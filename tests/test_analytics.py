@@ -112,6 +112,40 @@ def test_fa_em_recovers_low_rank_structure():
     assert psi.mean() < 0.1
 
 
+def test_survival_km_product_limit_hand_computed(spark, tmp_path):
+    """4 users: converts at 1h30, 2h10, 2h50, and one never (censored at
+    the 5h horizon). KM by hand: S(1) = 3/4, S(2) = 3/4 * 1/3 = 1/4."""
+    from datetime import datetime as dt
+
+    from urban_traffic_data_lake_project_spark.queries.analytics import _survival_km
+
+    rows = [
+        (1, dt(2024, 1, 1, 0, 0), 1, "view"),
+        (2, dt(2024, 1, 1, 1, 30), 1, "purchase"),
+        (3, dt(2024, 1, 1, 0, 0), 2, "view"),
+        (4, dt(2024, 1, 1, 2, 10), 2, "purchase"),
+        (5, dt(2024, 1, 1, 0, 0), 3, "view"),
+        (6, dt(2024, 1, 1, 5, 0), 3, "view"),  # never converts -> censored
+        (7, dt(2024, 1, 1, 0, 0), 4, "view"),
+        (8, dt(2024, 1, 1, 2, 50), 4, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    p = str(tmp_path / "events.parquet")
+    ev.write.parquet(p)
+    # _survival_km loads by table name from sf_dir
+    out = {
+        r["t"]: r
+        for r in _survival_km(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["n_at_risk"] == 4 and out[1]["d_events"] == 1
+    assert out[1]["survival"] == pytest.approx(0.75, abs=1e-9)
+    assert out[2]["n_at_risk"] == 3 and out[2]["d_events"] == 2
+    assert out[2]["survival"] == pytest.approx(0.25, abs=1e-9)
+
+
 def test_huber_irls_resists_outliers(spark):
     """On y = 2 + 3x with 5% gross outliers (+500), the Huber fit must
     recover the true slope where OLS is dragged away."""

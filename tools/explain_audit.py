@@ -155,6 +155,14 @@ PLAN_ANNOTATIONS: dict[str, dict[str, str]] = {
             "histogram), in-registry and strict-oracled"
         )
     },
+    "events_survival_km": {
+        GLOBAL_SORT_NODE: (
+            "the two KM product-limit windows run over the DURATION-grain "
+            "risk table — bounded by hours-of-history (one row per distinct "
+            "duration), never corpus-sized; the corpus reduces in the "
+            "map-side-combinable per-user first/min aggregates upstream"
+        )
+    },
     "analytics_gini_sketch": {
         GLOBAL_SORT_NODE: (
             "cumulative-share window over the BOUNDED fixed-edge spend "
@@ -178,6 +186,14 @@ PLAN_ANNOTATIONS: dict[str, dict[str, str]] = {
             "counts (one row per event type) — the user-timeline window "
             "upstream partitions by user_id; only the grouped rollup "
             "crosses a single partition"
+        )
+    },
+    "events_attribution_multitouch": {
+        GLOBAL_SORT_NODE: (
+            "share-of-total window over the BOUNDED per-channel credit "
+            "rollup (one row per event type + 'unattributed') — the "
+            "per-conversion normalization window upstream partitions by "
+            "(user_id, conversion)"
         )
     },
     "quality_ks_drift": {

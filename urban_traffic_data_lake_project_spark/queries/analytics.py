@@ -829,6 +829,99 @@ GROUP BY p.b0, p.b1, p.b2
 
 
 # ---------------------------------------------------------------------------
+# events_survival_km — Kaplan-Meier time-to-conversion curve (r11): per
+# user, the HOURS from first activity to first purchase (right-censored
+# at the corpus horizon for users who never purchase) — the product-limit
+# estimator S(t) = prod_{t_i<=t}(1 - d_i/n_i) handles the censoring that
+# a naive mean-latency silently drops. Two ordered windows over the
+# DURATION-grain risk table (<= hours-of-history rows, bounded — the
+# Exchange SinglePartition these windows need is annotated): a running
+# removed-count gives n_at_risk, and exp(running sum(ln(1-d/n))) is the
+# cumulative product (guarded at 1e-300 so a full-death step underflows
+# to exactly 0.0 on both engines instead of ln(0)).
+# ---------------------------------------------------------------------------
+_KM_HOUR_US = 3_600_000_000.0
+
+
+def _survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
+    )
+    hz = ev.agg(F.max("ts").alias("hz"))
+    per_user = firsts.crossJoin(F.broadcast(hz)).select(
+        F.floor(
+            (
+                F.unix_micros(F.coalesce("tp", "hz")) - F.unix_micros("t0")
+            ) / F.lit(_KM_HOUR_US)
+        ).cast("long").alias("t"),
+        F.col("tp").isNotNull().cast("long").alias("event"),
+    )
+    risk = per_user.groupBy("t").agg(
+        F.sum("event").alias("d"), F.count(F.lit(1)).alias("r")
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    scored = risk.select(
+        "t", "d",
+        (
+            F.sum("r").over(tot) - F.coalesce(F.sum("r").over(w_prev), F.lit(0))
+        ).alias("n_at_risk"),
+        F.exp(
+            F.sum(
+                F.log(
+                    F.greatest(
+                        F.lit(1.0)
+                        - F.col("d")
+                        / (
+                            F.sum("r").over(tot)
+                            - F.coalesce(F.sum("r").over(w_prev), F.lit(0))
+                        ),
+                        F.lit(1e-300),
+                    )
+                )
+            ).over(w_cum)
+        ).alias("__s"),
+    )
+    return scored.filter(F.col("d") > 0).select(
+        "t", "n_at_risk", F.col("d").alias("d_events"),
+        F.round("__s", ROUND_STAT).alias("survival"),
+    )
+
+
+_KM_SQL = f"""
+WITH firsts AS (
+  SELECT user_id, min(ts) AS t0,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+  FROM events GROUP BY 1),
+hz AS (SELECT max(ts) AS hz FROM events),
+per_user AS (
+  SELECT floor((epoch_us(coalesce(tp, hz)) - epoch_us(t0))
+               / {_KM_HOUR_US!r})::BIGINT AS t,
+         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM firsts, hz),
+risk AS (SELECT t, sum(event)::BIGINT AS d, count(*)::BIGINT AS r
+         FROM per_user GROUP BY 1),
+at_risk AS (
+  SELECT t, d,
+         (sum(r) OVER () - coalesce(sum(r) OVER (
+           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
+           AS n_at_risk
+  FROM risk),
+scored AS (
+  SELECT t, d, n_at_risk,
+         exp(sum(ln(greatest(1.0 - d::DOUBLE / n_at_risk, 1e-300)))
+             OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           AS s
+  FROM at_risk)
+SELECT t, n_at_risk, d AS d_events, round(s, {ROUND_STAT}) AS survival
+FROM scored WHERE d > 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # events_seasonality — seasonal-profile decomposition lite: mean value
 # by (day-of-week, hour-of-day) cell against the grand mean, plus the
 # seasonal share of variance. The traffic-shaped diagnostic the
@@ -2110,6 +2203,11 @@ REGISTRY: dict[str, QuerySpec] = {
         _markov_transitions, _MARKOV_SQL,
         "first-order event-type transition matrix per user timeline",
         ("analytics", "window"),
+    ),
+    "events_survival_km": QuerySpec(
+        _survival_km, _KM_SQL,
+        "Kaplan-Meier churn survival curve: product-limit estimator over the duration-grain risk table",
+        ("analytics", "window", "survival"),
     ),
     "events_attribution_multitouch": QuerySpec(
         _events_attribution_multitouch, _MTA_SQL,

@@ -787,6 +787,59 @@ SELECT (SELECT count(*) FROM customer)::BIGINT AS n_rows,
 
 
 # ---------------------------------------------------------------------------
+# privacy_dp_counts — differentially-private release of group counts
+# (r11): Laplace(1/eps) noise added to each event-type count via inverse
+# CDF over a seeded-hash uniform (the bootstrap/scalar_random machinery),
+# so the oracle replays the noise stream bit-for-bit. HONESTY NOTE: a
+# deterministic per-key seed makes the mechanism replayable for TESTING —
+# the noise is Laplace-distributed across keys, but a production DP
+# release must draw fresh entropy per release (a fixed seed leaks via
+# repeat queries); the operator exists to pin the mechanism's arithmetic
+# and sensitivity bookkeeping, not as a privacy guarantee by itself.
+# ---------------------------------------------------------------------------
+_DP_EPS = 1.0
+_DP_POW60 = float(1 << 60)
+
+
+def _dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.functions.core import stable_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("__n"))
+    u = stable_hash64(F.col("event_type"), salt="dp|").cast("double") / F.lit(
+        _DP_POW60
+    )
+    # Laplace inverse CDF at scale b = sensitivity/eps = 1/eps (count
+    # queries have L1 sensitivity 1): -b * sign(u-1/2) * ln(1 - 2|u-1/2|)
+    lap = (
+        -F.lit(1.0 / _DP_EPS)
+        * F.signum(u - F.lit(0.5))
+        * F.log(F.lit(1.0) - 2.0 * F.abs(u - F.lit(0.5)))
+    )
+    return counts.select(
+        "event_type",
+        F.round(F.col("__n") + lap, 4).alias("noisy_count"),
+        F.lit(_DP_EPS).alias("epsilon"),
+    )
+
+
+_DP_COUNTS_SQL = f"""
+WITH counts AS (
+  SELECT event_type, count(*)::DOUBLE AS n FROM events GROUP BY 1),
+noised AS (
+  SELECT event_type, n,
+         ('0x' || substr(md5('dp|' || event_type), 1, 15))::UBIGINT::DOUBLE
+           / {_DP_POW60!r} AS u
+  FROM counts)
+SELECT event_type,
+       round(n + (-{1.0 / _DP_EPS!r} * sign(u - 0.5)
+                  * ln(1.0 - 2.0 * abs(u - 0.5))), 4) AS noisy_count,
+       {_DP_EPS!r} AS epsilon
+FROM noised
+"""
+
+
+# ---------------------------------------------------------------------------
 # lakehouse_zorder_codes — multi-dimensional clustering codes (the
 # Delta/Iceberg ZORDER BY maintenance job): Morton-interleave of the
 # min-max-scaled (l_partkey, l_suppkey) pair, summarized per top-8-bit
@@ -936,6 +989,11 @@ REGISTRY: dict[str, QuerySpec] = {
         _hilbert_codes, _HILBERT_SQL,
         "Hilbert-curve clustering codes (higher-locality ZORDER sibling), per h-bucket",
         ("lakehouse",),
+    ),
+    "privacy_dp_counts": QuerySpec(
+        _dp_counts, _DP_COUNTS_SQL,
+        "Laplace-mechanism DP group counts with seeded-hash replayable noise (testing posture documented)",
+        ("lakehouse", "privacy"),
     ),
     "privacy_k_anonymity": QuerySpec(
         _k_anonymity, _KANON_SQL,
