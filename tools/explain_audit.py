@@ -156,6 +156,7 @@ PLAN_ANNOTATIONS: dict[str, dict[str, str]] = {
         )
     },
     "events_survival_km": {
+        "BroadcastNestedLoopJoin": _SCALAR_ATTACH,
         GLOBAL_SORT_NODE: (
             "the two KM product-limit windows run over the DURATION-grain "
             "risk table — bounded by hours-of-history (one row per distinct "
