@@ -132,6 +132,14 @@ BENCH_QUERIES: tuple[str, ...] = (
     "text_bpe_oov_encode",
     "analytics_gini_sketch",
     "stream_ks_drift",
+    # round-11: the widest new join (multi-touch attribution's 8x
+    # day-bucket fan-out + two grouped rollups) and the 6-round Huber
+    # IRLS (one aggregation pass per round). NOTE: bootstrap_ci above
+    # switched to the exact counter-RNG weight path in r11 (SplitMix64
+    # per cell, float64 GEMM) — its r11 number is a new baseline, not
+    # drift against the float32 partition-seeded fast path r10 measured
+    "events_attribution_multitouch",
+    "ml_huber_regression",
 )
 
 

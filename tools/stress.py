@@ -191,6 +191,15 @@ def main() -> None:
 
     run_case("seasonal_anomalies_skew", n3b, seasonal_skew)
 
+    def multitouch_skew():
+        from urban_traffic_data_lake_project_spark.queries.analytics import (
+            multitouch_attribution,
+        )
+
+        return multitouch_attribution(synth_events_skewed(n3b))
+
+    run_case("multitouch_attribution_skew", n3b, multitouch_skew)
+
     # 4. MinHash-LSH near-dedup at 200k docs (true near-dups present)
     n4 = int(200_000 * s)
 
