@@ -146,6 +146,20 @@ def test_survival_km_product_limit_hand_computed(spark, tmp_path):
     assert out[2]["survival"] == pytest.approx(0.25, abs=1e-9)
 
 
+def test_conformal_interval_coverage_near_nominal(spark, sf_dir):
+    """Split-conformal marginal coverage on exchangeable data must land
+    near the nominal 0.9 (finite-sample guarantee is >= alpha up to
+    1/(n_calib+1); test tolerance covers calibration-set noise)."""
+    from urban_traffic_data_lake_project_spark.queries.analytics import (
+        _conformal_interval_q,
+    )
+
+    row = _conformal_interval_q(spark, sf_dir).collect()[0]
+    assert row["n_test"] > 100
+    assert row["q_hat"] > 0
+    assert 0.85 <= row["coverage"] <= 0.95, row
+
+
 def test_huber_irls_resists_outliers(spark):
     """On y = 2 + 3x with 5% gross outliers (+500), the Huber fit must
     recover the true slope where OLS is dragged away."""

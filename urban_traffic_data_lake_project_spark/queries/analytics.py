@@ -922,6 +922,85 @@ FROM scored WHERE d > 0
 
 
 # ---------------------------------------------------------------------------
+# ml_conformal_interval — split-conformal prediction intervals (r11) on
+# the Huber fit: deterministic hash split (train 50% / calibration 25% /
+# test 25% via stable_hash64 mod 4), fit on train, q_hat = the 90th
+# percentile of |residual| on calibration, then the guaranteed-coverage
+# check on test (split-conformal's finite-sample marginal coverage is
+# >= 0.9 by exchangeability — the modern distribution-free UQ recipe).
+# The oracle replays the split, the 6 IRLS rounds on the train slice,
+# quantile_cont on calibration, and the test coverage count.
+# ---------------------------------------------------------------------------
+_CONF_ALPHA_Q = 0.9
+
+
+def _conformal_split(col):
+    from urban_traffic_data_lake_project_spark.functions.core import stable_hash64
+
+    return F.pmod(stable_hash64(col, salt="cf|"), F.lit(4))
+
+
+def _conformal_interval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.operators.stats import huber_irls
+
+    li = load_table(spark, sf_dir, "lineitem")
+    data = li.select(
+        (F.col("l_extendedprice") / 1000.0).alias("y"),
+        F.col("l_quantity").cast("double").alias("x1"),
+        F.col("l_discount").cast("double").alias("x2"),
+        _conformal_split(F.concat_ws("|", "l_orderkey", "l_linenumber")).alias("__s"),
+    )
+    train = data.filter(F.col("__s") <= 1)
+    beta = huber_irls(train, "y", ["x1", "x2"], delta=_HUBER_DELTA, iters=_HUBER_ITERS)
+    b = [F.lit(x) for x in beta]
+    resid = F.abs(F.col("y") - (b[0] + b[1] * F.col("x1") + b[2] * F.col("x2")))
+    calib = data.filter(F.col("__s") == 2)
+    qhat_df = calib.agg(F.percentile(resid, _CONF_ALPHA_Q).alias("qhat"))
+    test = data.filter(F.col("__s") == 3)
+    return (
+        test.crossJoin(F.broadcast(qhat_df))
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.round(F.first("qhat"), 4).alias("q_hat"),
+            F.round(
+                F.avg((resid <= F.col("qhat")).cast("double")), ROUND_STAT
+            ).alias("coverage"),
+        )
+    )
+
+
+def _conformal_sql() -> str:
+    rounds = ",".join(
+        _huber_round_sql(f"it{i}", f"it{i + 1}") for i in range(_HUBER_ITERS)
+    )
+    split = (
+        "(('0x' || substr(md5('cf|' || l_orderkey::VARCHAR || '|' ||"
+        " l_linenumber::VARCHAR), 1, 15))::UBIGINT % 4)"
+    )
+    resid = "abs(y - (p.b0 + p.b1*x1 + p.b2*x2))"
+    return f"""
+WITH split_t AS (
+  SELECT l_extendedprice / 1000.0 AS y,
+         l_quantity::DOUBLE AS x1, l_discount::DOUBLE AS x2,
+         {split} AS s
+  FROM lineitem),
+data AS (SELECT y, x1, x2 FROM split_t WHERE s <= 1),
+it0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+{rounds},
+qhat_t AS (
+  SELECT quantile_cont({resid}, {_CONF_ALPHA_Q!r}) AS qhat
+  FROM split_t, it{_HUBER_ITERS} p WHERE s = 2)
+SELECT count(*)::BIGINT AS n_test,
+       round(q.qhat, 4) AS q_hat,
+       round(avg(CASE WHEN {resid} <= q.qhat THEN 1.0 ELSE 0.0 END),
+             {ROUND_STAT}) AS coverage
+FROM split_t, it{_HUBER_ITERS} p, qhat_t q
+WHERE s = 3
+GROUP BY q.qhat
+"""
+
+
+# ---------------------------------------------------------------------------
 # events_seasonality — seasonal-profile decomposition lite: mean value
 # by (day-of-week, hour-of-day) cell against the grand mean, plus the
 # seasonal share of variance. The traffic-shaped diagnostic the
@@ -2268,6 +2347,11 @@ REGISTRY: dict[str, QuerySpec] = {
         _table_diff_unkeyed, _TABLE_DIFF_SQL,
         "row-multiset diff via grouped row-hash counts (keyless migration check)",
         ("diagnostics",),
+    ),
+    "ml_conformal_interval": QuerySpec(
+        _conformal_interval_q, _conformal_sql(),
+        "split-conformal prediction interval on the Huber fit: hash split, calibration quantile, test coverage",
+        ("analytics", "ml"),
     ),
     "ml_huber_regression": QuerySpec(
         _huber_regression_q, _HUBER_SQL,
