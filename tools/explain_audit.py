@@ -155,6 +155,7 @@ PLAN_ANNOTATIONS: dict[str, dict[str, str]] = {
             "histogram), in-registry and strict-oracled"
         )
     },
+    "ml_conformal_interval": {"BroadcastNestedLoopJoin": _SCALAR_ATTACH},
     "events_survival_km": {
         "BroadcastNestedLoopJoin": _SCALAR_ATTACH,
         GLOBAL_SORT_NODE: (
