@@ -146,6 +146,34 @@ def test_survival_km_product_limit_hand_computed(spark, tmp_path):
     assert out[2]["survival"] == pytest.approx(0.25, abs=1e-9)
 
 
+def test_theilsen_slope_resists_outlier_day(spark, tmp_path):
+    """Daily counts following n = 100 + 5*day with ONE 20x outage-spike
+    day: Theil-Sen recovers ~5/day, OLS is dragged away."""
+    from datetime import datetime as dt
+
+    from urban_traffic_data_lake_project_spark.queries.analytics import (
+        _theilsen_trend,
+    )
+
+    rows = []
+    eid = 0
+    for day in range(15):
+        # the spike sits at day 13, NOT the x-mean (a center spike has
+        # zero OLS leverage and would leave the OLS slope untouched)
+        n = 100 + 5 * day + (2000 if day == 13 else 0)
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, dt(2024, 1, 1 + day, 12, 0), eid % 50, "view"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    ev.write.parquet(str(tmp_path / "events.parquet"))
+    out = _theilsen_trend(spark, str(tmp_path)).collect()[0]
+    assert out["n_days"] == 15
+    assert abs(out["theilsen_slope"] - 5.0) < 1.0, out
+    assert abs(out["ols_slope"] - 5.0) > 5.0, out  # dragged by the spike
+
+
 def test_conformal_interval_coverage_near_nominal(spark, sf_dir):
     """Split-conformal marginal coverage on exchangeable data must land
     near the nominal 0.9 (finite-sample guarantee is >= alpha up to

@@ -156,6 +156,14 @@ PLAN_ANNOTATIONS: dict[str, dict[str, str]] = {
         )
     },
     "ml_conformal_interval": {"BroadcastNestedLoopJoin": _SCALAR_ATTACH},
+    "events_theilsen_trend": {
+        "BroadcastNestedLoopJoin": (
+            "the Theil-Sen pairwise (da < db) self-join runs over the "
+            "BOUNDED day-grain aggregate (days-of-history rows, <= ~465 "
+            "pairs here) — the corpus reduced in the map-side-combinable "
+            "daily count first; plus the 1-row median attach"
+        )
+    },
     "events_survival_km": {
         "BroadcastNestedLoopJoin": _SCALAR_ATTACH,
         GLOBAL_SORT_NODE: (

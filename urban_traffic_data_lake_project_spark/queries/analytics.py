@@ -1001,6 +1001,59 @@ GROUP BY q.qhat
 
 
 # ---------------------------------------------------------------------------
+# events_theilsen_trend — robust daily-traffic trend (r11): Theil-Sen
+# slope (median of all pairwise slopes) next to the OLS slope it
+# out-robusts — the estimator survives ~29% contaminated days where one
+# outage/spike day drags OLS. The corpus reduces to the DAY grain first
+# (map-side-combinable count), so the O(days^2) pairwise stage is bounded
+# (<= ~31 rows -> <= 465 pairs at this corpus; at any horizon it is
+# days-of-history-squared, never row-scale). Slopes are in events/day.
+# ---------------------------------------------------------------------------
+def _theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("n").alias("na"))
+    b = daily.select(F.col("d").alias("db"), F.col("n").alias("nb"))
+    pairs = a.join(b, F.col("da") < F.col("db")).select(
+        (
+            (F.col("nb") - F.col("na"))
+            / F.datediff("db", "da").cast("double")
+        ).alias("slope")
+    )
+    theil = pairs.agg(F.percentile("slope", 0.5).alias("__ts"))
+    x = F.datediff("d", F.lit("2024-01-01").cast("date")).cast("double")
+    ols = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (F.covar_pop(x, F.col("n")) / F.var_pop(x)).alias("__ols"),
+    )
+    return ols.crossJoin(F.broadcast(theil)).select(
+        "n_days",
+        F.round("__ts", 4).alias("theilsen_slope"),
+        F.round("__ols", 4).alias("ols_slope"),
+    )
+
+
+_THEILSEN_SQL = """
+WITH daily AS (
+  SELECT ts::DATE AS d, count(*)::DOUBLE AS n FROM events GROUP BY 1),
+pairs AS (
+  SELECT (b.n - a.n) / date_diff('day', a.d, b.d)::DOUBLE AS slope
+  FROM daily a JOIN daily b ON a.d < b.d),
+theil AS (SELECT quantile_cont(slope, 0.5) AS ts_slope FROM pairs),
+ols AS (
+  SELECT count(*)::BIGINT AS n_days,
+         covar_pop(date_diff('day', DATE '2024-01-01', d)::DOUBLE, n)
+           / var_pop(date_diff('day', DATE '2024-01-01', d)::DOUBLE) AS ols_slope
+  FROM daily)
+SELECT n_days, round(ts_slope, 4) AS theilsen_slope,
+       round(ols_slope, 4) AS ols_slope
+FROM ols, theil
+"""
+
+
+# ---------------------------------------------------------------------------
 # events_seasonality — seasonal-profile decomposition lite: mean value
 # by (day-of-week, hour-of-day) cell against the grand mean, plus the
 # seasonal share of variance. The traffic-shaped diagnostic the
@@ -2282,6 +2335,11 @@ REGISTRY: dict[str, QuerySpec] = {
         _markov_transitions, _MARKOV_SQL,
         "first-order event-type transition matrix per user timeline",
         ("analytics", "window"),
+    ),
+    "events_theilsen_trend": QuerySpec(
+        _theilsen_trend, _THEILSEN_SQL,
+        "Theil-Sen robust daily-traffic trend (median of pairwise slopes over the bounded day grain) vs OLS",
+        ("analytics", "robust"),
     ),
     "events_survival_km": QuerySpec(
         _survival_km, _KM_SQL,
