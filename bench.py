@@ -167,38 +167,36 @@ def run_canary(spark, sf_dir: str) -> float:
     return round(sorted(samples)[1], 3)
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
-    spark = get_spark("bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    # warm-up: JVM + codegen + parquet file indexes, not measured
-    spark.range(1000).selectExpr("sum(id)").collect()
-    from urban_traffic_data_lake_project_spark.sources import TESTDATA_TABLES, load_table
-
-    for t in TESTDATA_TABLES:
-        load_table(spark, sf_dir, t).count()
-
-    # Measurement hygiene (the r4/r5 benches ran at loadavg 7.8-12.8 on the
-    # 32-core box — up to 1.7x timing inflation, which made small
-    # regressions unadjudicable): wait for the 1-min loadavg to settle
-    # below a threshold before timing, bounded so a driver pipeline that
-    # keeps the box busy can't hang the bench forever.
-    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
-    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "600"))
+def wait_for_idle(max_load: float, max_wait: float) -> float:
+    """Block until the 1-min loadavg settles below ``max_load``, bounded by
+    ``max_wait`` so a busy driver pipeline can't hang the bench forever.
+    Returns the seconds waited."""
     wait_start = time.time()
     while os.getloadavg()[0] > max_load and time.time() - wait_start < max_wait:
         time.sleep(10.0)
-    load_wait = round(time.time() - wait_start, 1)
+    return round(time.time() - wait_start, 1)
 
+
+def measure_pass(spark, sf_dir: str, names: list[str]) -> dict:
+    """One full measurement pass: idle-wait -> canary -> timed queries ->
+    canary. Returns the timings plus every hygiene reading, including the
+    ``contaminated`` verdict the retry loop keys on (r11 verdict item 4):
+    canary before/after spread > the gate, or the idle-wait expired with
+    the box still loaded — the two signatures of the recorded-vs-clean-run
+    splits in r8-r11."""
+    # Measurement hygiene (the r4/r5 benches ran at loadavg 7.8-12.8 on the
+    # 32-core box — up to 1.7x timing inflation, which made small
+    # regressions unadjudicable).
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "600"))
+    canary_gate = float(os.environ.get("SPARK_GRAFT_BENCH_CANARY_GATE", "1.5"))
+    load_wait = wait_for_idle(max_load, max_wait)
     load_before = os.getloadavg()
 
     # environment canary: warm once (codegen + footer cache), then time
     run_canary(spark, sf_dir)
     canary_before = run_canary(spark, sf_dir)
 
-    names = [n for n in BENCH_QUERIES if n in REGISTRY]
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "6"))
     # A query whose measured repeats still spread wider than this after the
     # initial pass gets extra repeats — one noisy-neighbor spike then has
@@ -265,7 +263,58 @@ def main() -> None:
         )
 
     canary_after = run_canary(spark, sf_dir)
+    canary_spread = (
+        max(canary_before, canary_after) / min(canary_before, canary_after)
+        if min(canary_before, canary_after) > 0
+        else float("inf")
+    )
+    contaminated = (
+        canary_spread > canary_gate
+        or (load_wait >= max_wait and os.getloadavg()[0] > max_load)
+    )
+    return {
+        "timings": timings,
+        "spread": spread,
+        "repeats_measured": repeats - 1,
+        "canary_before_sec": canary_before,
+        "canary_after_sec": canary_after,
+        "loadavg_wait_sec": load_wait,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        "contaminated": contaminated,
+    }
 
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM + codegen + parquet file indexes, not measured
+    spark.range(1000).selectExpr("sum(id)").collect()
+    from urban_traffic_data_lake_project_spark.sources import TESTDATA_TABLES, load_table
+
+    for t in TESTDATA_TABLES:
+        load_table(spark, sf_dir, t).count()
+
+    names = [n for n in BENCH_QUERIES if n in REGISTRY]
+    # Canary-gated recording (r11 verdict item 4): a contaminated pass —
+    # canary drifted >1.5x across the measurement, or the box never went
+    # idle — is re-measured (default once) rather than recorded as the
+    # round's artifact; if it stays contaminated, the flag rides in the
+    # payload so a future reader never mistakes ambient load for a code
+    # regression (the r11 recorded artifact overstated wall-times 30-60%
+    # vs the same-commit clean run).
+    max_attempts = 1 + int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "1"))
+    attempts = 0
+    while True:
+        attempts += 1
+        m = measure_pass(spark, sf_dir, names)
+        if not m["contaminated"] or attempts >= max_attempts:
+            break
+
+    timings = m["timings"]
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "headline_queries_total_runtime",
@@ -282,17 +331,19 @@ def main() -> None:
         # measurement hygiene: per-query [min, max] across the
         # measured repeats + 1/5/15-min loadavg before/after, so a
         # loaded machine is visible in the artifact itself
-        "repeats_measured": repeats - 1,
-        "queries_minmax": spread,
+        "repeats_measured": m["repeats_measured"],
+        "queries_minmax": m["spread"],
         # pure-CPU reference workload timed before/after the
         # measured queries — divide a query's round-over-round
         # ratio by the canary ratio to separate box drift from
         # code regressions (r8 verdict item 2)
-        "canary_before_sec": canary_before,
-        "canary_after_sec": canary_after,
-        "loadavg_wait_sec": load_wait,
-        "loadavg_before": [round(x, 2) for x in load_before],
-        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        "canary_before_sec": m["canary_before_sec"],
+        "canary_after_sec": m["canary_after_sec"],
+        "loadavg_wait_sec": m["loadavg_wait_sec"],
+        "loadavg_before": m["loadavg_before"],
+        "loadavg_after": m["loadavg_after"],
+        "contaminated": m["contaminated"],
+        "bench_attempts": attempts,
     }
     print(json.dumps(payload))
     # The driver keeps only a truncated TAIL of the stdout line, which

@@ -96,6 +96,57 @@ def test_bootstrap_replicate_means_distribution(spark):
     assert 0.3 < vals.std() < 1.5
 
 
+def test_exact_weight_lut_bit_equals_reference_formula():
+    """The r12 fast path (integer thresholds + top-byte LUT) must produce
+    the EXACT weight matrix of the float64 reference formula the DuckDB
+    oracle replays — random hashes plus every threshold-boundary z."""
+    rng = np.random.default_rng(12)
+    h = rng.integers(0, 1 << 60, size=5000, dtype=np.int64)
+    for reps in (7, 250):
+        assert np.array_equal(
+            B._poisson1_weights_exact(h, reps),
+            B._poisson1_weights_exact_ref(h, reps),
+        )
+    # boundary probe: z values straddling each integer threshold must
+    # classify identically under "round_f64(z)/2^64 > c" and "z > T_c"
+    for t in B._INT_THRESH.tolist():
+        for dz in range(-3, 4):
+            z = np.array([[t + dz]], dtype=np.uint64)
+            u = z.astype(np.float64) / B._POW64
+            w_ref = sum(int(u[0, 0] > float(c)) for c in B._POISSON1_CDF)
+            zb = (z >> np.uint64(56)).astype(np.uint8)
+            w_lut = int(B._WLUT[zb][0, 0])
+            if B._WAMBIG[zb][0, 0]:
+                w_lut = sum(int(z[0, 0] > tt) for tt in B._INT_THRESH.tolist())
+            assert w_lut == w_ref, (t, dz, w_lut, w_ref)
+
+
+def test_exact_bootstrap_nan_exclusion_matches_dense_path(spark):
+    """NULL rows drop out of BOTH the numerator and the weight sum; a
+    NULL-free frame takes the single-gemm fast branch — replicate means
+    must be identical to hand-computed weights either way."""
+    rows = [(i, float(i % 13) if i % 5 else None) for i in range(400)]
+    df = spark.createDataFrame(rows, "k int, x double")
+    out = B.poisson_bootstrap_means(
+        df, ["x"], n_replicates=50, seed=9, hash_key=F.col("k").cast("string")
+    ).collect()
+    from urban_traffic_data_lake_project_spark.functions.core import stable_hash64
+
+    hashes = {
+        r["k"]: r["h"]
+        for r in df.select(
+            "k", stable_hash64(F.col("k").cast("string"), salt="bs9|").alias("h")
+        ).collect()
+    }
+    H = np.array([hashes[k] for k, _ in rows], dtype=np.int64)
+    W = B._poisson1_weights_exact(H, 50)
+    X = np.array([x if x is not None else np.nan for _, x in rows])
+    ok = ~np.isnan(X)
+    exp = (W[ok].T @ X[ok]) / W[ok].sum(axis=0)
+    got = np.array([r["replicate_mean"] for r in sorted(out, key=lambda r: r["replicate"])])
+    assert np.allclose(got, exp, rtol=0, atol=1e-12)
+
+
 def test_fa_em_recovers_low_rank_structure():
     rng = np.random.default_rng(0)
     n, p, k = 5000, 6, 2

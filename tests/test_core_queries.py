@@ -235,3 +235,24 @@ def test_load_vintages_unpadded_filename(tmp_path):
     (tmp_path / "CORRECTNESS_r06.json").write_text(_json.dumps({"qa": {}, "qb": {}}))
     (tmp_path / "CORRECTNESS_r123.json").write_text(_json.dumps({"qc": {}}))
     assert load_vintages(str(tmp_path)) == {"qa": 6, "qb": 6, "qc": 123}
+
+
+def test_record_window_vintage_order_is_numeric_past_r99(tmp_path):
+    """The rotation key is the PARSED round integer everywhere: a query
+    last recorded at r9 must rotate in before one recorded at r100 —
+    a lexicographic vintage ('r100' < 'r20' < 'r9') would invert the
+    freshness policy from round 100 on (r11 verdict item 7)."""
+    import json as _json
+
+    from urban_traffic_data_lake_project_spark.queries.window import (
+        derive_record_window,
+        load_vintages,
+    )
+
+    (tmp_path / "CORRECTNESS_r9.json").write_text(_json.dumps({"old_q": {}}))
+    (tmp_path / "CORRECTNESS_r20.json").write_text(_json.dumps({"mid_q": {}}))
+    (tmp_path / "CORRECTNESS_r100.json").write_text(_json.dumps({"new_q": {}}))
+    v = load_vintages(str(tmp_path))
+    assert v == {"old_q": 9, "mid_q": 20, "new_q": 100}
+    win = derive_record_window(["old_q", "mid_q", "new_q"], vintages=v, max_slots=2)
+    assert win == ("old_q", "mid_q")

@@ -1340,3 +1340,37 @@ def test_bpe_apply_merges_paths_and_oov_semantics(spark):
     assert out[6]["n_tokens"] > 0 and out[6]["n_words"] == 6
     for i in range(6):
         assert out[i]["n_oov_words"] == 0
+
+
+def test_ivf_auto_probe_counts_pre_assignment_projection(spark, sf_dir, tmp_path, monkeypatch):
+    """The auto-regime row-count probe must count the PRE-assignment query
+    projection: counting the post-assignment frame would execute the full
+    centroid-distance scoring over the query table just to count rows that
+    are 1:1 with the input, then recompute it in the main plan (r11
+    verdict item 2). Spy on DataFrame.count and assert no counted plan
+    contains the assignment output column."""
+    # patch the CONCRETE class (pyspark 4: pyspark.sql.classic.dataframe
+    # .DataFrame overrides count, so patching the abstract base misses)
+    SparkDF = type(spark.range(1))
+
+    counted: list[str] = []
+    orig = SparkDF.count
+
+    def spy(self):
+        counted.append(self._jdf.queryExecution().analyzed().toString())
+        return orig(self)
+
+    monkeypatch.setattr(SparkDF, "count", spy)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+
+    S.cosine_topk_ivf(emb, q, k=5, n_centroids=16, nprobe=4, query_regime="auto").collect()
+    assert counted, "auto regime must count the query side once"
+    assert all("__cids" not in p for p in counted)
+
+    counted.clear()
+    d = str(tmp_path / "ivf_idx_probe")
+    S.build_ivf_index(emb, d, n_centroids=16)
+    S.query_ivf_index(spark, d, q, k=5, nprobe=4, query_regime="auto").collect()
+    assert counted, "persisted-index auto regime must count the query side once"
+    assert all("__cids" not in p for p in counted)

@@ -65,15 +65,50 @@ def _poisson1_weights(rng: np.random.Generator, shape: tuple[int, int]) -> np.nd
 # queries/analytics.py _sm64_sql) — so the oracle replays the exact weight
 # matrix regardless of partitioning, task order, or engine. The uniform is
 # z / 2^64 (correctly-rounded u64->f64 on both engines), thresholded
-# against the same truncated-Poisson CDF literals.
+# against the same truncated-Poisson CDF literals. The engine side skips
+# the float conversion entirely: "round_f64(z)/2^64 > c" is equivalent to
+# the INTEGER comparison "z > T_c" where T_c is the largest uint64 whose
+# rounded float64 value is <= c * 2^64 (division by a power of two is
+# exact scaling, so only the u64->f64 rounding step matters; _int_threshold
+# resolves it by scanning the rounding neighborhood once at import). On
+# top of that, the weight — the COUNT of thresholds below z — is read from
+# a 256-entry top-byte LUT; only the 5 byte buckets that actually contain
+# a threshold fall back to exact comparisons (~2% of cells). Bit-equality
+# of the whole chain vs the float64 reference formula is pinned by
+# tests (random + threshold-boundary z values).
 _SM_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 _SM_M1 = np.uint64(0xBF58476D1CE4E5B9)
 _SM_M2 = np.uint64(0x94D049BB133111EB)
+_POW64 = 18446744073709551616.0  # 2^64
 
 
-def _splitmix_uniforms(h: np.ndarray, n_replicates: int) -> np.ndarray:
-    """(n_rows, n_replicates) float64 uniforms in [0, 1) from 60-bit row
-    hashes — deterministic, partitioning-independent."""
+def _int_threshold(c: float) -> int:
+    """Largest uint64 z with round_f64(z) <= c * 2^64 — so the uniform
+    test u > c becomes the integer test z > threshold, bit-for-bit."""
+    cap = np.float64(c) * _POW64
+    t = int(cap)
+    # scan the u64->f64 rounding neighborhood (grain 2^11 at this
+    # magnitude) for the exact crossover
+    zs = np.arange(max(t - 5000, 0), t + 5000, dtype=np.uint64)
+    ok = zs.astype(np.float64) <= cap
+    return int(zs[ok][-1]) if ok.any() else 0
+
+
+_INT_THRESH = np.array([_int_threshold(float(c)) for c in _POISSON1_CDF], dtype=np.uint64)
+# top-byte LUT: bucket b covers z in [b*2^56, (b+1)*2^56); where no
+# threshold lands inside the bucket the weight is fully determined
+_WLUT = np.zeros(256, dtype=np.uint8)
+_WAMBIG = np.zeros(256, dtype=bool)
+for _b in range(256):
+    _lo, _hi = _b << 56, ((_b + 1) << 56) - 1
+    _WLUT[_b] = sum(1 for _t in _INT_THRESH.tolist() if _t < _lo)
+    _WAMBIG[_b] = any(_lo <= _t <= _hi for _t in _INT_THRESH.tolist())
+del _b, _lo, _hi
+
+
+def _splitmix_z(h: np.ndarray, n_replicates: int) -> np.ndarray:
+    """(n_rows, n_replicates) raw SplitMix64 outputs (uint64) from 60-bit
+    row hashes — deterministic, partitioning-independent."""
     with np.errstate(over="ignore"):
         z = h.astype(np.uint64)[:, None] + (
             np.arange(1, n_replicates + 1, dtype=np.uint64)[None, :] * _SM_GOLDEN
@@ -83,15 +118,37 @@ def _splitmix_uniforms(h: np.ndarray, n_replicates: int) -> np.ndarray:
         z ^= z >> np.uint64(27)
         z *= _SM_M2
         z ^= z >> np.uint64(31)
-    return z.astype(np.float64) / 18446744073709551616.0
+    return z
 
 
-def _poisson1_weights_exact(h: np.ndarray, n_replicates: int) -> np.ndarray:
+def _splitmix_uniforms(h: np.ndarray, n_replicates: int) -> np.ndarray:
+    """float64 uniforms in [0, 1) — the reference formulation the oracle
+    SQL mirrors; kept for tests pinning LUT-vs-reference bit-equality."""
+    return _splitmix_z(h, n_replicates).astype(np.float64) / _POW64
+
+
+def _poisson1_weights_exact_ref(h: np.ndarray, n_replicates: int) -> np.ndarray:
+    """Reference (slow) formulation: float64 uniform vs float CDF — used
+    only by the equivalence tests."""
     u = _splitmix_uniforms(h, n_replicates)
     w = np.zeros(u.shape, dtype=np.float64)
     for c in _POISSON1_CDF:
         w += u > float(c)
     return w
+
+
+def _poisson1_weights_exact(h: np.ndarray, n_replicates: int) -> np.ndarray:
+    z = _splitmix_z(h, n_replicates)
+    zb = (z >> np.uint64(56)).astype(np.uint8)
+    w8 = _WLUT[zb]
+    amb = _WAMBIG[zb]
+    if amb.any():
+        za = z[amb]
+        wa = np.zeros(za.shape, dtype=np.uint8)
+        for t in _INT_THRESH:
+            wa += za > t
+        w8[amb] = wa
+    return w8.astype(np.float64)
 
 
 def poisson_bootstrap_means(
@@ -111,20 +168,26 @@ def poisson_bootstrap_means(
     bit-for-bit (r10 verdict item 3). float64 end-to-end (the float32
     sgemm shortcut stays on the partition-seeded fast path only)."""
     exact = hash_key is not None
+    # the weight-drawing pass is CPU-bound numpy (O(rows x replicates)
+    # poisson draws); parquet split count (often just a few row groups)
+    # would convoy it — spread over the full parallelism. On the exact
+    # path the md5 row hash moves AFTER the exchange for the same reason:
+    # computed pre-shuffle it runs at the parquet split count (3 tasks at
+    # sf0.1 — measured 0.5 s serialized vs ~0.05 s spread over 32).
+    target = df.sparkSession.sparkContext.defaultParallelism
     if exact:
         from urban_traffic_data_lake_project_spark.functions.core import stable_hash64
 
-        proj = df.select(
-            stable_hash64(hash_key, salt=f"bs{seed}|").alias("__h"), *cols
+        keyed = df.select(hash_key.alias("__k"), *cols)
+        if keyed.rdd.getNumPartitions() < target:
+            keyed = keyed.repartition(target)
+        proj = keyed.select(
+            stable_hash64(F.col("__k"), salt=f"bs{seed}|").alias("__h"), *cols
         )
     else:
         proj = df.select(*cols)
-    # the weight-drawing pass is CPU-bound numpy (O(rows x replicates)
-    # poisson draws); parquet split count (often just a few row groups)
-    # would convoy it — spread over the full parallelism
-    target = proj.sparkSession.sparkContext.defaultParallelism
-    if proj.rdd.getNumPartitions() < target:
-        proj = proj.repartition(target)
+        if proj.rdd.getNumPartitions() < target:
+            proj = proj.repartition(target)
 
     def gen_exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc_wx = {c: np.zeros(n_replicates) for c in cols}
@@ -132,17 +195,33 @@ def poisson_bootstrap_means(
         for pdf in batches:
             X = pdf[list(cols)].to_numpy(dtype="float64")
             H = pdf["__h"].to_numpy(dtype="int64")
-            chunk = max(1, int(4_000_000 / max(n_replicates, 1)))
+            # 0.5M cells -> the uint64 z matrix is ~4 MB: with 32
+            # concurrent tasks the weight kernel is DRAM-bandwidth-bound
+            # at the old 32 MB working set; cache-resident chunks cut the
+            # intermediate passes' DRAM traffic (1.5x single-thread, more
+            # under contention). The exact path is chunk-size-invariant —
+            # weights are per-(row, replicate) counters, not stream draws.
+            chunk = max(1, int(500_000 / max(n_replicates, 1)))
             for lo in range(0, X.shape[0], chunk):
                 Xs = X[lo : lo + chunk]
                 w = _poisson1_weights_exact(H[lo : lo + chunk], n_replicates)
                 nan_mask = np.isnan(Xs)
-                Xz = np.where(nan_mask, 0.0, Xs)
-                wx = w.T @ Xz
-                wn = w.T @ (~nan_mask).astype("float64")
-                for j, c in enumerate(cols):
-                    acc_wx[c] += wx[:, j]
-                    acc_w[c] += wn[:, j]
+                if nan_mask.any():
+                    Xz = np.where(nan_mask, 0.0, Xs)
+                    wx = w.T @ Xz
+                    wn = w.T @ (~nan_mask).astype("float64")
+                    for j, c in enumerate(cols):
+                        acc_wx[c] += wx[:, j]
+                        acc_w[c] += wn[:, j]
+                else:
+                    # no NULLs in the chunk (the common case): the
+                    # denominator collapses to the replicate weight sums —
+                    # identical to w.T @ ones, skipping a full second gemm
+                    wx = w.T @ Xs
+                    ws = w.sum(axis=0, dtype="float64")
+                    for j, c in enumerate(cols):
+                        acc_wx[c] += wx[:, j]
+                        acc_w[c] += ws
         out = []
         for c in cols:
             out.append(
@@ -231,17 +310,21 @@ def grouped_bootstrap_ci(
     partials per partition — the replicate count is the only memory knob."""
     cols = list(cols)
     exact = hash_key is not None
+    # md5 after the exchange — see poisson_bootstrap_means
+    target = df.sparkSession.sparkContext.defaultParallelism
     if exact:
         from urban_traffic_data_lake_project_spark.functions.core import stable_hash64
 
-        proj = df.select(
-            stable_hash64(hash_key, salt=f"bs{seed}|").alias("__h"), group_col, *cols
+        keyed = df.select(hash_key.alias("__k"), group_col, *cols)
+        if keyed.rdd.getNumPartitions() < target:
+            keyed = keyed.repartition(target)
+        proj = keyed.select(
+            stable_hash64(F.col("__k"), salt=f"bs{seed}|").alias("__h"), group_col, *cols
         )
     else:
         proj = df.select(group_col, *cols)
-    target = proj.sparkSession.sparkContext.defaultParallelism
-    if proj.rdd.getNumPartitions() < target:
-        proj = proj.repartition(target)
+        if proj.rdd.getNumPartitions() < target:
+            proj = proj.repartition(target)
 
     # carry the group key's NATIVE type through the partial schema — a
     # hardcoded string + str(g) would coerce int/date keys and make the
@@ -266,24 +349,34 @@ def grouped_bootstrap_ci(
                     H = sub["__h"].to_numpy(dtype="int64")
                 else:
                     X = sub[cols].to_numpy(dtype="float32")
-                chunk = max(1, int(4_000_000 / max(n_replicates, 1)))
+                # exact path: cache-resident chunks (see gen_exact above);
+                # f32 path keeps the historical chunking — its partition-
+                # seeded stream assignment depends on chunk boundaries
+                cells = 500_000 if exact else 4_000_000
+                chunk = max(1, int(cells / max(n_replicates, 1)))
                 for lo in range(0, X.shape[0], chunk):
                     Xs = X[lo : lo + chunk]
                     if exact:
                         w = _poisson1_weights_exact(H[lo : lo + chunk], n_replicates)
-                        nan_mask = np.isnan(Xs)
-                        Xz = np.where(nan_mask, 0.0, Xs)
-                        wx = w.T @ Xz
-                        wn = w.T @ (~nan_mask).astype("float64")
                     else:
                         w = _poisson1_weights(rng, (Xs.shape[0], n_replicates))
-                        nan_mask = np.isnan(Xs)
-                        Xz = np.where(nan_mask, np.float32(0.0), Xs)
+                    nan_mask = np.isnan(Xs)
+                    if nan_mask.any():
+                        zero = 0.0 if exact else np.float32(0.0)
+                        Xz = np.where(nan_mask, zero, Xs)
                         wx = w.T @ Xz
-                        wn = w.T @ (~nan_mask).astype("float32")
-                    for j, c in enumerate(cols):
-                        acc_wx[g][c] += wx[:, j]
-                        acc_w[g][c] += wn[:, j]
+                        wn = w.T @ (~nan_mask).astype(w.dtype)
+                        for j, c in enumerate(cols):
+                            acc_wx[g][c] += wx[:, j]
+                            acc_w[g][c] += wn[:, j]
+                    else:
+                        # NULL-free chunk: denominator == replicate weight
+                        # sums (exact — small-integer weights), one gemm
+                        wx = w.T @ Xs
+                        ws = w.sum(axis=0, dtype="float64")
+                        for j, c in enumerate(cols):
+                            acc_wx[g][c] += wx[:, j]
+                            acc_w[g][c] += ws
         out = []
         for g in acc_wx:
             for c in cols:

@@ -1525,11 +1525,12 @@ def cosine_topk_ivf(
     # set is bounded (the retrieval-eval regime); "join" keeps the query
     # side fully distributed and joins vectors onto candidates — the path
     # for corpus-sized query sets. "auto" counts the queries (one cheap
-    # job) and picks by QUERY_BROADCAST_BUDGET.
+    # job) and picks by QUERY_BROADCAST_BUDGET. The count runs on the
+    # PRE-probe projection (1:1 with the probed rows): Catalyst prunes
+    # every column out of a bare count, so the centroid-distance
+    # expressions never execute for the probe job (r11 verdict item 2).
     if query_regime == "auto":
-        regime = (
-            "closure" if probed.count() <= query_broadcast_budget else "join"
-        )
+        regime = "closure" if q.count() <= query_broadcast_budget else "join"
     else:
         regime = query_regime
     probes = probed.select("query_id", F.explode("__cids").alias("centroid_id"))
@@ -2335,10 +2336,10 @@ def query_ivf_index(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
     ).withColumn("__qn", _norm(F.col("__qv")))
     probed_df = with_nearest_centroids(q, "__qv", "__qn", entries, nprobe, "__cids")
+    # regime probe counts the pre-assignment projection — 1:1 row count,
+    # zero centroid-distance work (r11 verdict item 2)
     if query_regime == "auto":
-        regime = (
-            "closure" if probed_df.count() <= query_broadcast_budget else "join"
-        )
+        regime = "closure" if q.count() <= query_broadcast_budget else "join"
     else:
         regime = query_regime
     probes = probed_df.select("query_id", F.explode("__cids").alias("centroid_id"))

@@ -141,8 +141,14 @@ def _bs_weight_cells(base_cols: str) -> str:
 def _bootstrap_sql() -> str:
     xs = ", ".join(f"{c}::DOUBLE AS x{j}" for j, c in enumerate(_BS_COLS))
     xcols = ", ".join(f"x{j}" for j in range(len(_BS_COLS)))
+    # denominator weights are FILTERED to non-null x, mirroring the
+    # engine's NaN-exclusion (gen_exact drops NaN rows from BOTH the
+    # numerator and the weight sum via w.T @ ~nan_mask) — identical on
+    # this non-null corpus, and no longer latently divergent on a
+    # nullable column (r11 ADVICE, low)
     rms = ", ".join(
-        f"sum(w * x{j}) / sum(w) AS m{j}" for j in range(len(_BS_COLS))
+        f"sum(w * x{j}) / sum(CASE WHEN x{j} IS NOT NULL THEN w END) AS m{j}"
+        for j in range(len(_BS_COLS))
     )
     long = "\n  UNION ALL ".join(
         f"SELECT '{c}' AS column_name, m{j} AS rm FROM rmeans"
@@ -175,7 +181,9 @@ WITH base AS (
   FROM documents),
 reps AS (SELECT unnest(range({_BS_REPS}))::UBIGINT AS r),
 cells AS ({_bs_weight_cells("lang, x0")}),
-rmeans AS (SELECT lang, r, sum(w * x0) / sum(w) AS rm FROM cells GROUP BY lang, r)
+rmeans AS (SELECT lang, r,
+                  sum(w * x0) / sum(CASE WHEN x0 IS NOT NULL THEN w END) AS rm
+           FROM cells GROUP BY lang, r)
 SELECT lang, 'n_chars' AS column_name,
        round(avg(rm), 4) AS mean_estimate,
        round(stddev_pop(rm), 4) AS std_estimate,
@@ -274,7 +282,15 @@ def _fa_em_cte() -> str:
     fin(w, psi) — the converged model."""
     P, K = _FA_P, _FA_K
     xs = [f"x{j}" for j in range(P)]
-    sel_cols = ", ".join(f"{c}::DOUBLE AS x{j}" for j, c in enumerate(_FA_COLS))
+    # median imputation mirrors the engine (fit_on_sample fits on
+    # df.na.fill(exact interpolated medians); attach_factor_scores imputes
+    # the same values) — identical on this non-null corpus, and no longer
+    # latently divergent on a nullable column (r11 ADVICE, low)
+    sel_cols = ", ".join(
+        f"coalesce({c}::DOUBLE, (SELECT median({c}::DOUBLE) FROM lineitem))"
+        f" AS x{j}"
+        for j, c in enumerate(_FA_COLS)
+    )
     # population covariance of the fit subset, two-pass centered
     s_elems = ", ".join(
         f"avg((f.x{a} - fm.m{a}) * (f.x{b} - fm.m{b}))"
@@ -387,7 +403,12 @@ def _fa_scores_sql() -> str:
         " + ".join(f"wpf[{j * K + l + 1}]*gf[{b * K + l + 1}]" for l in range(K))
         for j in range(P) for b in range(K)
     )
-    fsel = ", ".join(f"{c}::DOUBLE AS x{j}" for j, c in enumerate(_FA_COLS))
+    # same median-imputation mirror as the fitset CTE (see _fa_em_cte)
+    fsel = ", ".join(
+        f"coalesce({c}::DOUBLE, (SELECT median({c}::DOUBLE) FROM lineitem))"
+        f" AS x{j}"
+        for j, c in enumerate(_FA_COLS)
+    )
     fstats = "count(*) AS n, " + ", ".join(f"avg(x{j}) AS fm{j}" for j in range(P))
     # full-table population covariance, two-pass centered
     fcov = ", ".join(
