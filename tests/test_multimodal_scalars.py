@@ -449,3 +449,33 @@ def test_avi_spark_roundtrip_frames(spark):
     meta = {r["media_id"]: r for r in media.collect()}
     assert meta[1]["media_type"] == "video" and meta[1]["format"] == "avi"
     assert meta[1]["duration_ms"] == 120 and meta[3]["duration_ms"] == 0
+
+
+def test_pixel_block_features_hand_computed(spark):
+    """Block-mean features from REAL decoded pixels match hand arithmetic:
+    an 8x8 ramp image through encode->decode->4x4 grid must produce
+    mean(block)/255 per 2x2 block; a width smaller than the grid drops the
+    empty column blocks instead of emitting NaN."""
+    import numpy as np
+
+    px8 = list(range(64))  # ramp: pixel i = i
+    rows = [(1, px8, 8, 8), (2, [10, 20, 30, 40, 50, 60], 3, 2)]
+    df = spark.createDataFrame(rows, "media_id long, px array<int>, w int, h int")
+    media = MM.encode_png_images(df, "media_id", "px", "w", "h")
+    out = MM.pixel_block_features(media, 4, 4).collect()
+
+    got = {(r["media_id"], r["block"]): r["feat"] for r in out}
+    pix = np.arange(64, dtype=np.float64).reshape(8, 8)
+    for br in range(4):
+        for bc in range(4):
+            blk = pix[br * 2 : br * 2 + 2, bc * 2 : bc * 2 + 2]
+            assert got[(1, br * 4 + bc)] == blk.mean() / 255.0
+    # image 2: w=3 < grid 4 -> column boundaries (0,0,1,2,3): the first
+    # column block is empty for every band and must be absent
+    img2_blocks = sorted(b for (m, b) in got if m == 2)
+    assert all(b % 4 != 0 for b in img2_blocks)
+    # h=2 with grid 4 -> row boundaries (0,0,0,1,1,2): bands 1 and 3 are
+    # the non-empty ones (rows 0 and 1 respectively)
+    assert img2_blocks == [5, 6, 7, 13, 14, 15]
+    # spot value: block 5 = row band 1 (row 0) x col band 1 (col 0) -> px 10
+    assert got[(2, 5)] == 10 / 255.0

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -207,6 +208,59 @@ def extract_features(df: DataFrame, dim: int = _FEATURE_DIM) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+BLOCK_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("block", IntegerType()),
+        StructField("feat", DoubleType()),
+    ]
+)
+
+
+def pixel_block_features(df: DataFrame, grid_h: int = 4, grid_w: int = 4) -> DataFrame:
+    """REAL content-derived feature extraction (the r11 stub retired): each
+    PNG payload is decoded (inflate + unfilter via ``png_decode_gray``) and
+    reduced to a ``grid_h x grid_w`` grid of mean block intensities in
+    [0, 1] — the classic tiny-thumbnail visual descriptor, emitted
+    LONG-form (media_id, block, feat) so an engine-agnostic oracle can
+    replay it arithmetically from the pixel formula. Blocks partition the
+    image by integer boundaries (``r*h//grid_h``), so any image size maps
+    onto the fixed-dim grid. Undecodable payloads are dropped (quarantine
+    sink in production). One Arrow pass, embarrassingly parallel — at
+    100 TB this is a decode-bound map stage, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "width", "height", "block", "feat")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                dec = png_decode_gray(payload)
+                if dec is None:
+                    continue
+                w, h, gray = dec
+                for br in range(grid_h):
+                    r0, r1 = br * h // grid_h, (br + 1) * h // grid_h
+                    for bc in range(grid_w):
+                        c0, c1 = bc * w // grid_w, (bc + 1) * w // grid_w
+                        block = gray[r0:r1, c0:c1]
+                        if block.size == 0:
+                            continue
+                        out["media_id"].append(mid)
+                        out["width"].append(w)
+                        out["height"].append(h)
+                        out["block"].append(br * grid_w + bc)
+                        # sum/size in float64 then /255 — the same op order
+                        # an avg-based SQL replay computes
+                        out["feat"].append(
+                            float(block.astype(np.float64).sum() / block.size / 255.0)
+                        )
+            if out["media_id"]:
+                yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=BLOCK_FEATURE_SCHEMA)
 
 
 def resize(df: DataFrame, max_side: int = 32) -> DataFrame:

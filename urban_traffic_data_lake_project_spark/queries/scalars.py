@@ -237,7 +237,9 @@ FROM documents
 # The oracle computes both arithmetically from the same pixel formula —
 # any codec error (filter math, bit order, sign handling) hash-mismatches.
 # ---------------------------------------------------------------------------
-def _pixel_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _encoded_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media rows carrying genuine PNG payloads (shared by the pixel,
+    near-dup, phash, and block-feature queries)."""
     from urban_traffic_data_lake_project_spark.sources import spread_to_parallelism
 
     # the codec stages are CPU-bound Python; never let a single-file
@@ -261,8 +263,11 @@ def _pixel_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = docs.select(
         "doc_id", pixels.alias("px"), F.lit(8).alias("w"), F.lit(8).alias("h")
     )
-    media = MM.encode_png_images(imgs, "doc_id", "px", "w", "h")
-    return MM.decode_png_pixels(media)
+    return MM.encode_png_images(imgs, "doc_id", "px", "w", "h")
+
+
+def _pixel_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.decode_png_pixels(_encoded_media(spark, sf_dir))
 
 
 def _mm_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -660,16 +665,43 @@ WHERE w[i] = '{_UDTF_KEYWORD}'
 
 
 # ---------------------------------------------------------------------------
-# multimodal_features — stubbed decode + deterministic fake features
-# (rows-only: the feature bytes come from a Python-side RNG)
+# multimodal_features — REAL decode -> content-derived features, STRICT
+# (r11 verdict item 8: the stub retired). The engine encodes the shared
+# deterministic 8x8 images as genuine PNGs, decodes the payload bytes back
+# (inflate + unfilter), and extracts a 4x4 grid of mean block intensities —
+# a real tiny-thumbnail visual descriptor computed from decoded PIXELS, not
+# a payload-hash fake. The oracle replays the block means arithmetically
+# from the same pixel formula: any codec or feature-math divergence
+# hash-mismatches.
 # ---------------------------------------------------------------------------
+_MM_FEAT_GRID = 4
+
+
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    feats = MM.pixel_block_features(
+        _encoded_media(spark, sf_dir), _MM_FEAT_GRID, _MM_FEAT_GRID
     )
-    media = MM.ingest_binary(docs, "doc_id", "payload", "image", "png")
-    media = MM.decode_metadata(media)
-    return MM.extract_features(media)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "block",
+        F.round("feat", ROUND_STAT).alias("feat"),
+    )
+
+
+# 8x8 image, 4x4 grid -> 2x2 blocks: block = (row//2)*4 + col//2,
+# feat = sum(pv)/4/255 — identical op order to the numpy side
+_MM_FEATURES_SQL = f"""
+WITH {_PIXEL_CTES},
+blk AS (
+  SELECT doc_id, ((i // 8) // 2) * {_MM_FEAT_GRID} + ((i % 8) // 2) AS block, pv
+  FROM px),
+f AS (SELECT doc_id, block, sum(pv) / 4.0 / 255.0 AS feat FROM blk GROUP BY 1, 2)
+SELECT doc_id AS media_id, 8 AS width, 8 AS height, block::INT AS block,
+       round(feat, {ROUND_STAT}) AS feat
+FROM f
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -786,5 +818,5 @@ REGISTRY: dict[str, QuerySpec] = {
         "real AVI container walk: per-frame byte sizes + start offsets",
         ("multimodal", "video", "defer"),
     ),
-    "multimodal_features": QuerySpec(_mm_features, None, "stub decode + fake features via mapInPandas", ("multimodal",)),
+    "multimodal_features": QuerySpec(_mm_features, _MM_FEATURES_SQL, "real PNG decode -> 4x4 mean-block-intensity features", ("multimodal",)),
 }
