@@ -200,6 +200,50 @@ def main() -> None:
 
     run_case("multitouch_attribution_skew", n3b, multitouch_skew)
 
+    # 3c. the r11-born analytics at 20M events (r11 verdict item 6): each
+    # reduces row-scale input to a BOUNDED intermediate before any
+    # ordered/pairwise stage — survival KM to the duration-grain risk
+    # table (<= hours-of-history rows), Theil-Sen to the day grain
+    # (days^2/2 pairs, ~435 at 30 days), split-conformal to six
+    # whole-data agg passes + one percentile. The skewed-user synth
+    # reuses the 3b whale (1% of events on one user).
+    def survival_km_skew():
+        from urban_traffic_data_lake_project_spark.queries.analytics import (
+            survival_km,
+        )
+
+        return survival_km(synth_events_skewed(n3b))
+
+    run_case("survival_km_skew", n3b, survival_km_skew)
+
+    def theilsen_20m():
+        from urban_traffic_data_lake_project_spark.queries.analytics import (
+            theilsen_trend,
+        )
+
+        return theilsen_trend(synth_events(spark, n3b))
+
+    run_case("theilsen_trend", n3b, theilsen_20m)
+
+    def conformal_20m():
+        from urban_traffic_data_lake_project_spark.queries.analytics import (
+            conformal_interval,
+        )
+
+        data = spark.range(n3b).select(
+            (
+                (F.pmod(F.xxhash64("id"), F.lit(10_000)) / 100.0)
+                + (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(50)))
+                + (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1000)) / 1000.0)
+            ).alias("y"),
+            (F.pmod(F.xxhash64("id"), F.lit(10_000)) / 100.0).alias("x1"),
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(50)).cast("double").alias("x2"),
+            F.pmod(F.xxhash64("id", F.lit(3)), F.lit(4)).alias("__s"),
+        )
+        return conformal_interval(data)
+
+    run_case("conformal_interval", n3b, conformal_20m)
+
     # 4. MinHash-LSH near-dedup at 200k docs (true near-dups present)
     n4 = int(200_000 * s)
 

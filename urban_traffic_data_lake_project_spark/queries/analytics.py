@@ -864,8 +864,8 @@ GROUP BY p.b0, p.b1, p.b2
 _KM_HOUR_US = 3_600_000_000.0
 
 
-def _survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+def survival_km(ev: DataFrame) -> DataFrame:
+    """DataFrame-parametrized KM estimator (stress harness entry)."""
     firsts = ev.groupBy("user_id").agg(
         F.min("ts").alias("t0"),
         F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
@@ -910,6 +910,10 @@ def _survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t", "n_at_risk", F.col("d").alias("d_events"),
         F.round("__s", ROUND_STAT).alias("survival"),
     )
+
+
+def _survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return survival_km(load_table(spark, sf_dir, "events"))
 
 
 _KM_SQL = f"""
@@ -961,16 +965,11 @@ def _conformal_split(col):
     return F.pmod(stable_hash64(col, salt="cf|"), F.lit(4))
 
 
-def _conformal_interval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def conformal_interval(data: DataFrame) -> DataFrame:
+    """DataFrame-parametrized split-conformal pipeline (stress harness
+    entry): ``data`` carries (y, x1, x2, __s) with __s in 0..3."""
     from urban_traffic_data_lake_project_spark.operators.stats import huber_irls
 
-    li = load_table(spark, sf_dir, "lineitem")
-    data = li.select(
-        (F.col("l_extendedprice") / 1000.0).alias("y"),
-        F.col("l_quantity").cast("double").alias("x1"),
-        F.col("l_discount").cast("double").alias("x2"),
-        _conformal_split(F.concat_ws("|", "l_orderkey", "l_linenumber")).alias("__s"),
-    )
     train = data.filter(F.col("__s") <= 1)
     beta = huber_irls(train, "y", ["x1", "x2"], delta=_HUBER_DELTA, iters=_HUBER_ITERS)
     b = [F.lit(x) for x in beta]
@@ -986,6 +985,20 @@ def _conformal_interval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.avg((resid <= F.col("qhat")).cast("double")), ROUND_STAT
             ).alias("coverage"),
+        )
+    )
+
+
+def _conformal_interval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return conformal_interval(
+        li.select(
+            (F.col("l_extendedprice") / 1000.0).alias("y"),
+            F.col("l_quantity").cast("double").alias("x1"),
+            F.col("l_discount").cast("double").alias("x2"),
+            _conformal_split(
+                F.concat_ws("|", "l_orderkey", "l_linenumber")
+            ).alias("__s"),
         )
     )
 
@@ -1030,8 +1043,8 @@ GROUP BY q.qhat
 # (<= ~31 rows -> <= 465 pairs at this corpus; at any horizon it is
 # days-of-history-squared, never row-scale). Slopes are in events/day.
 # ---------------------------------------------------------------------------
-def _theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+def theilsen_trend(ev: DataFrame) -> DataFrame:
+    """DataFrame-parametrized Theil-Sen + OLS (stress harness entry)."""
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
         F.count(F.lit(1)).cast("double").alias("n")
     )
@@ -1054,6 +1067,10 @@ def _theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("__ts", 4).alias("theilsen_slope"),
         F.round("__ols", 4).alias("ols_slope"),
     )
+
+
+def _theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return theilsen_trend(load_table(spark, sf_dir, "events"))
 
 
 _THEILSEN_SQL = """
