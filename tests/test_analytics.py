@@ -767,3 +767,41 @@ def test_seasonal_anomalies_flags_injected_spike(spark, sf_dir):
     top = out[0]
     assert top["rank"] == 1 and top["event_type"] == "view", out[:3]
     assert top["hour_ts"] == spike_hour and top["n"] >= 800 and top["z"] > 10
+
+
+def test_funnel_min_ts_sequencing_hand_computed(spark):
+    """Ordered funnel semantics pinned by hand: a purchase BEFORE the
+    user's first qualifying click must not convert; inter-step hours are
+    exact integer-microsecond sums divided once."""
+    import datetime as dtm
+
+    from urban_traffic_data_lake_project_spark.queries.analytics import funnel_steps
+
+    t0 = dtm.datetime(2024, 1, 1, 0, 0)
+
+    def ev(eid, h, u, t):
+        return (eid, t0 + dtm.timedelta(hours=h), u, t, 1.0)
+
+    rows = [
+        # u1: full ordered funnel view(0) -> click(2) -> purchase(5)
+        ev(1, 0, 1, "view"), ev(2, 2, 1, "click"), ev(3, 5, 1, "purchase"),
+        # u2: purchase BEFORE the click -> reaches click only
+        ev(4, 0, 2, "view"), ev(5, 3, 2, "purchase"), ev(6, 4, 2, "click"),
+        # u3: click before the first view -> stops at view
+        ev(7, 2, 3, "click"), ev(8, 3, 3, "view"),
+        # u4: never views -> not even step 1
+        ev(9, 1, 4, "click"), ev(10, 2, 4, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r["step"]: r for r in funnel_steps(df).collect()}
+    assert out["view"]["n_users"] == 3          # u1, u2, u3
+    assert out["click"]["n_users"] == 2         # u1 (h2), u2 (h4)
+    assert out["purchase"]["n_users"] == 1      # u1 only
+    assert out["click"]["conv_rate"] == round(2 / 3, 6)
+    assert out["purchase"]["conv_rate"] == 0.5
+    # click latency: u1 2h, u2 4h -> mean 3h; purchase latency u1: 5-2=3h
+    assert out["click"]["avg_hours_from_prev"] == 3.0
+    assert out["purchase"]["avg_hours_from_prev"] == 3.0
+    assert out["view"]["conv_rate"] is None

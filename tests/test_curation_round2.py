@@ -918,3 +918,40 @@ def test_keep_best_picks_max_quality_member(spark, sf_dir):
         if -want_id != min(i for _, i in mem):
             diverges += 1
     assert diverges > 0  # keep-best actually differs from keep-first here
+
+
+def test_quantile_kmv_sample_is_deterministic_and_mergeable(spark):
+    """The hash-rank sample behind sketch_quantile_kmv: the k smallest
+    hashes of a union equal the merge of per-half k-smallest sets (the
+    KMV property that makes the sketch distributable), and the sample —
+    hence the quantile estimate — is partitioning-independent."""
+    from urban_traffic_data_lake_project_spark.functions import stable_hash64
+
+    df = spark.range(0, 5000).select(
+        F.col("id"), stable_hash64(F.col("id").cast("string"), salt="qs|").alias("h")
+    )
+    k = 64
+    full = [r["id"] for r in df.orderBy("h").limit(k).collect()]
+    lo = df.filter(F.col("id") < 2500).orderBy("h").limit(k)
+    hi = df.filter(F.col("id") >= 2500).orderBy("h").limit(k)
+    merged = [r["id"] for r in lo.union(hi).orderBy("h").limit(k).collect()]
+    assert full == merged
+    repart = [
+        r["id"] for r in df.repartition(13).orderBy("h").limit(k).collect()
+    ]
+    assert full == repart
+
+
+def test_quantile_kmv_estimate_error_bounded(spark):
+    """On a known uniform distribution the k=1024 hash sample's median
+    estimate lands within a few percent of truth (~1/sqrt(k))."""
+    from urban_traffic_data_lake_project_spark.functions import stable_hash64
+
+    n = 100_000
+    df = spark.range(0, n).select(
+        F.col("id").cast("double").alias("x"),
+        stable_hash64(F.col("id").cast("string"), salt="qs|").alias("h"),
+    )
+    samp = df.orderBy("h").limit(1024)
+    est = samp.agg(F.percentile("x", 0.5).alias("m")).first()["m"]
+    assert abs(est - n / 2) / (n / 2) < 0.10

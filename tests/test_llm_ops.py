@@ -1374,3 +1374,40 @@ def test_ivf_auto_probe_counts_pre_assignment_projection(spark, sf_dir, tmp_path
     S.query_ivf_index(spark, d, q, k=5, nprobe=4, query_regime="auto").collect()
     assert counted, "persisted-index auto regime must count the query side once"
     assert all("__cids" not in p for p in counted)
+
+
+def test_repetition_ngram_signals_hand_computed(spark):
+    """Char-fraction + higher-n repetition family pinned by hand."""
+    docs = [
+        # 4 lines, 'aaaa bbbb' repeated 3x (9 chars each), 'x' once:
+        # line chars = 27 + 1 = 28, distinct = 9 + 1 = 10 -> dup 18/28.
+        # tokens: [aaaa,bbbb,aaaa,bbbb,aaaa,bbbb,x] n=7; top trigram
+        # 'aaaa bbbb aaaa' (x2) -> share 6/7; 5-grams: 3 total, all
+        # distinct -> dup 0... check engine against exactly this math
+        (1, "aaaa bbbb\naaaa bbbb\naaaa bbbb\nx"),
+        # pure prose, no repetition
+        (2, "the quick brown fox jumps over a lazy dog"),
+        # phrase-grain repetition: same 5 tokens repeated 3x -> 11
+        # 5-grams, 3 occurrences of 'p q r s t' etc.
+        (3, " ".join(["p q r s t"] * 3)),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sig = T.repetition_ngram_signals(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            sig["dup_line_char_frac"].alias("dl"),
+            sig["top_trigram_share"].alias("t3"),
+            sig["dup_5gram_frac"].alias("d5"),
+        ).collect()
+    }
+    assert out[1]["dl"] == 18 / 28
+    assert out[1]["t3"] == 3 * 2 / 7
+    assert out[1]["d5"] == 0.0
+    assert out[2]["dl"] == 0.0 and out[2]["d5"] == 0.0
+    # doc 3: 15 tokens -> 11 5-grams; the cyclic repeat yields 5 distinct
+    # windows ('p q r s t','q r s t p',...) -> dup frac = 6/11
+    assert out[3]["d5"] == 6 / 11
+    # top trigram 'p q r' occurs 3x -> 9/15
+    assert out[3]["t3"] == 9 / 15

@@ -156,6 +156,9 @@ PLAN_ANNOTATIONS: dict[str, dict[str, str]] = {
         )
     },
     "ml_conformal_interval": {"BroadcastNestedLoopJoin": _SCALAR_ATTACH},
+    # the funnel combines THREE one-row step aggregates (n1 / n2,us2 /
+    # n3,us3) before the 3-row explode — pure scalar attaches
+    "events_funnel": {"BroadcastNestedLoopJoin": _SCALAR_ATTACH},
     "events_theilsen_trend": {
         "BroadcastNestedLoopJoin": (
             "the Theil-Sen pairwise (da < db) self-join runs over the "

@@ -165,6 +165,89 @@ def repetition_signals(text: Column) -> dict[str, Column]:
     }
 
 
+def repetition_ngram_signals(text: Column) -> dict[str, Column]:
+    """The CHAR-fraction / higher-n repetition family (Gopher-inspired,
+    r12) — the signals that catch templated text the count-based
+    ``repetition_signals`` ratios miss (a doc whose few duplicate lines
+    are very LONG, or whose repetition lives at phrase rather than bigram
+    grain):
+
+    - ``dup_line_char_frac``: fraction of line CHARACTERS belonging to
+      repeat occurrences of a line (total line chars minus chars of the
+      distinct line set, over total) — the Gopher "duplicate line
+      character fraction".
+    - ``top_trigram_share``: fraction of tokens covered by occurrences of
+      the most frequent word TRIGRAM (3 * top count / tokens).
+    - ``dup_5gram_frac``: fraction of word 5-gram occurrences that are
+      repeats (1 - distinct/total) — phrase-grain self-similarity.
+
+    All pure Catalyst array expressions — one projection, no shuffle, no
+    Python, same scale posture as ``repetition_signals``. The trigram max
+    count reuses the sorted equal-run fold (O(n log n) per row, no
+    corpus-wide shuffle)."""
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    chars = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    lc = chars(lines)
+    lcd = chars(F.array_distinct(lines))
+    dup_line_char_frac = F.when(
+        lc > 0, (lc - lcd).cast("double") / lc
+    ).otherwise(F.lit(0.0))
+
+    toks = F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda x: x != "")
+    n = F.size(toks)
+    n3 = F.greatest(n - 2, F.lit(0))
+    tri = F.zip_with(
+        F.zip_with(
+            F.slice(toks, 1, n3),
+            F.slice(toks, 2, n3),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        F.slice(toks, 3, n3),
+        lambda ab, c: F.concat(ab, F.lit(" "), c),
+    )
+
+    def _run(acc: Column, x: Column) -> Column:
+        return F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+
+    top3 = F.aggregate(
+        F.array_sort(tri),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            _run(acc, x).alias("run"),
+            F.greatest(acc["best"], _run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    top_trigram_share = F.when(
+        n >= 3, (3.0 * top3.cast("double")) / n
+    ).otherwise(F.lit(0.0))
+
+    n5 = F.greatest(n - 4, F.lit(0))
+    g5 = F.transform(
+        F.sequence(F.lit(1), n5),
+        lambda i: F.array_join(F.slice(toks, i, 5), " "),
+    )
+    dup_5gram_frac = F.when(
+        n >= 5,
+        (n5 - F.size(F.array_distinct(g5))).cast("double") / n5,
+    ).otherwise(F.lit(0.0))
+    return {
+        "dup_line_char_frac": dup_line_char_frac,
+        "top_trigram_share": top_trigram_share,
+        "dup_5gram_frac": dup_5gram_frac,
+    }
+
+
 def quality_signals(text: Column) -> dict[str, Column]:
     """The classic cheap quality signals, one projection pass:
     - n_chars, n_tokens

@@ -1073,6 +1073,119 @@ def _theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theilsen_trend(load_table(spark, sf_dir, "events"))
 
 
+# ---------------------------------------------------------------------------
+# events_funnel — ordered conversion funnel (r12): view -> click ->
+# purchase, where each step must occur AT OR AFTER the user's previous
+# step time (min-ts sequencing, the standard product-analytics funnel
+# semantics — a purchase before the first view does not convert). Three
+# map-side-combinable per-user aggregations chained by equi-joins on
+# user_id; every joined frame is ALREADY user-grain (<= one row per
+# user), so no row-scale shuffle ever carries raw events past its own
+# first groupBy — the shape that survives 100 TB. Inter-step latency is
+# summed in exact integer microseconds and divided once, so the double
+# math is order-independent across engines.
+# ---------------------------------------------------------------------------
+_FUNNEL_HOUR_US = 3_600_000_000.0
+
+
+def funnel_steps(ev: DataFrame) -> DataFrame:
+    """DataFrame-parametrized funnel (stress harness entry)."""
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2.select("user_id", "t2"), "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id", "t2")
+        .agg(F.min("ts").alias("t3"))
+    )
+    a1 = s1.agg(F.count(F.lit(1)).alias("n1"))
+    a2 = s2.agg(
+        F.count(F.lit(1)).alias("n2"),
+        F.sum(F.unix_micros("t2") - F.unix_micros("t1")).alias("us2"),
+    )
+    a3 = s3.agg(
+        F.count(F.lit(1)).alias("n3"),
+        F.sum(F.unix_micros("t3") - F.unix_micros("t2")).alias("us3"),
+    )
+    combo = a1.crossJoin(F.broadcast(a2)).crossJoin(F.broadcast(a3))
+    hrs = lambda us, n: F.round(  # noqa: E731
+        us.cast("double") / n / F.lit(_FUNNEL_HOUR_US), ROUND_STAT
+    )
+    rate = lambda a, b: F.round(a.cast("double") / b, ROUND_STAT)  # noqa: E731
+    step = lambda name, idx, n, conv, h: F.struct(  # noqa: E731
+        F.lit(name).alias("step"),
+        F.lit(idx).alias("step_idx"),
+        n.cast("long").alias("n_users"),
+        conv.alias("conv_rate"),
+        h.alias("avg_hours_from_prev"),
+    )
+    null_d = F.lit(None).cast("double")
+    rows = F.array(
+        step("view", 1, F.col("n1"), null_d, null_d),
+        step(
+            "click", 2, F.col("n2"),
+            F.when(F.col("n1") > 0, rate(F.col("n2"), F.col("n1"))),
+            F.when(F.col("n2") > 0, hrs(F.col("us2"), F.col("n2"))),
+        ),
+        step(
+            "purchase", 3, F.col("n3"),
+            F.when(F.col("n2") > 0, rate(F.col("n3"), F.col("n2"))),
+            F.when(F.col("n3") > 0, hrs(F.col("us3"), F.col("n3"))),
+        ),
+    )
+    return combo.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def _events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel_steps(load_table(spark, sf_dir, "events"))
+
+
+_FUNNEL_SQL = f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, s1.t1, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1, 2),
+s3 AS (
+  SELECT e.user_id, s2.t2, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1, 2),
+a1 AS (SELECT count(*)::BIGINT AS n1 FROM s1),
+a2 AS (SELECT count(*)::BIGINT AS n2,
+              sum(epoch_us(t2) - epoch_us(t1)) AS us2 FROM s2),
+a3 AS (SELECT count(*)::BIGINT AS n3,
+              sum(epoch_us(t3) - epoch_us(t2)) AS us3 FROM s3)
+SELECT 'view' AS step, 1 AS step_idx, n1 AS n_users,
+       NULL::DOUBLE AS conv_rate, NULL::DOUBLE AS avg_hours_from_prev
+FROM a1
+UNION ALL
+SELECT 'click', 2, n2,
+       CASE WHEN n1 > 0 THEN round(n2::DOUBLE / n1, {ROUND_STAT}) END,
+       CASE WHEN n2 > 0
+            THEN round(us2::DOUBLE / n2 / {_FUNNEL_HOUR_US!r}, {ROUND_STAT}) END
+FROM a2, a1
+UNION ALL
+SELECT 'purchase', 3, n3,
+       CASE WHEN n2 > 0 THEN round(n3::DOUBLE / n2, {ROUND_STAT}) END,
+       CASE WHEN n3 > 0
+            THEN round(us3::DOUBLE / n3 / {_FUNNEL_HOUR_US!r}, {ROUND_STAT}) END
+FROM a3, a2
+"""
+
+
 _THEILSEN_SQL = """
 WITH daily AS (
   SELECT ts::DATE AS d, count(*)::DOUBLE AS n FROM events GROUP BY 1),
@@ -2383,6 +2496,11 @@ REGISTRY: dict[str, QuerySpec] = {
         _survival_km, _KM_SQL,
         "Kaplan-Meier churn survival curve: product-limit estimator over the duration-grain risk table",
         ("analytics", "window", "survival"),
+    ),
+    "events_funnel": QuerySpec(
+        _events_funnel, _FUNNEL_SQL,
+        "ordered view->click->purchase funnel: min-ts sequencing, per-step conversion + exact-microsecond mean latency",
+        ("analytics", "join"),
     ),
     "events_attribution_multitouch": QuerySpec(
         _events_attribution_multitouch, _MTA_SQL,

@@ -1526,6 +1526,107 @@ FROM est, exact
 
 
 # ---------------------------------------------------------------------------
+# sketch_quantile_kmv — quantile estimation from a HASH-RANK sample (r12):
+# the k rows with the smallest stable_hash64 of the row key are a uniform,
+# DETERMINISTIC, and MERGEABLE sample (k smallest of a union = merge of
+# the per-partition k-smallest sets — the KMV property), so per-column
+# quantiles over that bounded sample estimate the corpus quantiles with
+# ~1/sqrt(k) error while touching ONE TakeOrdered pass of (hash, cols)
+# instead of the full-sort / full-buffer exact machinery. The query emits
+# the sample estimate NEXT TO the exact shared-pass quantile (the
+# gini_sketch exact-reference pattern) with the abs error, and the oracle
+# replays both — the sample is bit-identical by construction (same md5
+# rank order), the exact side via quantile_cont.
+# At 100 TB: TakeOrdered keeps k rows per partition then merges on the
+# driver — bytes moved are O(k * partitions), zero shuffle of the corpus.
+# ---------------------------------------------------------------------------
+_QS_COLS = ("l_extendedprice", "l_quantity")
+_QS_PS = (0.25, 0.5, 0.75, 0.95)
+_QS_K = 1024
+_QS_KEY_SQL = "'qs|' || l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR"
+
+
+def _quantile_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urban_traffic_data_lake_project_spark.operators.stats import (
+        exact_column_quantiles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws("|", "l_orderkey", "l_linenumber")
+    samp = (
+        li.select(
+            stable_hash64(key, salt="qs|").alias("__h"),
+            *[F.col(c).cast("double").alias(c) for c in _QS_COLS],
+        )
+        .orderBy("__h")
+        .limit(_QS_K)
+    )
+    aggs = samp.agg(
+        *[
+            F.percentile(F.col(c), F.lit(p)).alias(f"__{c}_{i}")
+            for c in _QS_COLS
+            for i, p in enumerate(_QS_PS)
+        ]
+    )
+    exact = exact_column_quantiles(
+        li.select(*[F.col(c).cast("double").alias(c) for c in _QS_COLS]),
+        list(_QS_COLS),
+        list(_QS_PS),
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.lit(p).alias("p"),
+                F.round(F.col(f"__{c}_{i}"), ROUND_STAT).alias("sample_q"),
+                F.round(F.lit(float(exact[c][i])), ROUND_STAT).alias("exact_q"),
+                F.round(
+                    F.abs(F.col(f"__{c}_{i}") - F.lit(float(exact[c][i]))),
+                    ROUND_STAT,
+                ).alias("abs_err"),
+            )
+            for c in _QS_COLS
+            for i, p in enumerate(_QS_PS)
+        ]
+    )
+    return aggs.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def _quantile_kmv_sql() -> str:
+    cs = ", ".join(
+        f"{c}::DOUBLE AS c{j}" for j, c in enumerate(_QS_COLS)
+    )
+    sq = ", ".join(
+        f"quantile_cont(c{j}, {p!r}) AS s{j}_{i}"
+        for j in range(len(_QS_COLS))
+        for i, p in enumerate(_QS_PS)
+    )
+    eq = ", ".join(
+        f"quantile_cont({c}::DOUBLE, {p!r}) AS e{j}_{i}"
+        for j, c in enumerate(_QS_COLS)
+        for i, p in enumerate(_QS_PS)
+    )
+    outs = "\nUNION ALL ".join(
+        f"SELECT '{c}' AS column_name, {p!r} AS p, "
+        f"round(s{j}_{i}, {ROUND_STAT}) AS sample_q, "
+        f"round(e{j}_{i}, {ROUND_STAT}) AS exact_q, "
+        f"round(abs(s{j}_{i} - e{j}_{i}), {ROUND_STAT}) AS abs_err "
+        f"FROM s, e"
+        for j, c in enumerate(_QS_COLS)
+        for i, p in enumerate(_QS_PS)
+    )
+    return f"""
+WITH src AS (
+  SELECT ('0x' || substr(md5({_QS_KEY_SQL}), 1, 15))::UBIGINT AS h, {cs}
+  FROM lineitem),
+samp AS (SELECT * FROM src ORDER BY h LIMIT {_QS_K}),
+s AS (SELECT {sq} FROM samp),
+e AS (SELECT {eq} FROM lineitem)
+{outs}
+"""
+
+
+# ---------------------------------------------------------------------------
 # sketch_cm_heavy_hitters — exact corpus heavy hitters via a count-min
 # screen: terms covering >= _HH_FRAC of all token occurrences, found
 # without shuffling the full distinct-term table. The CM estimate never
@@ -1904,6 +2005,11 @@ REGISTRY: dict[str, QuerySpec] = {
         _sketch_kmv_setops, _KMV_SETOPS_SQL,
         "KMV/theta sketch set algebra: union/intersection/difference estimates vs exact",
         ("sketch", "curation"),
+    ),
+    "sketch_quantile_kmv": QuerySpec(
+        _quantile_kmv, _quantile_kmv_sql(),
+        "quantiles from a mergeable hash-rank sample (one TakeOrdered pass) vs the exact reference",
+        ("sketch", "stats"),
     ),
     "text_hybrid_rrf": QuerySpec(
         _hybrid_rrf, _HYBRID_RRF_SQL,

@@ -3299,6 +3299,81 @@ FROM base b LEFT JOIN hits h ON h.query_id = b.query_id
 """
 
 
+# ---------------------------------------------------------------------------
+# text_repetition — CHAR-fraction / higher-n repetition signals (r12,
+# Gopher-inspired): duplicate-line CHARACTER fraction, top word-trigram
+# share, and duplicate 5-gram occurrence fraction, plus the composite
+# `repetitive` verdict a curation pipeline filters on. Complements
+# text_profile's count-based family (a doc whose few duplicate lines are
+# very long, or whose repetition lives at phrase grain, passes those).
+# Pure Catalyst array expressions — one projection, no shuffle; the oracle
+# replays every ratio from the same line/token splits.
+# ---------------------------------------------------------------------------
+_REP_LINE_CHAR_MAX = 0.20   # Gopher-family thresholds
+_REP_TRI_MAX = 0.18
+_REP_5GRAM_MAX = 0.15
+
+
+def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = T.repetition_ngram_signals(F.col("text"))
+    rep = (
+        (sig["dup_line_char_frac"] > _REP_LINE_CHAR_MAX)
+        | (sig["top_trigram_share"] > _REP_TRI_MAX)
+        | (sig["dup_5gram_frac"] > _REP_5GRAM_MAX)
+    )
+    return docs.select(
+        "doc_id",
+        F.round(sig["dup_line_char_frac"], ROUND_STAT).alias("dup_line_char_frac"),
+        F.round(sig["top_trigram_share"], ROUND_STAT).alias("top_trigram_share"),
+        F.round(sig["dup_5gram_frac"], ROUND_STAT).alias("dup_5gram_frac"),
+        rep.alias("repetitive"),
+    )
+
+
+# trigram max count via unnest + two-level GROUP BY (linear — same shape
+# as _top_bigram_cte_sql); 5-grams via 1-based inclusive list slices
+_TEXT_REPETITION_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_LINES_SQL} AS lines, {_LTOKS_SQL} AS ltoks
+  FROM documents),
+sized AS (
+  SELECT doc_id, ltoks, len(ltoks) AS n,
+         coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS lc,
+         coalesce(list_sum(list_transform(list_distinct(lines), x -> length(x))), 0) AS lcd
+  FROM base),
+grams AS (
+  SELECT doc_id, n, lc, lcd,
+         CASE WHEN n >= 3 THEN list_transform(range(1, n - 1),
+              i -> ltoks[i] || ' ' || ltoks[i+1] || ' ' || ltoks[i+2])
+              ELSE [] END AS g3,
+         CASE WHEN n >= 5 THEN list_transform(range(1, n - 3),
+              i -> array_to_string(ltoks[i:i+4], ' '))
+              ELSE [] END AS g5
+  FROM sized),
+top3 AS (
+  SELECT doc_id, max(c) AS top FROM (
+    SELECT doc_id, g, count(*) AS c
+    FROM grams, LATERAL unnest(g3) AS u(g) GROUP BY 1, 2)
+  GROUP BY 1),
+ratios AS (
+  SELECT g.doc_id,
+         CASE WHEN lc > 0 THEN (lc - lcd)::DOUBLE / lc ELSE 0.0 END AS dlcf,
+         CASE WHEN n >= 3 THEN (3.0 * coalesce(t.top, 0)) / n ELSE 0.0 END AS tts,
+         CASE WHEN n >= 5
+              THEN (len(g5) - len(list_distinct(g5)))::DOUBLE / len(g5)
+              ELSE 0.0 END AS d5f
+  FROM grams g LEFT JOIN top3 t ON t.doc_id = g.doc_id)
+SELECT doc_id,
+       round(dlcf, {ROUND_STAT}) AS dup_line_char_frac,
+       round(tts, {ROUND_STAT}) AS top_trigram_share,
+       round(d5f, {ROUND_STAT}) AS dup_5gram_frac,
+       (dlcf > {_REP_LINE_CHAR_MAX!r} OR tts > {_REP_TRI_MAX!r}
+        OR d5f > {_REP_5GRAM_MAX!r}) AS repetitive
+FROM ratios
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(_dedup_exact, _DEDUP_EXACT_SQL, "exact dedup via content hash", ("dedup",)),
     "dedup_apply_near": QuerySpec(_dedup_apply, _DEDUP_APPLY_SQL, "corpus after near-dup removal", ("dedup",)),
@@ -3359,6 +3434,11 @@ REGISTRY: dict[str, QuerySpec] = {
         _zipf_fit, _ZIPF_SQL,
         "Zipf rank-frequency OLS fit over top terms (corpus-health signal)",
         ("text", "diagnostics"),
+    ),
+    "text_repetition": QuerySpec(
+        _text_repetition, _TEXT_REPETITION_SQL,
+        "char-fraction + higher-n repetition signals with the Gopher-style repetitive verdict",
+        ("text", "curation"),
     ),
     "dedup_containment": QuerySpec(
         _dedup_containment, _DEDUP_CONTAIN_SQL,
