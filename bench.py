@@ -140,6 +140,15 @@ BENCH_QUERIES: tuple[str, ...] = (
     # drift against the float32 partition-seeded fast path r10 measured
     "events_attribution_multitouch",
     "ml_huber_regression",
+    # round-12: the graduated real-decode feature chain (PNG inflate +
+    # unfilter + block means — was a stub, now the Arrow codec path whose
+    # regressions must be visible), the char/ngram repetition family (the
+    # widest per-row array-expression stack: sort + fold over trigram
+    # arrays), and the KMV quantile sample (TakeOrderedAndProject + the
+    # exact shared-pass reference in one query)
+    "multimodal_features",
+    "text_repetition",
+    "sketch_quantile_kmv",
 )
 
 

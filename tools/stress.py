@@ -244,6 +244,52 @@ def main() -> None:
 
     run_case("conformal_interval", n3b, conformal_20m)
 
+    # 3d. the r12-borns at scale: the funnel rollup at 20M events (three
+    # per-user aggs + user-grain joins — no row-scale window), and the
+    # KMV quantile sample at 100M rows (one TakeOrdered pass of
+    # (hash, col) — the at-scale shape vs the exact reference)
+    def funnel_20m():
+        from urban_traffic_data_lake_project_spark.queries.analytics import (
+            funnel_steps,
+        )
+
+        return funnel_steps(synth_events_skewed(n3b))
+
+    run_case("funnel_rollup_skew", n3b, funnel_20m)
+
+    n3d = int(100_000_000 * s)
+
+    def quantile_kmv_100m():
+        from urban_traffic_data_lake_project_spark.functions import stable_hash64
+
+        df = spark.range(n3d).select(
+            (F.pmod(F.xxhash64("id"), F.lit(1_000_000)) / 7.0).alias("x"),
+            stable_hash64(F.col("id").cast("string"), salt="qs|").alias("h"),
+        )
+        samp = df.orderBy("h").limit(1024)
+        return samp.agg(
+            *[F.percentile("x", F.lit(p)).alias(f"p{int(p*100)}")
+              for p in (0.25, 0.5, 0.75, 0.95)]
+        )
+
+    run_case("quantile_kmv_sample", n3d, quantile_kmv_100m)
+
+    def repetition_200k():
+        from urban_traffic_data_lake_project_spark.operators.text import (
+            repetition_ngram_signals,
+        )
+
+        docs = synth_docs(spark, int(200_000 * s))
+        sig = repetition_ngram_signals(F.col("text"))
+        return docs.select(
+            "doc_id",
+            sig["dup_line_char_frac"].alias("dl"),
+            sig["top_trigram_share"].alias("t3"),
+            sig["dup_5gram_frac"].alias("d5"),
+        )
+
+    run_case("repetition_signals", int(200_000 * s), repetition_200k)
+
     # 4. MinHash-LSH near-dedup at 200k docs (true near-dups present)
     n4 = int(200_000 * s)
 

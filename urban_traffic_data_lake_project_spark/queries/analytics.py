@@ -1074,10 +1074,13 @@ def _theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# events_funnel — ordered conversion funnel (r12): view -> click ->
+# events_funnel — ordered conversion funnel ROLLUP (r12): view -> click ->
 # purchase, where each step must occur AT OR AFTER the user's previous
 # step time (min-ts sequencing, the standard product-analytics funnel
-# semantics — a purchase before the first view does not convert). Three
+# semantics — a purchase before the first view does not convert). The
+# per-STEP summary view (reached counts, step conversion rates, mean
+# latency) complementing win_funnel_steps' per-USER grain (which also
+# applies a 7-day step horizon; this rollup is unbounded). Three
 # map-side-combinable per-user aggregations chained by equi-joins on
 # user_id; every joined frame is ALREADY user-grain (<= one row per
 # user), so no row-scale shuffle ever carries raw events past its own
