@@ -233,10 +233,15 @@ def repetition_ngram_signals(text: Column) -> dict[str, Column]:
     ).otherwise(F.lit(0.0))
 
     n5 = F.greatest(n - 4, F.lit(0))
-    g5 = F.transform(
-        F.sequence(F.lit(1), n5),
-        lambda i: F.array_join(F.slice(toks, i, 5), " "),
-    )
+    # 5-grams via FOUR zip_with folds over pre-shifted slices — each
+    # slice materializes once per row and the lambdas touch only their
+    # element arguments. The transform(sequence, i -> slice(toks, i, 5))
+    # form re-slices per ELEMENT inside the interpreted HOF evaluator:
+    # measured 3.0 s -> this form at sf0.1 (5k docs) for the same output
+    sh = lambda k: F.slice(toks, 1 + k, n5)  # noqa: E731
+    g5 = sh(0)
+    for _k in (1, 2, 3, 4):
+        g5 = F.zip_with(g5, sh(_k), lambda a, b: F.concat(a, F.lit(" "), b))
     dup_5gram_frac = F.when(
         n >= 5,
         (n5 - F.size(F.array_distinct(g5))).cast("double") / n5,
