@@ -298,3 +298,98 @@ def test_containment_bounds_and_jaccard_relation(spark, docs):
         assert 0.0 < c <= 1.0
         j = jac.get((min(a, b), max(a, b)), 0.0)
         assert c >= j - 1e-12
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    tokens=st.lists(
+        st.sampled_from(["a", "b", "c", "dd", "ee"]), min_size=0, max_size=60
+    )
+)
+def test_repetition_ngram_signals_bruteforce(spark, tokens):
+    """All three r12 repetition ratios verified against a Python brute
+    force on arbitrary token streams (single-line text, so the line
+    signal is trivially 0 unless empty)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from urban_traffic_data_lake_project_spark.operators.text import (
+        repetition_ngram_signals,
+    )
+
+    text = " ".join(tokens)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    sig = repetition_ngram_signals(F.col("text"))
+    row = df.select(
+        sig["dup_line_char_frac"].alias("dl"),
+        sig["top_trigram_share"].alias("t3"),
+        sig["dup_5gram_frac"].alias("d5"),
+    ).first()
+
+    n = len(tokens)
+    tri = Counter(
+        " ".join(tokens[i : i + 3]) for i in range(n - 2)
+    )
+    want_t3 = (3.0 * max(tri.values())) / n if n >= 3 else 0.0
+    g5 = [" ".join(tokens[i : i + 5]) for i in range(n - 4)]
+    want_d5 = (len(g5) - len(set(g5))) / len(g5) if n >= 5 else 0.0
+    assert row["t3"] == want_t3
+    assert row["d5"] == want_d5
+    assert 0.0 <= row["dl"] <= 1.0
+    assert 0.0 <= row["t3"] <= 3.0  # share can exceed 1 on degenerate streams
+    assert 0.0 <= row["d5"] <= 1.0
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    steps=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),          # user
+            st.sampled_from(["view", "click", "purchase"]),  # type
+            st.integers(min_value=0, max_value=10_000),      # minutes
+        ),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_funnel_monotone_and_matches_bruteforce(spark, steps):
+    """Funnel invariant: reached counts are monotone non-increasing, and
+    per-step user counts match a Python brute force of the min-ts
+    sequencing semantics."""
+    import datetime as dtm
+
+    from urban_traffic_data_lake_project_spark.queries.analytics import funnel_steps
+
+    t0 = dtm.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dtm.timedelta(minutes=m), u, ty, 1.0)
+        for i, (u, ty, m) in enumerate(steps)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r["step"]: r for r in funnel_steps(df).collect()}
+
+    by_user: dict[int, dict[str, list]] = {}
+    for _, ts, u, ty, _v in rows:
+        by_user.setdefault(u, {}).setdefault(ty, []).append(ts)
+    n1 = n2 = n3 = 0
+    for evs in by_user.values():
+        views = evs.get("view")
+        if not views:
+            continue
+        n1 += 1
+        t1 = min(views)
+        clicks = [t for t in evs.get("click", []) if t >= t1]
+        if not clicks:
+            continue
+        n2 += 1
+        t2 = min(clicks)
+        purchases = [t for t in evs.get("purchase", []) if t >= t2]
+        if purchases:
+            n3 += 1
+    assert out["view"]["n_users"] == n1
+    assert out["click"]["n_users"] == n2
+    assert out["purchase"]["n_users"] == n3
+    assert n1 >= n2 >= n3
