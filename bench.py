@@ -322,6 +322,27 @@ def main() -> None:
         m = measure_pass(spark, sf_dir, names)
         if not m["contaminated"] or attempts >= max_attempts:
             break
+        # A retry in the SAME SparkContext measures inside the first
+        # pass's bloated JVM heap — observed r12: attempt 2 came back
+        # uniformly 1.3-2x slow with a CLEAN canary (the pure-CPU canary
+        # doesn't see executor GC pressure). Tear the context down, let
+        # the old heap collect, and re-warm a fresh one; also wait for
+        # the 5-MIN loadavg (not just 1-min) so the retry doesn't start
+        # while whatever contaminated pass 1 is still draining.
+        spark.stop()
+        wait_start = time.time()
+        while (
+            max(os.getloadavg()[:2])
+            > float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
+            and time.time() - wait_start
+            < float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "600"))
+        ):
+            time.sleep(10.0)
+        spark = get_spark("bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.range(1000).selectExpr("sum(id)").collect()
+        for t in TESTDATA_TABLES:
+            load_table(spark, sf_dir, t).count()
 
     timings = m["timings"]
     total = round(sum(timings.values()), 3)
