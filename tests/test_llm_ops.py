@@ -1411,3 +1411,38 @@ def test_repetition_ngram_signals_hand_computed(spark):
     assert out[3]["d5"] == 6 / 11
     # top trigram 'p q r' occurs 3x -> 9/15
     assert out[3]["t3"] == 9 / 15
+
+
+def test_bpe_fertility_rollup_matches_per_doc_encode(spark, tmp_path):
+    """text_bpe_fertility's per-language rollup must equal the sums of
+    bpe_encode's per-doc counts, and fertility the exact ratio — checked
+    on a tiny corpus with a known language split."""
+    from urban_traffic_data_lake_project_spark.queries.llm import (
+        _BPE_MERGES,
+        _text_bpe_fertility,
+    )
+    from urban_traffic_data_lake_project_spark.operators import text as TT
+
+    rows = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "the the the cat", "en"),
+        (3, "der hund lief schnell weg", "de"),
+        (4, "", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r["lang"]: r for r in _text_bpe_fertility(spark, str(tmp_path)).collect()}
+    enc = TT.bpe_encode(df, "doc_id", "text", num_merges=_BPE_MERGES).collect()
+    per_doc = {r["doc_id"]: r for r in enc}
+    langs = {1: "en", 2: "en", 3: "de", 4: "de"}
+    for lang in ("en", "de"):
+        ids = [d for d, l in langs.items() if l == lang]
+        w = sum(per_doc[d]["n_words"] for d in ids)
+        t = sum(per_doc[d]["n_tokens"] for d in ids)
+        assert out[lang]["n_docs"] == len(ids)
+        assert out[lang]["n_words"] == w
+        assert out[lang]["n_tokens"] == t
+        assert out[lang]["fertility"] == round(t / w, 6)
+        # fertility >= 1: a word is at least one token
+        assert out[lang]["fertility"] >= 1.0

@@ -402,6 +402,57 @@ FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# text_bpe_fertility — per-LANGUAGE tokenizer fertility (r12): mean BPE
+# tokens per word by language, the number a multilingual tokenizer build
+# is judged by (high-fertility languages pay more sequence length per
+# word — the metric behind vocabulary-allocation decisions). Reuses the
+# corpus-trained merge table; the oracle replays training + encoding and
+# the per-lang rollup, so the fertility ratios pin the whole chain.
+# Scale shape: one broadcast of the word->subword-count table onto the
+# exploded corpus words, two map-side-combinable aggregations (per doc,
+# then per lang) — no row-scale shuffle beyond the word explode.
+# ---------------------------------------------------------------------------
+def _text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    enc = T.bpe_encode(docs, "doc_id", "text", num_merges=_BPE_MERGES)
+    j = enc.join(docs.select("doc_id", "lang"), "doc_id")
+    words = F.sum("n_words")
+    toks = F.sum("n_tokens")
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        words.alias("n_words"),
+        toks.alias("n_tokens"),
+        F.when(
+            words > 0,
+            F.round(toks.cast("double") / words, ROUND_STAT),
+        ).alias("fertility"),
+    )
+
+
+_TEXT_BPE_FERTILITY_SQL = f"""
+WITH {_bpe_train_ctes(_BPE_MERGES)},
+wc AS (SELECT word, len(list_filter(string_split(sym, '|'), x -> x != '')) AS n_sub FROM w{_BPE_MERGES}),
+dw AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split({_NORM.format(c='text')}, ' ')) AS w
+    FROM documents)
+  WHERE w <> ''),
+per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_words, sum(n_sub)::BIGINT AS n_tokens
+  FROM dw JOIN wc ON wc.word = dw.w GROUP BY doc_id)
+SELECT d.lang,
+       count(*)::BIGINT AS n_docs,
+       coalesce(sum(per.n_words), 0)::BIGINT AS n_words,
+       coalesce(sum(per.n_tokens), 0)::BIGINT AS n_tokens,
+       CASE WHEN coalesce(sum(per.n_words), 0) > 0
+            THEN round(sum(per.n_tokens)::DOUBLE / sum(per.n_words),
+                       {ROUND_STAT}) END AS fertility
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+GROUP BY d.lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # text_bpe_train — the learned BPE merge TABLE itself (step, pair, merged
 # symbol, weighted pair frequency at merge time): the artifact a tokenizer
 # build actually ships. The oracle replays every training round; the hash
@@ -3439,6 +3490,11 @@ REGISTRY: dict[str, QuerySpec] = {
         _text_repetition, _TEXT_REPETITION_SQL,
         "char-fraction + higher-n repetition signals with the Gopher-style repetitive verdict",
         ("text", "curation"),
+    ),
+    "text_bpe_fertility": QuerySpec(
+        _text_bpe_fertility, _TEXT_BPE_FERTILITY_SQL,
+        "per-language BPE tokenizer fertility (tokens/word) — oracle replays training, encoding, and the rollup",
+        ("text", "curation", "defer"),
     ),
     "dedup_containment": QuerySpec(
         _dedup_containment, _DEDUP_CONTAIN_SQL,
