@@ -290,6 +290,62 @@ def main() -> None:
 
     run_case("repetition_signals", int(200_000 * s), repetition_200k)
 
+    # 3e. STREAMING throughput at 20M events (r12): the full Structured
+    # Streaming lifecycle — file source -> watermark -> tumbling count ->
+    # stateful sink — executed to completion under Trigger.AvailableNow.
+    # Unlike the batch cases this measures the streaming runtime's real
+    # overheads (offset tracking, state store commits per micro-batch),
+    # the number that bounds a backfill/replay of historical data through
+    # the streaming path. Special-cased because the timed unit is the
+    # query lifecycle, not a noop write.
+    def streaming_tumbling_20m():
+        import shutil
+        import tempfile
+
+        n = int(20_000_000 * s)
+        staged = tempfile.mkdtemp(prefix="stress_stream_")
+        try:
+            src = os.path.join(staged, "events")
+            synth_events(spark, n).write.mode("overwrite").parquet(src)
+            schema = spark.read.parquet(src).schema
+            t0 = time.time()
+            stream = spark.readStream.schema(schema).parquet(src)
+            agg = (
+                stream.withWatermark("ts", "2 hours")
+                .groupBy(F.window("ts", "1 hour"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            q = (
+                agg.writeStream.format("memory")
+                .queryName("stress_stream_sink")
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .option(
+                    "checkpointLocation", os.path.join(staged, "ckpt")
+                )
+                .start()
+            )
+            assert q.awaitTermination(600), "stream did not finish"
+            dt = time.time() - t0
+            rows = spark.table("stress_stream_sink").count()
+            print(
+                json.dumps(
+                    {
+                        "case": "streaming_tumbling",
+                        "rows_in": n,
+                        "sec": round(dt, 2),
+                        "rows_per_sec": int(n / dt),
+                        "result_rows": rows,
+                    }
+                ),
+                flush=True,
+            )
+        finally:
+            shutil.rmtree(staged, ignore_errors=True)
+
+    if not only or "streaming_tumbling" in only:
+        streaming_tumbling_20m()
+
     # 4. MinHash-LSH near-dedup at 200k docs (true near-dups present)
     n4 = int(200_000 * s)
 
