@@ -36,6 +36,13 @@ FLAGGED = [
     "events_theilsen_trend",
     "bootstrap_ci",
     "bootstrap_ci_grouped",
+    # r12-borns whose strict match also flows through a round():
+    # interpolated sample quantiles, latency/fertility ratios,
+    # repetition fractions
+    "sketch_quantile_kmv",
+    "events_funnel",
+    "text_bpe_fertility",
+    "text_repetition",
 ]
 
 
