@@ -348,7 +348,12 @@ def dsir_importance_weights(
     import math
 
     from urban_traffic_data_lake_project_spark.functions import normalize_text
+    from urban_traffic_data_lake_project_spark.sources import spread_to_parallelism
 
+    # `bucketed` (one md5 per gram) is evaluated twice — fit explode and
+    # scoring fold; on a byte-small input both would run on the scan's one
+    # split. Conditional round-robin spread (no-op at healthy split counts).
+    df = spread_to_parallelism(df)
     B = int(n_buckets)
     w = F.filter(
         F.split(normalize_text(F.col(text_col)), " "), lambda x: x != ""

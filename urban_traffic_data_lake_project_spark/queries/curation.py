@@ -1640,7 +1640,12 @@ _HH_DEPTH, _HH_WIDTH = 4, 1024
 
 
 def _cm_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from urban_traffic_data_lake_project_spark.sources import spread_to_parallelism
+
+    # the operator scans the token stream twice (sketch build + screen),
+    # and each token pays an md5 — spread the doc scan so both passes
+    # parallelize on a byte-small corpus (no-op at healthy split counts)
+    docs = spread_to_parallelism(load_table(spark, sf_dir, "documents"))
     toks = docs.where(F.trim(F.col("text")) != "").select(
         F.explode(
             F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != "")
