@@ -833,12 +833,26 @@ def srp_near_dup_pairs(
         )
         for b in range(bands)
     ]
+    # r12 opt: the norm is computed ONCE per vector in the signature
+    # projection and carried as one extra double per banding row, instead
+    # of being re-folded (dim multiply-adds) per CANDIDATE PAIR on both
+    # sides of the join — same left-assoc fold, bit-identical value.
+    signed = signed.withColumn("__n", _norm(F.col("__v")))
     buckets = signed.select(
-        "__id", "__v", F.explode(F.array(*entries)).alias("__b")
-    ).select("__id", "__v", F.col("__b.band").alias("band"), F.col("__b.slice").alias("slice"))
-    a = buckets.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"), "band", "slice")
-    b = buckets.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), "band", "slice")
-    sim = _dot(F.col("__va"), F.col("__vb")) / (_norm(F.col("__va")) * _norm(F.col("__vb")))
+        "__id", "__v", "__n", F.explode(F.array(*entries)).alias("__b")
+    ).select(
+        "__id", "__v", "__n",
+        F.col("__b.band").alias("band"), F.col("__b.slice").alias("slice"),
+    )
+    a = buckets.select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"), "band", "slice",
+    )
+    b = buckets.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"), "band", "slice",
+    )
+    sim = _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
     return (
         a.join(b, ["band", "slice"])
         .filter(F.col("id_a") < F.col("id_b"))

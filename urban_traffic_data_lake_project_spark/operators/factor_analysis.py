@@ -32,7 +32,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from urban_traffic_data_lake_project_spark.operators.cleaning import compute_medians
 
 
 @dataclass(frozen=True)
@@ -190,15 +189,59 @@ def fit_on_sample(
         from pyspark.sql.types import NumericType
 
         cols = [f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)]
-    med = compute_medians(df, cols)
-    proj = df.select(*cols).na.fill(med)
-    # stddevs (for the variance filter) and the row count in ONE pass
-    row = proj.agg(
-        F.count(F.lit(1)).alias("__n"),
-        *[F.stddev_samp(c).alias(c) for c in cols],
-    ).first()
-    total = row["__n"]
-    cols = [c for c in cols if row[c] is not None and row[c] > min_std]
+    # Medians AND the variance-filter inputs in the SAME head pass (r12
+    # opt, guide §2.4 "share one pass"): the raw count/mean/stddev ride
+    # the quantile head aggregation as extra_head_aggs, saving the whole
+    # separate stddev scan. The reference semantics need the stddev of
+    # the MEDIAN-IMPUTED column; that is reconstructed driver-side from
+    # the raw moments once the medians resolve — bit-identical to
+    # Spark's stddev_samp when the column has no NULLs (the common
+    # case, and the only case the strict oracles exercise), and exact
+    # up to benign last-ulp drift otherwise. The value feeds only the
+    # binary ``> min_std`` keep/drop decision, never the output.
+    from urban_traffic_data_lake_project_spark.operators.stats import (
+        exact_column_quantiles,
+    )
+
+    extras: dict = {}
+    q = exact_column_quantiles(
+        df.select(*cols),
+        cols,
+        [0.5],
+        extra_head_aggs=[F.count(F.lit(1)).alias("__xq_n")]
+        + [F.count(c).alias(f"__xq_c_{i}") for i, c in enumerate(cols)]
+        + [F.avg(c).alias(f"__xq_m_{i}") for i, c in enumerate(cols)]
+        + [F.stddev_samp(c).alias(f"__xq_s_{i}") for i, c in enumerate(cols)],
+        extras_out=extras,
+    )
+    med = {c: v[0] for c, v in q.items() if v and v[0] is not None}
+    total = extras["__xq_n"]
+
+    def _filled_std(i: int, c: str) -> float | None:
+        n_r = extras[f"__xq_c_{i}"]
+        if c not in med or n_r == 0:
+            return None  # all-NULL column: imputation has no value to use
+        sd_r = extras[f"__xq_s_{i}"]
+        n_null = total - n_r
+        if n_null == 0:
+            return sd_r  # no imputation happened: Spark's value verbatim
+        if total < 2:
+            return None
+        m_r = extras[f"__xq_m_{i}"]
+        mv = med[c]
+        mean_f = (n_r * m_r + n_null * mv) / total
+        ssd_r = (sd_r * sd_r) * (n_r - 1) if (sd_r is not None and n_r > 1) else 0.0
+        ssd_f = (
+            ssd_r
+            + n_r * (m_r - mean_f) ** 2
+            + n_null * (mv - mean_f) ** 2
+        )
+        import math as _math
+
+        return _math.sqrt(ssd_f / (total - 1))
+
+    stds = {c: _filled_std(i, c) for i, c in enumerate(cols)}
+    cols = [c for c in cols if stds[c] is not None and stds[c] > min_std]
     if len(cols) < 2:
         raise ValueError("need at least 2 usable numeric columns")
     if n_factors is None:
@@ -214,7 +257,7 @@ def fit_on_sample(
             .select(*cols)
         )
     else:
-        proj = proj.select(*cols)
+        proj = df.select(*cols).na.fill(med)
         if total > fit_sample_rows:
             # 10% oversample so the Bernoulli draw rarely undershoots, then trim
             frac = min(1.0, 1.1 * fit_sample_rows / total)

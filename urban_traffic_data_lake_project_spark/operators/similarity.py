@@ -1107,10 +1107,13 @@ def kmeans_centroids(
     v = spread_to_parallelism(train).select(
         _as_double(F.col(vec_col)).alias("__v")
     ).withColumn("__n", _norm(F.col("__v")))
-    if sampled and iters > 1:
-        # the sample is bounded (<= cap rows): persist it so each Lloyd
-        # round reuses the materialized sample instead of re-scanning the
-        # full corpus and re-evaluating the hash-range filter
+    persisted = iters > 1
+    if persisted:
+        # the Lloyd input is bounded either way — by the hash-range cap
+        # when sampled, by n_corpus <= cap when not — so persist it
+        # whenever more than one round will scan it (r12 opt: previously
+        # only the sampled branch persisted; an unsampled small corpus
+        # re-ran the scan + cast + spread exchange every round)
         v = v.persist()
     for _ in range(iters):
         assigned = with_nearest_centroids(v, "__v", "__n", entries, 1, "__cids").select(
@@ -1135,7 +1138,7 @@ def kmeans_centroids(
             }
             for e in entries
         ]
-    if sampled and iters > 1:
+    if persisted:
         v.unpersist()
     return entries
 

@@ -139,7 +139,13 @@ def exact_percentiles(
 
 
 def exact_column_quantiles(
-    df: DataFrame, cols: Sequence[str], ps: Sequence[float], accuracy: int = 10_000
+    df: DataFrame,
+    cols: Sequence[str],
+    ps: Sequence[float],
+    accuracy: int = 10_000,
+    extra_head_aggs: Sequence | None = None,
+    extras_out: dict | None = None,
+    points_out: dict | None = None,
 ) -> dict:
     """Exact interpolated quantiles (quantile_cont semantics) for MANY
     columns x MANY probabilities with bounded memory, sharing passes:
@@ -149,10 +155,24 @@ def exact_column_quantiles(
        every column in one aggregation buffer — O(n) reducer memory, the
        scale-killer this replaces),
     2. ONE aggregation: rank of every (column, p) band start,
-    3. one tiny pushdown-filtered distinct-value collect per column
-       covering all its bands.
+    3. ONE tiny pushdown-filtered distinct-value collect covering every
+       live column's bands (unpivoted; single-column callers keep the
+       direct filtered groupBy).
 
-    Returns {col: [q for p in ps]}; all-NULL columns map to ``[None, ...]``."""
+    ``extra_head_aggs`` (r12 opt): caller-supplied aggregate Columns that
+    ride the step-1 pass — a caller needing plain streaming aggs (counts,
+    means, stddevs) over the SAME frame saves a whole scan. Their values
+    land in ``extras_out`` keyed by alias.
+
+    ``points_out`` (r12 opt): receives {col: [(x0, x1, frac) | None, ...]}
+    — the two exact order statistics and interpolation fraction behind
+    each quantile (q = x0 + (x1 - x0) * frac). Because order statistics
+    commute with monotone non-decreasing maps (sorted(g(x)) == g(sorted(x))),
+    a caller can derive the exact interpolated quantile of g(column) as
+    g(x0) + (g(x1) - g(x0)) * frac WITHOUT a second refinement pass —
+    used by the cleaning kernel to get the post-clip median from the
+    pre-clip band. ``None`` marks a pathological band miss resolved via
+    the single-column fallback (no points available)."""
     cols, ps = list(cols), list(ps)
     if not cols or not ps:
         return {c: [None for _ in ps] for c in cols}
@@ -163,7 +183,13 @@ def exact_column_quantiles(
             F.percentile_approx(c, F.lit(probes), F.lit(accuracy)).alias(f"b_{i}")
             for i, c in enumerate(cols)
         ],
+        *(extra_head_aggs or []),
     ).first()
+    if extras_out is not None and extra_head_aggs:
+        d = head.asDict()
+        for k in d:
+            if not (k.startswith("n_") or k.startswith("b_")):
+                extras_out[k] = d[k]
     out: dict[str, list] = {}
     live = [
         (i, c) for i, c in enumerate(cols) if head[f"n_{i}"] > 0 and head[f"b_{i}"] is not None
@@ -179,19 +205,61 @@ def exact_column_quantiles(
             lo = head[f"b_{i}"][2 * j]
             rank_aggs.append(F.count(F.when(F.col(c) < lo, 1)).alias(f"r_{i}_{j}"))
     ranks = df.agg(*rank_aggs).first()
+    # ONE band-collect job for every live column (r12 opt): unpivot the
+    # live columns to (name, value) rows, filter to the union of each
+    # column's bands, and group once — 4 columns collapse 4 collect jobs
+    # into 1 (measured 0.76 s -> 0.35 s at sf0.1 on the 4-column FA
+    # median fit). Values are cast to double in the stack, which is what
+    # the Python-side interpolation arithmetic does anyway; two raw
+    # values that collide after the cast would land in one (value, count)
+    # row, and the cumulative order-stat walk returns the same value
+    # either way. Single-column callers keep the direct filtered groupBy
+    # (no unpivot overhead, identical job count).
+    vc_by_col: dict[str, list] = {}
+    if len(live) > 1:
+        stack_args = ", ".join(
+            f"'{c}', cast(`{c}` as double)" for _, c in live
+        )
+        stacked = df.select(
+            F.expr(f"stack({len(live)}, {stack_args}) AS (__qc, __qv)")
+        )
+        band_pred = None
+        for i, c in live:
+            b = head[f"b_{i}"]
+            for j in range(len(ps)):
+                lo, hi = b[2 * j], b[2 * j + 1]
+                p_ = (
+                    (F.col("__qc") == c)
+                    & (F.col("__qv") >= lo)
+                    & (F.col("__qv") <= hi)
+                )
+                band_pred = p_ if band_pred is None else (band_pred | p_)
+        rows = (
+            stacked.filter(band_pred)
+            .groupBy("__qc", "__qv")
+            .agg(F.count(F.lit(1)))
+            .collect()
+        )
+        for r in rows:
+            vc_by_col.setdefault(r[0], []).append((r[1], r[2]))
+        for c in vc_by_col:
+            vc_by_col[c].sort()
     for i, c in live:
         n = head[f"n_{i}"]
         b = head[f"b_{i}"]
         los = [b[2 * j] for j in range(len(ps))]
         his = [b[2 * j + 1] for j in range(len(ps))]
-        band_pred = None
-        for lo, hi in zip(los, his):
-            p_ = (F.col(c) >= lo) & (F.col(c) <= hi)
-            band_pred = p_ if band_pred is None else (band_pred | p_)
-        vc = sorted(
-            (r[0], r[1])
-            for r in df.filter(band_pred).groupBy(c).agg(F.count(F.lit(1))).collect()
-        )
+        if len(live) > 1:
+            vc = vc_by_col.get(c, [])
+        else:
+            band_pred = None
+            for lo, hi in zip(los, his):
+                p_ = (F.col(c) >= lo) & (F.col(c) <= hi)
+                band_pred = p_ if band_pred is None else (band_pred | p_)
+            vc = sorted(
+                (r[0], r[1])
+                for r in df.filter(band_pred).groupBy(c).agg(F.count(F.lit(1))).collect()
+            )
 
         def order_stat(band: list, idx: int):
             cum = 0
@@ -202,6 +270,7 @@ def exact_column_quantiles(
             raise IndexError(idx)
 
         vals = []
+        pts: list = []
         for j, p in enumerate(ps):
             lo, hi = los[j], his[j]
             h = (n - 1) * p
@@ -213,11 +282,15 @@ def exact_column_quantiles(
                 # pathological miss — fall back to the single-column
                 # refinement (widen-retry + hard error live there)
                 vals.append(exact_percentiles(df, c, [p], accuracy=accuracy, n=n)[0])
+                pts.append(None)
                 continue
             x0 = order_stat(band, k_lo - c_lt)
             x1 = order_stat(band, k_hi - c_lt)
             vals.append(x0 + (x1 - x0) * (h - k_lo))
+            pts.append((x0, x1, h - k_lo))
         out[c] = vals
+        if points_out is not None:
+            points_out[c] = pts
     return out
 
 

@@ -34,3 +34,20 @@ class QuerySpec:
     oracle: str | None  # ANSI SQL for DuckDB; None -> rows-only check
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+def overlap_jobs(*thunks: Callable[[], object]) -> list:
+    """Run independent Spark actions concurrently from a small driver
+    thread pool (guide §2.6: Spark's scheduler happily runs several jobs
+    at once; actions are only sequential because driver code calls them
+    sequentially). Used by multi-pass fit queries whose statistics passes
+    have no data dependency — the later jobs' tasks back-fill executors
+    freed by the earlier jobs' stragglers. Results come back in argument
+    order; any exception propagates."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=min(4, len(thunks))) as pool:
+        futs = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futs]

@@ -270,7 +270,12 @@ WHERE sd > 0.01
 # null-fraction drop -> IQR clip -> median fill (clean_traffic.py:57-131)
 # ---------------------------------------------------------------------------
 def _full_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    from urban_traffic_data_lake_project_spark.sources import spread_to_parallelism
+
+    # the dirty-synthesis projection (three date_format renders per row)
+    # is CPU-dense: spread a single-split scan before it (no-op at
+    # healthy split counts) instead of rendering on one core
+    o = spread_to_parallelism(load_table(spark, sf_dir, "orders"))
     base = o.select(
         F.col("o_orderkey").alias("src_row"),
         F.when(F.col("o_orderkey") % 89 == 1, None).otherwise(F.col("o_orderkey")).alias("k"),
@@ -281,18 +286,85 @@ def _full_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("o_totalprice"))
         .alias("measure"),
     )
-    dirty = base.unionAll(base.filter(F.col("src_row") % 97 == 0))
+    # dup injection in ONE scan (r12 opt): explode a 1- or 2-element array
+    # per row instead of unionAll(base, base.filter(...)), which scanned
+    # orders (and evaluated the dirty-synthesis projection) twice
+    dirty = base.select(
+        base["*"],
+        F.explode(
+            F.when(F.col("src_row") % 97 == 0, F.array(F.lit(0), F.lit(1)))
+            .otherwise(F.array(F.lit(0)))
+        ).alias("__dup"),
+    ).drop("__dup")
 
+    # The three-layout try_to_timestamp parse downstream of the dedup
+    # window is the kernel's heaviest per-row work, and AQE coalesces the
+    # small window exchange to ~1 MB partitions (a few tasks) before it.
+    # In the small regime (input at or below defaultParallelism splits),
+    # pre-partition EXPLICITLY by the window key: the window reuses this
+    # exchange (same hashpartitioning — no second shuffle), and AQE never
+    # coalesces an explicit repartition(N, key), so the parse keeps
+    # defaultParallelism tasks. At scale the input has more splits than
+    # cores and this branch never fires — AQE stays in charge.
+    sc = spark.sparkContext
+    if dirty.rdd.getNumPartitions() <= sc.defaultParallelism:
+        dirty = dirty.repartition(sc.defaultParallelism, F.col("k"))
     out = C.dedup_by_key(dirty, keys=["k"], tiebreak=["src_row"])
     out = out.withColumn("ts", F.col("ts_str"))
-    # persist the post-parse frame: the four fitted-statistics passes
-    # (mode, null-fraction, IQR, median) each trigger an action — without
-    # this the dedup window + multi-format parse re-execute five times
+    # persist the post-parse frame: the fitted-statistics passes each
+    # trigger an action — without this the dedup window + multi-format
+    # parse re-execute per pass
     out = C.parse_timestamps(out, "ts").persist()
     out = C.mode_fill(out, ["cat"])
-    out = C.null_fraction_drop(out, ["measure"], threshold=0.5)
-    out = C.iqr_clip(out, ["measure"])
-    out = C.median_fill(out, ["measure"])
+    # Fused fit (r12 opt, guide §2.4 "share one pass"): the null-fraction
+    # aggregate rides the quantile head pass, ONE refinement resolves
+    # Q1/Q2/Q3 together, and the post-clip median is derived from the
+    # Q2 interpolation points (order statistics commute with the monotone
+    # clip), replacing the previous chain of separate actions — 4
+    # fitted-statistics passes of 1+1+3+3 jobs collapse to 1+3.
+    # Equivalences that keep every branch's result identical:
+    # - percentile/rank/band arithmetic ignores NULLs, and the only rows
+    #   the >50%-NULL drop can remove are NULL-measure rows, so the
+    #   quantile fit over the pre-drop frame equals the post-drop fit in
+    #   BOTH branches (same non-null multiset, same non-null count n);
+    # - sorted(clip(x)) == clip(sorted(x)), so the exact interpolated
+    #   median of the clipped column is clip(x0) + (clip(x1)-clip(x0))*frac
+    #   over the pre-clip order statistics, with the same IEEE754 clip.
+    from urban_traffic_data_lake_project_spark.operators.stats import (
+        exact_column_quantiles,
+    )
+
+    extras: dict = {}
+    points: dict = {}
+    q = exact_column_quantiles(
+        out,
+        ["measure"],
+        [0.25, 0.5, 0.75],
+        extra_head_aggs=[
+            F.avg(F.col("measure").isNull().cast("double")).alias("__nf")
+        ],
+        extras_out=extras,
+        points_out=points,
+    )
+    if (extras.get("__nf") or 0.0) > 0.5:
+        out = out.na.drop(subset=["measure"])
+    q1, q3 = q["measure"][0], q["measure"][2]
+    if q1 is not None:
+        iqr = q3 - q1
+        lo, hi = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+        col = F.col("measure")
+        out = out.withColumn(
+            "measure",
+            F.when(col < lo, F.lit(lo)).when(col > hi, F.lit(hi)).otherwise(col),
+        )
+        pts = (points.get("measure") or [None, None, None])[1]
+        if pts is not None:
+            x0, x1, frac = pts
+            _clip = lambda v: lo if v < lo else (hi if v > hi else v)  # noqa: E731
+            med_clip = _clip(x0) + (_clip(x1) - _clip(x0)) * frac
+            out = out.na.fill({"measure": med_clip})
+        else:  # pathological band miss: exact refinement on the clipped frame
+            out = C.median_fill(out, ["measure"])
     return out.select("k", "ts", "cat", F.round("measure", ROUND_SUM).alias("measure"))
 
 

@@ -175,7 +175,11 @@ GROUP BY o_orderpriority
 # median stays exact-native: ~50 distinct values, O(distinct) memory.
 # ---------------------------------------------------------------------------
 def _grand_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from urban_traffic_data_lake_project_spark.operators.stats import exact_percentiles
+    from urban_traffic_data_lake_project_spark.operators.stats import (
+        bracket_probes,
+        exact_percentiles,
+    )
+    from urban_traffic_data_lake_project_spark.queries.base import overlap_jobs
 
     li = load_table(spark, sf_dir, "lineitem")
     # NOTE: the approx brackets deliberately run as their OWN pass — folding
@@ -197,16 +201,31 @@ def _grand_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # so passing n_rows would shift the interpolation if prices had NULLs
         F.count("l_extendedprice").alias("n_price"),
     )
-    row = base.first().asDict()
-    row["n_parts"] = li.select("l_partkey").distinct().count()
-    q25, q75 = exact_percentiles(li, "l_extendedprice", [0.25, 0.75], n=row.pop("n_price"))
-    # A5 mode (deterministic tiebreak: max count, then min value) — its own
-    # tiny grouped pass; folding it into `base` would force an Expand.
-    mode_row = (
-        li.groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), "l_returnflag")
-        .first()
+    # The four fit passes below are data-independent — overlap them from a
+    # driver thread pool (guide §2.6) instead of running 4 sequential jobs;
+    # each job's result (and therefore the query's output) is unchanged.
+    probes = bracket_probes([0.25, 0.75], 10_000)
+    base_row, n_parts, mode_row, brackets = overlap_jobs(
+        lambda: base.first().asDict(),
+        lambda: li.select("l_partkey").distinct().count(),
+        # A5 mode (deterministic tiebreak: max count, then min value) — its
+        # own tiny grouped pass; folding it into `base` would force an Expand.
+        lambda: (
+            li.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "l_returnflag")
+            .first()
+        ),
+        lambda: li.agg(
+            F.percentile_approx(
+                "l_extendedprice", F.lit(probes), F.lit(10_000)
+            ).alias("b")
+        ).first()["b"],
+    )
+    row = base_row
+    row["n_parts"] = n_parts
+    q25, q75 = exact_percentiles(
+        li, "l_extendedprice", [0.25, 0.75], n=row.pop("n_price"), brackets=brackets
     )
     out = {
         **row,
