@@ -1107,13 +1107,16 @@ def kmeans_centroids(
     v = spread_to_parallelism(train).select(
         _as_double(F.col(vec_col)).alias("__v")
     ).withColumn("__n", _norm(F.col("__v")))
-    persisted = iters > 1
+    # Persist ONLY the sampled branch (r12 opt note: persisting the
+    # unsampled small-corpus branch too was tried and REVERTED — the
+    # memory-store materialization/unpersist churn repeated across the
+    # family's many trainings, e.g. 1 IVF + m PQ codebooks per IVFPQ
+    # query, measurably crept the family's bench minimums while the
+    # single-query win stayed inside noise). The sampled branch keeps
+    # the persist: there it saves a full-corpus re-scan plus the
+    # hash-range filter per Lloyd round.
+    persisted = sampled and iters > 1
     if persisted:
-        # the Lloyd input is bounded either way — by the hash-range cap
-        # when sampled, by n_corpus <= cap when not — so persist it
-        # whenever more than one round will scan it (r12 opt: previously
-        # only the sampled branch persisted; an unsampled small corpus
-        # re-ran the scan + cast + spread exchange every round)
         v = v.persist()
     for _ in range(iters):
         assigned = with_nearest_centroids(v, "__v", "__n", entries, 1, "__cids").select(
