@@ -56,7 +56,11 @@ def main() -> None:
             spec.fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
             spark.sparkContext.setJobDescription(None)
-        med = sorted(runs)[len(runs) // 2]
+        # run 0 is the warm-up (codegen + Arrow import + footers): report
+        # the median over the WARM runs only — including the cold run
+        # biased small --runs medians toward the cold time (ADVICE r12)
+        warm = runs[1:] if len(runs) > 1 else runs
+        med = sorted(warm)[len(warm) // 2]
         print(
             f"{name:40s} med={med:7.3f}  " + " ".join(f"{r:7.3f}" for r in runs),
             flush=True,

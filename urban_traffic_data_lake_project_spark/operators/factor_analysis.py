@@ -241,6 +241,28 @@ def fit_on_sample(
         return _math.sqrt(ssd_f / (total - 1))
 
     stds = {c: _filled_std(i, c) for i, c in enumerate(cols)}
+    # Threshold hardening (ADVICE r12, low): the reconstructed stddev of a
+    # median-imputed column is exact only up to last-ulp drift when NULLs
+    # were present; a value within drift distance of min_std could flip
+    # the binary keep/drop vs the reference single-pass stddev. For those
+    # (and only those) borderline columns, recompute the filled-column
+    # stddev EXACTLY with one bounded aggregate — never triggered when no
+    # column sits within 1e-9 (relative) of the threshold, which is every
+    # oracled corpus today.
+    borderline = [
+        (i, c)
+        for i, c in enumerate(cols)
+        if stds[c] is not None
+        and extras[f"__xq_c_{i}"] < total
+        and abs(stds[c] - min_std) <= 1e-9 * max(abs(min_std), 1.0)
+    ]
+    if borderline:
+        row = df.na.fill({c: med[c] for _, c in borderline if c in med}).agg(
+            *[F.stddev_samp(c).alias(f"__bs_{i}") for i, c in borderline]
+        ).first()
+        for i, c in borderline:
+            if row[f"__bs_{i}"] is not None:
+                stds[c] = row[f"__bs_{i}"]
     cols = [c for c in cols if stds[c] is not None and stds[c] > min_std]
     if len(cols) < 2:
         raise ValueError("need at least 2 usable numeric columns")

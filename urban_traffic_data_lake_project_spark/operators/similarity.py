@@ -749,11 +749,15 @@ def cosine_topk_ivf_coarse_rerank(
     ).withColumn("__qn", _norm(F.col("__qv")))
     probed = with_nearest_centroids(q, "__qv", "__qn", entries, nprobe, "__cids")
     # bounded collect: query vectors + PREFIX norms travel in the coarse
-    # scorer's task closure (aliased __qn — the scorer's norm contract)
+    # scorer's task closure (aliased __qn — the scorer's norm contract);
+    # the probe pairs ride the SAME collect and the broadcast probe table
+    # is rebuilt driver-side (r13 — see cosine_topk_ivf), so the scoring
+    # job no longer re-runs the query assignment in its probe subtree
     q_rows = probed.select(
-        "query_id", "__qv", F.expr(_norm_sql("__qv", d_coarse)).alias("__qn")
+        "query_id", "__qv",
+        F.expr(_norm_sql("__qv", d_coarse)).alias("__qn"), "__cids",
     ).collect()
-    probes = probed.select("query_id", F.explode("__cids").alias("centroid_id"))
+    probes = _probes_table_from_rows(corpus.sparkSession, q_rows, probed.schema)
 
     # stage 2: prefix-dim score + partition-local prune as ONE Arrow
     # stage over the PROBED candidates only, then the global depth cut
@@ -827,20 +831,30 @@ def cosine_topk_ivf_int8_rerank(
     instead of PQ's codebook distortion."""
     if not dim:
         raise ValueError("cosine_topk_ivf_int8_rerank requires dim")
-    if train_iters > 0:
-        entries = kmeans_centroids(
-            corpus, id_col, vec_col, k=n_centroids, iters=train_iters
-        )
-    else:
-        entries = centroid_entries(corpus, id_col, vec_col, n_centroids)
+    from urban_traffic_data_lake_project_spark.functions.concurrency import (
+        overlap_jobs,
+    )
 
     c = spread_to_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
     ).withColumn("__cn", _norm(F.col("__cv")))
-    # one bounded aggregate fits the global symmetric scale
-    a_row = c.agg(
-        F.max(F.array_max(F.transform("__cv", lambda x: F.abs(x)))).alias("a")
-    ).collect()[0]
+
+    def _entries():
+        if train_iters > 0:
+            return kmeans_centroids(
+                corpus, id_col, vec_col, k=n_centroids, iters=train_iters
+            )
+        return centroid_entries(corpus, id_col, vec_col, n_centroids)
+
+    # the centroid seed/training and the global max-abs scale aggregate
+    # have no data dependency: overlap them (guide §2.6, r13) — two
+    # bounded fit jobs, one latency
+    entries, a_row = overlap_jobs(
+        _entries,
+        lambda: c.agg(
+            F.max(F.array_max(F.transform("__cv", lambda x: F.abs(x)))).alias("a")
+        ).collect()[0],
+    )
     # an empty corpus aggregates to NULL — degrade to the same empty
     # result the sibling paths return instead of float(None) (ADVICE r8)
     scale = float(a_row["a"]) if a_row["a"] is not None else 1.0
@@ -858,8 +872,14 @@ def cosine_topk_ivf_int8_rerank(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
     ).withColumn("__qn", _norm(F.col("__qv")))
     probed = with_nearest_centroids(q, "__qv", "__qn", entries, nprobe, "__cids")
-    q_rows = probed.select("query_id", q8(F.col("__qv")).alias("__q8")).collect()
-    probes = probed.select("query_id", F.explode("__cids").alias("centroid_id"))
+    # one bounded collect carries the query codes AND the probe pairs;
+    # the broadcast probe table is rebuilt driver-side (r13 — see
+    # cosine_topk_ivf), so the screen job stops re-running the query
+    # assignment in its probe subtree
+    q_rows = probed.select(
+        "query_id", q8(F.col("__qv")).alias("__q8"), "__cids"
+    ).collect()
+    probes = _probes_table_from_rows(corpus.sparkSession, q_rows, probed.schema)
 
     cand = assigned.join(F.broadcast(probes), "centroid_id").filter(
         F.col("neighbor_id") != F.col("query_id")
@@ -1083,11 +1103,31 @@ def kmeans_centroids(
     import math
 
     from urban_traffic_data_lake_project_spark.functions import stable_hash64
+    from urban_traffic_data_lake_project_spark.functions.concurrency import (
+        overlap_jobs,
+    )
 
     train = corpus
     sampled = False
+    seed = None
     if train_sample_cap is not None:
-        n_corpus = corpus.select(id_col).count()
+        # Overlap the cap-check count with a SPECULATIVE unsampled seed
+        # (guide §2.6) — but only in the small regime (input at or below
+        # defaultParallelism splits, the clean_full_kernel guard): there
+        # the two bounded jobs cost one latency instead of two, and a
+        # mispredict (a small-split input still over the cap) wastes only
+        # a cheap TakeOrdered over a bounded table. A 100 TB corpus has
+        # thousands of splits, never speculates, and keeps today's
+        # count-then-sampled-seed order — no full-corpus scan is ever
+        # run at risk of being discarded.
+        sc = corpus.sparkSession.sparkContext
+        if corpus.rdd.getNumPartitions() <= sc.defaultParallelism:
+            n_corpus, seed = overlap_jobs(
+                lambda: corpus.select(id_col).count(),
+                lambda: centroid_entries(corpus, id_col, vec_col, k),
+            )
+        else:
+            n_corpus = corpus.select(id_col).count()
         if n_corpus > int(train_sample_cap):
             h = stable_hash64(
                 F.concat_ws(
@@ -1098,13 +1138,24 @@ def kmeans_centroids(
             t = (m * int(train_sample_cap)) // n_corpus
             train = corpus.filter(F.pmod(h, F.lit(m)) < F.lit(t))
             sampled = True
+            seed = None  # the speculative unsampled seed does not apply
 
-    seed = centroid_entries(train, id_col, vec_col, k)
+    if seed is None:
+        seed = centroid_entries(train, id_col, vec_col, k)
     entries = [
         {"cid": i, "vec": [float(x) for x in r["vec"]], "cnorm": float(r["cnorm"])}
         for i, r in enumerate(seed)
     ]
-    v = spread_to_parallelism(train).select(
+    # NO spread_to_parallelism on the training frame (r13): the Lloyd
+    # assignment is numpy-vectorized (microseconds per row), so on a
+    # bounded single-split training set the round-robin exchange + 32-way
+    # Arrow fan-out costs more than the parallelism buys — measured
+    # 1.19-1.72 s/round with the spread vs 0.73-0.88 s without at sf0.1
+    # (2 000 vectors), with bit-identical rounded means (round_to absorbs
+    # the partial-sum order change, same as the cross-engine oracle
+    # replay). At healthy split counts the spread was a no-op anyway, and
+    # the sampled branch keeps the filter's inherited partitioning.
+    v = train.select(
         _as_double(F.col(vec_col)).alias("__v")
     ).withColumn("__n", _norm(F.col("__v")))
     # Persist ONLY the sampled branch (r12 opt note: persisting the
@@ -1476,6 +1527,33 @@ def _nearest_centroids_expr(
     return cur.select(*carry, out.alias(out_col))
 
 
+def _probes_table_from_rows(spark, q_rows: list, probed_schema) -> DataFrame:
+    """(query_id, centroid_id) broadcast-probe table built DRIVER-SIDE from
+    the already-collected probed rows (each carrying its ``__cids`` array)
+    — the exact rows the in-plan ``explode("__cids")`` produced, without
+    re-running the query-side assignment stage inside the scoring job.
+    Closure-regime only: the probed rows are bounded by contract there,
+    and the collect this feeds was already happening for the scorer's
+    task closure (r13: the two uses now share ONE collect)."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("query_id", probed_schema["query_id"].dataType),
+            StructField(
+                "centroid_id", probed_schema["__cids"].dataType.elementType
+            ),
+        ]
+    )
+    data = [(r["query_id"], c) for r in q_rows for c in r["__cids"]]
+    # ONE slice: a bare createDataFrame(list) parallelizes into
+    # defaultParallelism slices, so the broadcast build schedules 32 tiny
+    # tasks for a handful of probe rows (measured ~2x the whole join's
+    # steady-state time at sf0.1)
+    rdd = spark.sparkContext.parallelize(data, 1)
+    return spark.createDataFrame(rdd, schema)
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1496,12 +1574,39 @@ def cosine_topk_ivf(
     (zero shuffle of the corpus); each query probes only its ``nprobe``
     nearest centroid buckets via a broadcast join. At 100 TB the corpus is
     scanned once and never re-partitioned for assignment."""
-    if train_iters > 0:
-        entries = kmeans_centroids(
-            corpus, id_col, vec_col, k=n_centroids, iters=train_iters
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+    ).withColumn("__qn", _norm(F.col("__qv")))
+
+    def _entries():
+        if train_iters > 0:
+            return kmeans_centroids(
+                corpus, id_col, vec_col, k=n_centroids, iters=train_iters
+            )
+        return centroid_entries(corpus, id_col, vec_col, n_centroids)
+
+    # Regime switch (r10 verdict item 4, same auto-sizing pattern as
+    # srp_choose_bands): "closure" driver-collects the query vectors and
+    # ships them in the scorer's task closure — optimal while the query
+    # set is bounded (the retrieval-eval regime); "join" keeps the query
+    # side fully distributed and joins vectors onto candidates — the path
+    # for corpus-sized query sets. "auto" counts the queries (one cheap
+    # job) and picks by QUERY_BROADCAST_BUDGET. The count runs on the
+    # PRE-probe projection (1:1 with the probed rows): Catalyst prunes
+    # every column out of a bare count, so the centroid-distance
+    # expressions never execute for the probe job (r11 verdict item 2).
+    # The count has no dependency on the centroids, so it OVERLAPS the
+    # centroid seed/training jobs (guide §2.6).
+    if query_regime == "auto":
+        from urban_traffic_data_lake_project_spark.functions.concurrency import (
+            overlap_jobs,
         )
+
+        entries, n_q = overlap_jobs(_entries, q.count)
+        regime = "closure" if n_q <= query_broadcast_budget else "join"
     else:
-        entries = centroid_entries(corpus, id_col, vec_col, n_centroids)
+        entries = _entries()
+        regime = query_regime
 
     c = spread_to_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
@@ -1521,32 +1626,19 @@ def cosine_topk_ivf(
         F.explode("__cids").alias("centroid_id"),
     )
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
-    ).withColumn("__qn", _norm(F.col("__qv")))
     probed = with_nearest_centroids(q, "__qv", "__qn", entries, nprobe, "__cids")
-    # Regime switch (r10 verdict item 4, same auto-sizing pattern as
-    # srp_choose_bands): "closure" driver-collects the query vectors and
-    # ships them in the scorer's task closure — optimal while the query
-    # set is bounded (the retrieval-eval regime); "join" keeps the query
-    # side fully distributed and joins vectors onto candidates — the path
-    # for corpus-sized query sets. "auto" counts the queries (one cheap
-    # job) and picks by QUERY_BROADCAST_BUDGET. The count runs on the
-    # PRE-probe projection (1:1 with the probed rows): Catalyst prunes
-    # every column out of a bare count, so the centroid-distance
-    # expressions never execute for the probe job (r11 verdict item 2).
-    if query_regime == "auto":
-        regime = "closure" if q.count() <= query_broadcast_budget else "join"
-    else:
-        regime = query_regime
-    probes = probed.select("query_id", F.explode("__cids").alias("centroid_id"))
     dim = len(entries[0]["vec"])
     if regime == "closure":
         # bounded driver collect (queries are small by contract): the query
         # vectors+norms travel in the scorer's task closure, so the
         # broadcast probe table is (query_id, centroid_id) only and
-        # candidate rows never carry a duplicated query vector
-        q_rows = probed.select("query_id", "__qv", "__qn").collect()
+        # candidate rows never carry a duplicated query vector. The probe
+        # pairs ride the SAME collect (__cids) and the broadcast probe
+        # table is rebuilt driver-side from them — one bounded job where
+        # r12 ran the collect AND re-ran the query assignment inside the
+        # scoring job's probe subtree (r13, guide §2.4 "share one pass").
+        q_rows = probed.select("query_id", "__qv", "__qn", "__cids").collect()
+        probes = _probes_table_from_rows(corpus.sparkSession, q_rows, probed.schema)
 
         # scoring + partition-local prune as ONE Arrow stage (see
         # _score_local_topk_arrow): bit-identical left-assoc dots, no 64 KB
@@ -1558,6 +1650,7 @@ def cosine_topk_ivf(
         )
         pruned = _score_local_topk_arrow(cand, q_rows, k, dim, "__cv", "__cn")
     else:
+        probes = probed.select("query_id", F.explode("__cids").alias("centroid_id"))
         # large-query regime: NO driver collect of the query side. The
         # probe table joins on centroid_id (AQE picks the strategy + skew
         # splits), then the query vectors join onto the candidates by
@@ -1810,9 +1903,25 @@ def ivfpq_topk(
     prune bounds the window exchange to partitions*q*k rows. Self-match
     is kept (distance 0) exactly like ``pq_adc_topk``; its bucket always
     probes first, so it is always a candidate."""
+    from urban_traffic_data_lake_project_spark.functions.concurrency import (
+        overlap_jobs,
+    )
+
     m, sub = len(codebooks), len(codebooks[0][0])
     n_codes = len(codebooks[0])
-    entries = centroid_entries(corpus, id_col, vec_col, n_centroids)
+    # the coarse-centroid seed and the bounded query collect (which feeds
+    # only the driver-computed ADC LUTs) are data-independent: overlap
+    # them (guide §2.6, r13) — same results, one job latency
+    entries, q_rows = overlap_jobs(
+        lambda: centroid_entries(corpus, id_col, vec_col, n_centroids),
+        lambda: (
+            queries.orderBy(id_col)
+            .select(
+                F.col(id_col).alias("__qid"), _as_double(F.col(vec_col)).alias("__qv")
+            )
+            .collect()
+        ),
+    )
     dim = len(entries[0]["vec"])
 
     c = spread_to_parallelism(corpus).select(
@@ -1836,15 +1945,10 @@ def ivfpq_topk(
     )
 
     # Per-(query, subspace, code) ADC LUT computed once on the driver from
-    # the collected (bounded) query set, shipped as one literal map keyed
-    # by query_id — after the bucket join each candidate row evaluates m
-    # element_at lookups; raw query vectors never reach the corpus side.
-    q_rows = (
-        queries.orderBy(id_col)
-        .select(F.col(id_col).alias("__qid"), _as_double(F.col(vec_col)).alias("__qv"))
-        .collect()
-    )
-
+    # the collected (bounded) query set (q_rows, overlapped with the seed
+    # above), shipped as one literal map keyed by query_id — after the
+    # bucket join each candidate row evaluates m element_at lookups; raw
+    # query vectors never reach the corpus side.
     def lut_flat(qv: list) -> list:
         out = []
         for j in range(m):
@@ -1924,7 +2028,22 @@ def ivfpq_residual_topk(
     rank window. Codebooks seed from the ``k_codes`` lowest-id vectors'
     RESIDUAL subvectors (the deterministic seed rule the SQL oracle
     replays; production would Lloyd-refine per subspace)."""
-    entries = centroid_entries(corpus, id_col, vec_col, n_centroids)
+    from urban_traffic_data_lake_project_spark.functions.concurrency import (
+        overlap_jobs,
+    )
+
+    # the centroid seed and the bounded raw-query collect (which feeds
+    # only the driver-computed per-bucket LUTs) are data-independent:
+    # overlap them (guide §2.6, r13)
+    entries, q_raw = overlap_jobs(
+        lambda: centroid_entries(corpus, id_col, vec_col, n_centroids),
+        lambda: (
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                _as_double(F.col(vec_col)).alias("__qv"),
+            ).collect()
+        ),
+    )
     dim = len(entries[0]["vec"])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -2015,12 +2134,10 @@ def ivfpq_residual_topk(
     )
 
     # per-(query, probed bucket) ADC LUT from the collected (bounded)
-    # query set + probe list; Python's IEEE doubles and left-assoc sums
-    # are bit-identical to the SQL replay
-    q_rows = {
-        int(r["query_id"]): list(r["__qv"])
-        for r in q.select("query_id", "__qv").collect()
-    }
+    # query set (q_raw, overlapped with the seed above) + probe list;
+    # Python's IEEE doubles and left-assoc sums are bit-identical to the
+    # SQL replay
+    q_rows = {int(r["query_id"]): list(r["__qv"]) for r in q_raw}
     probe_rows = probes.collect()
 
     def lut_flat(qv: list, ctv: list) -> list:
@@ -2348,36 +2465,47 @@ def query_ivf_index(
         regime = "closure" if q.count() <= query_broadcast_budget else "join"
     else:
         regime = query_regime
-    probes = probed_df.select("query_id", F.explode("__cids").alias("centroid_id"))
-    probed = sorted(
-        int(r["centroid_id"])
-        for r in probes.select("centroid_id").distinct().collect()
-    )
 
-    postings = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
-        F.col("centroid_id").isin(probed)
-    )
-    if where:
-        # FILTERED vector search: the metadata predicate applies to the
-        # postings SCAN (PushedFilters — row groups of non-matching
-        # metadata are skipped via footer stats), so at 100 TB the
-        # filter prunes bytes read, not just scored candidates; recall
-        # within the filtered slice is exact for the probed buckets
-        postings = postings.filter(F.expr(where))
+    def _postings(probed_cids: list):
+        p = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
+            F.col("centroid_id").isin(probed_cids)
+        )
+        if where:
+            # FILTERED vector search: the metadata predicate applies to the
+            # postings SCAN (PushedFilters — row groups of non-matching
+            # metadata are skipped via footer stats), so at 100 TB the
+            # filter prunes bytes read, not just scored candidates; recall
+            # within the filtered slice is exact for the probed buckets
+            p = p.filter(F.expr(where))
+        return p
+
     if regime == "closure":
-        # bounded driver collect — query vectors ride the scorer's closure
-        # (see cosine_topk_ivf), so the broadcast probe table stays narrow
-        q_rows = probed_df.select("query_id", "__qv", "__qn").collect()
-        cand = postings.join(F.broadcast(probes), "centroid_id").filter(
+        # ONE bounded driver collect (r13): the query vectors ride the
+        # scorer's closure, the probe pairs AND the partition-pruning
+        # bucket list derive from the same collected __cids rows — where
+        # r12 ran a distinct-collect job for the bucket list plus this
+        # collect plus an in-plan re-assignment for the probe table
+        q_rows = probed_df.select("query_id", "__qv", "__qn", "__cids").collect()
+        probed = sorted({int(c) for r in q_rows for c in r["__cids"]})
+        probes = _probes_table_from_rows(spark, q_rows, probed_df.schema)
+        cand = _postings(probed).join(F.broadcast(probes), "centroid_id").filter(
             F.col("neighbor_id") != F.col("query_id")
         )
         pruned = _score_local_topk_arrow(cand, q_rows, k, dim, "vec", "norm")
     else:
         # large-query regime: query vectors join onto the probed postings;
         # nothing query-sized is driver-collected (see
-        # _score_local_topk_arrow_joined)
+        # _score_local_topk_arrow_joined) — only the bounded distinct
+        # bucket list (<= n_centroids rows in either regime)
+        probes = probed_df.select(
+            "query_id", F.explode("__cids").alias("centroid_id")
+        )
+        probed = sorted(
+            int(r["centroid_id"])
+            for r in probes.select("centroid_id").distinct().collect()
+        )
         qv_tab = probed_df.select("query_id", "__qv", "__qn")
-        cand = postings.join(probes, "centroid_id").filter(
+        cand = _postings(probed).join(probes, "centroid_id").filter(
             F.col("neighbor_id") != F.col("query_id")
         )
         cand = cand.join(qv_tab, "query_id")
@@ -2540,18 +2668,14 @@ def query_ivfpq_index(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
     ).withColumn("__qn", _norm(F.col("__qv")))
-    probes = with_nearest_centroids(q, "__qv", "__qn", entries, nprobe, "__cids").select(
-        "query_id", F.explode("__cids").alias("centroid_id")
-    )
-    probed = sorted(
-        int(r["centroid_id"])
-        for r in probes.select("centroid_id").distinct().collect()
-    )
-    q_rows = (
-        queries.orderBy(id_col)
-        .select(F.col(id_col).alias("__qid"), _as_double(F.col(vec_col)).alias("__qv"))
-        .collect()
-    )
+    probed_df = with_nearest_centroids(q, "__qv", "__qn", entries, nprobe, "__cids")
+    # ONE bounded collect (r13): query vectors (for the driver LUTs), the
+    # probe pairs, and the partition-pruning bucket list all derive from
+    # the same collected rows — r12 ran a distinct-collect job plus a
+    # separate ordered query collect
+    q_rows = probed_df.select("query_id", "__qv", "__cids").collect()
+    probed = sorted({int(c) for r in q_rows for c in r["__cids"]})
+    probes = _probes_table_from_rows(spark, q_rows, probed_df.schema)
 
     def lut_flat(qv: list) -> list:
         out = []
@@ -2565,7 +2689,7 @@ def query_ivfpq_index(
         return out
 
     lut_df = spark.createDataFrame(
-        [(int(r["__qid"]), lut_flat(list(r["__qv"]))) for r in q_rows],
+        [(int(r["query_id"]), lut_flat(list(r["__qv"]))) for r in q_rows],
         "query_id long, __lut array<double>",
     )
     postings = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
@@ -2713,13 +2837,15 @@ def query_int8_index(
     q8 = lambda v: F.transform(  # noqa: E731
         v, lambda x: F.floor(x * 127.0 / F.lit(scale) + 0.5).cast("long")
     )
-    # bounded collect: quantized query codes travel in the screen's closure
-    q_rows = probed_df.select("query_id", q8(F.col("__qv")).alias("__q8")).collect()
-    probes = probed_df.select("query_id", F.explode("__cids").alias("centroid_id"))
-    probed = sorted(
-        int(r["centroid_id"])
-        for r in probes.select("centroid_id").distinct().collect()
-    )
+    # ONE bounded collect (r13): the quantized query codes travel in the
+    # screen's closure; the probe pairs and the partition-pruning bucket
+    # list derive from the same collected __cids rows (r12 ran a separate
+    # distinct-collect job and re-ran the query assignment in-plan)
+    q_rows = probed_df.select(
+        "query_id", q8(F.col("__qv")).alias("__q8"), "__cids"
+    ).collect()
+    probed = sorted({int(c) for r in q_rows for c in r["__cids"]})
+    probes = _probes_table_from_rows(spark, q_rows, probed_df.schema)
 
     def postings_scan():
         p = spark.read.parquet(os.path.join(index_dir, "postings")).filter(

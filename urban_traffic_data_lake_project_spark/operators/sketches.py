@@ -593,11 +593,21 @@ def cm_heavy_hitters(
     inlining sizes the plan at depth*width*8 bytes, fine for the default
     4x1024; a deployment screening with width >> 64k should switch back
     to a broadcast-join screen."""
+    # The input value stream is consumed by THREE passes (sketch build
+    # collect below, the total count, the screen scan). Below the byte
+    # threshold it is re-derived per pass — measured cheaper than
+    # memory-store churn at bench scale (r12) — above it one
+    # MEMORY_AND_DISK materialization replaces two corpus-scale re-scans
+    # (scale-conditional persist, r12 verdict item 7; the cached plan is
+    # reclaimed by the ContextCleaner once the caller drops the frame).
+    from urban_traffic_data_lake_project_spark.sources.tables import (
+        persist_for_reuse_if_large,
+    )
+
+    df = persist_for_reuse_if_large(df)
     total = df.agg(F.count(F.lit(1)).alias("__tot"))
-    # One eager sketch build shared by all depth screens (a persist()
-    # here would leak a cached DataFrame per invocation — nothing
-    # downstream could unpersist it; the collect is bounded by
-    # construction).
+    # One eager sketch build shared by all depth screens (the collect is
+    # bounded by construction).
     cm_rows = cm_sketch_table(df, value_col, depth, width).collect()
     cells = [[0] * width for _ in range(depth)]
     for r in cm_rows:

@@ -395,6 +395,18 @@ def tfidf_docsim_topk(
         )
         .select(id_col, "term", F.log(F.col("__nd") / F.col("__df")).alias("tfidf"))
     )
+    # The banded postings feed TWO differently-keyed shuffles: the term
+    # self-join (whose two exchanges runtime exchange-reuse already
+    # dedups) and the per-doc norm aggregation (keyed by id — its exchange
+    # re-derives the tokenize + dfreq-join subtree). At bench scale the
+    # re-derivation measured cheaper than a persist (r12: 2.8-3.6 s vs
+    # 4.0-5.2 s); at corpus scale the extra full tokenization pass always
+    # loses — scale-conditional persist, a no-op below the byte threshold.
+    from urban_traffic_data_lake_project_spark.sources.tables import (
+        persist_for_reuse_if_large,
+    )
+
+    p = persist_for_reuse_if_large(p)
     norms = p.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("tfidf") * F.col("tfidf"))).alias("__nn")
     )

@@ -36,18 +36,9 @@ class QuerySpec:
     tags: tuple[str, ...] = field(default_factory=tuple)
 
 
-def overlap_jobs(*thunks: Callable[[], object]) -> list:
-    """Run independent Spark actions concurrently from a small driver
-    thread pool (guide §2.6: Spark's scheduler happily runs several jobs
-    at once; actions are only sequential because driver code calls them
-    sequentially). Used by multi-pass fit queries whose statistics passes
-    have no data dependency — the later jobs' tasks back-fill executors
-    freed by the earlier jobs' stragglers. Results come back in argument
-    order; any exception propagates."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    if len(thunks) == 1:
-        return [thunks[0]()]
-    with ThreadPoolExecutor(max_workers=min(4, len(thunks))) as pool:
-        futs = [pool.submit(t) for t in thunks]
-        return [f.result() for f in futs]
+# Re-export: the implementation moved to functions.concurrency (r13) so
+# the operator layer can overlap its own fit passes without a circular
+# import through this registry module; query-side callers are unchanged.
+from urban_traffic_data_lake_project_spark.functions.concurrency import (  # noqa: E402,F401
+    overlap_jobs,
+)

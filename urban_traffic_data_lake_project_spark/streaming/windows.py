@@ -149,11 +149,39 @@ def run_available_now(
         result.writeStream.format("memory")
         .queryName(name)
         .outputMode(mode)
+        # Fresh per-query checkpoint subdir (the counter in `name`) under a
+        # RAM-backed per-process root: a memory-sink AvailableNow drain is
+        # ephemeral by construction, so its offset/commit logs don't need
+        # durable storage — tmpfs skips the per-micro-batch fsyncs of the
+        # HDFS metadata log (r12 verdict item 8, streaming lifecycle
+        # floor). Never reused across runs — exactly-once state is per
+        # drain, same as the default temp checkpoint this replaces.
+        .option("checkpointLocation", os.path.join(_checkpoint_root(), name))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(timeout_sec)
     return spark.table(name)
+
+
+_CKPT_ROOT: str | None = None
+
+
+def _checkpoint_root() -> str:
+    """Per-process checkpoint root for memory-sink drains, on tmpfs when
+    available (cleaned at exit)."""
+    global _CKPT_ROOT
+    if _CKPT_ROOT is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        base = "/dev/shm" if os.path.isdir("/dev/shm") and os.access(
+            "/dev/shm", os.W_OK
+        ) else tempfile.gettempdir()
+        _CKPT_ROOT = tempfile.mkdtemp(prefix="spark_graft_ckpt_", dir=base)
+        atexit.register(shutil.rmtree, _CKPT_ROOT, True)
+    return _CKPT_ROOT
 
 
 def _has_aggregation(df: DataFrame) -> bool:
