@@ -77,9 +77,17 @@ def exact_percentiles(
     brackets: Sequence[float] | None = None,
     _retries: int = 1,
     _eps_mult: int = 2,
+    collect_bytes_cap: int | None = None,
 ) -> list[float]:
     """Exact interpolated percentiles of ``col`` (NULLs excluded), matching
     SQL ``quantile_cont`` / Spark ``percentile`` semantics.
+
+    Small regime (r13, same gate as ``exact_column_quantiles``): when the
+    optimizer's size estimate of the projected column is bounded, ONE
+    column-pruned collect + driver-side order statistics replaces the
+    bracket/rank/band jobs — bit-identical values, a no-op at scale.
+    Precomputed ``n``/``brackets`` are simply unused there (callers that
+    overlap a bracket pass lose nothing: the pass was concurrent).
 
     ``n`` is the NON-NULL count of ``col`` (NOT the table row count — with
     NULLs present the interpolation ranks differ). ``n`` and ``brackets``
@@ -92,6 +100,19 @@ def exact_percentiles(
     over-tight sketch), the miss is retried once with a 20x coarser sketch
     (wider band, same rank guarantee), then raises naming the knob — never
     a full-column collect."""
+    cap = _QUANTILE_COLLECT_BYTES if collect_bytes_cap is None else collect_bytes_cap
+    if cap > 0:
+        try:
+            est = int(
+                df.select(col)._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            est = cap + 1
+        if est <= cap:
+            res = _quantiles_from_collect(df, [col], list(ps), None, None, None)
+            if res is not None:  # None: real NaN -> digest semantics below
+                return res[col]
+
     c = F.col(col)
     if n is None:
         n = df.filter(c.isNotNull()).count()
@@ -156,6 +177,7 @@ def exact_percentiles(
                 exact_percentiles(
                     df, col, [p], accuracy=accuracy, n=n,
                     _retries=_retries - 1, _eps_mult=wide_mult,
+                    collect_bytes_cap=0,  # gate already failed upstream
                 )[0]
             )
             continue
@@ -480,7 +502,12 @@ def exact_column_quantiles(
             if not (c_lt <= k_lo and k_hi < c_lt + band_n):
                 # pathological miss — fall back to the single-column
                 # refinement (widen-retry + hard error live there)
-                vals.append(exact_percentiles(df, c, [p], accuracy=accuracy, n=n)[0])
+                vals.append(
+                    exact_percentiles(
+                        df, c, [p], accuracy=accuracy, n=n,
+                        collect_bytes_cap=0,  # digest regime: don't re-probe
+                    )[0]
+                )
                 pts.append(None)
                 continue
             x0 = order_stat(band, k_lo - c_lt)

@@ -406,7 +406,10 @@ def tfidf_docsim_topk(
         persist_for_reuse_if_large,
     )
 
-    p = persist_for_reuse_if_large(p)
+    # probe the pre-join shingle frame: optimizing the banded-postings
+    # join just to read its size estimate cost ~6% of the whole query at
+    # bench scale; the shingle stream bounds the postings size from above
+    p = persist_for_reuse_if_large(p, probe_df=sh)
     norms = p.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("tfidf") * F.col("tfidf"))).alias("__nn")
     )

@@ -81,6 +81,7 @@ def persist_for_reuse_if_large(
     df: DataFrame,
     env_var: str = "SPARK_GRAFT_REUSE_PERSIST_BYTES",
     default_bytes: int = 1 << 30,
+    probe_df: DataFrame | None = None,
 ) -> DataFrame:
     """Scale-conditional persist for a frame consumed by MULTIPLE passes
     (r12 verdict item 7): below the optimizer-estimated byte threshold the
@@ -96,14 +97,21 @@ def persist_for_reuse_if_large(
     The leak is bounded — Spark's ContextCleaner unpersists cached plans
     whose RDDs become unreachable after the caller drops the frame, and
     MEMORY_AND_DISK blocks are evictable under pressure. The threshold is
-    env-tunable; 0 disables."""
+    env-tunable; 0 disables.
+
+    ``probe_df``: estimate over THIS (usually upstream, structurally
+    simpler) frame instead of ``df`` — the probe runs the optimizer on
+    the probed plan driver-side, which for a join-bearing ``df`` costs a
+    visible fraction of a bench-scale run (measured ~+6% on
+    text_docsim_topk probing the banded-postings join directly)."""
     import os as _os
 
     threshold = int(_os.environ.get(env_var, str(default_bytes)))
     if threshold <= 0:
         return df
     try:
-        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        probe = probe_df if probe_df is not None else df
+        est = int(probe._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:
         return df
     if est > threshold:
